@@ -1,0 +1,77 @@
+"""Portable deterministic hashing for ids, fingerprints and MinHash.
+
+Design constraint: every hash must be reproducible in ANSI SQL (DuckDB
+oracle) AND in Spark. Engine-native hashes (`xxhash64`, DuckDB `hash`)
+differ across engines, so all sketches are built on `md5(text)` and the
+*lexicographic* order of hex digests — a uniform 128-bit hash family:
+`h_seed(t) = md5(t || '#' || seed)`, min taken as string-min.
+
+Reference parity: chunk ids are deterministic SHA-256 composites
+(``core/models.py:292-303``); the MinHash/SimHash family is the
+scale-path addition for 100 TB dedup (not in the reference, required by
+the training-data-pipeline surface).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def seeded_md5(token: Column, seed: int) -> Column:
+    return F.md5(F.concat(token, F.lit(f"#{seed}")))
+
+
+def minhash_signature(tokens: Column, num_hashes: int) -> Column:
+    """array<string> of `num_hashes` min-md5 values over the token set.
+
+    Map-side only: per row, `num_hashes` passes over the token array
+    inside codegen. At 100 TB this is the cheap half of LSH; the
+    shuffle happens only on the (band → bucket) exchange downstream.
+    Empty-token rows get the md5 of the empty string per seed, which is
+    still deterministic.
+    """
+    return F.array(
+        *[
+            F.coalesce(
+                F.array_min(F.transform(tokens, lambda t, s=s: seeded_md5(t, s))),
+                F.md5(F.lit(f"#{s}")),
+            )
+            for s in range(num_hashes)
+        ]
+    )
+
+
+def band_keys(signature: Column, num_bands: int, rows_per_band: int) -> Column:
+    """LSH band keys: array of `band_idx || ':' || concat(sig rows)`.
+
+    Two docs collide on a band iff all `rows_per_band` minhashes in that
+    band are equal — the standard banding amplification.
+    """
+    keys = []
+    for b in range(num_bands):
+        parts = [F.lit(f"{b}:")] + [
+            F.element_at(signature, b * rows_per_band + r + 1) for r in range(rows_per_band)
+        ]
+        keys.append(F.concat(*parts))
+    return F.array(*keys)
+
+
+def chunk_id_expr(
+    file_path: Column, chunk_type: Column, name: Column, start: Column, end: Column, content: Column
+) -> Column:
+    """Deterministic chunk id — sha256 composite truncated to 16 hex
+    chars, mirroring ``core/models.py:292-303`` (pure function of the
+    row, reproducible anywhere)."""
+    return F.sha2(
+        F.concat_ws(
+            ":",
+            file_path,
+            chunk_type,
+            name,
+            start.cast("string"),
+            end.cast("string"),
+            F.sha2(F.substring(content, 1, 100), 256).substr(1, 8),
+        ),
+        256,
+    ).substr(1, 16)

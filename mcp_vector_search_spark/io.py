@@ -1,0 +1,64 @@
+"""Table sources over the driver-provided parquet corpus.
+
+Mirrors the reference's storage layer (LanceDB tables,
+``core/chunks_backend.py`` / ``core/vectors_backend.py``) as plain
+columnar scans: Catalyst gives us predicate pushdown and column pruning
+natively (reference hand-builds both, ``vectors_backend.py:806-826``,
+``:1372-1384``).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan one corpus table. Pure `spark.read.parquet` so filters and
+    projections placed on the result push down into the scan.
+
+    Timestamp handling: `events.ts` is INT64 TIMESTAMP(NANOS), which
+    Spark's parquet reader rejects unless nanos are read as long; we
+    enable that and rebuild a TIMESTAMP_NTZ column (floor-divide to µs
+    — exactly DuckDB's ns→µs cast). The other tables already carry µs
+    TIMESTAMP_NTZ, which is timezone-free end to end.
+    """
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    from pyspark.sql import functions as F
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn(
+            "ts",
+            F.expr("CAST(timestamp_micros(CAST(FLOOR(ts / 1000) AS LONG)) AS TIMESTAMP_NTZ)"),
+        )
+    return df
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: table(spark, sf_dir, name) for name in TABLES}
+
+
+def register_temp_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every corpus table as a temp view for spark.sql use."""
+    for name in TABLES:
+        table(spark, sf_dir, name).createOrReplaceTempView(name)

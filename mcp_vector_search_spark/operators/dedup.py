@@ -1,0 +1,133 @@
+"""Deduplication operators for the training-data-pipeline surface.
+
+Exact dedup, MinHash-LSH near-dup, and bounded n-gram Jaccard. These
+generalize the reference's all-pairs similarity join (J11,
+``core/relationships.py:240-351``) to document corpora.
+
+100 TB notes:
+- exact: one groupBy on a 128-bit fingerprint — the cheapest possible
+  shuffle (fingerprint + id only, never the text).
+- MinHash-LSH: signatures are map-side; the only shuffle is the
+  (band_key → doc ids) exchange, and candidate pairs are generated
+  per-bucket via a self-join on band_key — never all-pairs. Bucket
+  skew (a giant near-dup cluster) is handled by AQE skew-join
+  splitting; pathological buckets can additionally be capped.
+- verification recomputes true Jaccard only on candidates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from mcp_vector_search_spark.functions.hashing import band_keys, minhash_signature
+from mcp_vector_search_spark.functions.text import doc_fingerprint, tokenize, word_ngrams
+
+
+def exact_duplicates(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Groups of docs with identical normalized content →
+    (fingerprint, dup_count, keep_id = min doc id)."""
+    fp = docs.select(F.col(id_col).alias("doc_id"), doc_fingerprint(text_col).alias("fingerprint"))
+    return (
+        fp.groupBy("fingerprint")
+        .agg(F.count("*").alias("dup_count"), F.min("doc_id").alias("keep_id"))
+        .filter(F.col("dup_count") > 1)
+    )
+
+
+def shingle_sets(
+    docs: DataFrame, n: int = 3, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, shingles array<string>) — distinct word n-grams."""
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.array_distinct(word_ngrams(tokenize(text_col), n)).alias("shingles"),
+    )
+
+
+def minhash_candidates(
+    docs: DataFrame,
+    num_hashes: int = 8,
+    num_bands: int = 4,
+    shingle_n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """LSH candidate pairs (doc_a < doc_b, band collisions deduped).
+
+    Signature/banding are per-row expressions; the pair generation is a
+    self-equi-join on band_key — shuffle is on band keys, never a cross
+    join.
+    """
+    rows_per_band = num_hashes // num_bands
+    sh = shingle_sets(docs, shingle_n, id_col, text_col)
+    sig = sh.select(
+        "doc_id", minhash_signature(F.col("shingles"), num_hashes).alias("sig")
+    )
+    banded = sig.select(
+        "doc_id", F.explode(band_keys(F.col("sig"), num_bands, rows_per_band)).alias("band_key")
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(b, (F.col("a.band_key") == F.col("b.band_key")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def jaccard_verify(
+    candidates: DataFrame,
+    shingles: DataFrame,
+    threshold: float = 0.0,
+    round_to: int = 6,
+) -> DataFrame:
+    """Exact Jaccard on candidate pairs → (doc_a, doc_b, jaccard ≥ t).
+
+    Joins the shingle sets back per side; intersection/union via
+    array_intersect (sets are already distinct).
+    """
+    sa = shingles.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
+    sb = shingles.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = (F.size("sh_a") + F.size("sh_b")).cast("double") - inter
+    jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+    return (
+        candidates.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("jaccard", F.round(jac, round_to))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def neighbor_jaccard(
+    docs: DataFrame,
+    window: int = 20,
+    shingle_n: int = 3,
+    threshold: float = 0.0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Bounded n-gram Jaccard: compare each doc only to the next
+    `window` ids (a deterministic blocking scheme — O(window·N) pairs).
+    Used as the oracle-checkable stand-in for full LSH verification."""
+    sh = shingle_sets(docs, shingle_n, id_col, text_col)
+    # Explode each doc's neighbor-id list so the pairing is an
+    # *equi-join* on doc_b (shuffle-hash/sort-merge at scale), not a
+    # broadcast-nested-loop range join.
+    a = sh.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("shingles").alias("sh_a"),
+        F.explode(F.sequence(F.col("doc_id") + 1, F.col("doc_id") + window)).alias("doc_b"),
+    )
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    pairs = a.join(b, "doc_b")
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = (F.size("sh_a") + F.size("sh_b")).cast("double") - inter
+    jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+    return (
+        pairs.withColumn("jaccard", F.round(jac, 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )

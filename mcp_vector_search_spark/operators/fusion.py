@@ -1,0 +1,59 @@
+"""Rank fusion operators (reference J3/J4,
+``core/search.py:1613-1772``, ``mcp/hybrid_search_handler.py:418-480``).
+
+RRF with the reference's exact semantics:
+  score(d) = α / (K + rank_vec(d)) + (1-α) / (K + rank_bm25(d)),
+  K = 60 (``search.py:32``), missing leg contributes 0,
+  then max-normalized (``search.py:1709-1715``).
+
+Plan shape: two small ranked lists (≤ over-retrieval limit each) →
+full-outer equi-join on the doc id → window max for normalization. The
+inputs are already top-N, so this stage is tiny at any corpus scale —
+the heavy lifting stays in the retrieval legs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+RRF_K = 60
+
+
+def rrf_fuse(
+    ranked_a: DataFrame,
+    ranked_b: DataFrame,
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+    alpha: float = 0.7,
+    k: int = RRF_K,
+    round_to: int | None = 6,
+) -> DataFrame:
+    """Fuse two ranked lists → (id, rrf_score) with max-normalization.
+
+    `ranked_a` gets weight alpha (the vector leg in the reference),
+    `ranked_b` gets 1-alpha.
+    """
+    a = ranked_a.select(F.col(id_col), F.col(rank_col).alias("_rank_a"))
+    b = ranked_b.select(F.col(id_col), F.col(rank_col).alias("_rank_b"))
+    fused = (
+        a.join(b, id_col, "full_outer")
+        .withColumn(
+            "_raw",
+            F.coalesce(F.lit(alpha) / (F.lit(k) + F.col("_rank_a")), F.lit(0.0))
+            + F.coalesce(F.lit(1.0 - alpha) / (F.lit(k) + F.col("_rank_b")), F.lit(0.0)),
+        )
+    )
+    w = Window.partitionBy()  # global max over the fused (small) set
+    out = fused.withColumn("rrf_score", F.col("_raw") / F.max("_raw").over(w))
+    if round_to is not None:
+        out = out.withColumn("rrf_score", F.round("rrf_score", round_to))
+    return out.select(id_col, "rrf_score")
+
+
+def max_score_merge(results: DataFrame, id_col: str, score_col: str) -> DataFrame:
+    """Query-expansion variant merge (reference J5/U1,
+    ``search.py:297-349``): union of per-variant results, keep the max
+    score per id. Map-side combinable groupBy."""
+    return results.groupBy(id_col).agg(F.max(score_col).alias(score_col))
