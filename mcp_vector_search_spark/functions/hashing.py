@@ -62,16 +62,22 @@ def chunk_id_expr(
 ) -> Column:
     """Deterministic chunk id — sha256 composite truncated to 16 hex
     chars, mirroring ``core/models.py:292-303`` (pure function of the
-    row, reproducible anywhere)."""
+    row, reproducible anywhere).
+
+    Null handling matches the reference's defaults (name → "",
+    start/end → 0): inputs are coalesced *before* concat_ws, because
+    concat_ws silently drops NULL arguments (and their separator),
+    which would collapse `path:type::0:5:h` into `path:type:0:5:h`.
+    """
     return F.sha2(
         F.concat_ws(
             ":",
-            file_path,
-            chunk_type,
-            name,
-            start.cast("string"),
-            end.cast("string"),
-            F.sha2(F.substring(content, 1, 100), 256).substr(1, 8),
+            F.coalesce(file_path, F.lit("")),
+            F.coalesce(chunk_type, F.lit("")),
+            F.coalesce(name, F.lit("")),
+            F.coalesce(start, F.lit(0)).cast("string"),
+            F.coalesce(end, F.lit(0)).cast("string"),
+            F.sha2(F.coalesce(F.substring(content, 1, 100), F.lit("")), 256).substr(1, 8),
         ),
         256,
     ).substr(1, 16)

@@ -35,9 +35,11 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
     Timestamp handling: `events.ts` is INT64 TIMESTAMP(NANOS), which
     Spark's parquet reader rejects unless nanos are read as long; we
-    enable that and rebuild a TIMESTAMP_NTZ column (floor-divide to µs
-    — exactly DuckDB's ns→µs cast). The other tables already carry µs
-    TIMESTAMP_NTZ, which is timezone-free end to end.
+    enable that and rebuild a TIMESTAMP_NTZ column (`ts DIV 1000` — long
+    integer division, exactly DuckDB's ns→µs cast; `/` would round
+    through a double and corrupt ~12% of ns-epoch values, which exceed
+    2^53). The other tables already carry µs TIMESTAMP_NTZ, which is
+    timezone-free end to end.
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
@@ -49,7 +51,7 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn(
             "ts",
-            F.expr("CAST(timestamp_micros(CAST(FLOOR(ts / 1000) AS LONG)) AS TIMESTAMP_NTZ)"),
+            F.expr("CAST(timestamp_micros(ts DIV 1000) AS TIMESTAMP_NTZ)"),
         )
     return df
 

@@ -1,0 +1,112 @@
+"""Analytics rollups (reference §2.4/§2.5: A1 index stats, A4
+file/project rollups + grade ladder + health, W3 hotspot top-N, F15
+quality score — ``analysis/metrics.py:164-408``,
+``chunks_backend.py:1044-1121``).
+
+Pure groupBy/window work: one shuffle per rollup level, map-side
+partial aggregation everywhere, no UDFs. The grade ladder and health
+score are `when` chains — whole-stage-codegen'd column math.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from mcp_vector_search_spark.functions.text import (
+    distinct_token_ratio,
+    punct_ratio,
+    tokenize,
+)
+
+
+def lang_distribution(docs: DataFrame, lang_col: str = "lang") -> DataFrame:
+    """A1 index stats: per-language doc counts + size stats (reference
+    ``chunks_backend.py:1044-1121`` language distribution)."""
+    return docs.groupBy(F.col(lang_col).alias("lang")).agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
+
+
+def grade_expr(avg_complexity: Column) -> Column:
+    """A–F grade ladder (reference ``analysis/metrics.py:52-83``):
+    thresholds on average complexity; here the complexity proxy for
+    prose is average chars."""
+    return (
+        F.when(avg_complexity <= 150, "A")
+        .when(avg_complexity <= 250, "B")
+        .when(avg_complexity <= 350, "C")
+        .when(avg_complexity <= 450, "D")
+        .otherwise("F")
+    )
+
+
+def source_rollup(docs: DataFrame, group_col: str = "source") -> DataFrame:
+    """A4 per-file→per-source rollup with grade + health score
+    (reference ``analysis/metrics.py:164-408``): one groupBy, grades
+    and health as column math on the aggregates.
+
+    health = 100 − 15·(grade rank) clamped at 0 (reference health is a
+    weighted composite ``metrics.py:234-272``; same shape)."""
+    agg = docs.groupBy(F.col(group_col).alias("source")).agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        F.max("n_chars").alias("max_chars"),
+        F.min("n_chars").alias("min_chars"),
+    )
+    grade = grade_expr(F.col("avg_chars"))
+    rank = (
+        F.when(grade == "A", 0)
+        .when(grade == "B", 1)
+        .when(grade == "C", 2)
+        .when(grade == "D", 3)
+        .otherwise(4)
+    )
+    return agg.withColumn("grade", grade).withColumn(
+        "health", F.greatest(F.lit(0), F.lit(100) - F.lit(15) * rank)
+    )
+
+
+def hotspots(
+    docs: DataFrame,
+    n: int = 5,
+    part_col: str = "lang",
+    metric_col: str = "n_chars",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """W3 hotspot top-N per group (reference
+    ``analysis/metrics.py:341-359``): rank window with deterministic
+    id tiebreak, filter ≤ n. Shuffles only on the partition key."""
+    w = Window.partitionBy(part_col).orderBy(F.desc(metric_col), F.asc(id_col))
+    return (
+        docs.withColumn("hotspot_rank", F.row_number().over(w))
+        .filter(F.col("hotspot_rank") <= n)
+        .select(id_col, part_col, metric_col, "hotspot_rank")
+    )
+
+
+def quality_score(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """F15-style 0–100 composite quality score from text signals
+    (reference ``models.py:470-506``: grade base − smell penalties,
+    clamped; here the signals are the LLM-data-pipeline ones: length,
+    lexical diversity, punctuation density).
+
+    score = clamp(0, 100, 50 + 30·distinct_ratio − 100·punct_ratio
+                          + 0.2·min(n_tokens, 100))
+    """
+    toks = tokenize(text_col)
+    raw = (
+        F.lit(50.0)
+        + F.lit(30.0) * distinct_token_ratio(toks)
+        - F.lit(100.0) * punct_ratio(text_col)
+        + F.lit(0.2) * F.least(F.size(toks), F.lit(100)).cast("double")
+    )
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.round(F.greatest(F.lit(0.0), F.least(F.lit(100.0), raw)), 4).alias("quality"),
+    )

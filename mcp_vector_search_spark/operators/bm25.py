@@ -2,20 +2,31 @@
 ``bm25_backend.py:84-375``).
 
 The reference keeps a pickled in-memory BM25Okapi corpus; here the
-"index" is two DataFrames — exactly the decomposition that scales:
+"index" is three DataFrames — exactly the decomposition that scales:
 
 - ``postings(doc_id, term, tf)``   — one shuffle to build (groupBy),
   partitioned by term for query-time pruning;
-- ``doc_stats(doc_id, dl)`` + corpus aggregates (N, avgdl).
+- ``doc_stats(doc_id, dl)`` + corpus aggregates (N, avgdl);
+- ``term_stats(term, df, idf)``    — build-time idf table (tiny:
+  one row per distinct term).
 
 Query time touches only the postings of the query's terms (an `isin`
 filter that prunes before the join), so cost is O(df(q)) not O(corpus)
 — the property that survives 100 TB.
 
-Scoring: Okapi BM25 with the Lucene idf variant
-    idf(t)  = ln(1 + (N - df + 0.5) / (df + 0.5))
-    s(d,q)  = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 - b + b·dl/avgdl))
-k1=1.2, b=0.75 (the BM25Okapi defaults the reference uses).
+Scoring: Okapi BM25 exactly as ``rank_bm25.BM25Okapi`` (the class the
+reference instantiates, ``bm25_backend.py:30-145``):
+
+    idf_raw(t) = ln((N - df + 0.5) / (df + 0.5))
+    idf(t)     = idf_raw(t)                  if idf_raw(t) >= 0
+                 epsilon * avg(idf_raw)      otherwise   (epsilon=0.25,
+                 average over ALL corpus terms, incl. negatives)
+    s(d,q)     = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 - b + b·dl/avgdl))
+
+k1=1.5, b=0.75 are BM25Okapi's constructor defaults; the reference does
+not override them. (Round 1 shipped the Lucene idf variant
+ln(1+(N-df+0.5)/(df+0.5)) with k1=1.2 — fixed per ADVICE r1 for
+reference parity.)
 """
 
 from __future__ import annotations
@@ -25,8 +36,9 @@ from pyspark.sql import functions as F
 
 from mcp_vector_search_spark.functions.text import tokenize
 
-K1 = 1.2
+K1 = 1.5
 B = 0.75
+EPSILON = 0.25
 
 
 def build_postings(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -45,10 +57,43 @@ def build_doc_stats(docs: DataFrame, id_col: str = "doc_id", text_col: str = "te
     )
 
 
+def build_term_stats(
+    postings: DataFrame, doc_stats: DataFrame, epsilon: float = EPSILON
+) -> DataFrame:
+    """term_stats(term, df, idf) with BM25Okapi's epsilon-floored idf.
+
+    Build-time: one groupBy(term) over postings plus one global average
+    over the (small) term table. The flooring constant eps·avg(idf_raw)
+    is a corpus scalar — broadcast, never reshuffled. Persist this
+    (partitioned/sorted by term) as the K3 index sink.
+    """
+    n_docs = doc_stats.agg(F.count("*").cast("double").alias("n_docs"))
+    df_t = (
+        postings.groupBy("term")
+        .agg(F.countDistinct("doc_id").cast("double").alias("df"))
+        .join(F.broadcast(n_docs))
+        .withColumn(
+            "idf_raw", F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+        )
+    )
+    avg_idf = df_t.agg(F.avg("idf_raw").alias("avg_idf"))
+    return (
+        df_t.join(F.broadcast(avg_idf))
+        .withColumn(
+            "idf",
+            F.when(F.col("idf_raw") < 0, F.lit(epsilon) * F.col("avg_idf")).otherwise(
+                F.col("idf_raw")
+            ),
+        )
+        .select("term", "df", "idf")
+    )
+
+
 def bm25_scores(
     postings: DataFrame,
     doc_stats: DataFrame,
     query_terms: list[str],
+    term_stats: DataFrame | None = None,
     k1: float = K1,
     b: float = B,
     round_to: int | None = 6,
@@ -57,24 +102,21 @@ def bm25_scores(
 
     Plan shape: postings pruned by `term isin(query)` (pushed to the
     scan when postings are stored partitioned by term), tiny
-    df/N/avgdl aggregates broadcast back, one groupBy(doc_id) to sum
-    term contributions.
+    term_stats/avgdl aggregates broadcast back, one groupBy(doc_id) to
+    sum term contributions.
     """
     q = list(dict.fromkeys(query_terms))  # dedupe, keep order
+    if term_stats is None:
+        term_stats = build_term_stats(postings, doc_stats)
     qp = postings.filter(F.col("term").isin(q))
+    q_stats = term_stats.filter(F.col("term").isin(q))
 
-    n_avg = doc_stats.agg(
-        F.count("*").cast("double").alias("n_docs"), F.avg("dl").alias("avgdl")
-    )
-    df_t = qp.groupBy("term").agg(F.countDistinct("doc_id").cast("double").alias("df"))
+    avg = doc_stats.agg(F.avg("dl").alias("avgdl"))
 
     scored = (
         qp.join(doc_stats, "doc_id")
-        .join(F.broadcast(df_t), "term")
-        .join(F.broadcast(n_avg))
-        .withColumn(
-            "idf", F.log(F.lit(1.0) + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
-        )
+        .join(F.broadcast(q_stats), "term")
+        .join(F.broadcast(avg))
         .withColumn(
             "contrib",
             F.col("idf")
@@ -94,13 +136,18 @@ def bm25_topk(
     k: int,
     id_col: str = "doc_id",
     text_col: str = "text",
+    min_score: float | None = None,
 ) -> DataFrame:
     """End-to-end BM25 top-k over a raw document table (builds the
-    postings inline; production path persists them — K3)."""
+    postings inline; production path persists them — K3).
+
+    `min_score=0.0` reproduces the reference's zero-score filter (P5,
+    ``bm25_backend.py:187`` keeps only score > 0); default keeps every
+    doc matching ≥1 query term, BM25Okapi-style.
+    """
     postings = build_postings(docs, id_col, text_col)
     stats = build_doc_stats(docs, id_col, text_col)
-    return (
-        bm25_scores(postings, stats, query_terms)
-        .orderBy(F.desc("score"), F.asc("doc_id"))
-        .limit(k)
-    )
+    scored = bm25_scores(postings, stats, query_terms)
+    if min_score is not None:
+        scored = scored.filter(F.col("score") > min_score)
+    return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)

@@ -52,12 +52,18 @@ def minhash_candidates(
     shingle_n: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """LSH candidate pairs (doc_a < doc_b, band collisions deduped).
 
     Signature/banding are per-row expressions; the pair generation is a
     self-equi-join on band_key — shuffle is on band keys, never a cross
     join.
+
+    `max_bucket_size` drops pathological buckets (boilerplate that
+    collides thousands of docs into one band key → a quadratic bucket).
+    Production preset: num_hashes=128, num_bands=32, max_bucket_size a
+    few hundred; the defaults here are toy-grade for oracle checking.
     """
     rows_per_band = num_hashes // num_bands
     sh = shingle_sets(docs, shingle_n, id_col, text_col)
@@ -67,6 +73,15 @@ def minhash_candidates(
     banded = sig.select(
         "doc_id", F.explode(band_keys(F.col("sig"), num_bands, rows_per_band)).alias("band_key")
     )
+    if max_bucket_size is not None:
+        # One extra groupBy on band_key (same shuffle key as the join, so
+        # AQE reuses the exchange); quadratic buckets never materialize.
+        sizes = banded.groupBy("band_key").agg(F.count("*").alias("_bucket_n"))
+        banded = (
+            banded.join(sizes, "band_key")
+            .filter(F.col("_bucket_n") <= max_bucket_size)
+            .drop("_bucket_n")
+        )
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -110,19 +125,31 @@ def neighbor_jaccard(
     text_col: str = "text",
 ) -> DataFrame:
     """Bounded n-gram Jaccard: compare each doc only to the next
-    `window` ids (a deterministic blocking scheme — O(window·N) pairs).
-    Used as the oracle-checkable stand-in for full LSH verification."""
-    sh = shingle_sets(docs, shingle_n, id_col, text_col)
-    # Explode each doc's neighbor-id list so the pairing is an
-    # *equi-join* on doc_b (shuffle-hash/sort-merge at scale), not a
+    `window` docs *by id order* (a deterministic blocking scheme —
+    O(window·N) pairs). Used as the oracle-checkable stand-in for full
+    LSH verification.
+
+    Positions are derived with a dense row_number over id order, so
+    string or sparse ids work (round 1 assumed dense monotone int ids
+    and silently compared nothing on gaps).
+    """
+    from pyspark.sql.window import Window
+
+    sh = shingle_sets(docs, shingle_n, id_col, text_col).withColumn(
+        "_pos", F.row_number().over(Window.orderBy("doc_id"))
+    )
+    # Explode each doc's neighbor-position list so the pairing is an
+    # *equi-join* on _pos (shuffle-hash/sort-merge at scale), not a
     # broadcast-nested-loop range join.
     a = sh.select(
         F.col("doc_id").alias("doc_a"),
         F.col("shingles").alias("sh_a"),
-        F.explode(F.sequence(F.col("doc_id") + 1, F.col("doc_id") + window)).alias("doc_b"),
+        F.explode(F.sequence(F.col("_pos") + 1, F.col("_pos") + window)).alias("_pos_b"),
     )
-    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
-    pairs = a.join(b, "doc_b")
+    b = sh.select(
+        F.col("_pos").alias("_pos_b"), F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b")
+    )
+    pairs = a.join(b, "_pos_b")
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
     union = (F.size("sh_a") + F.size("sh_b")).cast("double") - inter
     jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))

@@ -1,0 +1,69 @@
+"""Event-stream batch operators: tumbling windows, lag deltas,
+sessionization (reference W4 trend deltas ``analysis/trends.py``; the
+windowed shapes generalize the reference's snapshot-over-time
+analytics to event data).
+
+All three are one-shuffle plans: the window/groupBy key is (user) or
+(bucket, type), so partial aggregation and AQE coalescing apply. The
+same logical shapes run under Structured Streaming (see
+``streaming/``) with `window()` + watermarks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 minutes in microseconds
+
+
+def _epoch_us(col):
+    # events.ts is TIMESTAMP_NTZ; with the session pinned to UTC the
+    # cast to TIMESTAMP is identity and unix_micros is exact integer µs.
+    return F.unix_micros(col.cast("timestamp"))
+
+
+def hourly_rollup(events: DataFrame) -> DataFrame:
+    """Tumbling 1h window per event_type → count + value sum. Hour is
+    returned as epoch-µs so cross-engine comparison is integer-exact."""
+    return (
+        events.withColumn("hour_us", _epoch_us(F.date_trunc("hour", F.col("ts"))))
+        .groupBy("hour_us", "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("value_sum"),
+        )
+    )
+
+
+def lag_delta(events: DataFrame) -> DataFrame:
+    """W4 trend delta: per-user value change vs previous event
+    (deterministic order: ts, event_id)."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return events.select(
+        "event_id",
+        "user_id",
+        F.round(F.col("value") - F.lag("value").over(w), 6).alias("delta"),
+    )
+
+
+def sessionize(events: DataFrame, gap_us: int = SESSION_GAP_US) -> DataFrame:
+    """Per-user session stats with a fixed inactivity gap: a session
+    breaks when the µs delta to the previous event exceeds `gap_us`.
+
+    Classic two-window plan (lag → cumulative sum of breaks) but both
+    windows share the (user_id) partitioning, so it's ONE shuffle; the
+    aggregation then rolls up per user without moving data again.
+    Streaming equivalent: `session_window()` (see streaming/).
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = _epoch_us(F.col("ts"))
+    with_breaks = events.withColumn(
+        "_new_session",
+        F.when(us - F.lag(us).over(w) > gap_us, 1).otherwise(0),
+    )
+    return with_breaks.groupBy("user_id").agg(
+        (F.sum("_new_session") + 1).alias("n_sessions"),
+        F.count("*").alias("n_events"),
+    )

@@ -16,7 +16,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 RRF_K = 60
 
@@ -45,8 +44,14 @@ def rrf_fuse(
             + F.coalesce(F.lit(1.0 - alpha) / (F.lit(k) + F.col("_rank_b")), F.lit(0.0)),
         )
     )
-    w = Window.partitionBy()  # global max over the fused (small) set
-    out = fused.withColumn("rrf_score", F.col("_raw") / F.max("_raw").over(w))
+    # Max-normalization via a broadcast scalar aggregate, NOT a global
+    # window (Window.partitionBy() would funnel every fused row through
+    # one partition — harmless on pre-limited top-N inputs, a stall on
+    # anything unbounded).
+    mx = fused.agg(F.max("_raw").alias("_max_raw"))
+    out = fused.join(F.broadcast(mx)).withColumn(
+        "rrf_score", F.col("_raw") / F.col("_max_raw")
+    )
     if round_to is not None:
         out = out.withColumn("rrf_score", F.round("rrf_score", round_to))
     return out.select(id_col, "rrf_score")

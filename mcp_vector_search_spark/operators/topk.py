@@ -26,6 +26,7 @@ def knn_brute_force(
     k: int,
     vec_col: str = "embedding",
     query_vec_col: str = "query_vec",
+    id_col: str = "vec_id",
     round_to: int | None = 6,
 ) -> DataFrame:
     """Exact top-k cosine neighbors of a single query vector.
@@ -33,14 +34,18 @@ def knn_brute_force(
     `query` is a 1-row DataFrame — broadcast, so the join is a map-side
     nested loop over one row (zero shuffle for the scan side). Score is
     rounded *before* ranking so rank order is reproducible across
-    engines.
+    engines; ties break on the explicit `id_col` (round 1 guessed the
+    first non-vector column by position — silently order-dependent).
     """
     sim = cosine_sim(F.col(vec_col), F.col(query_vec_col))
     if round_to is not None:
         sim = F.round(sim, round_to)
     scored = vectors.join(F.broadcast(query)).withColumn("cos_sim", sim)
-    order = [F.desc("cos_sim")] + [F.asc(c) for c in vectors.columns if c != vec_col][:1]
-    return scored.drop(query_vec_col, vec_col).orderBy(*order).limit(k)
+    return (
+        scored.drop(query_vec_col, vec_col)
+        .orderBy(F.desc("cos_sim"), F.asc(id_col))
+        .limit(k)
+    )
 
 
 def topk_per_query(

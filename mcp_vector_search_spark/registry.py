@@ -1,0 +1,675 @@
+"""Query registry: every implemented operator exposed as a
+(spark_callable, oracle_sql) pair for the driver's correctness gate.
+
+Each Spark callable takes (spark, sf_dir) and returns a DataFrame; the
+matching oracle is ANSI/DuckDB SQL over the same parquet tables
+(pre-registered views). Column names AND dtypes are aligned on both
+sides: doubles are rounded (6dp for O(1) scores, 4dp for large sums),
+integers are cast to BIGINT, so the driver's order-insensitive value
+hash is reproducible bit-for-bit.
+
+Cross-engine determinism rules used throughout (see FIXTURES.md):
+- all hashing is md5/sha256 of explicit strings (no engine-native hash);
+- float math is float64 with identical expression shape on both sides;
+- every rank/limit has a total order (score desc, id asc);
+- timestamps compare as integer epoch-µs.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mcp_vector_search_spark import io
+from mcp_vector_search_spark.functions.text import (
+    distinct_token_ratio,
+    doc_fingerprint,
+    punct_ratio,
+    tokenize,
+    word_ngrams,
+)
+from mcp_vector_search_spark.functions.vectors import l2_norm
+from mcp_vector_search_spark.operators.analytics import (
+    hotspots,
+    lang_distribution,
+    quality_score,
+    source_rollup,
+)
+from mcp_vector_search_spark.operators.bm25 import bm25_topk
+from mcp_vector_search_spark.operators.dedup import (
+    exact_duplicates,
+    jaccard_verify,
+    minhash_candidates,
+    neighbor_jaccard,
+    shingle_sets,
+)
+from mcp_vector_search_spark.operators.events import hourly_rollup, lag_delta, sessionize
+from mcp_vector_search_spark.operators.graph import bfs_min_hops, call_graph, instability
+from mcp_vector_search_spark.operators.incremental import changed_or_new, moved, unembedded
+from mcp_vector_search_spark.operators.topk import knn_brute_force, topk_per_query
+from mcp_vector_search_spark.plans.hybrid import hybrid_search
+from mcp_vector_search_spark.sources.chunker import chunk_tokens
+
+# ---------------------------------------------------------------- params
+
+QUERY_TERMS = ["data", "query", "fast", "vector"]
+KNN_QUERY_ID = 0
+KNN_K = 20
+BATCH_QUERIES = 8
+BATCH_K = 10
+HYBRID_K = 10
+MINHASH = dict(num_hashes=8, num_bands=4, shingle_n=3)
+MINHASH_CAP = 200
+JACCARD_T = 0.2
+NEIGHBOR_WINDOW = 10
+NEIGHBOR_T = 0.1
+CHUNK_SIZE = 50
+ALPHA = 0.7
+
+# ---------------------------------------------------------------- oracle SQL fragments
+
+# Tokenizer — shared verbatim semantics with functions/text.py:tokenize.
+_TOKS = "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x != '')"
+
+_DOT = (
+    "list_sum(list_transform(list_zip(embedding, qv), p -> p[1]::DOUBLE * p[2]::DOUBLE))"
+)
+_NORM_E = "sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE)))"
+_NORM_Q = "sqrt(list_sum(list_transform(qv, x -> x::DOUBLE * x::DOUBLE)))"
+_COS = f"round({_DOT} / ({_NORM_E} * {_NORM_Q}), 6)"
+
+_FP = f"md5(array_to_string({_TOKS}, ' '))"
+
+# word 3-gram shingles, distinct — mirrors shingle_sets(n=3)
+_SHINGLES3 = (
+    "list_distinct(list_transform(range(1, greatest(len(toks) - 1, 1)),"
+    " i -> array_to_string(toks[i:i+2], '_')))"
+)
+# word 3-grams, non-distinct — mirrors word_ngrams(tokens, 3)
+_GRAMS3 = (
+    "list_transform(range(1, greatest(len(toks) - 1, 1)),"
+    " i -> array_to_string(toks[i:i+2], '_'))"
+)
+
+
+def _terms_in() -> str:
+    return ", ".join(f"'{t}'" for t in QUERY_TERMS)
+
+
+def _bm25_ctes(limit: int) -> str:
+    """CTE chain computing BM25Okapi (k1=1.5, b=0.75, eps=0.25) top-N →
+    final CTE `bm(doc_id, score)`."""
+    return f"""
+toks AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
+postings AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks GROUP BY doc_id, term),
+doc_stats AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY doc_id),
+corpus AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl FROM doc_stats),
+dfreq AS (SELECT term, count(DISTINCT doc_id)::DOUBLE AS df FROM postings GROUP BY term),
+idf_raw AS (SELECT term, ln((c.n_docs - df + 0.5) / (df + 0.5)) AS ir FROM dfreq, corpus c),
+avg_idf AS (SELECT avg(ir) AS ai FROM idf_raw),
+term_stats AS (SELECT term, CASE WHEN ir < 0 THEN 0.25 * ai ELSE ir END AS idf
+               FROM idf_raw, avg_idf),
+scored AS (
+  SELECT p.doc_id,
+         sum(t.idf * p.tf * (1.5 + 1) / (p.tf + 1.5 * (1 - 0.75 + 0.75 * s.dl / c.avgdl))) AS s
+  FROM postings p
+  JOIN doc_stats s USING (doc_id)
+  JOIN term_stats t USING (term), corpus c
+  WHERE p.term IN ({_terms_in()})
+  GROUP BY p.doc_id),
+bm AS (SELECT doc_id, round(s, 6) AS score FROM scored
+       ORDER BY score DESC, doc_id LIMIT {limit})"""
+
+
+def _minhash_sig_sql() -> str:
+    nh = MINHASH["num_hashes"]
+    parts = []
+    for s in range(nh):
+        parts.append(
+            f"CASE WHEN len(shingles) = 0 THEN md5('#{s}') "
+            f"ELSE list_min(list_transform(shingles, x -> md5(x || '#{s}'))) END"
+        )
+    return "[" + ", ".join(parts) + "]"
+
+
+def _band_keys_sql() -> str:
+    nb = MINHASH["num_bands"]
+    rpb = MINHASH["num_hashes"] // nb
+    keys = []
+    for b in range(nb):
+        elems = " || ".join(f"sig[{b * rpb + r + 1}]" for r in range(rpb))
+        keys.append(f"'{b}:' || {elems}")
+    return "[" + ", ".join(keys) + "]"
+
+
+# ---------------------------------------------------------------- spark callables
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return io.table(spark, sf_dir, "documents")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return io.table(spark, sf_dir, "embeddings")
+
+
+def _query_vec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _emb(spark, sf_dir)
+        .filter(F.col("vec_id") == KNN_QUERY_ID)
+        .select(F.col("embedding").alias("query_vec"))
+    )
+
+
+def _li_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = io.table(spark, sf_dir, "lineitem")
+    return li.select(
+        F.concat(F.lit("o"), F.col("l_orderkey")).alias("src"),
+        F.concat(F.lit("p"), F.col("l_partkey")).alias("dst"),
+    )
+
+
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return bm25_topk(_docs(spark, sf_dir), QUERY_TERMS, KNN_K)
+
+
+def q_knn_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return knn_brute_force(_emb(spark, sf_dir), _query_vec(spark, sf_dir), KNN_K).select(
+        "vec_id", F.col("label").cast("long").alias("label"), "cos_sim"
+    )
+
+
+def q_knn_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < BATCH_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return topk_per_query(emb, queries, BATCH_K).select(
+        "query_id", "vec_id", "cos_sim", F.col("rn").cast("long").alias("rn")
+    )
+
+
+def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return hybrid_search(
+        _docs(spark, sf_dir),
+        _emb(spark, sf_dir),
+        QUERY_TERMS,
+        _query_vec(spark, sf_dir),
+        k=HYBRID_K,
+        alpha=ALPHA,
+    )
+
+
+def q_exact_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exact_duplicates(_docs(spark, sf_dir))
+
+
+def q_minhash_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    cand = minhash_candidates(docs, max_bucket_size=MINHASH_CAP, **MINHASH)
+    sh = shingle_sets(docs, MINHASH["shingle_n"])
+    return jaccard_verify(cand, sh, threshold=JACCARD_T)
+
+
+def q_neighbor_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return neighbor_jaccard(
+        _docs(spark, sf_dir), window=NEIGHBOR_WINDOW, threshold=NEIGHBOR_T
+    )
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = tokenize("text")
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.round(punct_ratio("text"), 6).alias("punct_ratio"),
+        F.round(distinct_token_ratio(toks), 6).alias("distinct_ratio"),
+        doc_fingerprint("text").alias("fingerprint"),
+    )
+
+
+def q_ngram_top50(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _docs(spark, sf_dir)
+        .select(F.explode(word_ngrams(tokenize("text"), 3)).alias("gram"))
+        .groupBy("gram")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("gram"))
+        .limit(50)
+    )
+
+
+def q_lang_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return lang_distribution(_docs(spark, sf_dir))
+
+
+def q_source_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return source_rollup(_docs(spark, sf_dir)).withColumn(
+        "health", F.col("health").cast("long")
+    )
+
+
+def q_hotspots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return hotspots(_docs(spark, sf_dir), n=5).withColumn(
+        "hotspot_rank", F.col("hotspot_rank").cast("long")
+    )
+
+
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return quality_score(_docs(spark, sf_dir))
+
+
+def q_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return chunk_tokens(_docs(spark, sf_dir), CHUNK_SIZE).select(
+        "doc_id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        "chunk_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+    )
+
+
+def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return hourly_rollup(io.table(spark, sf_dir, "events"))
+
+
+def q_events_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return lag_delta(io.table(spark, sf_dir, "events"))
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sessionize(io.table(spark, sf_dir, "events"))
+
+
+def _fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _docs(spark, sf_dir).select(
+        "doc_id", doc_fingerprint("text").alias("fingerprint")
+    )
+
+
+def q_changed_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    fp = _fingerprints(spark, sf_dir)
+    indexed = fp.filter(F.col("doc_id") % 5 != 0)
+    return changed_or_new(fp, indexed)
+
+
+def q_unembedded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir).select("doc_id")
+    present = _emb(spark, sf_dir).filter(F.col("vec_id") % 3 == 0)
+    return unembedded(docs, present)
+
+
+def q_moved_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    fp = _fingerprints(spark, sf_dir)
+    new_docs = fp.filter(F.col("doc_id") % 17 == 0).select(
+        (F.col("doc_id") + 10000).alias("doc_id"), "fingerprint"
+    )
+    return moved(new_docs, fp).select(
+        "old_id", F.col("new_id").cast("long").alias("new_id"), "fingerprint"
+    )
+
+
+def q_graph_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return instability(_li_edges(spark, sf_dir))
+
+
+def q_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _li_edges(spark, sf_dir)
+    edges = e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    li = io.table(spark, sf_dir, "lineitem")
+    start = li.agg(F.concat(F.lit("o"), F.min("l_orderkey")).alias("id"))
+    return bfs_min_hops(edges, start, max_hops=3).select(
+        "id", F.col("hop").cast("long").alias("hop")
+    )
+
+
+def q_call_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = io.table(spark, sf_dir, "lineitem")
+    node = "p" + str(li.agg(F.min("l_partkey")).first()[0])
+    return call_graph(_li_edges(spark, sf_dir), node)
+
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = io.table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+        F.round(F.sum(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))), 2).alias(
+            "sum_disc_price"
+        ),
+        F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+        F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+        F.count("*").alias("count_order"),
+    )
+
+
+def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = io.table(spark, sf_dir, "lineitem")
+    orders = io.table(spark, sf_dir, "orders")
+    cust = io.table(spark, sf_dir, "customer")
+    nation = io.table(spark, sf_dir, "nation")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.countDistinct("o_orderkey").alias("n_orders"),
+        )
+    )
+
+
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.octet_length("text").cast("long").alias("n_bytes"),
+        F.ascii(F.substring("text", 1, 1)).cast("long").alias("first_byte"),
+    )
+
+
+def q_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _emb(spark, sf_dir)
+        .groupBy(F.col("label").cast("long").alias("label"))
+        .agg(
+            F.count("*").alias("n_vecs"),
+            F.round(F.avg(l2_norm(F.col("embedding"))), 6).alias("avg_norm"),
+        )
+    )
+
+
+# ---------------------------------------------------------------- oracles
+
+
+def _oracles() -> dict[str, str]:
+    alpha = ALPHA
+    beta = 1.0 - ALPHA  # repr() below keeps the exact float64 literal
+    n_leg = HYBRID_K * 2
+    o: dict[str, str] = {}
+
+    o["bm25_topk"] = f"WITH {_bm25_ctes(KNN_K)} SELECT doc_id, score FROM bm"
+
+    o["knn_topk"] = f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = {KNN_QUERY_ID})
+SELECT vec_id, label::BIGINT AS label, {_COS} AS cos_sim
+FROM embeddings, q
+ORDER BY cos_sim DESC, vec_id LIMIT {KNN_K}"""
+
+    o["knn_batch"] = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+           WHERE vec_id < {BATCH_QUERIES}),
+scored AS (SELECT q.query_id, e.vec_id, {_COS} AS cos_sim FROM embeddings e, q),
+ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                        ORDER BY cos_sim DESC, vec_id) AS rn FROM scored)
+SELECT query_id, vec_id, cos_sim, rn FROM ranked WHERE rn <= {BATCH_K}"""
+
+    o["hybrid_rrf"] = f"""
+WITH {_bm25_ctes(n_leg)},
+bm_r AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rnk FROM bm),
+q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = {KNN_QUERY_ID}),
+kn AS (SELECT vec_id AS doc_id, {_COS} AS cos_sim FROM embeddings, q
+       ORDER BY cos_sim DESC, doc_id LIMIT {n_leg}),
+kn_r AS (SELECT doc_id, row_number() OVER (ORDER BY cos_sim DESC, doc_id) AS rnk FROM kn),
+fused AS (SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+                 coalesce({alpha!r} / (60 + a.rnk), 0.0)
+               + coalesce({beta!r} / (60 + b.rnk), 0.0) AS raw
+          FROM kn_r a FULL JOIN bm_r b ON a.doc_id = b.doc_id),
+mx AS (SELECT max(raw) AS m FROM fused)
+SELECT doc_id, round(raw / m, 6) AS rrf_score FROM fused, mx
+ORDER BY rrf_score DESC, doc_id LIMIT {HYBRID_K}"""
+
+    o["exact_dups"] = f"""
+WITH fp AS (SELECT doc_id, {_FP} AS fingerprint FROM documents)
+SELECT fingerprint, count(*) AS dup_count, min(doc_id) AS keep_id
+FROM fp GROUP BY fingerprint HAVING count(*) > 1"""
+
+    o["minhash_jaccard"] = f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+sh AS (SELECT doc_id, {_SHINGLES3} AS shingles FROM t),
+sigs AS (SELECT doc_id, {_minhash_sig_sql()} AS sig FROM sh),
+banded AS (SELECT doc_id, unnest({_band_keys_sql()}) AS band_key FROM sigs),
+ok AS (SELECT band_key FROM banded GROUP BY band_key HAVING count(*) <= {MINHASH_CAP}),
+b2 AS (SELECT banded.* FROM banded JOIN ok USING (band_key)),
+cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         FROM b2 a JOIN b2 b ON a.band_key = b.band_key AND a.doc_id < b.doc_id),
+j AS (SELECT c.doc_a, c.doc_b,
+             len(list_intersect(sa.shingles, sb.shingles))::DOUBLE AS i,
+             (len(sa.shingles) + len(sb.shingles))::DOUBLE AS ab
+      FROM cand c JOIN sh sa ON sa.doc_id = c.doc_a JOIN sh sb ON sb.doc_id = c.doc_b)
+SELECT doc_a, doc_b,
+       round(CASE WHEN (ab - i) > 0 THEN i / (ab - i) ELSE 0.0 END, 6) AS jaccard
+FROM j
+WHERE round(CASE WHEN (ab - i) > 0 THEN i / (ab - i) ELSE 0.0 END, 6) >= {JACCARD_T}"""
+
+    o["neighbor_jaccard"] = f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+sh AS (SELECT doc_id, {_SHINGLES3} AS shingles,
+              row_number() OVER (ORDER BY doc_id) AS pos FROM t),
+pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 len(list_intersect(a.shingles, b.shingles))::DOUBLE AS i,
+                 (len(a.shingles) + len(b.shingles))::DOUBLE AS ab
+          FROM sh a JOIN sh b
+            ON b.pos > a.pos AND b.pos <= a.pos + {NEIGHBOR_WINDOW})
+SELECT doc_a, doc_b,
+       round(CASE WHEN (ab - i) > 0 THEN i / (ab - i) ELSE 0.0 END, 6) AS jaccard
+FROM pairs
+WHERE round(CASE WHEN (ab - i) > 0 THEN i / (ab - i) ELSE 0.0 END, 6) >= {NEIGHBOR_T}"""
+
+    o["text_quality"] = f"""
+WITH t AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents)
+SELECT doc_id,
+       len(toks)::BIGINT AS n_tokens,
+       round(CASE WHEN length(text) > 0
+             THEN length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g'))::DOUBLE
+                  / length(text) ELSE 0.0 END, 6) AS punct_ratio,
+       round(CASE WHEN len(toks) > 0
+             THEN len(list_distinct(toks))::DOUBLE / len(toks) ELSE 0.0 END, 6)
+         AS distinct_ratio,
+       md5(array_to_string(toks, ' ')) AS fingerprint
+FROM t"""
+
+    o["ngram_top50"] = f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+g AS (SELECT unnest({_GRAMS3}) AS gram FROM t)
+SELECT gram, count(*) AS cnt FROM g GROUP BY gram
+ORDER BY cnt DESC, gram LIMIT 50"""
+
+    o["lang_distribution"] = """
+SELECT lang, count(*) AS n_docs, round(avg(n_chars), 4) AS avg_chars,
+       max(n_chars) AS max_chars
+FROM documents GROUP BY lang"""
+
+    o["source_rollup"] = """
+WITH agg AS (SELECT source, count(*) AS n_docs, round(avg(n_chars), 4) AS avg_chars,
+                    max(n_chars) AS max_chars, min(n_chars) AS min_chars
+             FROM documents GROUP BY source),
+g AS (SELECT *, CASE WHEN avg_chars <= 150 THEN 'A' WHEN avg_chars <= 250 THEN 'B'
+                     WHEN avg_chars <= 350 THEN 'C' WHEN avg_chars <= 450 THEN 'D'
+                     ELSE 'F' END AS grade FROM agg)
+SELECT *, greatest(0, 100 - 15 * (CASE grade WHEN 'A' THEN 0 WHEN 'B' THEN 1
+                                  WHEN 'C' THEN 2 WHEN 'D' THEN 3 ELSE 4 END))::BIGINT
+          AS health
+FROM g"""
+
+    o["hotspots"] = """
+WITH r AS (SELECT doc_id, lang, n_chars,
+                  row_number() OVER (PARTITION BY lang
+                                     ORDER BY n_chars DESC, doc_id) AS hotspot_rank
+           FROM documents)
+SELECT doc_id, lang, n_chars, hotspot_rank FROM r WHERE hotspot_rank <= 5"""
+
+    o["quality_score"] = f"""
+WITH t AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents),
+s AS (SELECT doc_id,
+             CASE WHEN len(toks) > 0
+                  THEN len(list_distinct(toks))::DOUBLE / len(toks) ELSE 0.0 END AS dr,
+             CASE WHEN length(text) > 0
+                  THEN length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g'))::DOUBLE
+                       / length(text) ELSE 0.0 END AS pr,
+             least(len(toks), 100)::DOUBLE AS tk
+      FROM t)
+SELECT doc_id,
+       round(greatest(0.0, least(100.0, 50.0 + 30.0 * dr - 100.0 * pr + 0.2 * tk)), 4)
+         AS quality
+FROM s"""
+
+    cs = CHUNK_SIZE
+    o["chunk_windows"] = f"""
+WITH t AS (SELECT doc_id, source, {_TOKS} AS toks FROM documents),
+w AS (SELECT doc_id, source, toks,
+             unnest(range(0, cast(ceil(len(toks) / {cs}.0) AS INT))) AS ci
+      FROM t WHERE len(toks) > 0),
+c AS (SELECT doc_id, ci AS chunk_idx,
+             array_to_string(toks[ci * {cs} + 1 : ci * {cs} + {cs}], ' ') AS chunk_text,
+             least(len(toks) - ci * {cs}, {cs}) AS n_tokens, source
+      FROM w)
+SELECT doc_id, chunk_idx::BIGINT AS chunk_idx,
+       substr(sha256(source || ':text::' || (chunk_idx * {cs}) || ':'
+                     || (chunk_idx * {cs} + n_tokens) || ':'
+                     || substr(sha256(substr(chunk_text, 1, 100)), 1, 8)), 1, 16)
+         AS chunk_id,
+       n_tokens::BIGINT AS n_tokens
+FROM c"""
+
+    o["events_hourly"] = """
+SELECT epoch_us(date_trunc('hour', ts)) AS hour_us, event_type,
+       count(*) AS n_events, round(sum(value), 4) AS value_sum
+FROM events GROUP BY 1, 2"""
+
+    o["events_lag_delta"] = """
+SELECT event_id, user_id,
+       round(value - lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id), 6)
+         AS delta
+FROM events"""
+
+    o["sessionize"] = """
+WITH w AS (SELECT user_id,
+                  CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                            OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                            > 1800000000 THEN 1 ELSE 0 END AS ns
+           FROM events)
+SELECT user_id, (sum(ns) + 1)::BIGINT AS n_sessions, count(*) AS n_events
+FROM w GROUP BY user_id"""
+
+    o["changed_docs"] = f"""
+WITH fp AS (SELECT doc_id, {_FP} AS fingerprint FROM documents),
+idx AS (SELECT * FROM fp WHERE doc_id % 5 <> 0)
+SELECT f.doc_id, f.fingerprint FROM fp f
+WHERE NOT EXISTS (SELECT 1 FROM idx i
+                  WHERE i.doc_id = f.doc_id AND i.fingerprint = f.fingerprint)"""
+
+    o["unembedded"] = """
+SELECT d.doc_id FROM documents d
+WHERE NOT EXISTS (SELECT 1 FROM embeddings e
+                  WHERE e.vec_id % 3 = 0 AND e.vec_id = d.doc_id)"""
+
+    o["moved_docs"] = f"""
+WITH fp AS (SELECT doc_id, {_FP} AS fingerprint FROM documents),
+new AS (SELECT doc_id + 10000 AS new_id, fingerprint FROM fp WHERE doc_id % 17 = 0)
+SELECT f.doc_id AS old_id, n.new_id::BIGINT AS new_id, n.fingerprint
+FROM new n JOIN fp f ON f.fingerprint = n.fingerprint AND n.new_id <> f.doc_id"""
+
+    o["graph_degree"] = """
+WITH e AS (SELECT 'o' || l_orderkey AS src, 'p' || l_partkey AS dst FROM lineitem),
+od AS (SELECT src AS id, count(*) AS out_degree FROM e GROUP BY src),
+ind AS (SELECT dst AS id, count(*) AS in_degree FROM e GROUP BY dst),
+d AS (SELECT coalesce(od.id, ind.id) AS id, coalesce(out_degree, 0) AS out_degree,
+             coalesce(in_degree, 0) AS in_degree
+      FROM od FULL JOIN ind ON od.id = ind.id)
+SELECT id, out_degree, in_degree,
+       round(out_degree / greatest(1.0, (out_degree + in_degree)::DOUBLE), 6)
+         AS instability
+FROM d"""
+
+    o["bfs"] = """
+WITH RECURSIVE e AS (
+  SELECT 'o' || l_orderkey AS src, 'p' || l_partkey AS dst FROM lineitem
+  UNION ALL
+  SELECT 'p' || l_partkey, 'o' || l_orderkey FROM lineitem),
+s AS (SELECT 'o' || min(l_orderkey) AS id FROM lineitem),
+bfs(id, hop) AS (
+  SELECT id, 0 FROM s
+  UNION
+  SELECT e.dst, b.hop + 1 FROM bfs b JOIN e ON e.src = b.id WHERE b.hop < 3)
+SELECT id, min(hop)::BIGINT AS hop FROM bfs GROUP BY id"""
+
+    o["call_graph"] = """
+WITH e AS (SELECT 'o' || l_orderkey AS src, 'p' || l_partkey AS dst FROM lineitem),
+n AS (SELECT 'p' || min(l_partkey) AS node FROM lineitem)
+SELECT DISTINCT e.dst AS id, 'callee' AS direction FROM e, n WHERE e.src = n.node
+UNION
+SELECT DISTINCT e.src AS id, 'caller' AS direction FROM e, n WHERE e.dst = n.node"""
+
+    o["pricing_summary"] = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
+       round(avg(l_quantity), 4) AS avg_qty,
+       round(avg(l_extendedprice), 4) AS avg_price,
+       count(*) AS count_order
+FROM lineitem GROUP BY l_returnflag, l_linestatus"""
+
+    o["revenue_by_nation"] = """
+SELECT n_name,
+       round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+       count(DISTINCT o_orderkey) AS n_orders
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name"""
+
+    o["multimodal_meta"] = """
+SELECT doc_id, octet_length(encode(text))::BIGINT AS n_bytes,
+       ascii(substr(text, 1, 1))::BIGINT AS first_byte
+FROM documents"""
+
+    o["embedding_stats"] = """
+SELECT label::BIGINT AS label, count(*) AS n_vecs,
+       round(avg(sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE)))), 6)
+         AS avg_norm
+FROM embeddings GROUP BY label"""
+
+    return o
+
+
+# ---------------------------------------------------------------- public registry
+
+SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "bm25_topk": q_bm25_topk,
+    "knn_topk": q_knn_topk,
+    "knn_batch": q_knn_batch,
+    "hybrid_rrf": q_hybrid_rrf,
+    "exact_dups": q_exact_dups,
+    "minhash_jaccard": q_minhash_jaccard,
+    "neighbor_jaccard": q_neighbor_jaccard,
+    "text_quality": q_text_quality,
+    "ngram_top50": q_ngram_top50,
+    "lang_distribution": q_lang_distribution,
+    "source_rollup": q_source_rollup,
+    "hotspots": q_hotspots,
+    "quality_score": q_quality_score,
+    "chunk_windows": q_chunk_windows,
+    "events_hourly": q_events_hourly,
+    "events_lag_delta": q_events_lag_delta,
+    "sessionize": q_sessionize,
+    "changed_docs": q_changed_docs,
+    "unembedded": q_unembedded,
+    "moved_docs": q_moved_docs,
+    "graph_degree": q_graph_degree,
+    "bfs": q_bfs,
+    "call_graph": q_call_graph,
+    "pricing_summary": q_pricing_summary,
+    "revenue_by_nation": q_revenue_by_nation,
+    "multimodal_meta": q_multimodal_meta,
+    "embedding_stats": q_embedding_stats,
+}
+
+ORACLE_SQL: dict[str, str] = _oracles()

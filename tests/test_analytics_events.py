@@ -1,0 +1,62 @@
+from __future__ import annotations
+
+import datetime as dt
+
+from mcp_vector_search_spark.operators.analytics import (
+    hotspots,
+    quality_score,
+    source_rollup,
+)
+from mcp_vector_search_spark.operators.events import lag_delta, sessionize
+
+
+def _docs_with_meta(spark):
+    rows = [
+        (0, "short text", "en", "s1", 100),
+        (1, "x " * 200, "en", "s1", 400),
+        (2, "y", "de", "s2", 500),
+    ]
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+
+
+def test_source_rollup_grades(spark):
+    got = {r.source: (r.grade, r.health) for r in source_rollup(_docs_with_meta(spark)).collect()}
+    assert got["s1"] == ("B", 85)  # avg 250 → B
+    assert got["s2"] == ("F", 40)  # avg 500 → F
+
+
+def test_hotspots_rank(spark):
+    got = hotspots(_docs_with_meta(spark), n=1).collect()
+    top = {(r.lang): r.doc_id for r in got}
+    assert top == {"en": 1, "de": 2}
+
+
+def test_quality_score_bounds(spark):
+    got = {r.doc_id: r.quality for r in quality_score(_docs_with_meta(spark)).collect()}
+    assert all(0.0 <= q <= 100.0 for q in got.values())
+    assert got[0] > 50.0  # clean short prose scores above base
+
+
+def _events(spark):
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        (1, t0, 7, "click", 1.0),
+        (2, t0 + dt.timedelta(minutes=10), 7, "click", 3.0),
+        (3, t0 + dt.timedelta(minutes=50), 7, "click", 10.0),  # 40min gap → new session
+        (4, t0, 8, "view", 5.0),
+    ]
+    return spark.createDataFrame(
+        rows, "event_id long, ts timestamp_ntz, user_id long, event_type string, value double"
+    )
+
+
+def test_sessionize_gap(spark):
+    got = {r.user_id: (r.n_sessions, r.n_events) for r in sessionize(_events(spark)).collect()}
+    assert got == {7: (2, 3), 8: (1, 1)}
+
+
+def test_lag_delta(spark):
+    got = {r.event_id: r.delta for r in lag_delta(_events(spark)).collect()}
+    assert got[1] is None and got[2] == 2.0 and got[3] == 7.0 and got[4] is None

@@ -1,0 +1,46 @@
+from __future__ import annotations
+
+from mcp_vector_search_spark.operators.dedup import (
+    exact_duplicates,
+    jaccard_verify,
+    minhash_candidates,
+    neighbor_jaccard,
+    shingle_sets,
+)
+
+
+def test_exact_duplicates(spark, docs):
+    got = exact_duplicates(docs).collect()
+    assert len(got) == 1
+    assert got[0].dup_count == 2 and got[0].keep_id == 0
+
+
+def test_minhash_finds_planted_near_dup(spark, docs):
+    cand = minhash_candidates(docs, num_hashes=8, num_bands=4)
+    pairs = {(r.doc_a, r.doc_b) for r in cand.collect()}
+    assert (0, 1) in pairs  # exact dup always collides on every band
+    verified = jaccard_verify(cand, shingle_sets(docs, 3), threshold=0.4)
+    jac = {(r.doc_a, r.doc_b): r.jaccard for r in verified.collect()}
+    assert jac[(0, 1)] == 1.0
+    if (0, 3) in jac:  # near-dup pair: 1-word change in 9 → shared shingles
+        assert 0.4 <= jac[(0, 3)] < 1.0
+
+
+def test_bucket_cap_drops_giant_buckets(spark, docs):
+    uncapped = minhash_candidates(docs, num_hashes=8, num_bands=4).count()
+    capped = minhash_candidates(docs, num_hashes=8, num_bands=4, max_bucket_size=1).count()
+    assert capped == 0 and uncapped > 0
+
+
+def test_neighbor_jaccard_sparse_ids(spark):
+    """Ids with gaps (10, 20, 30) must still pair via rank positions —
+    the round-1 dense-id assumption compared nothing here."""
+    rows = [
+        (10, "alpha beta gamma delta epsilon"),
+        (20, "alpha beta gamma delta epsilon"),
+        (30, "zeta eta theta iota kappa"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r.doc_a, r.doc_b): r.jaccard for r in neighbor_jaccard(df, window=2).collect()}
+    assert got[(10, 20)] == 1.0
+    assert got[(10, 30)] == 0.0 and got[(20, 30)] == 0.0

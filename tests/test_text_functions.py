@@ -1,0 +1,55 @@
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from mcp_vector_search_spark.functions.hashing import chunk_id_expr
+from mcp_vector_search_spark.functions.text import (
+    distinct_token_ratio,
+    doc_fingerprint,
+    punct_ratio,
+    tokenize,
+    word_ngrams,
+)
+
+
+def test_tokenize(spark):
+    df = spark.createDataFrame([("Hello, World!  42-x",), ("",)], "text string")
+    out = [r[0] for r in df.select(tokenize("text")).collect()]
+    assert out == [["hello", "world", "42", "x"], []]
+
+
+def test_word_ngrams_short_doc_empty(spark):
+    df = spark.createDataFrame([("a b",), ("a b c d",)], "text string")
+    out = [r[0] for r in df.select(word_ngrams(tokenize("text"), 3)).collect()]
+    assert out == [[], ["a_b_c", "b_c_d"]]
+
+
+def test_punct_and_distinct_ratio(spark):
+    df = spark.createDataFrame([("a, b; a!",)], "text string")
+    pr, dr = df.select(
+        punct_ratio("text"), distinct_token_ratio(tokenize("text"))
+    ).first()
+    # "a, b; a!" = 8 chars, 3 punct (, ; !)
+    assert abs(pr - 3 / 8) < 1e-12
+    assert abs(dr - 2 / 3) < 1e-12
+
+
+def test_doc_fingerprint_normalizes(spark):
+    df = spark.createDataFrame([("Hello,  WORLD!",), ("hello world",)], "text string")
+    fps = [r[0] for r in df.select(doc_fingerprint("text")).collect()]
+    assert fps[0] == fps[1] == hashlib.md5(b"hello world").hexdigest()
+
+
+def test_chunk_id_null_name_keeps_separator(spark):
+    """concat_ws drops NULL args silently; the coalesce guard must keep
+    the reference's `path:type::start:end:hash` shape (ADVICE r1)."""
+    df = spark.createDataFrame([("p", "t", None, 0, 5, "body")],
+                               "fp string, ct string, nm string, s int, e int, c string")
+    got = df.select(
+        chunk_id_expr(F.col("fp"), F.col("ct"), F.col("nm"), F.col("s"), F.col("e"), F.col("c"))
+    ).first()[0]
+    h8 = hashlib.sha256(b"body").hexdigest()[:8]
+    want = hashlib.sha256(f"p:t::0:5:{h8}".encode()).hexdigest()[:16]
+    assert got == want
