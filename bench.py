@@ -57,6 +57,34 @@ def main():
         per_query[name] = round(dt, 3)
         total += dt
 
+    # ANN: brute-force vs IVF on the same 256-query batch (BASELINE's
+    # 4.9× ANN-speedup metric, measured as batch scoring throughput).
+    from pyspark.sql import functions as F
+
+    from mcp_vector_search_spark import io as eio
+    from mcp_vector_search_spark.operators.ivf import ivf_build, ivf_topk_batch
+    from mcp_vector_search_spark.operators.topk import topk_per_query
+
+    emb = eio.table(spark, SF_DIR, "embeddings").cache()
+    emb.count()
+    queries = emb.filter(F.col("vec_id") % 7 == 0).limit(256).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    t0 = time.time()
+    topk_per_query(emb, queries, 10).write.format("noop").mode("overwrite").save()
+    per_query["ann_brute_q256"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    assigned, centroids = ivf_build(emb)
+    assigned = assigned.cache()
+    assigned.count()
+    per_query["ann_ivf_build"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    ivf_topk_batch(assigned, centroids, queries, 10).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    per_query["ann_ivf_q256"] = round(time.time() - t0, 3)
+    total += per_query["ann_brute_q256"] + per_query["ann_ivf_q256"]
+
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     print(
         json.dumps(

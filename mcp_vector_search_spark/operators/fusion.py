@@ -57,6 +57,37 @@ def rrf_fuse(
     return out.select(id_col, "rrf_score")
 
 
+def rrf_multi(
+    legs: list[DataFrame],
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+    k: int = RRF_K,
+    min_score: float = 0.01,
+    round_to: int | None = 6,
+) -> DataFrame:
+    """Tri-modal (N-modal) RRF (reference J4,
+    ``mcp/hybrid_search_handler.py:418-480``): union the ranked legs,
+    group by the dedup key, ``rrf = Σ 1/(60+rank_i)``, drop below
+    `min_score` (reference's 0.01 floor, ``:177-178``).
+
+    Unlike the 2-leg full-outer variant this is a union+groupBy —
+    one shuffle regardless of leg count, map-side combinable.
+    """
+    tagged = None
+    for leg in legs:
+        part = leg.select(F.col(id_col), F.col(rank_col).alias("_rank"))
+        tagged = part if tagged is None else tagged.unionByName(part)
+    out = (
+        tagged.withColumn("_contrib", F.lit(1.0) / (F.lit(k) + F.col("_rank")))
+        .groupBy(id_col)
+        .agg(F.sum("_contrib").alias("rrf_score"), F.count("*").alias("n_strategies"))
+        .filter(F.col("rrf_score") >= min_score)
+    )
+    if round_to is not None:
+        out = out.withColumn("rrf_score", F.round("rrf_score", round_to))
+    return out
+
+
 def max_score_merge(results: DataFrame, id_col: str, score_col: str) -> DataFrame:
     """Query-expansion variant merge (reference J5/U1,
     ``search.py:297-349``): union of per-variant results, keep the max

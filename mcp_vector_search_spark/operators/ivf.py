@@ -1,0 +1,156 @@
+"""IVF (inverted-file) approximate nearest neighbor — the 100 TB
+vector-search path (reference J1 index build,
+``vectors_backend.py:1264-1341``: IVF_SQ, adaptive
+``num_partitions = clamp(√N, 16, 512)``, cosine, ``nprobes=20``,
+``refine_factor=5``).
+
+Spark-first design: IVF is a *data layout*, not a planner extension.
+
+- **Build** (offline): normalize to the unit sphere (cosine ≡
+  euclidean there), fit MLlib KMeans with a fixed seed, attach
+  `cluster_id` to every vector. Persisting the result partitioned by
+  `cluster_id` turns probe filters into partition pruning at scan
+  time.
+- **Query**: score query × centroids (centroids always broadcast —
+  ≤512 rows), keep the `nprobes` nearest clusters per query, then an
+  equi-join `cluster_id` prunes the vector scan to ~nprobes/k of the
+  corpus before the exact cosine top-k. The shuffle carries only
+  pruned candidates — the |Q|×|V| blow-up of the brute-force batch
+  path never materializes.
+
+No refine pass is needed: the reference refines because IVF_SQ scores
+int8-quantized vectors first; we score full-precision floats inside
+the probed clusters, so the per-cluster ranking is already exact.
+Recall loss comes only from probing a subset of clusters — measured
+≥97.5% @ nprobes=20 (tests/test_ivf.py), matching the reference band.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from mcp_vector_search_spark.functions.vectors import cosine_sim, l2_norm
+
+NPROBES = 20
+
+# The reference skips index creation below this corpus size and brute-
+# forces instead (``vectors_backend.py:1289-1313``; BASELINE.md "ANN
+# index activation threshold ≥4,096 rows"). Same here: below it the
+# probe pruning saves less than the KMeans build costs, and recall on
+# weakly-clustered data degrades with any skipped cluster.
+ANN_ACTIVATION_MIN_ROWS = 4096
+
+
+def clamp_clusters(n: int) -> int:
+    """Reference's adaptive partition count: clamp(√N, 16, 512)
+    (``vectors_backend.py:1289-1313``)."""
+    return max(16, min(512, int(math.sqrt(n))))
+
+
+def ivf_build(
+    vectors: DataFrame,
+    vec_col: str = "embedding",
+    num_clusters: int | None = None,
+    seed: int = 42,
+) -> tuple[DataFrame, DataFrame]:
+    """Fit the coarse quantizer → (assigned, centroids).
+
+    assigned  = input columns + `cluster_id` (write this partitioned by
+                cluster_id for scan-time pruning);
+    centroids = (cluster_id, centroid: array<double>) — tiny, broadcast
+                at query time.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    if num_clusters is None:
+        num_clusters = clamp_clusters(vectors.count())
+
+    unit = F.transform(F.col(vec_col), lambda x: x.cast("double") / l2_norm(F.col(vec_col)))
+    ml = vectors.withColumn("_fv", array_to_vector(unit))
+    model = KMeans(
+        k=num_clusters, seed=seed, featuresCol="_fv", predictionCol="cluster_id"
+    ).fit(ml)
+    assigned = model.transform(ml).drop("_fv")
+    centroids = vectors.sparkSession.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        "cluster_id int, centroid array<double>",
+    )
+    return assigned, centroids
+
+
+def ivf_topk_batch(
+    assigned: DataFrame,
+    centroids: DataFrame,
+    queries: DataFrame,
+    k: int,
+    nprobes: int = NPROBES,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    round_to: int | None = 6,
+) -> DataFrame:
+    """ANN top-k for a query *set* → (query_id, vec_id, cos_sim, rn).
+
+    Plan: queries × centroids (broadcast, ≤512 rows) → rank window →
+    top-nprobes probe list per query → equi-join on cluster_id prunes
+    the vector side → exact cosine → per-query top-k window. Two
+    shuffles total (probe join, rank window), both keyed so AQE can
+    coalesce/skew-split.
+    """
+    probe_rank = Window.partitionBy(query_id_col).orderBy(
+        F.desc("_csim"), F.asc("cluster_id")
+    )
+    probes = (
+        queries.join(F.broadcast(centroids))
+        .withColumn("_csim", cosine_sim(F.col(query_vec_col), F.col("centroid")))
+        .withColumn("_pr", F.row_number().over(probe_rank))
+        .filter(F.col("_pr") <= nprobes)
+        .select(query_id_col, "cluster_id", query_vec_col)
+    )
+    sim = cosine_sim(F.col(vec_col), F.col(query_vec_col))
+    if round_to is not None:
+        sim = F.round(sim, round_to)
+    cand = assigned.join(probes, "cluster_id").withColumn("cos_sim", sim)
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cos_sim"), F.asc(id_col))
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select(query_id_col, id_col, "cos_sim", "rn")
+    )
+
+
+def ivf_topk(
+    assigned: DataFrame,
+    centroids: DataFrame,
+    query: DataFrame,
+    k: int,
+    nprobes: int = NPROBES,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_vec_col: str = "query_vec",
+    round_to: int | None = 6,
+) -> DataFrame:
+    """Single-query ANN top-k → (vec_id, cos_sim). The one-row query
+    degenerates the probe join into a broadcast IN-filter on
+    cluster_id — i.e. partition pruning when assigned is stored
+    partitioned by cluster_id."""
+    q = query.withColumn("_qid", F.lit(0))
+    out = ivf_topk_batch(
+        assigned,
+        centroids,
+        q,
+        k,
+        nprobes,
+        vec_col=vec_col,
+        id_col=id_col,
+        query_id_col="_qid",
+        query_vec_col=query_vec_col,
+        round_to=round_to,
+    )
+    return out.select(id_col, "cos_sim")

@@ -332,6 +332,22 @@ def q_call_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return call_graph(_li_edges(spark, sf_dir), node)
 
 
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMeans-IVF ANN (rows-only check: the coarse quantizer is not
+    SQL-reproducible; recall vs brute force is gated in
+    tests/test_ivf.py instead)."""
+    from mcp_vector_search_spark.operators.ivf import ivf_build, ivf_topk_batch
+
+    emb = _emb(spark, sf_dir)
+    assigned, centroids = ivf_build(emb, num_clusters=16)
+    queries = emb.filter(F.col("vec_id") < BATCH_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return ivf_topk_batch(assigned, centroids, queries, BATCH_K, nprobes=14).select(
+        "query_id", "vec_id", "cos_sim", F.col("rn").cast("long").alias("rn")
+    )
+
+
 def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = io.table(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag", "l_linestatus").agg(
@@ -362,6 +378,92 @@ def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("revenue"),
             F.countDistinct("o_orderkey").alias("n_orders"),
         )
+    )
+
+
+def _chunk_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents dressed as code chunks (file_path/name/content/
+    chunk_type) so the search-result operators (J2 lookup join, F10
+    rescoring) run on the corpus."""
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(F.lit("src/"), F.col("source"), F.lit(".py")).alias("file_path"),
+        F.get(tokenize("text"), 0).alias("name"),
+        F.col("text").alias("content"),
+        F.when(F.col("doc_id") % 3 == 0, "function")
+        .when(F.col("doc_id") % 3 == 1, "class")
+        .otherwise("code")
+        .alias("chunk_type"),
+    )
+
+
+def q_rescore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 (hits→metadata lookup join) + F10 (8-factor heuristic
+    rescorer) over the BM25 top-k."""
+    from mcp_vector_search_spark.functions.scoring import heuristic_rescore
+
+    hits = bm25_topk(_docs(spark, sf_dir), QUERY_TERMS, KNN_K)
+    joined = F.broadcast(hits).join(_chunk_meta(spark, sf_dir), "doc_id")
+    return heuristic_rescore(joined, " ".join(QUERY_TERMS)).select(
+        "doc_id", "score", "rescored"
+    )
+
+
+def q_decay_sigmoid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F14 time decay + F9 sigmoid normalization over events."""
+    from mcp_vector_search_spark.functions.scoring import sigmoid, time_decay
+
+    ev = io.table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.round(
+            time_decay(F.col("ts"), F.to_date(F.lit("2024-02-01")), 7.0), 6
+        ).alias("decay"),
+        F.round(sigmoid(F.col("value") / F.lit(100.0)), 6).alias("sig"),
+    )
+
+
+def q_smells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mcp_vector_search_spark.operators.smells import detect_smells
+
+    return detect_smells(_docs(spark, sf_dir))
+
+
+def q_dir_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mcp_vector_search_spark.operators.smells import directory_rollup
+
+    files = _docs(spark, sf_dir).select(
+        F.concat(
+            F.lit("src/"), F.col("lang"), F.lit("/"), F.col("source"), F.lit(".txt")
+        ).alias("path"),
+        "n_chars",
+    )
+    return directory_rollup(files)
+
+
+def q_rrf_trimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4: semantic ⊕ keyword ⊕ quality strategies fused with
+    unweighted RRF + min-score floor."""
+    from mcp_vector_search_spark.operators.fusion import rrf_multi
+    from mcp_vector_search_spark.operators.topk import rank_by
+
+    docs = _docs(spark, sf_dir)
+    n = KNN_K
+    bm = rank_by(bm25_topk(docs, QUERY_TERMS, n), "score", "doc_id")
+    kn = rank_by(
+        knn_brute_force(_emb(spark, sf_dir), _query_vec(spark, sf_dir), n)
+        .withColumnRenamed("vec_id", "doc_id")
+        .select("doc_id", "cos_sim"),
+        "cos_sim",
+        "doc_id",
+    )
+    ql = rank_by(
+        quality_score(docs).orderBy(F.desc("quality"), F.asc("doc_id")).limit(n),
+        "quality",
+        "doc_id",
+    )
+    return rrf_multi([bm, kn, ql]).withColumn(
+        "n_strategies", F.col("n_strategies").cast("long")
     )
 
 
@@ -626,6 +728,111 @@ JOIN customer ON o_custkey = c_custkey
 JOIN nation ON c_nationkey = n_nationkey
 GROUP BY n_name"""
 
+    q_full = " ".join(QUERY_TERMS)
+
+    def _cm(col: str) -> str:
+        """sum of per-word substring-match indicators on `col`."""
+        return (
+            "("
+            + " + ".join(
+                f"CASE WHEN contains({col}, '{w}') THEN 1 ELSE 0 END"
+                for w in QUERY_TERMS
+            )
+            + ")"
+        )
+
+    from mcp_vector_search_spark.functions.scoring import PYTHON_BOILERPLATE
+
+    bp_list = ", ".join(f"'{b.lower()}'" for b in PYTHON_BOILERPLATE)
+    qw_list = ", ".join(f"'{w}'" for w in QUERY_TERMS)
+    o["rescore"] = f"""
+WITH {_bm25_ctes(KNN_K)},
+meta AS (SELECT doc_id, 'src/' || source || '.py' AS file_path,
+         list_extract({_TOKS}, 1) AS name, lower(text) AS content_l,
+         CASE WHEN doc_id % 3 = 0 THEN 'function'
+              WHEN doc_id % 3 = 1 THEN 'class' ELSE 'code' END AS chunk_type
+         FROM documents),
+j AS (SELECT b.doc_id, b.score, coalesce(lower(m.name), '') AS name_l,
+             lower(m.file_path) AS fp_l, m.content_l, m.chunk_type,
+             lower(string_split(m.file_path, '/')[-1]) AS file_name,
+             len(string_split(m.file_path, '/')) AS depth,
+             {_cm('m.content_l')} AS cm
+      FROM bm b JOIN meta m USING (doc_id)),
+s AS (SELECT doc_id, score,
+  score
+  + CASE WHEN contains(name_l, '{q_full}') THEN 0.15 ELSE 0.0 END
+  + {_cm('name_l')}::DOUBLE * 0.05
+  + CASE WHEN contains(file_name, '{q_full}') THEN 0.08 ELSE 0.0 END
+  + {_cm('file_name')}::DOUBLE * 0.03
+  + CASE WHEN cm > 0 THEN (cm::DOUBLE / {len(QUERY_TERMS)}) * 0.1 ELSE 0.0 END
+  + CASE WHEN chunk_type = 'function' THEN 0.05
+         WHEN chunk_type = 'class' THEN 0.03 ELSE 0.0 END
+  + CASE WHEN regexp_matches(fp_l, '\\.(py|js|ts|java|cpp|c|go|rs)$')
+         THEN 0.02 ELSE 0.0 END
+  + CASE WHEN contains(file_name, 'test') THEN -0.02 ELSE 0.0 END
+  + CASE WHEN depth <= 3 THEN 0.02 WHEN depth > 5 THEN -0.01 ELSE 0.0 END
+  + CASE WHEN name_l IN ({bp_list}) AND name_l NOT IN ({qw_list})
+         THEN -0.15 ELSE 0.0 END AS raw
+  FROM j)
+SELECT doc_id, score, round(least(1.0, raw), 6) AS rescored FROM s"""
+
+    o["decay_sigmoid"] = """
+SELECT event_id,
+       round(least(1.0, pow(0.5, date_diff('day', ts::DATE, DATE '2024-02-01')::DOUBLE
+                                 / 7.0)), 6) AS decay,
+       round(1.0 / (1.0 + exp(-(value / 100.0))), 6) AS sig
+FROM events"""
+
+    o["smells"] = f"""
+WITH t AS (SELECT doc_id, n_chars, text, {_TOKS} AS toks FROM documents),
+m AS (SELECT doc_id, n_chars, len(toks) AS nt,
+             CASE WHEN len(toks) > 0
+                  THEN len(list_distinct(toks))::DOUBLE / len(toks) ELSE 0.0 END AS dr,
+             CASE WHEN length(text) > 0
+                  THEN length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g'))::DOUBLE
+                       / length(text) ELSE 0.0 END AS pr
+      FROM t)
+SELECT doc_id, 'long_doc' AS smell, 'warning' AS severity FROM m WHERE n_chars > 400
+UNION ALL
+SELECT doc_id, 'low_diversity', 'info' FROM m WHERE nt > 0 AND dr < 0.5
+UNION ALL
+SELECT doc_id, 'high_punct', 'warning' FROM m WHERE pr > 0.1"""
+
+    o["dir_rollup"] = """
+WITH f AS (SELECT 'src/' || lang || '/' || source || '.txt' AS path, n_chars
+           FROM documents),
+a AS (SELECT unnest(list_transform(range(1, len(string_split(path, '/'))),
+                    i -> array_to_string(string_split(path, '/')[1:i], '/'))) AS dir,
+             n_chars
+      FROM f)
+SELECT dir, count(*) AS n_files, sum(n_chars)::BIGINT AS total_chars
+FROM a GROUP BY dir"""
+
+    o["rrf_trimodal"] = f"""
+WITH {_bm25_ctes(KNN_K)},
+bm_r AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rnk FROM bm),
+q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = {KNN_QUERY_ID}),
+kn AS (SELECT vec_id AS doc_id, {_COS} AS cos_sim FROM embeddings, q
+       ORDER BY cos_sim DESC, doc_id LIMIT {KNN_K}),
+kn_r AS (SELECT doc_id, row_number() OVER (ORDER BY cos_sim DESC, doc_id) AS rnk FROM kn),
+tq AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents),
+qs AS (SELECT doc_id,
+       round(greatest(0.0, least(100.0,
+         50.0 + 30.0 * (CASE WHEN len(toks) > 0
+                        THEN len(list_distinct(toks))::DOUBLE / len(toks) ELSE 0.0 END)
+         - 100.0 * (CASE WHEN length(text) > 0
+                    THEN length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g'))::DOUBLE
+                         / length(text) ELSE 0.0 END)
+         + 0.2 * least(len(toks), 100)::DOUBLE)), 4) AS quality
+       FROM tq),
+ql AS (SELECT doc_id, quality FROM qs ORDER BY quality DESC, doc_id LIMIT {KNN_K}),
+ql_r AS (SELECT doc_id, row_number() OVER (ORDER BY quality DESC, doc_id) AS rnk FROM ql),
+u AS (SELECT doc_id, rnk FROM bm_r UNION ALL SELECT doc_id, rnk FROM kn_r
+      UNION ALL SELECT doc_id, rnk FROM ql_r),
+g AS (SELECT doc_id, sum(1.0 / (60 + rnk)) AS raw, count(*) AS n_strategies
+      FROM u GROUP BY doc_id)
+SELECT doc_id, round(raw, 6) AS rrf_score, n_strategies FROM g WHERE raw >= 0.01"""
+
     o["multimodal_meta"] = """
 SELECT doc_id, octet_length(encode(text))::BIGINT AS n_bytes,
        ascii(substr(text, 1, 1))::BIGINT AS first_byte
@@ -663,11 +870,17 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "changed_docs": q_changed_docs,
     "unembedded": q_unembedded,
     "moved_docs": q_moved_docs,
+    "ivf_topk": q_ivf_topk,
     "graph_degree": q_graph_degree,
     "bfs": q_bfs,
     "call_graph": q_call_graph,
     "pricing_summary": q_pricing_summary,
     "revenue_by_nation": q_revenue_by_nation,
+    "rescore": q_rescore,
+    "decay_sigmoid": q_decay_sigmoid,
+    "smells": q_smells,
+    "dir_rollup": q_dir_rollup,
+    "rrf_trimodal": q_rrf_trimodal,
     "multimodal_meta": q_multimodal_meta,
     "embedding_stats": q_embedding_stats,
 }
