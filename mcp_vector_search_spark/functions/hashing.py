@@ -31,15 +31,16 @@ def minhash_signature(tokens: Column, num_hashes: int) -> Column:
     Empty-token rows get the md5 of the empty string per seed, which is
     still deterministic.
     """
-    return F.array(
-        *[
-            F.coalesce(
-                F.array_min(F.transform(tokens, lambda t, s=s: seeded_md5(t, s))),
-                F.md5(F.lit(f"#{s}")),
-            )
-            for s in range(num_hashes)
-        ]
-    )
+    def min_hash(seed: int) -> Column:
+        # single-arg lambda in a dedicated scope: a 2-arg lambda (even
+        # with a default!) makes Spark pass the array INDEX as arg 2,
+        # silently shadowing the captured seed
+        return F.coalesce(
+            F.array_min(F.transform(tokens, lambda t: seeded_md5(t, seed))),
+            F.md5(F.lit(f"#{seed}")),
+        )
+
+    return F.array(*[min_hash(s) for s in range(num_hashes)])
 
 
 def band_keys(signature: Column, num_bands: int, rows_per_band: int) -> Column:
@@ -55,6 +56,42 @@ def band_keys(signature: Column, num_bands: int, rows_per_band: int) -> Column:
         ]
         keys.append(F.concat(*parts))
     return F.array(*keys)
+
+
+SIMHASH_BITS = 60  # 15 hex chars of md5 → fits a signed 64-bit long
+
+
+def token_hash60(token: Column) -> Column:
+    """60-bit integer hash of a token: md5 prefix parsed base-16 —
+    identical in Spark (`conv`), DuckDB (hex cast) and Python
+    (`int(md5[:15], 16)`)."""
+    return F.conv(F.substring(F.md5(token), 1, 15), 16, 10).cast("long")
+
+
+def simhash(hashes: Column, bits: int = SIMHASH_BITS) -> Column:
+    """SimHash fingerprint from a pre-computed array of token hashes:
+    bit i is set iff a strict majority of tokens have bit i set.
+
+    `hashes` must be a *materialized* column (one `transform` pass in a
+    prior projection) — referencing it here 60× is a column lookup;
+    inlining token_hash60 60× would re-run md5 per bit.
+    Row-local: zero shuffle at any corpus size.
+    """
+    def bit_cnt(mask: Column) -> Column:
+        # single-arg lambda in its own scope (see minhash_signature)
+        return F.size(F.filter(hashes, lambda h: h.bitwiseAND(mask) != 0))
+
+    n = F.size(hashes)
+    acc = F.lit(0).cast("long")
+    for i in range(bits):
+        mask = F.lit(1 << i).cast("long")
+        acc = acc + F.when(bit_cnt(mask) * 2 > n, mask).otherwise(F.lit(0).cast("long"))
+    return acc
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    """Hamming distance between two long fingerprints."""
+    return F.bit_count(a.bitwiseXOR(b))
 
 
 def chunk_id_expr(

@@ -20,8 +20,15 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from mcp_vector_search_spark.functions.hashing import band_keys, minhash_signature
+from mcp_vector_search_spark.functions.hashing import (
+    band_keys,
+    hamming64,
+    minhash_signature,
+    simhash,
+    token_hash60,
+)
 from mcp_vector_search_spark.functions.text import doc_fingerprint, tokenize, word_ngrams
+from mcp_vector_search_spark.functions.vectors import cosine_sim
 
 
 def exact_duplicates(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -157,4 +164,131 @@ def neighbor_jaccard(
         pairs.withColumn("jaccard", F.round(jac, 6))
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def simhash_fingerprints(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, simhash) — 60-bit SimHash over the token set. Two
+    row-local projections (hash array, then bit majority); no shuffle."""
+    hashed = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.transform(tokenize(text_col), token_hash60).alias("_hashes"),
+    )
+    return hashed.select("doc_id", simhash(F.col("_hashes")).alias("simhash"))
+
+
+def simhash_near_dups(
+    docs: DataFrame,
+    max_hamming: int = 6,
+    num_bands: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """SimHash near-dup pairs → (doc_a, doc_b, hamming ≤ max_hamming).
+
+    Pigeonhole blocking: split the 60-bit fingerprint into `num_bands`
+    bands; any pair within hamming ≤ bands-1 must agree on ≥1 whole
+    band, so candidates come from a self-equi-join on (band_idx,
+    band_value) — never all-pairs. (max_hamming above bands-1 trades
+    recall, the standard simhash-dedup compromise at scale.)
+    """
+    band_bits = 60 // num_bands
+    band_mask = (1 << band_bits) - 1
+    fp = simhash_fingerprints(docs, id_col, text_col)
+    banded = fp.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_idx"),
+                        F.shiftright(F.col("simhash"), b * band_bits)
+                        .bitwiseAND(F.lit(band_mask))
+                        .alias("band_val"),
+                    )
+                    for b in range(num_bands)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "simhash", "band.band_idx", "band.band_val")
+    a, b = banded.alias("a"), banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            hamming64(F.col("a.simhash"), F.col("b.simhash")).alias("hamming"),
+        )
+        .distinct()
+    )
+    return pairs.filter(F.col("hamming") <= max_hamming)
+
+
+def embedding_near_dups(
+    vectors: DataFrame,
+    window: int = 20,
+    threshold: float = 0.9,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    round_to: int = 6,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs within an id-rank window →
+    (id_a, id_b, cos_sim ≥ threshold). The window blocking keeps this
+    oracle-checkable; the scale path blocks on IVF cluster_id instead
+    (`embedding_near_dups_clustered`)."""
+    from pyspark.sql.window import Window
+
+    pos = vectors.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("_va"),
+        F.row_number().over(Window.orderBy(id_col)).alias("_pos"),
+    )
+    a = pos.select(
+        "id_a", "_va", F.explode(F.sequence(F.col("_pos") + 1, F.col("_pos") + window)).alias("_pos_b")
+    )
+    b = pos.select(
+        F.col("_pos").alias("_pos_b"), F.col("id_a").alias("id_b"), F.col("_va").alias("_vb")
+    )
+    sim = F.round(cosine_sim(F.col("_va"), F.col("_vb")), round_to)
+    return (
+        a.join(b, "_pos_b")
+        .withColumn("cos_sim", sim)
+        .filter(F.col("cos_sim") >= threshold)
+        .select("id_a", "id_b", "cos_sim")
+    )
+
+
+def embedding_near_dups_clustered(
+    assigned: DataFrame,
+    threshold: float = 0.9,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    round_to: int = 6,
+) -> DataFrame:
+    """Scale path: candidate pairs only within the same IVF cluster
+    (`ivf_build` output) — the shuffle key is cluster_id, pair count is
+    Σ|cluster|² instead of N². Near-dup pairs straddling a cluster
+    boundary are missed; multi-probe assignment recovers them if needed."""
+    slim = assigned.select(
+        F.col("cluster_id"), F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")
+    )
+    a, b = slim.alias("a"), slim.alias("b")
+    sim = F.round(cosine_sim(F.col("a._v"), F.col("b._v")), round_to)
+    return (
+        a.join(
+            b,
+            (F.col("a.cluster_id") == F.col("b.cluster_id"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .withColumn("cos_sim", sim)
+        .filter(F.col("cos_sim") >= threshold)
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"), "cos_sim")
     )

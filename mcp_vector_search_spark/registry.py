@@ -67,6 +67,8 @@ NEIGHBOR_WINDOW = 10
 NEIGHBOR_T = 0.1
 CHUNK_SIZE = 50
 ALPHA = 0.7
+SIMHASH_MAX_HAMMING = 20
+EMB_DUP_T = 0.3
 
 # ---------------------------------------------------------------- oracle SQL fragments
 
@@ -98,10 +100,7 @@ def _terms_in() -> str:
     return ", ".join(f"'{t}'" for t in QUERY_TERMS)
 
 
-def _bm25_ctes(limit: int) -> str:
-    """CTE chain computing BM25Okapi (k1=1.5, b=0.75, eps=0.25) top-N →
-    final CTE `bm(doc_id, score)`."""
-    return f"""
+_BM25_SHARED = f"""
 toks AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
 postings AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks GROUP BY doc_id, term),
 doc_stats AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY doc_id),
@@ -110,17 +109,28 @@ dfreq AS (SELECT term, count(DISTINCT doc_id)::DOUBLE AS df FROM postings GROUP 
 idf_raw AS (SELECT term, ln((c.n_docs - df + 0.5) / (df + 0.5)) AS ir FROM dfreq, corpus c),
 avg_idf AS (SELECT avg(ir) AS ai FROM idf_raw),
 term_stats AS (SELECT term, CASE WHEN ir < 0 THEN 0.25 * ai ELSE ir END AS idf
-               FROM idf_raw, avg_idf),
-scored AS (
+               FROM idf_raw, avg_idf)"""
+
+
+def _bm25_scored(terms: list[str], limit: int, name: str) -> str:
+    """Per-query scored+top-k CTE pair over the shared BM25 index CTEs."""
+    terms_in = ", ".join(f"'{t}'" for t in terms)
+    return f"""
+{name}_s AS (
   SELECT p.doc_id,
          sum(t.idf * p.tf * (1.5 + 1) / (p.tf + 1.5 * (1 - 0.75 + 0.75 * s.dl / c.avgdl))) AS s
   FROM postings p
   JOIN doc_stats s USING (doc_id)
   JOIN term_stats t USING (term), corpus c
-  WHERE p.term IN ({_terms_in()})
+  WHERE p.term IN ({terms_in})
   GROUP BY p.doc_id),
-bm AS (SELECT doc_id, round(s, 6) AS score FROM scored
-       ORDER BY score DESC, doc_id LIMIT {limit})"""
+{name} AS (SELECT doc_id, round(s, 6) AS score FROM {name}_s
+           ORDER BY score DESC, doc_id LIMIT {limit})"""
+
+
+def _bm25_ctes(limit: int) -> str:
+    """Shared index CTEs + the default-query top-N → CTE `bm`."""
+    return _BM25_SHARED + "," + _bm25_scored(QUERY_TERMS, limit, "bm")
 
 
 def _minhash_sig_sql() -> str:
@@ -216,6 +226,28 @@ def q_minhash_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_neighbor_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return neighbor_jaccard(
         _docs(spark, sf_dir), window=NEIGHBOR_WINDOW, threshold=NEIGHBOR_T
+    )
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mcp_vector_search_spark.operators.dedup import simhash_fingerprints
+
+    return simhash_fingerprints(_docs(spark, sf_dir))
+
+
+def q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mcp_vector_search_spark.operators.dedup import simhash_near_dups
+
+    return simhash_near_dups(_docs(spark, sf_dir), max_hamming=SIMHASH_MAX_HAMMING).select(
+        "doc_a", "doc_b", F.col("hamming").cast("long").alias("hamming")
+    )
+
+
+def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mcp_vector_search_spark.operators.dedup import embedding_near_dups
+
+    return embedding_near_dups(
+        _emb(spark, sf_dir), window=NEIGHBOR_WINDOW, threshold=EMB_DUP_T
     )
 
 
@@ -348,6 +380,86 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+EXPAND_QUERY = "stream query data"
+
+
+def q_bm25_expanded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3/J5/U1: synonym-expanded variant fanout → per-variant BM25 →
+    union → max-score merge → top-k (reference ``search.py:297-349``)."""
+    from mcp_vector_search_spark.functions.query import expand_query
+    from mcp_vector_search_spark.operators.fusion import max_score_merge
+
+    docs = _docs(spark, sf_dir)
+    legs = None
+    for v in expand_query(EXPAND_QUERY):
+        leg = bm25_topk(docs, v.split(), KNN_K)
+        legs = leg if legs is None else legs.unionByName(leg)
+    return (
+        max_score_merge(legs, "doc_id", "score")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(KNN_K)
+    )
+
+
+def _kg_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk frame with a synthetic `calls` list (tokens 2-4) so the
+    KG construction ops have a deterministic, oracle-reproducible
+    input."""
+    toks = tokenize("text")
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.col("source"),
+        F.get(toks, 0).alias("name"),
+        F.slice(toks, 2, 3).alias("calls"),
+    )
+
+
+def q_kg_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G10/J12: explode calls → name equi-join with cross-file
+    predicate → distinct edge list."""
+    from mcp_vector_search_spark.operators.kg import call_edges
+
+    return call_edges(
+        _kg_chunks(spark, sf_dir),
+        id_col="doc_id",
+        name_col="name",
+        calls_col="calls",
+        path_col="source",
+    )
+
+
+def q_kg_related(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G2 find_related: bounded BFS over the constructed call graph."""
+    from mcp_vector_search_spark.operators.kg import call_edges
+
+    edges = call_edges(
+        _kg_chunks(spark, sf_dir),
+        id_col="doc_id",
+        name_col="name",
+        calls_col="calls",
+        path_col="source",
+    )
+    start = _docs(spark, sf_dir).filter(F.col("doc_id") == 0).select(
+        F.col("doc_id").alias("id")
+    )
+    return bfs_min_hops(edges, start, max_hops=2).select(
+        "id", F.col("hop").cast("long").alias("hop")
+    )
+
+
+TAG_REQUIRED = ["data", "fast"]
+
+
+def q_tag_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G7 tag AND-query: docs carrying ALL required tags."""
+    from mcp_vector_search_spark.operators.kg import tag_query
+
+    doc_tags = _docs(spark, sf_dir).select(
+        "doc_id", F.explode(tokenize("text")).alias("tag")
+    )
+    return tag_query(doc_tags, TAG_REQUIRED)
+
+
 def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = io.table(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag", "l_linestatus").agg(
@@ -465,6 +577,36 @@ def q_rrf_trimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rrf_multi([bm, kn, ql]).withColumn(
         "n_strategies", F.col("n_strategies").cast("long")
     )
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary media column → mapInPandas feature extraction (decode
+    stubbed deterministically; the Arrow plumbing is real)."""
+    from mcp_vector_search_spark.operators.multimodal import (
+        attach_fake_media,
+        extract_features,
+    )
+
+    feats = extract_features(attach_fake_media(_docs(spark, sf_dir)))
+    return feats.select(
+        "doc_id",
+        "n_bytes",
+        *[F.round(F.col("feature")[i], 6).alias(f"f{i}") for i in range(4)],
+    )
+
+
+def q_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F13 MMR diversification over the kNN top-30 (rows-only: greedy
+    selection isn't SQL-expressible; golden-tested in tests/test_mmr.py)."""
+    from mcp_vector_search_spark.operators.mmr import mmr_diversify
+
+    emb = _emb(spark, sf_dir)
+    cand = knn_brute_force(emb, _query_vec(spark, sf_dir), 30).join(
+        emb.select("vec_id", "embedding"), "vec_id"
+    )
+    return mmr_diversify(
+        cand, k=10, diversity=0.3, id_col="vec_id", score_col="cos_sim"
+    ).withColumn("mmr_rank", F.col("mmr_rank").cast("long"))
 
 
 def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -708,6 +850,43 @@ SELECT DISTINCT e.dst AS id, 'callee' AS direction FROM e, n WHERE e.src = n.nod
 UNION
 SELECT DISTINCT e.src AS id, 'caller' AS direction FROM e, n WHERE e.dst = n.node"""
 
+    from mcp_vector_search_spark.functions.query import expand_query
+
+    variants = expand_query(EXPAND_QUERY)
+    variant_ctes = ",".join(
+        _bm25_scored(v.split(), KNN_K, f"v{i}") for i, v in enumerate(variants)
+    )
+    union_all = " UNION ALL ".join(
+        f"SELECT doc_id, score FROM v{i}" for i in range(len(variants))
+    )
+    o["bm25_expanded"] = f"""
+WITH {_BM25_SHARED},{variant_ctes}
+SELECT doc_id, max(score) AS score FROM ({union_all}) GROUP BY doc_id
+ORDER BY score DESC, doc_id LIMIT {KNN_K}"""
+
+    _KG_EDGE_CTES = f"""
+kt AS (SELECT doc_id, source, {_TOKS} AS toks FROM documents),
+kc AS (SELECT doc_id AS src, source, unnest(toks[2:4]) AS callee FROM kt),
+kn AS (SELECT doc_id AS dst, list_extract(toks, 1) AS name, source AS dst_source FROM kt),
+ke AS (SELECT DISTINCT src, dst FROM kc JOIN kn
+       ON kc.callee = kn.name AND kc.source <> kn.dst_source)"""
+
+    o["kg_edges"] = f"WITH {_KG_EDGE_CTES} SELECT src, dst FROM ke"
+
+    o["kg_related"] = f"""
+WITH RECURSIVE {_KG_EDGE_CTES},
+bfs(id, hop) AS (
+  SELECT 0::BIGINT AS id, 0 AS hop
+  UNION
+  SELECT ke.dst, b.hop + 1 FROM bfs b JOIN ke ON ke.src = b.id WHERE b.hop < 2)
+SELECT id, min(hop)::BIGINT AS hop FROM bfs GROUP BY id"""
+
+    tag_in = ", ".join(f"'{t}'" for t in TAG_REQUIRED)
+    o["tag_query"] = f"""
+WITH t AS (SELECT doc_id, unnest({_TOKS}) AS tag FROM documents)
+SELECT doc_id FROM t WHERE tag IN ({tag_in})
+GROUP BY doc_id HAVING count(DISTINCT tag) = {len(TAG_REQUIRED)}"""
+
     o["pricing_summary"] = """
 SELECT l_returnflag, l_linestatus,
        round(sum(l_quantity), 2) AS sum_qty,
@@ -727,6 +906,44 @@ JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
 JOIN nation ON c_nationkey = n_nationkey
 GROUP BY n_name"""
+
+    _HASHES = "list_transform(toks, t -> ('0x' || substr(md5(t), 1, 15))::BIGINT)"
+    simhash_terms = " + ".join(
+        f"CASE WHEN 2 * len(list_filter(hs, x -> (x & {1 << i}) != 0)) > len(hs)"
+        f" THEN {1 << i} ELSE 0 END"
+        for i in range(60)
+    )
+    _SIMHASH_CTES = f"""
+t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+h AS (SELECT doc_id, {_HASHES} AS hs FROM t),
+fp AS (SELECT doc_id, ({simhash_terms})::BIGINT AS simhash FROM h)"""
+
+    o["simhash"] = f"WITH {_SIMHASH_CTES} SELECT doc_id, simhash FROM fp"
+
+    o["simhash_near_dups"] = f"""
+WITH {_SIMHASH_CTES},
+banded AS (SELECT doc_id, simhash, band_idx,
+                  (simhash >> (band_idx * 15)) & 32767 AS band_val
+           FROM fp, (SELECT unnest([0, 1, 2, 3]) AS band_idx)),
+pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
+          FROM banded a JOIN banded b
+            ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+           AND a.doc_id < b.doc_id)
+SELECT doc_a, doc_b, hamming FROM pairs WHERE hamming <= {SIMHASH_MAX_HAMMING}"""
+
+    _COS_AB = (
+        "round(list_sum(list_transform(list_zip(va, vb), p -> p[1]::DOUBLE * p[2]::DOUBLE))"
+        " / (sqrt(list_sum(list_transform(va, x -> x::DOUBLE * x::DOUBLE)))"
+        " * sqrt(list_sum(list_transform(vb, x -> x::DOUBLE * x::DOUBLE)))), 6)"
+    )
+    o["embedding_near_dups"] = f"""
+WITH e AS (SELECT vec_id, embedding,
+                  row_number() OVER (ORDER BY vec_id) AS pos FROM embeddings),
+p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             a.embedding AS va, b.embedding AS vb
+      FROM e a JOIN e b ON b.pos > a.pos AND b.pos <= a.pos + {NEIGHBOR_WINDOW})
+SELECT id_a, id_b, {_COS_AB} AS cos_sim FROM p WHERE {_COS_AB} >= {EMB_DUP_T}"""
 
     q_full = " ".join(QUERY_TERMS)
 
@@ -833,6 +1050,15 @@ g AS (SELECT doc_id, sum(1.0 / (60 + rnk)) AS raw, count(*) AS n_strategies
       FROM u GROUP BY doc_id)
 SELECT doc_id, round(raw, 6) AS rrf_score, n_strategies FROM g WHERE raw >= 0.01"""
 
+    o["multimodal_features"] = """
+WITH b AS (SELECT doc_id, octet_length(encode(text)) AS n, text FROM documents)
+SELECT doc_id, n::BIGINT AS n_bytes,
+       round(CASE WHEN n > 0 THEN ascii(substr(text, 1, 1)) / 255.0 ELSE 0.0 END, 6) AS f0,
+       round(CASE WHEN n > 0 THEN ascii(substr(text, n // 2 + 1, 1)) / 255.0 ELSE 0.0 END, 6) AS f1,
+       round(CASE WHEN n > 0 THEN ascii(substr(text, n, 1)) / 255.0 ELSE 0.0 END, 6) AS f2,
+       round(CASE WHEN n > 0 THEN (n % 256) / 255.0 ELSE 0.0 END, 6) AS f3
+FROM b"""
+
     o["multimodal_meta"] = """
 SELECT doc_id, octet_length(encode(text))::BIGINT AS n_bytes,
        ascii(substr(text, 1, 1))::BIGINT AS first_byte
@@ -857,6 +1083,9 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "exact_dups": q_exact_dups,
     "minhash_jaccard": q_minhash_jaccard,
     "neighbor_jaccard": q_neighbor_jaccard,
+    "simhash": q_simhash,
+    "simhash_near_dups": q_simhash_near_dups,
+    "embedding_near_dups": q_embedding_near_dups,
     "text_quality": q_text_quality,
     "ngram_top50": q_ngram_top50,
     "lang_distribution": q_lang_distribution,
@@ -871,6 +1100,10 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "unembedded": q_unembedded,
     "moved_docs": q_moved_docs,
     "ivf_topk": q_ivf_topk,
+    "bm25_expanded": q_bm25_expanded,
+    "kg_edges": q_kg_edges,
+    "kg_related": q_kg_related,
+    "tag_query": q_tag_query,
     "graph_degree": q_graph_degree,
     "bfs": q_bfs,
     "call_graph": q_call_graph,
@@ -882,6 +1115,8 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dir_rollup": q_dir_rollup,
     "rrf_trimodal": q_rrf_trimodal,
     "multimodal_meta": q_multimodal_meta,
+    "multimodal_features": q_multimodal_features,
+    "mmr": q_mmr,
     "embedding_stats": q_embedding_stats,
 }
 

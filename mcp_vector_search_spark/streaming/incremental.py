@@ -1,0 +1,114 @@
+"""Incremental indexing as a Structured Streaming pipeline (reference
+ST1 ``core/watcher.py:18-120`` + ST4/ST5 resumable & atomic rebuild).
+
+Shape: a file-source stream of document batches → `foreachBatch`
+running the SAME batch operators (fingerprint → changed_or_new
+anti-join → chunk) → atomic state swap. Everything the reference
+hand-builds dissolves into Spark machinery:
+
+- debounce (2s timer)        → micro-batch trigger (availableNow here;
+                               processingTime in a live deployment)
+- resumable state machine    → the checkpoint dir: a crashed batch
+                               re-runs, and the anti-join makes the
+                               replay idempotent
+- atomic rebuild (stage+swap)→ write state to `<dir>.tmp`, os.rename
+- move detection / dedupe    → the incremental joins in
+                               operators/incremental.py
+
+State layout: `<state_dir>/state.parquet` holds (doc_id, fingerprint);
+`<state_dir>/chunks.parquet` accumulates chunk rows append-only.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mcp_vector_search_spark.functions.text import doc_fingerprint
+from mcp_vector_search_spark.operators.incremental import changed_or_new
+from mcp_vector_search_spark.sources.chunker import chunk_tokens
+
+DOC_SCHEMA = "doc_id long, text string, source string"
+
+
+def _state_path(state_dir: str) -> str:
+    return os.path.join(state_dir, "state.parquet")
+
+
+def _chunks_path(state_dir: str) -> str:
+    return os.path.join(state_dir, "chunks.parquet")
+
+
+def read_state(spark: SparkSession, state_dir: str) -> DataFrame:
+    path = _state_path(state_dir)
+    if os.path.exists(path):
+        return spark.read.parquet(path)
+    return spark.createDataFrame([], "doc_id long, fingerprint string")
+
+
+def process_batch(spark: SparkSession, batch: DataFrame, state_dir: str) -> int:
+    """One incremental round: fingerprint → anti-join against indexed
+    state → chunk only the delta → append chunks, swap state atomically.
+    Returns the number of changed/new docs (0 ⇒ no writes at all)."""
+    # corrupt/partial records (permissive JSON parse yields null ids)
+    # must not enter the index
+    batch = batch.filter(F.col("doc_id").isNotNull() & F.col("text").isNotNull())
+    docs = batch.withColumn("fingerprint", doc_fingerprint("text"))
+    # late-arriving duplicates within one batch: keep the last delivery
+    docs = docs.groupBy("doc_id").agg(
+        F.max_by("text", "source").alias("text"),
+        F.max("source").alias("source"),
+        F.max_by("fingerprint", "source").alias("fingerprint"),
+    )
+    indexed = read_state(spark, state_dir)
+    delta = changed_or_new(docs, indexed).cache()
+    n = delta.count()
+    if n == 0:
+        delta.unpersist()
+        return 0
+
+    chunks = chunk_tokens(delta)
+    chunks.write.mode("append").parquet(_chunks_path(state_dir))
+
+    # new state = old rows for unchanged ids + delta rows (upsert),
+    # staged then swapped — the ST5 atomic-rebuild pattern
+    new_state = (
+        indexed.join(delta.select("doc_id"), "doc_id", "left_anti")
+        .unionByName(delta.select("doc_id", "fingerprint"))
+    )
+    tmp = _state_path(state_dir) + ".tmp"
+    new_state.write.mode("overwrite").parquet(tmp)
+    final = _state_path(state_dir)
+    if os.path.exists(final):
+        shutil.rmtree(final)
+    os.rename(tmp, final)
+    delta.unpersist()
+    return n
+
+
+def start_incremental_index(
+    spark: SparkSession,
+    input_dir: str,
+    state_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+):
+    """Watch `input_dir` for JSONL doc batches and index incrementally.
+    With `available_now` the query drains pending files and stops —
+    the deterministic test/backfill mode; a live deployment uses a
+    processingTime trigger (the reference's 2s debounce)."""
+    stream = spark.readStream.schema(DOC_SCHEMA).json(input_dir)
+    writer = (
+        stream.writeStream.foreachBatch(
+            lambda batch, _id: process_batch(spark, batch, state_dir)
+        )
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime="2 seconds")
+    return writer.start()

@@ -1,0 +1,61 @@
+from __future__ import annotations
+
+import json
+import os
+
+from mcp_vector_search_spark.streaming.incremental import (
+    read_state,
+    start_incremental_index,
+)
+
+
+def _write_batch(input_dir: str, name: str, docs: list[dict]):
+    os.makedirs(input_dir, exist_ok=True)
+    with open(os.path.join(input_dir, name), "w") as f:
+        for d in docs:
+            f.write(json.dumps(d) + "\n")
+
+
+def _run(spark, input_dir, state_dir, ckpt):
+    q = start_incremental_index(spark, input_dir, state_dir, ckpt)
+    q.awaitTermination(120)
+
+
+def test_incremental_stream_end_to_end(spark, tmp_path):
+    input_dir = str(tmp_path / "in")
+    state_dir = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(state_dir)
+
+    _write_batch(
+        input_dir,
+        "b1.jsonl",
+        [
+            {"doc_id": 1, "text": "alpha beta gamma", "source": "a.txt"},
+            {"doc_id": 2, "text": "delta epsilon zeta", "source": "b.txt"},
+        ],
+    )
+    _run(spark, input_dir, state_dir, ckpt)
+    state = {r.doc_id: r.fingerprint for r in read_state(spark, state_dir).collect()}
+    assert set(state) == {1, 2}
+    chunks1 = spark.read.parquet(os.path.join(state_dir, "chunks.parquet"))
+    assert chunks1.count() == 2  # one chunk per short doc
+
+    # batch 2: doc 1 changed, doc 2 unchanged re-delivered, doc 3 new
+    _write_batch(
+        input_dir,
+        "b2.jsonl",
+        [
+            {"doc_id": 1, "text": "alpha beta CHANGED", "source": "a.txt"},
+            {"doc_id": 2, "text": "delta epsilon zeta", "source": "b.txt"},
+            {"doc_id": 3, "text": "eta theta iota", "source": "c.txt"},
+        ],
+    )
+    _run(spark, input_dir, state_dir, ckpt)
+    state2 = {r.doc_id: r.fingerprint for r in read_state(spark, state_dir).collect()}
+    assert set(state2) == {1, 2, 3}
+    assert state2[1] != state[1]  # changed doc re-fingerprinted
+    assert state2[2] == state[2]  # unchanged doc untouched
+    chunks2 = spark.read.parquet(os.path.join(state_dir, "chunks.parquet"))
+    # only the delta (docs 1 and 3) was re-chunked: 2 + 2 new rows
+    assert chunks2.count() == 4
