@@ -85,6 +85,30 @@ def main():
     per_query["ann_ivf_q256"] = round(time.time() - t0, 3)
     total += per_query["ann_brute_q256"] + per_query["ann_ivf_q256"]
 
+    # BM25: index build (K3 sink) vs per-query latency against the
+    # persisted index — mirrors the reference's prebuilt-index serving path.
+    import tempfile
+
+    from mcp_vector_search_spark.operators.bm25 import bm25_topk_indexed, write_bm25_index
+    from mcp_vector_search_spark.registry import QUERY_TERMS
+
+    with tempfile.TemporaryDirectory() as idx:
+        docs = eio.table(spark, SF_DIR, "documents")
+        t0 = time.time()
+        write_bm25_index(docs, idx)
+        per_query["bm25_index_build"] = round(time.time() - t0, 3)
+        t0 = time.time()
+        bm25_topk_indexed(spark, idx, QUERY_TERMS, 20).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        per_query["bm25_query_indexed"] = round(time.time() - t0, 3)
+        t0 = time.time()
+        bm25_topk_indexed(spark, idx, ["window", "merge"], 20).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        per_query["bm25_query_indexed_warm"] = round(time.time() - t0, 3)
+    total += per_query["bm25_query_indexed"]
+
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     print(
         json.dumps(

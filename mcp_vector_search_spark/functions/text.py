@@ -49,18 +49,26 @@ def doc_fingerprint(text: Column | str) -> Column:
 def word_ngrams(tokens: Column, n: int) -> Column:
     """Order-preserving word n-gram shingles (joined with '_').
 
-    Built with `transform` over positions — stays in codegen, no UDF.
-    Empty array when the doc has < n tokens.
+    Built by zipping the token array with its own 1..n-1 shifts —
+    `tokens` is referenced only a constant number of times at the TOP
+    level of the expression. (The round-1 version sliced `tokens`
+    inside a per-position lambda; expressions inside higher-order
+    lambdas re-evaluate per element, so an upstream `tokenize` ran
+    O(L) times per row — 7× slower on the bench corpus.)
+
+    Stays in codegen, no UDF. Empty array when the doc has < n tokens.
     """
-    # positions 0 .. size-n; guard: F.sequence(0, -1) would count *down*,
-    # so short docs get an explicit empty array.
-    grams = F.transform(
-        F.sequence(F.lit(0), F.size(tokens) - n),
-        lambda i: F.array_join(F.slice(tokens, i + 1, n), "_"),
-    )
-    return F.when(F.size(tokens) >= n, grams).otherwise(
-        F.expr("CAST(array() AS ARRAY<STRING>)")
-    )
+    grams = tokens
+    for j in range(1, n):
+        shifted = F.slice(
+            tokens, j + 1, F.greatest(F.size(tokens) - j, F.lit(1))
+        )
+        # zip pads the shorter side with null; concat propagates the
+        # null so incomplete trailing grams die naturally
+        grams = F.zip_with(grams, shifted, lambda a, b: F.concat(a, F.lit("_"), b))
+    return F.when(
+        F.size(tokens) >= n, F.slice(grams, 1, F.size(tokens) - n + 1)
+    ).otherwise(F.expr("CAST(array() AS ARRAY<STRING>)"))
 
 
 def punct_ratio(text: Column | str) -> Column:

@@ -130,6 +130,49 @@ def bm25_scores(
     return agg
 
 
+def write_bm25_index(
+    docs: DataFrame, path: str, id_col: str = "doc_id", text_col: str = "text"
+) -> None:
+    """K3 index sink (reference pickles BM25Okapi,
+    ``bm25_backend.py:202-267``; here the index is three parquet
+    tables). postings is sorted by term within files so query-time
+    `term IN (...)` filters benefit from parquet min/max pruning —
+    at 100 TB, store it partitioned/Z-ordered by a term-hash bucket.
+    """
+    postings = build_postings(docs, id_col, text_col)
+    doc_stats = build_doc_stats(docs, id_col, text_col)
+    term_stats = build_term_stats(postings, doc_stats)
+    postings.sortWithinPartitions("term").write.mode("overwrite").parquet(f"{path}/postings")
+    doc_stats.write.mode("overwrite").parquet(f"{path}/doc_stats")
+    term_stats.write.mode("overwrite").parquet(f"{path}/term_stats")
+
+
+def read_bm25_index(spark, path: str) -> tuple[DataFrame, DataFrame, DataFrame]:
+    return (
+        spark.read.parquet(f"{path}/postings"),
+        spark.read.parquet(f"{path}/doc_stats"),
+        spark.read.parquet(f"{path}/term_stats"),
+    )
+
+
+def bm25_topk_indexed(
+    spark,
+    path: str,
+    query_terms: list[str],
+    k: int,
+) -> DataFrame:
+    """Query path against a persisted index: touches only the postings
+    of the query's terms (In-filter pushed to the parquet scan) — the
+    O(df(q)) cost the reference gets from its in-memory BM25 object,
+    but without loading the corpus."""
+    postings, doc_stats, term_stats = read_bm25_index(spark, path)
+    return (
+        bm25_scores(postings, doc_stats, query_terms, term_stats=term_stats)
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
 def bm25_topk(
     docs: DataFrame,
     query_terms: list[str],

@@ -60,6 +60,7 @@ def minhash_candidates(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_bucket_size: int | None = None,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """LSH candidate pairs (doc_a < doc_b, band collisions deduped).
 
@@ -71,9 +72,12 @@ def minhash_candidates(
     collides thousands of docs into one band key → a quadratic bucket).
     Production preset: num_hashes=128, num_bands=32, max_bucket_size a
     few hundred; the defaults here are toy-grade for oracle checking.
+
+    Pass a (cached) `shingles` frame when the caller also runs
+    `jaccard_verify` — both stages then share one shingle computation.
     """
     rows_per_band = num_hashes // num_bands
-    sh = shingle_sets(docs, shingle_n, id_col, text_col)
+    sh = shingles if shingles is not None else shingle_sets(docs, shingle_n, id_col, text_col)
     sig = sh.select(
         "doc_id", minhash_signature(F.col("shingles"), num_hashes).alias("sig")
     )

@@ -218,8 +218,9 @@ def q_exact_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_minhash_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
-    cand = minhash_candidates(docs, max_bucket_size=MINHASH_CAP, **MINHASH)
-    sh = shingle_sets(docs, MINHASH["shingle_n"])
+    # one shingle computation shared by signature and verify stages
+    sh = shingle_sets(docs, MINHASH["shingle_n"]).cache()
+    cand = minhash_candidates(docs, max_bucket_size=MINHASH_CAP, shingles=sh, **MINHASH)
     return jaccard_verify(cand, sh, threshold=JACCARD_T)
 
 
