@@ -64,3 +64,40 @@ def register_temp_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every corpus table as a temp view for spark.sql use."""
     for name in TABLES:
         table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def upsert_parquet(
+    spark: SparkSession, updates: DataFrame, path: str, key_cols: list[str]
+) -> None:
+    """K1/K2 upsert sink (reference delete-by-key + append,
+    ``chunks_backend.py:269-551`` / ``vectors_backend.py:482-677``)
+    without Delta: existing rows whose key collides are replaced,
+    everything else kept, staged to `<path>.tmp` and swapped (the
+    reference's atomic-rebuild pattern, ST5). On Delta this whole
+    function is one MERGE."""
+    import os
+    import shutil
+
+    if os.path.exists(path):
+        existing = spark.read.parquet(path)
+        kept = existing.join(updates.select(*key_cols), key_cols, "left_anti")
+        merged = kept.unionByName(updates)
+    else:
+        merged = updates
+    tmp = path + ".tmp"
+    merged.write.mode("overwrite").parquet(tmp)
+    if os.path.exists(path):
+        shutil.rmtree(path)
+    os.rename(tmp, path)
+
+
+def export_results(df: DataFrame, path: str, fmt: str = "json") -> None:
+    """K5 export sink (reference JSON/CSV/Markdown exporters,
+    ``cli/export.py``). Distributed write; coalesce upstream if a
+    single file is required."""
+    if fmt == "json":
+        df.write.mode("overwrite").json(path)
+    elif fmt == "csv":
+        df.write.mode("overwrite").option("header", True).csv(path)
+    else:
+        raise ValueError(f"unsupported export format {fmt!r}")

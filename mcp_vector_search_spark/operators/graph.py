@@ -96,3 +96,90 @@ def call_graph(
         F.col(src_col).alias("id"), F.lit("caller").alias("direction")
     )
     return callees.unionByName(callers).distinct()
+
+
+def cycle_nodes(
+    edges: DataFrame,
+    max_len: int = 4,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """A8 circular-dependency detection: ids lying on a directed cycle
+    of length ≤ `max_len` (reference 3-color DFS,
+    ``analysis/collectors/coupling.py:166-320``).
+
+    Level-synchronous (origin, node) pair expansion with per-level
+    dedup — pair count is bounded by V² but import graphs are small
+    relative to the corpus (the reference collects them to the driver
+    outright); `max_len` bounds the join depth."""
+    e = edges.select(F.col(src_col).alias("_es"), F.col(dst_col).alias("_ed"))
+    pairs = edges.select(F.col(src_col).alias("origin"), F.col(dst_col).alias("node")).distinct()
+    hits = pairs.filter(F.col("origin") == F.col("node")).select(F.col("origin").alias("id"))
+    cur = pairs
+    for _ in range(2, max_len + 1):
+        cur = (
+            cur.join(e, cur["node"] == e["_es"])
+            .select("origin", F.col("_ed").alias("node"))
+            .distinct()
+        )
+        hits = hits.unionByName(
+            cur.filter(F.col("origin") == F.col("node")).select(F.col("origin").alias("id"))
+        )
+    return hits.distinct()
+
+
+def unreachable_nodes(
+    edges: DataFrame,
+    entry_points: DataFrame,
+    max_hops: int = 10,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """A11 dead-code detection: nodes not reachable from the entry
+    points within `max_hops` (reference ``analysis/dead_code.py``
+    reachability over call edges). BFS + one left-anti join."""
+    all_nodes = (
+        edges.select(F.col(src_col).alias("id"))
+        .unionByName(edges.select(F.col(dst_col).alias("id")))
+        .distinct()
+    )
+    reached = bfs_min_hops(edges, entry_points, max_hops, src_col, dst_col)
+    return all_nodes.join(reached.select("id"), "id", "left_anti")
+
+
+def trace_paths(
+    edges: DataFrame,
+    start_id: str,
+    max_depth: int = 3,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """G4 trace_execution_flow: enumerate simple paths from `start_id`
+    up to `max_depth` hops with per-path cycle rejection (reference
+    ``knowledge_graph.py:3190-3385``: depth ≤8, per-path visited set).
+
+    Paths are pipe-delimited strings ('|a|b|c|'); the cycle check is a
+    delimited-substring test, so ids that prefix other ids can't false-
+    positive. Returns (path, depth)."""
+    e = edges.select(F.col(src_col).alias("_es"), F.col(dst_col).alias("_ed"))
+    first = edges.filter(F.col(src_col) == start_id).select(
+        F.concat(F.lit(f"|{start_id}|"), F.col(dst_col), F.lit("|")).alias("path"),
+        F.col(dst_col).alias("node"),
+        F.lit(1).alias("depth"),
+    ).distinct()  # multi-edges must not duplicate paths
+    out = first.select("path", "depth")
+    cur = first
+    for d in range(2, max_depth + 1):
+        nxt = (
+            cur.join(e, cur["node"] == e["_es"])
+            .filter(~F.col("path").contains(F.concat(F.lit("|"), F.col("_ed"), F.lit("|"))))
+            .select(
+                F.concat(F.col("path"), F.col("_ed"), F.lit("|")).alias("path"),
+                F.col("_ed").alias("node"),
+                F.lit(d).alias("depth"),
+            )
+            .distinct()
+        )
+        out = out.unionByName(nxt.select("path", "depth"))
+        cur = nxt
+    return out

@@ -1,0 +1,97 @@
+"""The full search pipeline (reference §3.1, ``core/search.py:215-432``)
+as one composed DataFrame program:
+
+  preprocess (F2) → synonym variants (F3) → identifier-α routing (F4)
+  → per-variant hybrid legs (BM25 ⊕ kNN → RRF, J3) at over-retrieval
+  limits (T4) → variant max-merge (J5/U1) → metadata lookup join (J2)
+  → 8-factor heuristic rescoring (F10) → cross-encoder rerank stage
+  (F12, deterministic stand-in) → adaptive threshold filter (P2/P3)
+  → MMR diversification (F13) → final top-k.
+
+The reference runs these as sequential Python steps; here steps up to
+MMR are ONE logical plan (Catalyst sees the whole tree), and MMR is
+the single tiny non-relational stage at the end (≤ k·3 rows by the T4
+schedule).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from mcp_vector_search_spark.functions.query import (
+    IDENTIFIER_ALPHA,
+    adaptive_threshold,
+    expand_query,
+    is_identifier_query,
+    preprocess_query,
+)
+from mcp_vector_search_spark.functions.scoring import heuristic_rescore, sigmoid
+from mcp_vector_search_spark.operators.fusion import max_score_merge
+from mcp_vector_search_spark.operators.mmr import mmr_diversify
+from mcp_vector_search_spark.plans.hybrid import hybrid_search
+
+
+def cross_encoder_rescore(
+    candidates: DataFrame,
+    query: str,
+    score_col: str = "rescored",
+    content_col: str = "content",
+) -> DataFrame:
+    """F12 stand-in: a deterministic pairwise relevance signal
+    (query-token overlap rate), sigmoid-normalized and averaged with
+    the incoming score — same staging as the reference's
+    ms-marco cross-encoder (``core/reranker.py:22-174``), swap in a
+    pandas-UDF model call for production."""
+    from mcp_vector_search_spark.functions.text import tokenize
+
+    q_terms = [t for t in query.lower().split() if t]
+    if not q_terms:
+        return candidates.withColumn("ce_score", F.col(score_col))
+    toks = tokenize(content_col)
+    overlap = F.size(F.array_intersect(F.array_distinct(toks), F.array(*[F.lit(t) for t in q_terms])))
+    raw = overlap.cast("double") / len(q_terms)
+    return candidates.withColumn(
+        "ce_score", F.round((sigmoid(raw) + F.col(score_col)) / 2.0, 6)
+    )
+
+
+def full_search(
+    docs: DataFrame,
+    chunk_meta: DataFrame,
+    vectors: DataFrame,
+    query: str,
+    query_vec: DataFrame,
+    k: int = 10,
+    diversity: float = 0.3,
+    base_threshold: float = 0.1,
+    max_variants: int = 3,
+    alpha: float = 0.7,
+) -> DataFrame:
+    """→ (doc_id, score, mmr_rank). See module docstring for stages."""
+    q = preprocess_query(query)
+    variants = expand_query(q)[:max_variants]
+    if is_identifier_query(q):
+        alpha = IDENTIFIER_ALPHA
+    threshold = adaptive_threshold(q, base_threshold)
+
+    legs = None
+    for v in variants:
+        leg = hybrid_search(
+            docs, vectors, v.split(), query_vec, k=k * 3, alpha=alpha
+        )
+        legs = leg if legs is None else legs.unionByName(leg)
+    merged = max_score_merge(legs, "doc_id", "rrf_score")
+
+    enriched = merged.join(chunk_meta, "doc_id")
+    rescored = heuristic_rescore(enriched, q, score_col="rrf_score")
+    reranked = cross_encoder_rescore(rescored, q)
+    candidates = (
+        reranked.filter(F.col("ce_score") >= threshold)
+        .orderBy(F.desc("ce_score"), F.asc("doc_id"))
+        .limit(k * 3)  # T4: over-retrieve for the diversification stage
+        .join(vectors.select(F.col("vec_id").alias("doc_id"), "embedding"), "doc_id")
+    )
+    return mmr_diversify(
+        candidates, k=k, diversity=diversity, id_col="doc_id", score_col="ce_score"
+    )

@@ -461,6 +461,138 @@ def q_tag_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tag_query(doc_tags, TAG_REQUIRED)
 
 
+def _func_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic import-graph fixture for A8/A11: functional edges
+    i → (3i+1) mod N plus mutual 2-cycle pairs every 101 keys (the
+    functional cycles are long; the pairs guarantee short cycles the
+    ≤4-length detector must find)."""
+    part = io.table(spark, sf_dir, "part")
+    n = part.agg(F.count("*").alias("_n"))
+    base = part.crossJoin(F.broadcast(n))
+    fwd = base.select(
+        F.concat(F.lit("n"), F.col("p_partkey")).alias("src"),
+        F.concat(F.lit("n"), (F.col("p_partkey") * 3 + 1) % F.col("_n")).alias("dst"),
+    )
+    pairs = base.filter(
+        (F.col("p_partkey") % 101 == 0) & (F.col("p_partkey") + 1 < F.col("_n"))
+    )
+    mutual = pairs.select(
+        F.concat(F.lit("n"), F.col("p_partkey")).alias("src"),
+        F.concat(F.lit("n"), F.col("p_partkey") + 1).alias("dst"),
+    ).unionByName(
+        pairs.select(
+            F.concat(F.lit("n"), F.col("p_partkey") + 1).alias("src"),
+            F.concat(F.lit("n"), F.col("p_partkey")).alias("dst"),
+        )
+    )
+    return fwd.unionByName(mutual)
+
+
+def q_cycles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mcp_vector_search_spark.operators.graph import cycle_nodes
+
+    return cycle_nodes(_func_edges(spark, sf_dir), max_len=4)
+
+
+def q_dead_code(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mcp_vector_search_spark.operators.graph import unreachable_nodes
+
+    edges = _func_edges(spark, sf_dir)
+    entries = spark.createDataFrame([("n0",), ("n1",)], "id string")
+    return unreachable_nodes(edges, entries, max_hops=6)
+
+
+def q_trace_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mcp_vector_search_spark.operators.graph import trace_paths
+
+    e = _li_edges(spark, sf_dir)
+    edges = e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    li = io.table(spark, sf_dir, "lineitem")
+    start = "o" + str(li.agg(F.min("l_orderkey")).first()[0])
+    return trace_paths(edges, start, max_depth=3).select(
+        "path", F.col("depth").cast("long").alias("depth")
+    )
+
+
+def q_kg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10 KG stats: node counts + outgoing-edge totals by entity type."""
+    nodes = _chunk_meta(spark, sf_dir).select("doc_id", "chunk_type")
+    out_deg = q_kg_edges(spark, sf_dir).groupBy(F.col("src").alias("doc_id")).agg(
+        F.count("*").alias("_out")
+    )
+    return (
+        nodes.join(out_deg, "doc_id", "left")
+        .groupBy(F.col("chunk_type").alias("entity_type"))
+        .agg(
+            F.count("*").alias("n_nodes"),
+            F.sum(F.coalesce(F.col("_out"), F.lit(0))).alias("n_out_edges"),
+        )
+    )
+
+
+def q_contextual_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F5 contextual text builder (reference
+    ``core/context_builder.py:29-154``): metadata header prepended for
+    embedding, stored content untouched."""
+    m = _chunk_meta(spark, sf_dir)
+    return m.select(
+        "doc_id",
+        F.concat(
+            F.lit("File: "),
+            F.col("file_path"),
+            F.lit(" | Fn: "),
+            F.coalesce(F.col("name"), F.lit("")),
+            F.lit("\n---\n"),
+            F.col("content"),
+        ).alias("ctx_text"),
+    )
+
+
+def q_embed_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F11 deterministic pseudo-embedding as scalar columns (the
+    mapInPandas batch path produces identical values — tests assert
+    equality)."""
+    from mcp_vector_search_spark.functions.embed import fake_embed_expr
+
+    emb = fake_embed_expr("text", dim=4)
+    return _docs(spark, sf_dir).select(
+        "doc_id", *[emb[i].alias(f"e{i}") for i in range(4)]
+    )
+
+
+def q_file_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1 discovery scan over a synthesized listing: ignore-pattern
+    predicate + extension→language map."""
+    from mcp_vector_search_spark.sources.discovery import discover
+
+    files = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.when(F.col("doc_id") % 7 == 0, F.concat(F.lit("node_modules/"), F.col("source"), F.lit("/x.js")))
+        .when(F.col("doc_id") % 7 == 1, F.concat(F.lit("src/"), F.col("source"), F.lit(".py")))
+        .when(F.col("doc_id") % 7 == 2, F.concat(F.lit("src/"), F.col("source"), F.lit(".min.js")))
+        .when(F.col("doc_id") % 7 == 3, F.concat(F.lit(".git/"), F.col("source")))
+        .when(F.col("doc_id") % 7 == 4, F.concat(F.lit("docs/"), F.col("source"), F.lit(".md")))
+        .when(F.col("doc_id") % 7 == 5, F.concat(F.lit("src/"), F.col("source"), F.lit(".rs")))
+        .otherwise(F.concat(F.lit("data/"), F.col("source"), F.lit(".txt")))
+        .alias("path"),
+    )
+    return discover(files)
+
+
+def q_search_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full §3.1 pipeline end-to-end (rows-only: ends in MMR)."""
+    from mcp_vector_search_spark.plans.search import full_search
+
+    return full_search(
+        _docs(spark, sf_dir),
+        _chunk_meta(spark, sf_dir),
+        _emb(spark, sf_dir),
+        "stream query data",
+        _query_vec(spark, sf_dir),
+        k=10,
+    ).withColumn("mmr_rank", F.col("mmr_rank").cast("long"))
+
+
 def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = io.table(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag", "l_linestatus").agg(
@@ -888,6 +1020,102 @@ WITH t AS (SELECT doc_id, unnest({_TOKS}) AS tag FROM documents)
 SELECT doc_id FROM t WHERE tag IN ({tag_in})
 GROUP BY doc_id HAVING count(DISTINCT tag) = {len(TAG_REQUIRED)}"""
 
+    _FUNC_EDGES = """
+fn AS (SELECT count(*) AS c FROM part),
+fe AS (
+  SELECT 'n' || p_partkey AS src, 'n' || ((p_partkey * 3 + 1) % c) AS dst
+  FROM part, fn
+  UNION ALL
+  SELECT 'n' || p_partkey, 'n' || (p_partkey + 1) FROM part, fn
+  WHERE p_partkey % 101 = 0 AND p_partkey + 1 < c
+  UNION ALL
+  SELECT 'n' || (p_partkey + 1), 'n' || p_partkey FROM part, fn
+  WHERE p_partkey % 101 = 0 AND p_partkey + 1 < c)"""
+
+    o["cycles"] = f"""
+WITH RECURSIVE {_FUNC_EDGES},
+r(origin, node, hop) AS (
+  SELECT src, dst, 1 FROM fe
+  UNION
+  SELECT r.origin, fe.dst, r.hop + 1 FROM r JOIN fe ON fe.src = r.node
+  WHERE r.hop < 4)
+SELECT DISTINCT origin AS id FROM r WHERE origin = node"""
+
+    o["dead_code"] = f"""
+WITH RECURSIVE {_FUNC_EDGES},
+reach(id, hop) AS (
+  SELECT unnest(['n0', 'n1']) AS id, 0 AS hop
+  UNION
+  SELECT fe.dst, r.hop + 1 FROM reach r JOIN fe ON fe.src = r.id WHERE r.hop < 6),
+nodes AS (SELECT DISTINCT id
+          FROM (SELECT src AS id FROM fe UNION ALL SELECT dst FROM fe))
+SELECT id FROM nodes a
+WHERE NOT EXISTS (SELECT 1 FROM reach WHERE reach.id = a.id)"""
+
+    o["trace_paths"] = """
+WITH RECURSIVE e AS (
+  SELECT 'o' || l_orderkey AS src, 'p' || l_partkey AS dst FROM lineitem
+  UNION ALL
+  SELECT 'p' || l_partkey, 'o' || l_orderkey FROM lineitem),
+s AS (SELECT 'o' || min(l_orderkey) AS sid FROM lineitem),
+p(path, node, depth) AS (
+  SELECT DISTINCT '|' || sid || '|' || e.dst || '|', e.dst, 1 FROM e, s
+  WHERE e.src = s.sid
+  UNION
+  SELECT p.path || e.dst || '|', e.dst, p.depth + 1 FROM p JOIN e ON e.src = p.node
+  WHERE p.depth < 3 AND NOT contains(p.path, '|' || e.dst || '|'))
+SELECT path, depth::BIGINT AS depth FROM p"""
+
+    o["kg_stats"] = f"""
+WITH {_KG_EDGE_CTES},
+meta AS (SELECT doc_id, CASE WHEN doc_id % 3 = 0 THEN 'function'
+              WHEN doc_id % 3 = 1 THEN 'class' ELSE 'code' END AS entity_type
+         FROM documents),
+od AS (SELECT src AS doc_id, count(*) AS o FROM ke GROUP BY src)
+SELECT entity_type, count(*) AS n_nodes, sum(coalesce(o, 0))::BIGINT AS n_out_edges
+FROM meta LEFT JOIN od USING (doc_id) GROUP BY entity_type"""
+
+    o["contextual_text"] = f"""
+SELECT doc_id,
+       'File: src/' || source || '.py | Fn: '
+       || coalesce(list_extract({_TOKS}, 1), '') || chr(10) || '---' || chr(10) || text
+         AS ctx_text
+FROM documents"""
+
+    embed_dims = ", ".join(
+        f"round((('0x' || substr(md5(text || '#emb{i}'), 1, 8))::BIGINT % 1000)"
+        f" / 999.0, 6) AS e{i}"
+        for i in range(4)
+    )
+    o["embed_text"] = f"SELECT doc_id, {embed_dims} FROM documents"
+
+    from mcp_vector_search_spark.sources.discovery import (
+        DEFAULT_IGNORE_REGEXES,
+        EXTENSION_LANGUAGE,
+    )
+
+    ignore_ors = " OR ".join(
+        f"regexp_matches(path, '{rx}')" for rx in DEFAULT_IGNORE_REGEXES
+    )
+    lang_cases = " ".join(
+        f"WHEN '{e}' THEN '{lang}'" for e, lang in EXTENSION_LANGUAGE.items()
+    )
+    o["file_discovery"] = f"""
+WITH f AS (SELECT doc_id,
+  CASE doc_id % 7
+    WHEN 0 THEN 'node_modules/' || source || '/x.js'
+    WHEN 1 THEN 'src/' || source || '.py'
+    WHEN 2 THEN 'src/' || source || '.min.js'
+    WHEN 3 THEN '.git/' || source
+    WHEN 4 THEN 'docs/' || source || '.md'
+    WHEN 5 THEN 'src/' || source || '.rs'
+    ELSE 'data/' || source || '.txt' END AS path
+  FROM documents)
+SELECT doc_id, path,
+       CASE lower(string_split(path, '.')[-1]) {lang_cases} ELSE 'unknown' END
+         AS language
+FROM f WHERE NOT ({ignore_ors})"""
+
     o["pricing_summary"] = """
 SELECT l_returnflag, l_linestatus,
        round(sum(l_quantity), 2) AS sum_qty,
@@ -1108,6 +1336,14 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "graph_degree": q_graph_degree,
     "bfs": q_bfs,
     "call_graph": q_call_graph,
+    "cycles": q_cycles,
+    "dead_code": q_dead_code,
+    "trace_paths": q_trace_paths,
+    "kg_stats": q_kg_stats,
+    "contextual_text": q_contextual_text,
+    "embed_text": q_embed_text,
+    "file_discovery": q_file_discovery,
+    "search_pipeline": q_search_pipeline,
     "pricing_summary": q_pricing_summary,
     "revenue_by_nation": q_revenue_by_nation,
     "rescore": q_rescore,

@@ -1,0 +1,54 @@
+from __future__ import annotations
+
+from mcp_vector_search_spark.operators.graph import (
+    cycle_nodes,
+    trace_paths,
+    unreachable_nodes,
+)
+from mcp_vector_search_spark.sources.discovery import discover
+
+
+def test_cycle_nodes(spark):
+    #  a→b→a (2-cycle), c→d→e (chain), f→f (self-loop)
+    e = spark.createDataFrame(
+        [("a", "b"), ("b", "a"), ("c", "d"), ("d", "e"), ("f", "f")],
+        "src string, dst string",
+    )
+    got = sorted(r.id for r in cycle_nodes(e, max_len=4).collect())
+    assert got == ["a", "b", "f"]
+
+
+def test_unreachable_nodes(spark):
+    e = spark.createDataFrame(
+        [("main", "a"), ("a", "b"), ("x", "y")], "src string, dst string"
+    )
+    entries = spark.createDataFrame([("main",)], "id string")
+    got = sorted(r.id for r in unreachable_nodes(e, entries, max_hops=5).collect())
+    assert got == ["x", "y"]
+
+
+def test_trace_paths_cycle_rejection(spark):
+    e = spark.createDataFrame(
+        [("a", "b"), ("b", "a"), ("b", "c")], "src string, dst string"
+    )
+    got = {(r.path, r.depth) for r in trace_paths(e, "a", max_depth=3).collect()}
+    assert ("|a|b|", 1) in got
+    assert ("|a|b|c|", 2) in got
+    # a→b→a rejected by the per-path cycle check
+    assert all("|a|b|a|" not in p for p, _ in got)
+
+
+def test_discovery_filters_and_language(spark):
+    files = spark.createDataFrame(
+        [
+            (1, "src/app.py"),
+            (2, "node_modules/pkg/index.js"),
+            (3, "lib/vendor.min.js"),
+            (4, "README.md"),
+            (5, ".git/config"),
+            (6, "src/lib.rs"),
+        ],
+        "doc_id long, path string",
+    )
+    got = {r.path: r.language for r in discover(files).collect()}
+    assert got == {"src/app.py": "python", "README.md": "markdown", "src/lib.rs": "rust"}
