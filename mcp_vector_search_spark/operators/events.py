@@ -67,3 +67,48 @@ def sessionize(events: DataFrame, gap_us: int = SESSION_GAP_US) -> DataFrame:
         (F.sum("_new_session") + 1).alias("n_sessions"),
         F.count("*").alias("n_events"),
     )
+
+
+def asof_join(
+    probes: DataFrame,
+    events: DataFrame,
+    key_col: str = "user_id",
+    probe_ts_col: str = "pt",
+    event_ts_col: str = "ts",
+    value_col: str = "event_id",
+) -> DataFrame:
+    """As-of join: for each (key, probe_ts), the latest event value
+    with event_ts ≤ probe_ts (reference G6 temporal queries —
+    entities/callers *at* a commit — generalized to event time).
+
+    Scale shape: the union-window trick. Probes and events are tagged
+    and unioned, ONE window per key carries the last event value
+    forward, probe rows read the carried value. One shuffle on the
+    key — no per-probe subquery, no range join blow-up; ties on equal
+    timestamps resolve to the largest value (deterministic).
+    """
+    e = events.select(
+        F.col(key_col).alias("_k"),
+        F.col(event_ts_col).alias("_t"),
+        F.lit(0).alias("_p"),
+        F.col(value_col).alias("_v"),
+    )
+    p = probes.select(
+        F.col(key_col).alias("_k"),
+        F.col(probe_ts_col).alias("_t"),
+        F.lit(1).alias("_p"),
+        F.lit(None).cast(e.schema["_v"].dataType).alias("_v"),
+    )
+    w = (
+        Window.partitionBy("_k")
+        .orderBy("_t", "_p", "_v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = e.unionByName(p).withColumn(
+        "_last", F.last("_v", ignorenulls=True).over(w)
+    )
+    return carried.filter(F.col("_p") == 1).select(
+        F.col("_k").alias(key_col),
+        F.col("_t").alias(probe_ts_col),
+        F.col("_last").alias(f"last_{value_col}"),
+    )

@@ -579,6 +579,90 @@ def q_file_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     return discover(files)
 
 
+def _code_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents rendered as synthetic python-ish source (every 3rd
+    line from the 2nd is a `def `), so the S2 chunker has structured
+    input reproducible in the oracle."""
+    t = _docs(spark, sf_dir).select("doc_id", tokenize("text").alias("_toks"))
+    n_lines = F.ceil(F.size("_toks") / 4).cast("int")
+
+    def line(i):
+        body = F.array_join(F.slice(F.col("_toks"), i * 4 + 1, 4), " ")
+        return F.when(i % 3 == 1, F.concat(F.lit("def "), body)).otherwise(
+            F.concat(F.lit("  "), body)
+        )
+
+    return t.filter(F.size("_toks") > 0).select(
+        "doc_id",
+        F.array_join(F.transform(F.sequence(F.lit(0), n_lines - 1), line), "\n").alias(
+            "text"
+        ),
+    )
+
+
+def q_code_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2 structure-aware chunker over synthesized source."""
+    from mcp_vector_search_spark.sources.code_chunker import code_chunks
+
+    return code_chunks(_code_docs(spark, sf_dir)).select(
+        "doc_id",
+        F.col("chunk_no").cast("long").alias("chunk_no"),
+        "chunk_type",
+        "name",
+        F.col("n_lines").cast("long").alias("n_lines"),
+    )
+
+
+COMPLEXITY_KEYWORDS = ["join", "filter", "group", "sort"]
+
+
+def q_complexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 per-chunk complexity metrics over the S2 chunks."""
+    from mcp_vector_search_spark.sources.code_chunker import (
+        code_chunks,
+        complexity_metrics,
+    )
+
+    chunks = code_chunks(_code_docs(spark, sf_dir))
+    return complexity_metrics(
+        chunks, COMPLEXITY_KEYWORDS, ["doc_id", "chunk_no"]
+    ).withColumn("chunk_no", F.col("chunk_no").cast("long"))
+
+
+def q_lcom4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 LCOM4 cohesion (rows-only: union-find in applyInPandas)."""
+    from mcp_vector_search_spark.operators.cohesion import lcom4
+
+    toks = tokenize("text")
+    usages = _docs(spark, sf_dir).select(
+        F.col("source").alias("class_name"),
+        F.get(toks, 0).alias("method"),
+        F.get(toks, 1).alias("attr"),
+    )
+    return lcom4(usages)
+
+
+ASOF_PROBES = ["2024-01-15 00:00:00", "2024-01-25 00:00:00"]
+
+
+def q_asof_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G6-style temporal as-of lookup: latest event per user at fixed
+    probe times, via the union-window as-of join."""
+    from mcp_vector_search_spark.operators.events import asof_join
+
+    ev = io.table(spark, sf_dir, "events")
+    pts = spark.createDataFrame([(p,) for p in ASOF_PROBES], "pts string").select(
+        F.col("pts").cast("timestamp_ntz").alias("pt")
+    )
+    probes = ev.select("user_id").distinct().crossJoin(F.broadcast(pts))
+    out = asof_join(probes, ev)
+    return out.select(
+        "user_id",
+        F.unix_micros(F.col("pt").cast("timestamp")).alias("probe_us"),
+        "last_event_id",
+    )
+
+
 def q_search_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full §3.1 pipeline end-to-end (rows-only: ends in MMR)."""
     from mcp_vector_search_spark.plans.search import full_search
@@ -1116,6 +1200,59 @@ SELECT doc_id, path,
          AS language
 FROM f WHERE NOT ({ignore_ors})"""
 
+    _CODE_CTES = f"""
+ct AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+cd AS (SELECT doc_id,
+  array_to_string(list_transform(range(0, cast(ceil(len(toks) / 4.0) AS INT)),
+    i -> CASE WHEN i % 3 = 1 THEN 'def ' || array_to_string(toks[i*4+1 : i*4+4], ' ')
+         ELSE '  ' || array_to_string(toks[i*4+1 : i*4+4], ' ') END), chr(10)) AS text
+  FROM ct WHERE len(toks) > 0),
+cl AS (SELECT doc_id, l['pos'] AS pos, l['line'] AS line
+       FROM (SELECT doc_id,
+             unnest(list_transform(string_split(text, chr(10)),
+                    (x, i) -> {{'pos': i, 'line': x}})) AS l
+             FROM cd)),
+cf AS (SELECT *, sum(CASE WHEN regexp_matches(line, '^(def |class )') THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY doc_id ORDER BY pos) AS chunk_no
+       FROM cl),
+cg AS (SELECT doc_id, chunk_no, min_by(line, pos) AS first_line, count(*) AS n_lines,
+              string_agg(line, chr(10) ORDER BY pos) AS chunk_text
+       FROM cf GROUP BY doc_id, chunk_no)"""
+
+    o["code_chunks"] = f"""
+WITH {_CODE_CTES}
+SELECT doc_id, chunk_no::BIGINT AS chunk_no,
+       CASE WHEN first_line LIKE 'def %' THEN 'function'
+            WHEN first_line LIKE 'class %' THEN 'class' ELSE 'module' END AS chunk_type,
+       coalesce(regexp_extract(first_line, '^(?:def|class) ([A-Za-z0-9_]+)', 1), '')
+         AS name,
+       n_lines
+FROM cg"""
+
+    kw_in = ", ".join(f"'{k}'" for k in COMPLEXITY_KEYWORDS)
+    o["complexity"] = f"""
+WITH {_CODE_CTES},
+toks2 AS (SELECT doc_id, chunk_no,
+          list_filter(regexp_split_to_array(lower(chunk_text), '[^a-z0-9]+'),
+                      x -> x != '') AS toks
+          FROM cg)
+SELECT doc_id, chunk_no::BIGINT AS chunk_no,
+       (1 + len(list_filter(toks, t -> t IN ({kw_in}))))::BIGINT AS cyclomatic,
+       len(toks)::BIGINT AS token_count
+FROM toks2"""
+
+    probe_ts = ", ".join(f"TIMESTAMP '{p}'" for p in ASOF_PROBES)
+    o["asof_latest"] = f"""
+WITH p AS (SELECT user_id, pt
+           FROM (SELECT DISTINCT user_id FROM events),
+                (SELECT unnest([{probe_ts}]) AS pt)),
+b AS (SELECT p.user_id, p.pt, max(e.ts) AS bts
+      FROM p LEFT JOIN events e ON e.user_id = p.user_id AND e.ts <= p.pt
+      GROUP BY p.user_id, p.pt)
+SELECT b.user_id, epoch_us(b.pt) AS probe_us, max(e.event_id) AS last_event_id
+FROM b LEFT JOIN events e ON e.user_id = b.user_id AND e.ts = b.bts
+GROUP BY b.user_id, b.pt"""
+
     o["pricing_summary"] = """
 SELECT l_returnflag, l_linestatus,
        round(sum(l_quantity), 2) AS sum_qty,
@@ -1344,6 +1481,10 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embed_text": q_embed_text,
     "file_discovery": q_file_discovery,
     "search_pipeline": q_search_pipeline,
+    "code_chunks": q_code_chunks,
+    "complexity": q_complexity,
+    "lcom4": q_lcom4,
+    "asof_latest": q_asof_latest,
     "pricing_summary": q_pricing_summary,
     "revenue_by_nation": q_revenue_by_nation,
     "rescore": q_rescore,

@@ -1,0 +1,83 @@
+"""Structure-aware code chunker (reference S2 — the tree-sitter parse,
+``parsers/base.py:24-298``, 13 languages). Tree-sitter is a native
+dependency; this is the engine's FallbackParser-equivalent: top-level
+`def `/`class ` lines open a new chunk, preceding lines form a module
+chunk — the same chunk *shape* (type, name, line span) the reference
+emits, produced by pure relational ops:
+
+  posexplode(lines) → boundary flag → running sum = chunk_no →
+  groupBy (doc, chunk_no) with order-preserving line reassembly.
+
+One shuffle (the groupBy); the running-sum window partitions by doc,
+so parallelism is per-document — exactly how the reference
+parallelizes its parser pool.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+BOUNDARY_RE = "^(def |class )"
+NAME_RE = "^(?:def|class) ([A-Za-z0-9_]+)"
+
+
+def code_chunks(
+    sources: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, chunk_no, chunk_type, name, n_lines, chunk_text)."""
+    lines = sources.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    flagged = lines.withColumn(
+        "chunk_no",
+        F.sum(F.when(F.col("line").rlike(BOUNDARY_RE), 1).otherwise(0)).over(w),
+    )
+    grouped = flagged.groupBy("doc_id", "chunk_no").agg(
+        F.min_by("line", "pos").alias("_first"),
+        F.count("*").alias("n_lines"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s.getField("line"),
+            ),
+            "\n",
+        ).alias("chunk_text"),
+    )
+    chunk_type = (
+        F.when(F.col("_first").startswith("def "), "function")
+        .when(F.col("_first").startswith("class "), "class")
+        .otherwise("module")
+    )
+    return grouped.select(
+        "doc_id",
+        "chunk_no",
+        chunk_type.alias("chunk_type"),
+        F.regexp_extract("_first", NAME_RE, 1).alias("name"),
+        "n_lines",
+        "chunk_text",
+    )
+
+
+def complexity_metrics(
+    chunks: DataFrame,
+    branch_keywords: list[str],
+    id_cols: list[str],
+    text_col: str = "chunk_text",
+) -> DataFrame:
+    """A3 per-chunk complexity (reference collectors,
+    ``analysis/collectors/complexity.py:221-744``): cyclomatic = 1 +
+    branch-keyword count, plus token count — pure array expressions,
+    no AST needed for the metric shape."""
+    from mcp_vector_search_spark.functions.text import tokenize
+
+    toks = tokenize(text_col)
+    branch_count = F.size(F.filter(toks, lambda t: t.isin(branch_keywords)))
+    return chunks.select(
+        *id_cols,
+        (F.lit(1) + branch_count).cast("long").alias("cyclomatic"),
+        F.size(toks).cast("long").alias("token_count"),
+    )
