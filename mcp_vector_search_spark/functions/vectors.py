@@ -34,6 +34,18 @@ def cosine_sim(a: Column, b: Column) -> Column:
     return dot(a, b) / (l2_norm(a) * l2_norm(b))
 
 
+def unit_expr(vec: Column, norm: Column) -> Column:
+    """Unit-normalize `vec` given its (pre-materialized) `norm` column.
+    Pass the norm as a COLUMN REFERENCE, not an inline expression —
+    expressions inside the transform lambda re-evaluate per element.
+    Zero-norm vectors map to the zero vector (cosine 0 to everything)
+    instead of an ANSI DIVIDE_BY_ZERO error."""
+    return F.transform(
+        vec,
+        lambda x: F.when(norm != 0.0, x.cast("double") / norm).otherwise(F.lit(0.0)),
+    )
+
+
 def distance_to_similarity(d: Column) -> Column:
     """Reference score mapping `sim = max(0, 1 - d/2)` for cosine
     distance in [0,2] (``core/search.py:1033-1036``)."""

@@ -67,11 +67,18 @@ def ivf_build(
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
+    from mcp_vector_search_spark.functions.vectors import unit_expr
+
     if num_clusters is None:
         num_clusters = clamp_clusters(vectors.count())
 
-    unit = F.transform(F.col(vec_col), lambda x: x.cast("double") / l2_norm(F.col(vec_col)))
-    ml = vectors.withColumn("_fv", array_to_vector(unit))
+    # unit vectors are MATERIALIZED into the layout: cosine at query
+    # time degenerates to a single dot product (like any real ANN
+    # engine, normalization is an index-build cost)
+    normed = vectors.withColumn("_nrm", l2_norm(F.col(vec_col))).withColumn(
+        "unit", unit_expr(F.col(vec_col), F.col("_nrm"))
+    ).drop("_nrm")
+    ml = normed.withColumn("_fv", array_to_vector(F.col("unit")))
     model = KMeans(
         k=num_clusters, seed=seed, featuresCol="_fv", predictionCol="cluster_id"
     ).fit(ml)
@@ -103,20 +110,31 @@ def ivf_topk_batch(
     shuffles total (probe join, rank window), both keyed so AQE can
     coalesce/skew-split.
     """
+    from mcp_vector_search_spark.functions.vectors import dot, unit_expr
+
+    q = queries.withColumn("_qnrm", l2_norm(F.col(query_vec_col))).withColumn(
+        "_uq", unit_expr(F.col(query_vec_col), F.col("_qnrm"))
+    ).drop("_qnrm")
     probe_rank = Window.partitionBy(query_id_col).orderBy(
         F.desc("_csim"), F.asc("cluster_id")
     )
     probes = (
-        queries.join(F.broadcast(centroids))
-        .withColumn("_csim", cosine_sim(F.col(query_vec_col), F.col("centroid")))
+        q.join(F.broadcast(centroids))
+        .withColumn("_csim", cosine_sim(F.col("_uq"), F.col("centroid")))
         .withColumn("_pr", F.row_number().over(probe_rank))
         .filter(F.col("_pr") <= nprobes)
-        .select(query_id_col, "cluster_id", query_vec_col)
+        .select(query_id_col, "cluster_id", "_uq")
     )
-    sim = cosine_sim(F.col(vec_col), F.col(query_vec_col))
+    if "unit" in assigned.columns:
+        side = assigned
+    else:  # un-built input: normalize on the fly
+        side = assigned.withColumn("_nrm", l2_norm(F.col(vec_col))).withColumn(
+            "unit", unit_expr(F.col(vec_col), F.col("_nrm"))
+        ).drop("_nrm")
+    sim = dot(F.col("unit"), F.col("_uq"))
     if round_to is not None:
         sim = F.round(sim, round_to)
-    cand = assigned.join(probes, "cluster_id").withColumn("cos_sim", sim)
+    cand = side.join(probes, "cluster_id").withColumn("cos_sim", sim)
     w = Window.partitionBy(query_id_col).orderBy(F.desc("cos_sim"), F.asc(id_col))
     return (
         cand.withColumn("rn", F.row_number().over(w))

@@ -17,7 +17,18 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from mcp_vector_search_spark.functions.vectors import cosine_sim
+from mcp_vector_search_spark.functions.vectors import dot, l2_norm, unit_expr
+
+
+def _normalized(df: DataFrame, vec_col: str, out_col: str) -> DataFrame:
+    """Attach a unit-vector column in two projections (norm first, so
+    the transform divides by a column reference, not a re-evaluated
+    expression)."""
+    return (
+        df.withColumn("_nrm", l2_norm(F.col(vec_col)))
+        .withColumn(out_col, unit_expr(F.col(vec_col), F.col("_nrm")))
+        .drop("_nrm")
+    )
 
 
 def knn_brute_force(
@@ -32,17 +43,20 @@ def knn_brute_force(
     """Exact top-k cosine neighbors of a single query vector.
 
     `query` is a 1-row DataFrame — broadcast, so the join is a map-side
-    nested loop over one row (zero shuffle for the scan side). Score is
-    rounded *before* ranking so rank order is reproducible across
-    engines; ties break on the explicit `id_col` (round 1 guessed the
-    first non-vector column by position — silently order-dependent).
+    nested loop over one row (zero shuffle for the scan side). Both
+    sides are unit-normalized BEFORE the join, so per-pair work is one
+    dot product instead of dot + two norms (≈3× less float work on the
+    hot path). Score is rounded *before* ranking so rank order is
+    reproducible across engines; ties break on the explicit `id_col`.
     """
-    sim = cosine_sim(F.col(vec_col), F.col(query_vec_col))
+    v = _normalized(vectors, vec_col, "_u")
+    q = _normalized(query, query_vec_col, "_uq")
+    sim = dot(F.col("_u"), F.col("_uq"))
     if round_to is not None:
         sim = F.round(sim, round_to)
-    scored = vectors.join(F.broadcast(query)).withColumn("cos_sim", sim)
+    scored = v.join(F.broadcast(q)).withColumn("cos_sim", sim)
     return (
-        scored.drop(query_vec_col, vec_col)
+        scored.drop(query_vec_col, vec_col, "_u", "_uq")
         .orderBy(F.desc("cos_sim"), F.asc(id_col))
         .limit(k)
     )
@@ -61,20 +75,23 @@ def topk_per_query(
     """Batch top-k: every query row × every vector, rank per query.
 
     The query set broadcasts (small dim table); the vector scan stays
-    partitioned — per-partition partial scoring, then a shuffle on
-    query_id only for the final per-query window. At 1000 executors the
-    shuffle carries ≤ |queries|·|vectors| scored rows; for large query
-    sets swap in the IVF path to prune candidates first.
+    partitioned — per-partition partial scoring (unit-normalized once
+    per row, one dot per pair), then a shuffle on query_id only for
+    the final per-query window. At 1000 executors the shuffle carries
+    ≤ |queries|·|vectors| scored rows; for large query sets swap in
+    the IVF path to prune candidates first.
     """
-    sim = cosine_sim(F.col(vec_col), F.col(query_vec_col))
+    v = _normalized(vectors, vec_col, "_u")
+    q = _normalized(queries, query_vec_col, "_uq")
+    sim = dot(F.col("_u"), F.col("_uq"))
     if round_to is not None:
         sim = F.round(sim, round_to)
-    scored = vectors.join(F.broadcast(queries)).withColumn("cos_sim", sim)
+    scored = v.join(F.broadcast(q)).withColumn("cos_sim", sim)
     w = Window.partitionBy(query_id_col).orderBy(F.desc("cos_sim"), F.asc(id_col))
     return (
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= k)
-        .drop(vec_col, query_vec_col)
+        .drop(vec_col, query_vec_col, "_u", "_uq")
     )
 
 

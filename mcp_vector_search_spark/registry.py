@@ -78,7 +78,8 @@ _TOKS = "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x !=
 _DOT = (
     "list_sum(list_transform(list_zip(embedding, qv), p -> p[1]::DOUBLE * p[2]::DOUBLE))"
 )
-_NORM_E = "sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE)))"
+_NORMSQ = "list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))"
+_NORM_E = f"sqrt({_NORMSQ})"
 _NORM_Q = "sqrt(list_sum(list_transform(qv, x -> x::DOUBLE * x::DOUBLE)))"
 _COS = f"round({_DOT} / ({_NORM_E} * {_NORM_Q}), 6)"
 
@@ -856,25 +857,48 @@ def _oracles() -> dict[str, str]:
 
     o["bm25_topk"] = f"WITH {_bm25_ctes(KNN_K)} SELECT doc_id, score FROM bm"
 
+    # unit-normalize then dot — the same expression shape (and float-op
+    # order) as the Spark top-k paths, so round-6 values bit-match
+    _EU = f"""
+en AS (SELECT vec_id, label, embedding, sqrt({_NORMSQ}) AS nrm FROM embeddings),
+eu AS (SELECT vec_id, label, list_transform(embedding, x -> x::DOUBLE / nrm) AS u
+       FROM en)"""
+    _UDOT = (
+        "round(list_sum(list_transform(list_zip(u, uq),"
+        " p -> p[1]::DOUBLE * p[2]::DOUBLE)), 6)"
+    )
+
     o["knn_topk"] = f"""
-WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = {KNN_QUERY_ID})
-SELECT vec_id, label::BIGINT AS label, {_COS} AS cos_sim
-FROM embeddings, q
+WITH {_EU},
+qn AS (SELECT embedding AS qv, sqrt({_NORMSQ}) AS nrm FROM embeddings
+       WHERE vec_id = {KNN_QUERY_ID}),
+qu AS (SELECT list_transform(qv, x -> x::DOUBLE / nrm) AS uq FROM qn)
+SELECT vec_id, label::BIGINT AS label, {_UDOT} AS cos_sim
+FROM eu, qu
 ORDER BY cos_sim DESC, vec_id LIMIT {KNN_K}"""
 
     o["knn_batch"] = f"""
-WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
-           WHERE vec_id < {BATCH_QUERIES}),
-scored AS (SELECT q.query_id, e.vec_id, {_COS} AS cos_sim FROM embeddings e, q),
+WITH {_EU},
+qn AS (SELECT vec_id AS query_id, embedding AS qv, sqrt({_NORMSQ}) AS nrm
+       FROM embeddings WHERE vec_id < {BATCH_QUERIES}),
+qu AS (SELECT query_id, list_transform(qv, x -> x::DOUBLE / nrm) AS uq FROM qn),
+scored AS (SELECT qu.query_id, eu.vec_id, {_UDOT} AS cos_sim FROM eu, qu),
 ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
                                         ORDER BY cos_sim DESC, vec_id) AS rn FROM scored)
 SELECT query_id, vec_id, cos_sim, rn FROM ranked WHERE rn <= {BATCH_K}"""
 
+    _KN_LEG = f"""
+hn AS (SELECT vec_id, embedding, sqrt({_NORMSQ}) AS nrm FROM embeddings),
+hu AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE / nrm) AS u FROM hn),
+hqn AS (SELECT embedding AS qv, sqrt({_NORMSQ}) AS nrm FROM embeddings
+        WHERE vec_id = {KNN_QUERY_ID}),
+hqu AS (SELECT list_transform(qv, x -> x::DOUBLE / nrm) AS uq FROM hqn)"""
+
     o["hybrid_rrf"] = f"""
 WITH {_bm25_ctes(n_leg)},
 bm_r AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rnk FROM bm),
-q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = {KNN_QUERY_ID}),
-kn AS (SELECT vec_id AS doc_id, {_COS} AS cos_sim FROM embeddings, q
+{_KN_LEG},
+kn AS (SELECT vec_id AS doc_id, {_UDOT} AS cos_sim FROM hu, hqu
        ORDER BY cos_sim DESC, doc_id LIMIT {n_leg}),
 kn_r AS (SELECT doc_id, row_number() OVER (ORDER BY cos_sim DESC, doc_id) AS rnk FROM kn),
 fused AS (SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
@@ -1393,9 +1417,9 @@ FROM a GROUP BY dir"""
 
     o["rrf_trimodal"] = f"""
 WITH {_bm25_ctes(KNN_K)},
+{_KN_LEG},
 bm_r AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rnk FROM bm),
-q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = {KNN_QUERY_ID}),
-kn AS (SELECT vec_id AS doc_id, {_COS} AS cos_sim FROM embeddings, q
+kn AS (SELECT vec_id AS doc_id, {_UDOT} AS cos_sim FROM hu, hqu
        ORDER BY cos_sim DESC, doc_id LIMIT {KNN_K}),
 kn_r AS (SELECT doc_id, row_number() OVER (ORDER BY cos_sim DESC, doc_id) AS rnk FROM kn),
 tq AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents),
