@@ -50,11 +50,23 @@ def build_postings(docs: DataFrame, id_col: str = "doc_id", text_col: str = "tex
 
 def build_doc_stats(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """doc_stats(doc_id, dl) — document length in tokens; no shuffle
-    (per-row expression)."""
+    (per-row expression). Includes token-less docs with dl=0 (exact
+    BM25Okapi corpus semantics); the fast path below derives the same
+    stats from postings instead."""
     return docs.select(
         F.col(id_col).alias("doc_id"),
         F.size(tokenize(text_col)).cast("double").alias("dl"),
     )
+
+
+def doc_stats_from_postings(postings: DataFrame) -> DataFrame:
+    """doc_stats derived from postings (dl = Σ tf) — skips a second
+    tokenize pass over the corpus; the postings shuffle is far cheaper
+    than re-tokenizing 100 TB of text. Token-less docs are absent
+    (they're absent from postings), which only shifts N/avgdl when a
+    corpus actually contains empty docs — document or fall back to
+    `build_doc_stats` there."""
+    return postings.groupBy("doc_id").agg(F.sum("tf").cast("double").alias("dl"))
 
 
 def build_term_stats(
@@ -140,7 +152,7 @@ def write_bm25_index(
     at 100 TB, store it partitioned/Z-ordered by a term-hash bucket.
     """
     postings = build_postings(docs, id_col, text_col)
-    doc_stats = build_doc_stats(docs, id_col, text_col)
+    doc_stats = doc_stats_from_postings(postings)
     term_stats = build_term_stats(postings, doc_stats)
     postings.sortWithinPartitions("term").write.mode("overwrite").parquet(f"{path}/postings")
     doc_stats.write.mode("overwrite").parquet(f"{path}/doc_stats")
@@ -189,7 +201,7 @@ def bm25_topk(
     doc matching ≥1 query term, BM25Okapi-style.
     """
     postings = build_postings(docs, id_col, text_col)
-    stats = build_doc_stats(docs, id_col, text_col)
+    stats = doc_stats_from_postings(postings)
     scored = bm25_scores(postings, stats, query_terms)
     if min_score is not None:
         scored = scored.filter(F.col("score") > min_score)

@@ -759,6 +759,30 @@ def q_smells(spark: SparkSession, sf_dir: str) -> DataFrame:
     return detect_smells(_docs(spark, sf_dir))
 
 
+DEBT_WEIGHTS = {"long_doc": 10, "high_punct": 5, "low_diversity": 2}
+
+
+def q_debt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A11 debt scoring: weighted smell sum rolled up per source
+    (reference ``analysis/debt.py``)."""
+    from mcp_vector_search_spark.operators.smells import detect_smells
+
+    docs = _docs(spark, sf_dir)
+    expr = None
+    for smell, w in DEBT_WEIGHTS.items():
+        branch = F.when(F.col("smell") == smell, w)
+        expr = branch if expr is None else expr.when(F.col("smell") == smell, w)
+    smells = detect_smells(docs).withColumn("_w", expr.otherwise(0))
+    return (
+        smells.join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.sum("_w").cast("long").alias("debt_score"),
+            F.count("*").alias("n_smells"),
+        )
+    )
+
+
 def q_dir_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mcp_vector_search_spark.operators.smells import directory_rollup
 
@@ -1405,6 +1429,25 @@ SELECT doc_id, 'low_diversity', 'info' FROM m WHERE nt > 0 AND dr < 0.5
 UNION ALL
 SELECT doc_id, 'high_punct', 'warning' FROM m WHERE pr > 0.1"""
 
+    weight_cases = " ".join(f"WHEN '{s}' THEN {w}" for s, w in DEBT_WEIGHTS.items())
+    o["debt"] = f"""
+WITH t AS (SELECT doc_id, n_chars, text, {_TOKS} AS toks FROM documents),
+m AS (SELECT doc_id, n_chars, len(toks) AS nt,
+             CASE WHEN len(toks) > 0
+                  THEN len(list_distinct(toks))::DOUBLE / len(toks) ELSE 0.0 END AS dr,
+             CASE WHEN length(text) > 0
+                  THEN length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g'))::DOUBLE
+                       / length(text) ELSE 0.0 END AS pr
+      FROM t),
+sm AS (SELECT doc_id, 'long_doc' AS smell FROM m WHERE n_chars > 400
+       UNION ALL SELECT doc_id, 'low_diversity' FROM m WHERE nt > 0 AND dr < 0.5
+       UNION ALL SELECT doc_id, 'high_punct' FROM m WHERE pr > 0.1)
+SELECT d.source,
+       sum(CASE sm.smell {weight_cases} ELSE 0 END)::BIGINT AS debt_score,
+       count(*) AS n_smells
+FROM sm JOIN documents d USING (doc_id)
+GROUP BY d.source"""
+
     o["dir_rollup"] = """
 WITH f AS (SELECT 'src/' || lang || '/' || source || '.txt' AS path, n_chars
            FROM documents),
@@ -1514,6 +1557,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rescore": q_rescore,
     "decay_sigmoid": q_decay_sigmoid,
     "smells": q_smells,
+    "debt": q_debt,
     "dir_rollup": q_dir_rollup,
     "rrf_trimodal": q_rrf_trimodal,
     "multimodal_meta": q_multimodal_meta,
