@@ -84,3 +84,71 @@ def distinct_token_ratio(tokens: Column) -> Column:
         F.size(tokens) > 0,
         F.size(F.array_distinct(tokens)).cast("double") / F.size(tokens),
     ).otherwise(F.lit(0.0))
+
+
+# F6 NLP entity extraction (reference ``core/nlp_extractor.py``, invoked
+# from ``parsers/base.py:240-249``). The reference pulls YAKE keywords,
+# backtick code refs, and camel/snake/ACRONYM identifier terms out of
+# docstrings. The identifier regexes are pure `regexp_extract_all`
+# (RE2-safe: no backrefs/lookaround, portable to DuckDB); the YAKE
+# analog is a tf-and-first-position keyword ranking expressed as
+# explode → groupBy → window, all Catalyst.
+
+SNAKE_RE = "[a-z][a-z0-9]*(_[a-z0-9]+)+"
+CAMEL_RE = "[a-z]+([A-Z][a-z0-9]+)+"
+ACRONYM_RE = "[A-Z][A-Z0-9]{2,}"
+
+
+def extract_identifiers(text: Column | str) -> Column:
+    """struct(snake, camel, acronyms) — each an order-preserving array
+    of identifier-shaped terms found in the raw (case-preserved) text."""
+    col = F.col(text) if isinstance(text, str) else text
+    return F.struct(
+        F.regexp_extract_all(col, F.lit(SNAKE_RE), 0).alias("snake"),
+        F.regexp_extract_all(col, F.lit(CAMEL_RE), 0).alias("camel"),
+        F.regexp_extract_all(col, F.lit(ACRONYM_RE), 0).alias("acronyms"),
+    )
+
+
+def backtick_refs(text: Column | str) -> Column:
+    """`code ref` spans from prose, backticks stripped."""
+    col = F.col(text) if isinstance(text, str) else text
+    return F.transform(
+        F.regexp_extract_all(col, F.lit("`([^`]+)`"), 1), lambda s: s
+    )
+
+
+def top_keywords(
+    docs,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """YAKE-analog keyword ranking: per document, the top-`n` tokens by
+    (tf DESC, first-position ASC, token ASC). One explode + one
+    groupBy + one window — the shuffle is keyed on (doc, token) then
+    doc, both safe at corpus scale."""
+    from pyspark.sql.window import Window
+
+    tf = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.posexplode(tokenize(text_col)).alias("pos", "token"),
+        )
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").alias("tf"), F.min("pos").alias("first_pos"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("tf"), F.asc("first_pos"), F.asc("token")
+    )
+    return (
+        tf.withColumn("kw_rank", F.row_number().over(w))
+        .filter(F.col("kw_rank") <= n)
+        .select(
+            "doc_id",
+            "token",
+            F.col("tf").cast("long").alias("tf"),
+            F.col("first_pos").cast("long").alias("first_pos"),
+            F.col("kw_rank").cast("long").alias("kw_rank"),
+        )
+    )

@@ -200,6 +200,12 @@ def bm25_topk(
     ``bm25_backend.py:187`` keeps only score > 0); default keeps every
     doc matching ≥1 query term, BM25Okapi-style.
     """
+    # The scoring plan references postings from several branches; each
+    # re-derives from the scan, but the query-term branch prunes BEFORE
+    # its shuffle, which a forced materialization would destroy
+    # (measured: localCheckpoint here costs +30%). The persisted-index
+    # path (write_bm25_index / bm25_topk_indexed) is the real fix for
+    # repeated queries.
     postings = build_postings(docs, id_col, text_col)
     stats = doc_stats_from_postings(postings)
     scored = bm25_scores(postings, stats, query_terms)

@@ -112,3 +112,35 @@ def asof_join(
         F.col("_t").alias(probe_ts_col),
         F.col("_last").alias(f"last_{value_col}"),
     )
+
+
+def blame_range_join(
+    hunks: DataFrame,
+    chunks: DataFrame,
+    file_col: str = "doc_id",
+) -> DataFrame:
+    """J13 blame range join (reference ``core/git_blame.py``): commit
+    hunk line ranges ↔ chunk line ranges, overlap semantics
+    ``h.start <= c.end AND h.end >= c.start`` on the same file.
+
+    hunks:  (file, h_start, h_end, commit_id)
+    chunks: (file, c_start, c_end, chunk_key)
+
+    Plan shape: the file key makes this an equi-join (one shuffle on
+    file) with the range predicate applied as a post-join filter —
+    Spark's sort-merge join handles it without a cartesian product.
+    Per chunk we emit the blame rollup the reference surfaces: number
+    of touching commits and the latest commit id.
+    """
+    overlap = (F.col("h_start") <= F.col("c_end")) & (
+        F.col("h_end") >= F.col("c_start")
+    )
+    return (
+        chunks.join(hunks, on=[file_col], how="inner")
+        .filter(overlap)
+        .groupBy(file_col, "chunk_key", "c_start", "c_end")
+        .agg(
+            F.countDistinct("commit_id").alias("n_commits"),
+            F.max("commit_id").alias("last_commit"),
+        )
+    )

@@ -93,3 +93,25 @@ def max_score_merge(results: DataFrame, id_col: str, score_col: str) -> DataFram
     ``search.py:297-349``): union of per-variant results, keep the max
     score per id. Map-side combinable groupBy."""
     return results.groupBy(id_col).agg(F.max(score_col).alias(score_col))
+
+
+def enrichment_boost(
+    main: DataFrame,
+    code_leg: DataFrame,
+    id_col: str,
+    score_col: str,
+    boost: float = 0.15,
+) -> DataFrame:
+    """J10 code-vectors enrichment (reference ``core/search.py:1069-1228``):
+    a second ANN pass runs over the code-specific vector space; results
+    present in BOTH top-k sets get ``boost`` added. Expressed as a left
+    semi-shaped join: the code leg is projected to ids only (top-k, so
+    tiny → broadcast) and the boost is a coalesce expression. The two
+    legs stay independent plans; no re-scoring UDF."""
+    code_ids = (
+        code_leg.select(id_col).distinct().withColumn("_enrich", F.lit(boost))
+    )
+    return main.join(F.broadcast(code_ids), id_col, "left").withColumn(
+        "boosted_score",
+        F.round(F.col(score_col) + F.coalesce(F.col("_enrich"), F.lit(0.0)), 6),
+    ).drop("_enrich")

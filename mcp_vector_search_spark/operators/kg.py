@@ -92,3 +92,38 @@ def tag_query(doc_tags: DataFrame, required: list[str]) -> DataFrame:
         .filter(F.col("_n") == len(required))
         .select("doc_id")
     )
+
+
+def kg_boost(
+    hits: DataFrame,
+    edges: DataFrame,
+    nodes: DataFrame,
+    query_terms: list[str],
+    id_col: str = "doc_id",
+    score_col: str = "score",
+    boost: float = 0.02,
+) -> DataFrame:
+    """J9 KG-boost lookup (reference ``core/search.py:885-936``): for
+    each search hit, walk 1 hop in the knowledge graph; if any related
+    entity's name matches a query term, add ``boost`` to the score.
+
+    Plan shape: hits ⋈ edges (equi on src) ⋈ nodes (equi on dst,
+    name pre-filtered to the query terms so the join input is tiny and
+    broadcast-able), distinct hit ids, then a left join back — the
+    boost is a ``coalesce`` column expression, no UDF. At scale the
+    name filter pushes to the node scan and the boosted-id set is
+    orders smaller than the hit set.
+    """
+    matched = nodes.filter(F.col("name").isin(query_terms)).select(
+        F.col("id").alias("dst")
+    )
+    boosted_ids = (
+        edges.join(F.broadcast(matched), "dst")
+        .select(F.col("src").alias(id_col))
+        .distinct()
+        .withColumn("_kg_boost", F.lit(boost))
+    )
+    return hits.join(boosted_ids, id_col, "left").withColumn(
+        "boosted_score",
+        F.round(F.col(score_col) + F.coalesce(F.col("_kg_boost"), F.lit(0.0)), 6),
+    ).drop("_kg_boost")

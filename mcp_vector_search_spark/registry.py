@@ -678,6 +678,185 @@ def q_search_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("mmr_rank", F.col("mmr_rank").cast("long"))
 
 
+def q_ontology(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G8 document ontology: category-grouped hierarchy rollup
+    (reference ``knowledge_graph.py:4887-5106``; the driver-side tree
+    render consumes this aggregation). Children are emitted as a
+    sorted joined string so the hash compare is order-free."""
+    return (
+        _docs(spark, sf_dir)
+        .groupBy(F.col("lang").alias("category"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("source").alias("n_sources"),
+            F.array_join(F.sort_array(F.collect_set("source")), ",").alias("children"),
+        )
+    )
+
+
+VIZ_PAGE_SIZE = 10
+VIZ_PAGE = 2
+
+
+def q_viz_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G9 visualization subgraph paging: 1-hop neighbors of a node,
+    deterministically ordered, page `VIZ_PAGE` of size
+    `VIZ_PAGE_SIZE` (reference get_node_neighbors paging,
+    ``knowledge_graph.py:3676-4438``)."""
+    from pyspark.sql.window import Window
+
+    li = io.table(spark, sf_dir, "lineitem")
+    node = "p" + str(li.agg(F.min("l_partkey")).first()[0])
+    e = _li_edges(spark, sf_dir)
+    neigh = e.filter(F.col("dst") == node).select(F.col("src").alias("id")).distinct()
+    w = Window.orderBy("id")
+    lo = (VIZ_PAGE - 1) * VIZ_PAGE_SIZE
+    hi = VIZ_PAGE * VIZ_PAGE_SIZE
+    return (
+        neigh.withColumn("rnk", F.row_number().over(w))
+        .filter((F.col("rnk") > lo) & (F.col("rnk") <= hi))
+        .select("id", F.col("rnk").cast("long").alias("rnk"))
+    )
+
+
+def q_kg_boost(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J9 KG-boost lookup: BM25 hits get +0.02 when a 1-hop KG
+    neighbor's name matches a query term (reference
+    ``core/search.py:885-936``)."""
+    from mcp_vector_search_spark.operators.kg import call_edges, kg_boost
+
+    chunks = _kg_chunks(spark, sf_dir)
+    edges = call_edges(
+        chunks, id_col="doc_id", name_col="name", calls_col="calls", path_col="source"
+    )
+    nodes = chunks.select(F.col("doc_id").alias("id"), "name")
+    hits = bm25_topk(_docs(spark, sf_dir), QUERY_TERMS, KNN_K)
+    return kg_boost(hits, edges, nodes, QUERY_TERMS).select(
+        "doc_id", "score", "boosted_score"
+    )
+
+
+CODE_DIM = 32  # the reference's code space is lower-dim (CodeT5+ 256 vs 384)
+
+
+def q_code_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J10 code-vectors enrichment: second ANN pass over the
+    code-vector space (here: the first ``CODE_DIM`` dims as the
+    deterministic stand-in space); ids in both top-k sets get +0.15
+    (reference ``core/search.py:1069-1228``)."""
+    from mcp_vector_search_spark.operators.fusion import enrichment_boost
+
+    emb = _emb(spark, sf_dir)
+    main = knn_brute_force(emb, _query_vec(spark, sf_dir), KNN_K)
+    code_space = emb.select("vec_id", F.slice("embedding", 1, CODE_DIM).alias("embedding"))
+    code_q = code_space.filter(F.col("vec_id") == KNN_QUERY_ID).select(
+        F.col("embedding").alias("query_vec")
+    )
+    code_leg = knn_brute_force(code_space, code_q, KNN_K)
+    return enrichment_boost(main, code_leg, "vec_id", "cos_sim").select(
+        "vec_id",
+        F.col("label").cast("long").alias("label"),
+        "cos_sim",
+        "boosted_score",
+    )
+
+
+HUNK_SIZE = 13
+N_COMMITS = 5
+
+
+def q_blame_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J13 blame range join: synthetic commit hunks (width-13 token
+    ranges, commit id a deterministic function of (doc, hunk))
+    range-joined to S3 chunk windows; per chunk the blame rollup
+    (touching-commit count + latest commit)."""
+    from mcp_vector_search_spark.functions.text import token_count
+    from mcp_vector_search_spark.operators.events import blame_range_join
+    from mcp_vector_search_spark.sources.chunker import chunk_tokens
+
+    docs = _docs(spark, sf_dir)
+    chunks = chunk_tokens(docs, CHUNK_SIZE).select(
+        "doc_id",
+        F.col("chunk_idx").cast("long").alias("chunk_key"),
+        (F.col("chunk_idx") * CHUNK_SIZE).cast("long").alias("c_start"),
+        (F.col("chunk_idx") * CHUNK_SIZE + F.col("n_tokens") - 1)
+        .cast("long")
+        .alias("c_end"),
+    )
+    nt = docs.select("doc_id", token_count("text").alias("n")).filter(F.col("n") > 0)
+    hunks = nt.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.lit(0), (F.ceil(F.col("n") / HUNK_SIZE) - 1).cast("int"))
+        ).alias("h"),
+    ).select(
+        "doc_id",
+        (F.col("h") * HUNK_SIZE).cast("long").alias("h_start"),
+        (F.col("h") * HUNK_SIZE + HUNK_SIZE - 1).cast("long").alias("h_end"),
+        F.concat(F.lit("c"), (F.col("doc_id") * 7 + F.col("h")) % N_COMMITS).alias(
+            "commit_id"
+        ),
+    )
+    return blame_range_join(hunks, chunks).select(
+        "doc_id",
+        "chunk_key",
+        "c_start",
+        "c_end",
+        F.col("n_commits").cast("long").alias("n_commits"),
+        "last_commit",
+    )
+
+
+def q_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F6 YAKE-analog keyword extraction: top-3 tokens per doc by
+    (tf DESC, first-position ASC, token ASC)."""
+    from mcp_vector_search_spark.functions.text import top_keywords
+
+    return top_keywords(_docs(spark, sf_dir), n=3)
+
+
+def q_identifiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F6 identifier-term extraction: camel/snake/ACRONYM regexes +
+    backtick code refs over a deterministically case-mixed text
+    (the corpus is lowercase word-salad, so the case structure the
+    reference's docstrings carry is synthesized from the first six
+    tokens — same construction in the oracle)."""
+    from mcp_vector_search_spark.functions.text import (
+        backtick_refs,
+        extract_identifiers,
+    )
+
+    toks = tokenize("text")
+    docs = (
+        _docs(spark, sf_dir)
+        .select("doc_id", toks.alias("t"))
+        .filter(F.size("t") >= 6)
+    )
+
+    def t(i: int):
+        return F.get(F.col("t"), i)
+
+    cam2 = F.concat(
+        F.upper(t(3).substr(F.lit(1), F.lit(1))),
+        t(3).substr(F.lit(2), F.length(t(3))),
+    )
+    itext = F.concat_ws(
+        " ",
+        F.concat(t(0), F.lit("_"), t(1)),
+        F.concat(t(2), cam2),
+        F.upper(t(4)),
+        F.concat(F.lit("`"), t(5), F.lit("`")),
+    )
+    ids = extract_identifiers("itext")
+    return docs.select("doc_id", itext.alias("itext")).select(
+        "doc_id",
+        F.array_join(ids.getField("snake"), ",").alias("snake"),
+        F.array_join(ids.getField("camel"), ",").alias("camel"),
+        F.array_join(ids.getField("acronyms"), ",").alias("acronyms"),
+        F.array_join(backtick_refs("itext"), ",").alias("refs"),
+    )
+
+
 def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = io.table(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag", "l_linestatus").agg(
@@ -1301,6 +1480,101 @@ SELECT b.user_id, epoch_us(b.pt) AS probe_us, max(e.event_id) AS last_event_id
 FROM b LEFT JOIN events e ON e.user_id = b.user_id AND e.ts = b.bts
 GROUP BY b.user_id, b.pt"""
 
+    o["ontology"] = """
+SELECT lang AS category, count(*) AS n_docs, count(DISTINCT source) AS n_sources,
+       array_to_string(list_sort(list(DISTINCT source)), ',') AS children
+FROM documents GROUP BY lang"""
+
+    o["viz_neighbors"] = f"""
+WITH e AS (SELECT 'o' || l_orderkey AS src, 'p' || l_partkey AS dst FROM lineitem),
+n AS (SELECT 'p' || min(l_partkey) AS node FROM lineitem),
+neigh AS (SELECT DISTINCT e.src AS id FROM e, n WHERE e.dst = n.node),
+r AS (SELECT id, row_number() OVER (ORDER BY id) AS rnk FROM neigh)
+SELECT id, rnk FROM r
+WHERE rnk > {(VIZ_PAGE - 1) * VIZ_PAGE_SIZE} AND rnk <= {VIZ_PAGE * VIZ_PAGE_SIZE}"""
+
+    terms_in = ", ".join(f"'{t}'" for t in QUERY_TERMS)
+    o["kg_boost"] = f"""
+WITH {_bm25_ctes(KNN_K)},{_KG_EDGE_CTES},
+kgm AS (SELECT DISTINCT ke.src AS doc_id FROM ke JOIN kn ON ke.dst = kn.dst
+        WHERE kn.name IN ({terms_in}))
+SELECT bm.doc_id, bm.score,
+       round(bm.score + CASE WHEN m.doc_id IS NULL THEN 0.0 ELSE 0.02 END, 6)
+         AS boosted_score
+FROM bm LEFT JOIN kgm m USING (doc_id)"""
+
+    o["code_enrichment"] = f"""
+WITH {_EU},
+qn AS (SELECT embedding AS qv, sqrt({_NORMSQ}) AS nrm FROM embeddings
+       WHERE vec_id = {KNN_QUERY_ID}),
+qu AS (SELECT list_transform(qv, x -> x::DOUBLE / nrm) AS uq FROM qn),
+mainx AS (SELECT vec_id, label, {_UDOT} AS cos_sim FROM eu, qu
+          ORDER BY cos_sim DESC, vec_id LIMIT {KNN_K}),
+ce AS (SELECT vec_id, embedding[1:{CODE_DIM}] AS embedding FROM embeddings),
+cen AS (SELECT vec_id, embedding, sqrt({_NORMSQ}) AS nrm FROM ce),
+ceu AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE / nrm) AS u FROM cen),
+cqn AS (SELECT embedding AS qv, sqrt({_NORMSQ}) AS nrm FROM ce
+        WHERE vec_id = {KNN_QUERY_ID}),
+cqu AS (SELECT list_transform(qv, x -> x::DOUBLE / nrm) AS uq FROM cqn),
+codek AS (SELECT vec_id, {_UDOT} AS cos_sim FROM ceu, cqu
+          ORDER BY cos_sim DESC, vec_id LIMIT {KNN_K}),
+cids AS (SELECT DISTINCT vec_id FROM codek)
+SELECT m.vec_id, m.label::BIGINT AS label, m.cos_sim,
+       round(m.cos_sim + CASE WHEN c.vec_id IS NULL THEN 0.0 ELSE 0.15 END, 6)
+         AS boosted_score
+FROM mainx m LEFT JOIN cids c USING (vec_id)"""
+
+    o["blame_ranges"] = f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+nt AS (SELECT doc_id, len(toks) AS n FROM t WHERE len(toks) > 0),
+ch AS (SELECT doc_id, unnest(range(ceil(n / {CHUNK_SIZE}.0)::BIGINT)) AS chunk_key,
+              n FROM nt),
+ch2 AS (SELECT doc_id, chunk_key, chunk_key * {CHUNK_SIZE} AS c_start,
+               least((chunk_key + 1) * {CHUNK_SIZE}, n) - 1 AS c_end FROM ch),
+hu AS (SELECT doc_id, unnest(range(ceil(n / {HUNK_SIZE}.0)::BIGINT)) AS h FROM nt),
+hu2 AS (SELECT doc_id, h * {HUNK_SIZE} AS h_start, h * {HUNK_SIZE} + {HUNK_SIZE - 1} AS h_end,
+               'c' || ((doc_id * 7 + h) % {N_COMMITS}) AS commit_id FROM hu),
+j AS (SELECT c.doc_id, c.chunk_key, c.c_start, c.c_end, h.commit_id
+      FROM ch2 c JOIN hu2 h ON c.doc_id = h.doc_id
+       AND h.h_start <= c.c_end AND h.h_end >= c.c_start)
+SELECT doc_id, chunk_key::BIGINT AS chunk_key, c_start::BIGINT AS c_start,
+       c_end::BIGINT AS c_end, count(DISTINCT commit_id)::BIGINT AS n_commits,
+       max(commit_id) AS last_commit
+FROM j GROUP BY doc_id, chunk_key, c_start, c_end"""
+
+    o["keywords"] = f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+tp AS (SELECT doc_id, unnest(toks) AS token, unnest(range(len(toks))) AS pos FROM t),
+tfc AS (SELECT doc_id, token, count(*)::BIGINT AS tf, min(pos)::BIGINT AS first_pos
+        FROM tp GROUP BY doc_id, token),
+r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY tf DESC, first_pos, token) AS kw_rank
+      FROM tfc)
+SELECT doc_id, token, tf, first_pos, kw_rank::BIGINT AS kw_rank
+FROM r WHERE kw_rank <= 3"""
+
+    from mcp_vector_search_spark.functions.text import (
+        ACRONYM_RE,
+        CAMEL_RE,
+        SNAKE_RE,
+    )
+
+    o["identifiers"] = f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+t6 AS (SELECT doc_id, toks FROM t WHERE len(toks) >= 6),
+it AS (SELECT doc_id,
+  concat_ws(' ',
+    toks[1] || '_' || toks[2],
+    toks[3] || upper(substr(toks[4], 1, 1)) || substr(toks[4], 2, length(toks[4])),
+    upper(toks[5]),
+    '`' || toks[6] || '`') AS itext FROM t6)
+SELECT doc_id,
+  coalesce(array_to_string(regexp_extract_all(itext, '{SNAKE_RE}'), ','), '') AS snake,
+  coalesce(array_to_string(regexp_extract_all(itext, '{CAMEL_RE}'), ','), '') AS camel,
+  coalesce(array_to_string(regexp_extract_all(itext, '{ACRONYM_RE}'), ','), '') AS acronyms,
+  coalesce(array_to_string(regexp_extract_all(itext, '`([^`]+)`', 1), ','), '') AS refs
+FROM it"""
+
     o["pricing_summary"] = """
 SELECT l_returnflag, l_linestatus,
        round(sum(l_quantity), 2) AS sum_qty,
@@ -1552,6 +1826,13 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "complexity": q_complexity,
     "lcom4": q_lcom4,
     "asof_latest": q_asof_latest,
+    "ontology": q_ontology,
+    "viz_neighbors": q_viz_neighbors,
+    "kg_boost": q_kg_boost,
+    "code_enrichment": q_code_enrichment,
+    "blame_ranges": q_blame_ranges,
+    "keywords": q_keywords,
+    "identifiers": q_identifiers,
     "pricing_summary": q_pricing_summary,
     "revenue_by_nation": q_revenue_by_nation,
     "rescore": q_rescore,
