@@ -74,6 +74,11 @@ def main():
     t0 = time.time()
     topk_per_query(emb, queries, 10).write.format("noop").mode("overwrite").save()
     per_query["ann_brute_q256"] = round(time.time() - t0, 3)
+    from mcp_vector_search_spark.operators.topk import topk_per_query_np
+
+    t0 = time.time()
+    topk_per_query_np(emb, queries, 10).write.format("noop").mode("overwrite").save()
+    per_query["ann_brute_q256_np"] = round(time.time() - t0, 3)
     t0 = time.time()
     assigned, centroids = ivf_build(emb)
     assigned = assigned.cache()
@@ -87,6 +92,13 @@ def main():
         "noop"
     ).mode("overwrite").save()
     per_query["ann_ivf_q256"] = round(time.time() - t0, 3)
+    from mcp_vector_search_spark.operators.ivf import ivf_topk_batch_np
+
+    t0 = time.time()
+    ivf_topk_batch_np(
+        assigned, centroids, queries, 10, nprobes=BENCH_NPROBES
+    ).write.format("noop").mode("overwrite").save()
+    per_query["ann_ivf_q256_np"] = round(time.time() - t0, 3)
     total += per_query["ann_brute_q256"] + per_query["ann_ivf_q256"]
 
     # recall@10 of the IVF path vs brute force (BASELINE band: 97.5-100%)

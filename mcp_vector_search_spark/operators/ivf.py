@@ -172,3 +172,95 @@ def ivf_topk(
         round_to=round_to,
     )
     return out.select(id_col, "cos_sim")
+
+
+def ivf_topk_batch_np(
+    assigned: DataFrame,
+    centroids: DataFrame,
+    queries: DataFrame,
+    k: int,
+    nprobes: int = NPROBES,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    round_to: int = 6,
+    batch_buffer: int = 4,
+) -> DataFrame:
+    """IVF batch ANN with the Arrow-vectorized scoring kernel.
+
+    Probe assignment runs on the driver over the (tiny) query set and
+    centroid matrix — pure numpy, no Spark job. Scoring groups the
+    vector side by cluster (`applyInPandas`): each cluster computes one
+    matmul against ONLY the queries probing it, so flops scale with
+    nprobes/num_clusters of the brute-force work. The per-cluster
+    partial top-k keeps the final exact rank window's input at
+    O(clusters · probing-queries · k). At scale the groupBy shuffle
+    disappears when `assigned` is stored partitioned by cluster_id
+    (the layout `ivf_build` is designed for — see
+    tests/test_ivf_partition_pruning.py).
+    """
+    import numpy as np
+    import pandas as pd
+
+    qpd = queries.select(query_id_col, query_vec_col).toPandas()
+    Q = np.stack(qpd[query_vec_col].to_numpy()).astype(np.float64)
+    Q /= np.linalg.norm(Q, axis=1, keepdims=True)
+    qids = qpd[query_id_col].to_numpy()
+
+    cpd = centroids.orderBy("cluster_id").toPandas()
+    C = np.stack(cpd["centroid"].to_numpy()).astype(np.float64)
+    Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+    cids = cpd["cluster_id"].to_numpy()
+    # rank clusters per query by centroid similarity (ties → lower id,
+    # matching the window in ivf_topk_batch)
+    csim = Q @ Cn.T  # (nq, nc)
+    order = np.lexsort((np.broadcast_to(cids, csim.shape), -csim), axis=1)
+    probe_sets = order[:, :nprobes]  # (nq, nprobes) — indices into cids
+    cluster_to_q: dict[int, list[int]] = {}
+    for qi in range(len(qids)):
+        for ci in probe_sets[qi]:
+            cluster_to_q.setdefault(int(cids[ci]), []).append(qi)
+    cluster_to_q_np = {c: np.asarray(v) for c, v in cluster_to_q.items()}
+    keep = k * batch_buffer
+
+    has_unit = "unit" in assigned.columns
+    score_col = "unit" if has_unit else vec_col
+
+    def per_cluster(pdf: pd.DataFrame) -> pd.DataFrame:
+        cid = int(pdf["cluster_id"].iloc[0])
+        qidx = cluster_to_q_np.get(cid)
+        if qidx is None:
+            return pd.DataFrame(
+                {query_id_col: [], id_col: [], "cos_sim": []}
+            ).astype({query_id_col: "int64", id_col: "int64", "cos_sim": "float64"})
+        V = np.stack(pdf[score_col].to_numpy()).astype(np.float64)
+        if not has_unit:
+            V /= np.linalg.norm(V, axis=1, keepdims=True)
+        S = np.round(V @ Q[qidx].T, round_to)  # (b, nqq)
+        b, nqq = S.shape
+        vids = pdf[id_col].to_numpy()
+        if b > keep:
+            idx = np.argpartition(-S, keep - 1, axis=0)[:keep]
+        else:
+            idx = np.tile(np.arange(b)[:, None], (1, nqq))
+        rows = idx.shape[0]
+        return pd.DataFrame(
+            {
+                query_id_col: np.repeat(qids[qidx][None, :], rows, axis=0).ravel(),
+                id_col: vids[idx].ravel(),
+                "cos_sim": np.take_along_axis(S, idx, axis=0).ravel(),
+            }
+        )
+
+    cand = (
+        assigned.select("cluster_id", id_col, score_col)
+        .groupBy("cluster_id")
+        .applyInPandas(per_cluster, f"{query_id_col} long, {id_col} long, cos_sim double")
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cos_sim"), F.asc(id_col))
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select(query_id_col, id_col, "cos_sim", "rn")
+    )

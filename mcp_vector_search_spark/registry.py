@@ -382,6 +382,20 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_knn_batch_np(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-vectorized batch top-k — same semantics (and same oracle)
+    as `knn_batch`; the numpy-matmul physical strategy."""
+    from mcp_vector_search_spark.operators.topk import topk_per_query_np
+
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < BATCH_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return topk_per_query_np(emb, queries, BATCH_K).select(
+        "query_id", "vec_id", "cos_sim", F.col("rn").cast("long").alias("rn")
+    )
+
+
 EXPAND_QUERY = "stream query data"
 
 
@@ -1090,6 +1104,11 @@ ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
                                         ORDER BY cos_sim DESC, vec_id) AS rn FROM scored)
 SELECT query_id, vec_id, cos_sim, rn FROM ranked WHERE rn <= {BATCH_K}"""
 
+    # the vectorized path computes the same round-6 scores (numpy f64
+    # matmul vs sequential fold agree at 6dp; exact-set equality also
+    # pytest-gated) — same oracle
+    o["knn_batch_np"] = o["knn_batch"]
+
     _KN_LEG = f"""
 hn AS (SELECT vec_id, embedding, sqrt({_NORMSQ}) AS nrm FROM embeddings),
 hu AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE / nrm) AS u FROM hn),
@@ -1786,6 +1805,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bm25_topk": q_bm25_topk,
     "knn_topk": q_knn_topk,
     "knn_batch": q_knn_batch,
+    "knn_batch_np": q_knn_batch_np,
     "hybrid_rrf": q_hybrid_rrf,
     "exact_dups": q_exact_dups,
     "minhash_jaccard": q_minhash_jaccard,
