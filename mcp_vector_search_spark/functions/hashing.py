@@ -22,25 +22,52 @@ def seeded_md5(token: Column, seed: int) -> Column:
     return F.md5(F.concat(token, F.lit(f"#{seed}")))
 
 
-def minhash_signature(tokens: Column, num_hashes: int) -> Column:
-    """array<string> of `num_hashes` min-md5 values over the token set.
+def token_hash_pairs(tokens: Column) -> Column:
+    """array<struct<h1:long, h2:long>> — ONE md5 per element, parsed
+    into two 40-bit halves: the seed material for the Carter-Wegman
+    MinHash family. MATERIALIZE this into its own column (a separate
+    projection) before deriving signature members; referencing the
+    expression from each of `num_hashes` member expressions would
+    re-run the md5 pass per member."""
+    return F.transform(
+        F.transform(tokens, lambda t: F.md5(t)),
+        lambda m: F.struct(
+            F.conv(F.substring(m, 1, 10), 16, 10).cast("long").alias("h1"),
+            F.conv(F.substring(m, 11, 10), 16, 10).cast("long").alias("h2"),
+        ),
+    )
 
-    Map-side only: per row, `num_hashes` passes over the token array
-    inside codegen. At 100 TB this is the cheap half of LSH; the
-    shuffle happens only on the (band → bucket) exchange downstream.
-    Empty-token rows get the md5 of the empty string per seed, which is
-    still deterministic.
-    """
-    def min_hash(seed: int) -> Column:
+
+def minhash_from_pairs(pairs: Column, num_hashes: int) -> Column:
+    """array<long> MinHash signature from materialized hash pairs:
+    member s = min over elements of (h1 + s·h2) — the standard
+    two-hash universal family, so the corpus pays ONE md5 per shingle
+    total instead of one per shingle per seed (~num_hashes× less
+    hashing on the 100 TB map side). 40-bit halves keep
+    h1 + s·h2 < 2^44: no ANSI overflow. Empty arrays get the
+    deterministic sentinel -(s+1)."""
+
+    def member(s: int) -> Column:
         # single-arg lambda in a dedicated scope: a 2-arg lambda (even
         # with a default!) makes Spark pass the array INDEX as arg 2,
         # silently shadowing the captured seed
         return F.coalesce(
-            F.array_min(F.transform(tokens, lambda t: seeded_md5(t, seed))),
-            F.md5(F.lit(f"#{seed}")),
+            F.array_min(
+                F.transform(
+                    pairs, lambda p: p.getField("h1") + F.lit(s) * p.getField("h2")
+                )
+            ),
+            F.lit(-(s + 1)).cast("long"),
         )
 
-    return F.array(*[min_hash(s) for s in range(num_hashes)])
+    return F.array(*[member(s) for s in range(num_hashes)])
+
+
+def minhash_signature(tokens: Column, num_hashes: int) -> Column:
+    """One-shot convenience: `minhash_from_pairs(token_hash_pairs(t))`.
+    Hot paths (``dedup.minhash_candidates``) materialize the pair
+    column between the two calls — see `token_hash_pairs`."""
+    return minhash_from_pairs(token_hash_pairs(tokens), num_hashes)
 
 
 def band_keys(signature: Column, num_bands: int, rows_per_band: int) -> Column:

@@ -23,9 +23,10 @@ from pyspark.sql import functions as F
 from mcp_vector_search_spark.functions.hashing import (
     band_keys,
     hamming64,
-    minhash_signature,
+    minhash_from_pairs,
     simhash,
     token_hash60,
+    token_hash_pairs,
 )
 from mcp_vector_search_spark.functions.text import doc_fingerprint, tokenize, word_ngrams
 from mcp_vector_search_spark.functions.vectors import cosine_sim
@@ -78,9 +79,11 @@ def minhash_candidates(
     """
     rows_per_band = num_hashes // num_bands
     sh = shingles if shingles is not None else shingle_sets(docs, shingle_n, id_col, text_col)
+    # pair column materialized in its own projection: one md5 pass per
+    # shingle, shared by all signature members (see token_hash_pairs)
     sig = sh.select(
-        "doc_id", minhash_signature(F.col("shingles"), num_hashes).alias("sig")
-    )
+        "doc_id", token_hash_pairs(F.col("shingles")).alias("_hp")
+    ).select("doc_id", minhash_from_pairs(F.col("_hp"), num_hashes).alias("sig"))
     banded = sig.select(
         "doc_id", F.explode(band_keys(F.col("sig"), num_bands, rows_per_band)).alias("band_key")
     )

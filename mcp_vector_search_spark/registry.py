@@ -134,13 +134,21 @@ def _bm25_ctes(limit: int) -> str:
     return _BM25_SHARED + "," + _bm25_scored(QUERY_TERMS, limit, "bm")
 
 
+# one md5 per shingle parsed into two 40-bit halves (same family as
+# functions/hashing.py:token_hash_pairs / minhash_from_pairs)
+_HASH_PAIRS_SQL = (
+    "list_transform(list_transform(shingles, x -> md5(x)),"
+    " m -> [('0x' || substr(m, 1, 10))::BIGINT, ('0x' || substr(m, 11, 10))::BIGINT])"
+)
+
+
 def _minhash_sig_sql() -> str:
     nh = MINHASH["num_hashes"]
     parts = []
     for s in range(nh):
         parts.append(
-            f"CASE WHEN len(shingles) = 0 THEN md5('#{s}') "
-            f"ELSE list_min(list_transform(shingles, x -> md5(x || '#{s}'))) END"
+            f"CASE WHEN len(hp) = 0 THEN {-(s + 1)} "
+            f"ELSE list_min(list_transform(hp, p -> p[1] + {s} * p[2])) END"
         )
     return "[" + ", ".join(parts) + "]"
 
@@ -1139,7 +1147,8 @@ FROM fp GROUP BY fingerprint HAVING count(*) > 1"""
     o["minhash_jaccard"] = f"""
 WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
 sh AS (SELECT doc_id, {_SHINGLES3} AS shingles FROM t),
-sigs AS (SELECT doc_id, {_minhash_sig_sql()} AS sig FROM sh),
+hps AS (SELECT doc_id, {_HASH_PAIRS_SQL} AS hp FROM sh),
+sigs AS (SELECT doc_id, {_minhash_sig_sql()} AS sig FROM hps),
 banded AS (SELECT doc_id, unnest({_band_keys_sql()}) AS band_key FROM sigs),
 ok AS (SELECT band_key FROM banded GROUP BY band_key HAVING count(*) <= {MINHASH_CAP}),
 b2 AS (SELECT banded.* FROM banded JOIN ok USING (band_key)),
