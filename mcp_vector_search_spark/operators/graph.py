@@ -46,13 +46,18 @@ def bfs_min_hops(
             .select(F.col(dst_col).alias("id"), F.lit(h).alias("hop"))
             .distinct()
         )
-        # keep only first-time discoveries
-        frontier = nxt.join(visited.select("id"), "id", "left_anti").distinct()
-        visited = visited.unionByName(frontier)
-        visited = visited.groupBy("id").agg(F.min("hop").alias("hop"))
+        # ONE shuffle per hop does all the bookkeeping: the min-hop
+        # aggregate dedups re-discoveries, and the next frontier is the
+        # rows whose min hop IS this hop (i.e. first discoveries) — a
+        # free filter over the aggregate instead of a second anti-join
+        # shuffle. (The distinct above halves the union input on dense
+        # fan-in; its exchange is reused by the groupBy.)
+        visited = (
+            visited.unionByName(nxt).groupBy("id").agg(F.min("hop").alias("hop"))
+        )
         if checkpoint_every and h % checkpoint_every == 0 and h < max_hops:
             visited = visited.localCheckpoint(eager=False)
-            frontier = frontier.localCheckpoint(eager=False)
+        frontier = visited.filter(F.col("hop") == h)
     return visited
 
 
