@@ -45,8 +45,15 @@ def main():
     spark.sparkContext.setLogLevel("ERROR")
 
     # warm the JVM + parquet footers once so per-query numbers measure
-    # the plans, not session startup
-    spark.read.parquet(f"{SF_DIR}/lineitem.parquet").count()
+    # the plans, not session startup: touch every input table and run
+    # one tiny shuffle so codegen/exchange machinery is JIT-compiled
+    # before the first timed query
+    from mcp_vector_search_spark import io as warm_io
+
+    for t in ("lineitem", "documents", "embeddings", "events", "part", "orders"):
+        warm_io.table(spark, SF_DIR, t).limit(1).count()
+    warm = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    warm.groupBy("l_returnflag").count().write.format("noop").mode("overwrite").save()
 
     per_query: dict[str, float] = {}
     total = 0.0
