@@ -29,15 +29,18 @@ def _mmr_select(rel, vecs, k: int, lam: float) -> list[int]:
     norms = np.linalg.norm(vecs, axis=1)
     norms[norms == 0] = 1.0
     unit = vecs / norms[:, None]
-    sims = unit @ unit.T  # n ≤ limit*3, so n² is tiny
+    # round-9 on sims and step scores: keeps the greedy argmax
+    # reproducible across engines (the SQL oracle replays the same
+    # rounded arithmetic), same rationale as round-6 retrieval scores
+    sims = np.round(unit @ unit.T, 9)  # n ≤ limit*3, so n² is tiny
     selected: list[int] = []
     remaining = list(range(n))
     while remaining and len(selected) < k:
         if selected:
-            penalty = sims[np.ix_(remaining, selected)].max(axis=1)
+            penalty = np.round(sims[np.ix_(remaining, selected)].max(axis=1), 9)
         else:
             penalty = np.zeros(len(remaining))
-        scores = lam * rel[remaining] - (1 - lam) * penalty
+        scores = np.round(lam * rel[remaining] - (1 - lam) * penalty, 9)
         best = int(np.argmax(scores))  # first max → deterministic
         selected.append(remaining.pop(best))
     return selected

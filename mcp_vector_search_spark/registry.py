@@ -653,7 +653,8 @@ def q_complexity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_lcom4(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A6 LCOM4 cohesion (rows-only: union-find in applyInPandas)."""
+    """A6 LCOM4 cohesion — union-find in applyInPandas, oracle-checked
+    against a recursive-CTE min-label closure (integer-only hash)."""
     from mcp_vector_search_spark.operators.cohesion import lcom4
 
     toks = tokenize("text")
@@ -687,7 +688,9 @@ def q_asof_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_search_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The full §3.1 pipeline end-to-end (rows-only: ends in MMR)."""
+    """The full §3.1 pipeline end-to-end, oracle-checked: driver-side
+    scalars are re-run at oracle-generation time and the relational +
+    greedy-MMR stages replayed expression-for-expression in SQL."""
     from mcp_vector_search_spark.plans.search import full_search
 
     return full_search(
@@ -1039,8 +1042,10 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F13 MMR diversification over the kNN top-30 (rows-only: greedy
-    selection isn't SQL-expressible; golden-tested in tests/test_mmr.py)."""
+    """F13 MMR diversification over the kNN top-30. Oracle-checked:
+    the greedy loop is unrolled into k chained SQL steps (see
+    ``oracle_sql``); round-9 sims/scores keep both engines' argmax
+    identical. Also numpy-golden-tested."""
     from mcp_vector_search_spark.operators.mmr import mmr_diversify
 
     emb = _emb(spark, sf_dir)
@@ -1485,6 +1490,207 @@ SELECT doc_id, chunk_no::BIGINT AS chunk_no,
 FROM cg"""
 
     kw_in = ", ".join(f"'{k}'" for k in COMPLEXITY_KEYWORDS)
+    # F13 MMR: the greedy selection unrolled into k chained CTE steps —
+    # step i picks argmax of round(λ·rel − (1−λ)·max-sim-to-selected, 9)
+    # with the operator's exact tie precedence (rel DESC, id ASC).
+    # Round-9 sims/scores on both sides make fold-order differences
+    # between numpy matmul and the SQL list-fold immaterial.
+    def _mmr_unroll(prefix: str, cand_cte: str, k: int, lam: float) -> tuple[str, str]:
+        """Greedy-MMR step CTEs over `cand_cte(id, rel, u)` →
+        (cte_text, final_selection_cte). Every step CTE is MATERIALIZED
+        — DuckDB inlines CTEs by default, and the chained references
+        otherwise explode into exponential re-scans."""
+        one_minus = 1.0 - lam
+        steps = [
+            f"""{prefix}sims AS MATERIALIZED (SELECT a.id AS va, b.id AS vb,
+                 round(list_sum(list_transform(list_zip(a.u, b.u),
+                       p -> p[1]::DOUBLE * p[2]::DOUBLE)), 9) AS sim
+          FROM {cand_cte} a, {cand_cte} b),
+{prefix}s1 AS (SELECT id FROM {cand_cte} ORDER BY rel DESC, id LIMIT 1),
+{prefix}sel1 AS (SELECT id, 1 AS mmr_rank FROM {prefix}s1)"""
+        ]
+        for i in range(2, k + 1):
+            steps.append(
+                f"""{prefix}p{i} AS MATERIALIZED (
+  SELECT c.id, c.rel, round(max(s.sim), 9) AS pen
+  FROM {cand_cte} c
+  JOIN {prefix}sims s ON s.va = c.id
+  JOIN {prefix}sel{i - 1} q ON q.id = s.vb
+  WHERE c.id NOT IN (SELECT id FROM {prefix}sel{i - 1})
+  GROUP BY c.id, c.rel),
+{prefix}s{i} AS (SELECT id FROM {prefix}p{i}
+  ORDER BY round({lam!r} * rel - {one_minus!r} * pen, 9) DESC,
+           rel DESC, id LIMIT 1),
+{prefix}sel{i} AS MATERIALIZED (SELECT id, mmr_rank FROM {prefix}sel{i - 1}
+  UNION ALL SELECT id, {i} AS mmr_rank FROM {prefix}s{i})"""
+            )
+        return ",".join(steps), f"{prefix}sel{k}"
+
+    _MMR_K, _MMR_DIV, _MMR_CAND = 10, 0.3, 30
+    _mmr_steps, _mmr_final = _mmr_unroll("m", "mcand", _MMR_K, 1.0 - _MMR_DIV)
+    o["mmr"] = f"""
+WITH {_EU},
+qn AS (SELECT embedding AS qv, sqrt({_NORMSQ}) AS nrm FROM embeddings
+       WHERE vec_id = {KNN_QUERY_ID}),
+qu AS (SELECT list_transform(qv, x -> x::DOUBLE / nrm) AS uq FROM qn),
+mcand AS MATERIALIZED (SELECT vec_id AS id, {_UDOT} AS rel, u FROM eu, qu
+           ORDER BY rel DESC, id LIMIT {_MMR_CAND}),
+{_mmr_steps}
+SELECT s.id AS vec_id, c.rel AS cos_sim, s.mmr_rank::BIGINT AS mmr_rank
+FROM {_mmr_final} s JOIN mcand c USING (id)"""
+
+    # §3.1 flagship pipeline end-to-end: every stage of full_search
+    # replayed in SQL. Driver-side scalars (preprocess, variant
+    # expansion, α routing, adaptive threshold) are CALLED here at
+    # generation time — same code path the Spark query uses — and
+    # their results embedded as literals; the relational stages
+    # (per-variant hybrid legs, RRF, max-merge, 8-factor rescore,
+    # cross-encoder stand-in, threshold, MMR unroll) mirror the
+    # DataFrame program expression-for-expression.
+    from mcp_vector_search_spark.functions.query import (
+        IDENTIFIER_ALPHA,
+        adaptive_threshold,
+        expand_query,
+        is_identifier_query,
+        preprocess_query,
+    )
+
+    SP_RAW = "stream query data"
+    sp_q = preprocess_query(SP_RAW)
+    sp_variants = expand_query(sp_q)[:3]
+    sp_alpha = IDENTIFIER_ALPHA if is_identifier_query(sp_q) else 0.7
+    sp_beta = 1.0 - sp_alpha
+    sp_thresh = adaptive_threshold(sp_q, 0.1)
+    sp_k = 10
+    sp_hyb_k = sp_k * 3  # T4 over-retrieval into the MMR stage
+    sp_leg_n = sp_hyb_k * 2  # per-leg over-retrieval inside hybrid
+    sp_words = list(dict.fromkeys(sp_q.lower().split()))
+    sp_qterms = sp_q.lower().split()
+
+    def _cmw(col: str) -> str:
+        return (
+            "("
+            + " + ".join(
+                f"CASE WHEN contains({col}, '{w}') THEN 1 ELSE 0 END"
+                for w in sp_words
+            )
+            + ")"
+        )
+
+    sp_bm_ctes = ",".join(
+        _bm25_scored(v.split(), sp_leg_n, f"spb{i}")
+        for i, v in enumerate(sp_variants)
+    )
+    sp_hyb = []
+    for i in range(len(sp_variants)):
+        sp_hyb.append(
+            f"""spb{i}_r AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rnk
+           FROM spb{i}),
+spf{i} AS (SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+                  coalesce({sp_alpha!r} / (60 + a.rnk), 0.0)
+                + coalesce({sp_beta!r} / (60 + b.rnk), 0.0) AS raw
+           FROM spkn_r a FULL JOIN spb{i}_r b ON a.doc_id = b.doc_id),
+spmx{i} AS (SELECT max(raw) AS m FROM spf{i}),
+sph{i} AS MATERIALIZED (SELECT doc_id, round(raw / m, 6) AS rrf_score
+           FROM spf{i}, spmx{i}
+           ORDER BY rrf_score DESC, doc_id LIMIT {sp_hyb_k})"""
+        )
+    sp_union = " UNION ALL ".join(
+        f"SELECT doc_id, rrf_score FROM sph{i}" for i in range(len(sp_variants))
+    )
+    from mcp_vector_search_spark.functions.scoring import (
+        PYTHON_BOILERPLATE as _SP_BP,
+    )
+
+    sp_bp = ", ".join(f"'{b.lower()}'" for b in _SP_BP)
+    sp_qw = ", ".join(f"'{w}'" for w in sp_words)
+    sp_ce_terms = ", ".join(f"'{t}'" for t in sp_qterms)
+    sp_mmr_steps, sp_mmr_final = _mmr_unroll("sp", "spcand", sp_k, 1.0 - 0.3)
+    o["search_pipeline"] = f"""
+WITH {_BM25_SHARED},{sp_bm_ctes},
+{_KN_LEG},
+spkn AS (SELECT vec_id AS doc_id, {_UDOT} AS cos_sim FROM hu, hqu
+         ORDER BY cos_sim DESC, doc_id LIMIT {sp_leg_n}),
+spkn_r AS MATERIALIZED (SELECT doc_id, row_number() OVER (ORDER BY cos_sim DESC, doc_id) AS rnk
+         FROM spkn),
+{",".join(sp_hyb)},
+spmerge AS (SELECT doc_id, max(rrf_score) AS rrf_score FROM ({sp_union})
+            GROUP BY doc_id),
+spmeta AS (SELECT doc_id, 'src/' || source || '.py' AS file_path,
+           list_extract({_TOKS}, 1) AS name, lower(text) AS content_l,
+           CASE WHEN doc_id % 3 = 0 THEN 'function'
+                WHEN doc_id % 3 = 1 THEN 'class' ELSE 'code' END AS chunk_type
+           FROM documents),
+spj AS (SELECT b.doc_id, b.rrf_score, coalesce(lower(m.name), '') AS name_l,
+               lower(m.file_path) AS fp_l, m.content_l, m.chunk_type,
+               lower(string_split(m.file_path, '/')[-1]) AS file_name,
+               len(string_split(m.file_path, '/')) AS depth,
+               {_cmw('m.content_l')} AS cm
+        FROM spmerge b JOIN spmeta m USING (doc_id)),
+sprs AS (SELECT doc_id, rrf_score, content_l,
+  round(least(1.0,
+    rrf_score
+    + CASE WHEN contains(name_l, '{sp_q}') THEN 0.15 ELSE 0.0 END
+    + {_cmw('name_l')}::DOUBLE * 0.05
+    + CASE WHEN contains(file_name, '{sp_q}') THEN 0.08 ELSE 0.0 END
+    + {_cmw('file_name')}::DOUBLE * 0.03
+    + CASE WHEN cm > 0 THEN (cm::DOUBLE / {len(sp_words)}) * 0.1 ELSE 0.0 END
+    + CASE WHEN chunk_type = 'function' THEN 0.05
+           WHEN chunk_type = 'class' THEN 0.03 ELSE 0.0 END
+    + CASE WHEN regexp_matches(fp_l, '\\.(py|js|ts|java|cpp|c|go|rs)$')
+           THEN 0.02 ELSE 0.0 END
+    + CASE WHEN contains(file_name, 'test') THEN -0.02 ELSE 0.0 END
+    + CASE WHEN depth <= 3 THEN 0.02 WHEN depth > 5 THEN -0.01 ELSE 0.0 END
+    + CASE WHEN name_l IN ({sp_bp}) AND name_l NOT IN ({sp_qw})
+           THEN -0.15 ELSE 0.0 END), 6) AS rescored
+  FROM spj),
+spce AS (SELECT doc_id, rescored,
+  round((1.0 / (1.0 + exp(-(
+      len(list_intersect(
+          list_distinct(list_filter(regexp_split_to_array(content_l, '[^a-z0-9]+'),
+                                    x -> x != '')),
+          [{sp_ce_terms}]))::DOUBLE / {len(sp_qterms)})))
+    + rescored) / 2.0, 6) AS ce_score
+  FROM sprs),
+spcand AS MATERIALIZED (
+  SELECT c.doc_id AS id, c.ce_score AS rel, hu.u
+  FROM spce c JOIN hu ON hu.vec_id = c.doc_id
+  WHERE c.ce_score >= {sp_thresh!r}
+  ORDER BY rel DESC, id LIMIT {sp_hyb_k}),
+{sp_mmr_steps}
+SELECT s.id AS doc_id, c.rel AS ce_score, s.mmr_rank::BIGINT AS mmr_rank
+FROM {sp_mmr_final} s JOIN spcand c USING (id)"""
+
+    # A6 LCOM4: union-find replayed as a recursive-CTE min-label
+    # closure over the per-class method↔attr bipartite graph —
+    # component count among method nodes. Integer-only, so the hash
+    # compare is float-free.
+    o["lcom4"] = f"""
+WITH RECURSIVE
+lt AS (SELECT source AS class_name, {_TOKS} AS toks FROM documents),
+lu AS (SELECT class_name, list_extract(toks, 1) AS method,
+              list_extract(toks, 2) AS attr FROM lt),
+lmn AS (SELECT DISTINCT class_name, 'm:' || method AS node FROM lu
+        WHERE method IS NOT NULL),
+le0 AS (SELECT DISTINCT class_name, 'm:' || method AS u, 'a:' || attr AS v
+        FROM lu WHERE method IS NOT NULL AND attr IS NOT NULL AND attr != ''),
+led AS (SELECT class_name, u, v FROM le0
+        UNION ALL SELECT class_name, v AS u, u AS v FROM le0),
+lall AS (SELECT DISTINCT class_name, node FROM
+         (SELECT class_name, node FROM lmn
+          UNION ALL SELECT class_name, u AS node FROM led)),
+lreach(class_name, node, label) AS (
+  SELECT class_name, node, node AS label FROM lall
+  UNION
+  SELECT e.class_name, e.v AS node, r.label
+  FROM lreach r JOIN led e ON e.class_name = r.class_name AND e.u = r.node),
+lcomp AS (SELECT class_name, node, min(label) AS cid
+          FROM lreach GROUP BY class_name, node)
+SELECT m.class_name, count(DISTINCT c.cid)::BIGINT AS lcom4,
+       count(DISTINCT m.node)::BIGINT AS n_methods
+FROM lmn m JOIN lcomp c ON c.class_name = m.class_name AND c.node = m.node
+GROUP BY m.class_name"""
+
     o["complexity"] = f"""
 WITH {_CODE_CTES},
 toks2 AS (SELECT doc_id, chunk_no,
