@@ -143,6 +143,16 @@ def main():
         per_query["bm25_query_indexed_warm"] = round(time.time() - t0, 3)
     total += per_query["bm25_query_indexed"]
 
+    # amortized per-query serving latency for the BASELINE comparison
+    # (single-query online latency is out of Spark's scope; batch
+    # scoring throughput is the comparable metric)
+    per_query["ann_brute_ms_per_query"] = round(
+        per_query["ann_brute_q256_np"] * 1000 / 256, 2
+    )
+    per_query["ann_ivf_ms_per_query"] = round(
+        per_query["ann_ivf_q256_np"] * 1000 / 256, 2
+    )
+
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     print(
         json.dumps(

@@ -1,0 +1,114 @@
+"""Property-based invariants (hypothesis) for the core column
+functions — the reference's test suite leans on fuzz-ish corpora
+(SURVEY §5); these cover the same ground generatively.
+
+Examples are kept small and few: each example round-trips through a
+Spark job, so the budget is max_examples≈8 per property.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+_text = st.text(
+    alphabet=st.characters(whitelist_categories=("Ll", "Lu", "Nd", "Po", "Zs")),
+    max_size=80,
+)
+_settings = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@given(_text)
+@_settings
+def test_tokenize_invariants(spark, s):
+    """Tokens are non-empty, lowercase-alphanumeric, and idempotent
+    under re-tokenization of the joined text."""
+    from mcp_vector_search_spark.functions.text import tokenize
+
+    df = spark.createDataFrame([(s,)], "s string")
+    row = df.select(
+        tokenize("s").alias("t"),
+        tokenize(F.array_join(tokenize("s"), " ")).alias("t2"),
+    ).first()
+    assert all(t and t == t.lower() for t in row["t"])
+    assert row["t"] == row["t2"]
+
+
+@given(_text, _text)
+@_settings
+def test_fingerprint_invariance(spark, a, b):
+    """doc_fingerprint is whitespace/punct-normalizing: equal token
+    streams ⇒ equal fingerprints; different token streams ⇒ different."""
+    from mcp_vector_search_spark.functions.text import doc_fingerprint, tokenize
+
+    df = spark.createDataFrame([(a, b)], "a string, b string")
+    row = df.select(
+        doc_fingerprint("a").alias("fa"),
+        doc_fingerprint("b").alias("fb"),
+        tokenize("a").alias("ta"),
+        tokenize("b").alias("tb"),
+    ).first()
+    assert (row["fa"] == row["fb"]) == (row["ta"] == row["tb"])
+
+
+@given(st.lists(st.integers(0, 30), min_size=1, max_size=12))
+@_settings
+def test_minhash_identical_docs_collide(spark, xs):
+    """Identical token arrays always produce identical signatures and
+    band keys (the LSH recall floor for exact dups)."""
+    from mcp_vector_search_spark.functions.hashing import (
+        band_keys,
+        minhash_from_pairs,
+        token_hash_pairs,
+    )
+
+    toks = [f"t{x}" for x in xs]
+    df = spark.createDataFrame([(1, toks), (2, toks)], "i long, t array<string>")
+    sigs = df.select(
+        "i", token_hash_pairs(F.col("t")).alias("hp")
+    ).select("i", minhash_from_pairs(F.col("hp"), 8).alias("sig")).select(
+        "i", "sig", band_keys(F.col("sig"), 4, 2).alias("bk")
+    )
+    rows = {r["i"]: (r["sig"], r["bk"]) for r in sigs.collect()}
+    assert rows[1] == rows[2]
+
+
+@given(
+    st.lists(st.integers(0, 100), min_size=1, max_size=10, unique=True),
+    st.lists(st.integers(0, 100), min_size=1, max_size=10, unique=True),
+)
+@_settings
+def test_rrf_fuse_bounds(spark, ids_a, ids_b):
+    """RRF scores are max-normalized into (0, 1] and cover the id
+    union of both legs."""
+    from mcp_vector_search_spark.operators.fusion import rrf_fuse
+
+    a = spark.createDataFrame(
+        [(i, r + 1) for r, i in enumerate(ids_a)], "doc_id long, rank long"
+    )
+    b = spark.createDataFrame(
+        [(i, r + 1) for r, i in enumerate(ids_b)], "doc_id long, rank long"
+    )
+    rows = rrf_fuse(a, b).collect()
+    assert {r["doc_id"] for r in rows} == set(ids_a) | set(ids_b)
+    assert all(0.0 < r["rrf_score"] <= 1.0 for r in rows)
+    assert any(r["rrf_score"] == 1.0 for r in rows)
+
+
+@given(st.lists(st.integers(0, 1000), min_size=0, max_size=40))
+@_settings
+def test_chunker_conserves_tokens(spark, xs):
+    """chunk_tokens partitions the token stream: n_tokens sums to the
+    doc's token count and chunk indexes are dense from 0."""
+    from mcp_vector_search_spark.sources.chunker import chunk_tokens
+
+    text = " ".join(f"w{x}" for x in xs)
+    df = spark.createDataFrame([(1, text, "s")], "doc_id long, text string, source string")
+    chunks = chunk_tokens(df, chunk_size=7).collect()
+    assert sum(c["n_tokens"] for c in chunks) == len(xs)
+    assert sorted(c["chunk_idx"] for c in chunks) == list(range(len(chunks)))
