@@ -81,3 +81,61 @@ def complexity_metrics(
         (F.lit(1) + branch_count).cast("long").alias("cyclomatic"),
         F.size(toks).cast("long").alias("token_count"),
     )
+
+
+def boundary_flag(line_col, language_col):
+    """Per-row chunk-boundary predicate for a mixed-language corpus:
+    a foldable-pattern `rlike` branch per registered language (13
+    branches, whole-stage-codegen friendly), dispatched on the file's
+    language column — the §2.11 parser-plugin registry as one column
+    expression. Unknown languages fall back to the text spec."""
+    from mcp_vector_search_spark.sources.parser_registry import (
+        for_language,
+        registered_languages,
+    )
+
+    expr = None
+    fallback = for_language("text").boundary_re
+    for lang in registered_languages():
+        spec = for_language(lang)
+        cond = language_col == lang
+        branch = line_col.rlike(spec.boundary_re)
+        expr = F.when(cond, branch) if expr is None else expr.when(cond, branch)
+    return expr.otherwise(line_col.rlike(fallback))
+
+
+def code_chunks_multilang(
+    sources: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    language_col: str = "language",
+) -> DataFrame:
+    """`code_chunks` for a corpus spanning the registered languages —
+    same running-sum window, boundary dispatched per row."""
+    lines = sources.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(language_col).alias("_lang"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    flagged = lines.withColumn(
+        "chunk_no",
+        F.sum(
+            F.when(boundary_flag(F.col("line"), F.col("_lang")), 1).otherwise(0)
+        ).over(w),
+    )
+    return (
+        flagged.groupBy("doc_id", "chunk_no")
+        .agg(
+            F.min_by("line", "pos").alias("_first"),
+            F.count("*").alias("n_lines"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                    lambda s: s.getField("line"),
+                ),
+                "\n",
+            ).alias("chunk_text"),
+        )
+        .drop("_first")
+    )

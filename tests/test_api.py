@@ -1,0 +1,103 @@
+"""§2.11 public API façade + parser registry + config surfaces."""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR
+
+
+def _project(spark):
+    from mcp_vector_search_spark import io
+    from mcp_vector_search_spark.api import SparkProject
+
+    return SparkProject(
+        spark,
+        io.table(spark, SF_DIR, "documents"),
+        io.table(spark, SF_DIR, "embeddings"),
+    )
+
+
+def test_api_search_surface(spark):
+    p = _project(spark)
+    hits = p.search_code("data query", limit=5).collect()
+    assert 0 < len(hits) <= 5
+    sim = p.search_similar(0, limit=3).collect()
+    assert len(sim) == 3 and all(r["vec_id"] != 0 for r in sim)
+
+
+def test_api_analytics_and_kg(spark):
+    from mcp_vector_search_spark.functions.text import tokenize
+
+    p = _project(spark)
+    assert p.get_project_status().count() > 0
+    assert p.analyze_project().count() > 0
+    toks = tokenize("text")
+    chunks = p.docs.select(
+        "doc_id",
+        "source",
+        F.get(toks, 0).alias("name"),
+        F.slice(toks, 2, 3).alias("calls"),
+    )
+    edges = p.kg_build(chunks)
+    assert set(edges.columns) == {"src", "dst"}
+    assert p.kg_stats().count() >= 0
+    first_edge = edges.orderBy("src").first()
+    if first_edge:
+        related = p.find_related(first_edge["src"], max_hops=1).collect()
+        assert any(r["id"] == first_edge["src"] for r in related)
+
+
+def test_parser_registry_dispatch(spark):
+    from mcp_vector_search_spark.sources.code_chunker import code_chunks_multilang
+    from mcp_vector_search_spark.sources.parser_registry import (
+        for_extension,
+        registered_languages,
+    )
+
+    assert len(registered_languages()) >= 13
+    assert for_extension(".py").language == "python"
+    assert for_extension("rs").language == "rust"
+    assert for_extension(".weird").language == "text"
+
+    rows = [
+        (1, "def a():\n  pass\ndef b():\n  pass", "python"),
+        (2, "func main() {\n}\nfunc helper() {\n}", "go"),
+        (3, "plain\nlines\nonly", "unknown-lang"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, language string")
+    got = {
+        (r["doc_id"], r["chunk_no"]): r["n_lines"]
+        for r in code_chunks_multilang(df).collect()
+    }
+    # python: two def-boundaries → chunks 1 and 2; go: two func chunks;
+    # unknown falls back to text spec (no boundaries → one chunk 0)
+    assert {k[0] for k in got} == {1, 2, 3}
+    assert max(c for d, c in got if d == 1) == 2
+    assert max(c for d, c in got if d == 2) == 2
+    assert set(c for d, c in got if d == 3) == {0}
+
+
+def test_config_surfaces(tmp_path):
+    from mcp_vector_search_spark.config import (
+        THRESHOLD_PRESETS,
+        load_custom_synonyms,
+        model_spec,
+        threshold_preset,
+    )
+
+    assert threshold_preset("strict") > threshold_preset("lenient")
+    assert set(THRESHOLD_PRESETS) == {"strict", "standard", "lenient"}
+    assert model_spec("all-MiniLM-L6-v2")["dim"] == 384
+
+    from mcp_vector_search_spark.functions.query import CODE_SYNONYMS
+
+    before = {k: list(v) for k, v in CODE_SYNONYMS.items()}
+    syn = tmp_path / "synonyms.json"
+    syn.write_text(json.dumps({"fetch": ["retrieve", "zz_custom"], "NEW": ["fresh"]}))
+    merged = load_custom_synonyms(str(syn))
+    assert "retrieve" in merged["fetch"] and "zz_custom" in merged["fetch"]
+    assert merged["new"] == ["fresh"]
+    assert {k: list(v) for k, v in CODE_SYNONYMS.items()} == before  # untouched
