@@ -374,6 +374,66 @@ def q_call_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return call_graph(_li_edges(spark, sf_dir), node)
 
 
+IVF_FIXED_CENTS = 16
+IVF_FIXED_PROBES = 4
+
+
+def q_ivf_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF *mechanism* with deterministic centroids (the first 16
+    vectors), fully oracle-checked: centroid assignment (max cosine,
+    round-9, tie → lower centroid id), per-query probe ranking, the
+    cluster-pruned candidate join, and the exact rerank are exactly
+    `ivf_topk_batch`'s stages. Only the MLlib KMeans *fit* (an
+    external solver, not our operator logic) stays outside SQL — the
+    real index keeps its rows-only + recall gate."""
+    from pyspark.sql.window import Window as W
+
+    from mcp_vector_search_spark.functions.vectors import l2_norm, unit_expr
+
+    emb = _emb(spark, sf_dir)
+    # norm materialized in its own projection (never inside the
+    # transform lambda — that re-evaluates it per element)
+    eu = (
+        emb.withColumn("_nrm", l2_norm(F.col("embedding")))
+        .select("vec_id", unit_expr(F.col("embedding"), F.col("_nrm")).alias("u"))
+    )
+    cents = (
+        eu.filter(F.col("vec_id") < IVF_FIXED_CENTS)
+        .select(F.col("vec_id").cast("int").alias("cluster_id"), F.col("u").alias("cu"))
+    )
+    from mcp_vector_search_spark.functions.vectors import dot as _dot
+
+    pair_sim = F.round(_dot(F.col("u"), F.col("cu")), 9)
+    aw = W.partitionBy("vec_id").orderBy(F.desc("_cs"), F.asc("cluster_id"))
+    assigned = (
+        eu.join(F.broadcast(cents))
+        .withColumn("_cs", pair_sim)
+        .withColumn("_rn", F.row_number().over(aw))
+        .filter(F.col("_rn") == 1)
+        .select("vec_id", "u", "cluster_id")
+    )
+    queries = eu.filter(F.col("vec_id") < BATCH_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("u").alias("uq")
+    )
+    pw = W.partitionBy("query_id").orderBy(F.desc("_qs"), F.asc("cluster_id"))
+    probes = (
+        queries.join(F.broadcast(cents))
+        .withColumn("_qs", F.round(_dot(F.col("uq"), F.col("cu")), 9))
+        .withColumn("_pr", F.row_number().over(pw))
+        .filter(F.col("_pr") <= IVF_FIXED_PROBES)
+        .select("query_id", "cluster_id", "uq")
+    )
+    cand_sim = F.round(_dot(F.col("u"), F.col("uq")), 6)
+    rw = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    return (
+        assigned.join(probes, "cluster_id")
+        .withColumn("cos_sim", cand_sim)
+        .withColumn("rn", F.row_number().over(rw))
+        .filter(F.col("rn") <= BATCH_K)
+        .select("query_id", "vec_id", "cos_sim", F.col("rn").cast("long").alias("rn"))
+    )
+
+
 def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KMeans-IVF ANN (rows-only check: the coarse quantizer is not
     SQL-reproducible; recall vs brute force is gated in
@@ -1539,6 +1599,38 @@ mcand AS MATERIALIZED (SELECT vec_id AS id, {_UDOT} AS rel, u FROM eu, qu
 SELECT s.id AS vec_id, c.rel AS cos_sim, s.mmr_rank::BIGINT AS mmr_rank
 FROM {_mmr_final} s JOIN mcand c USING (id)"""
 
+    # IVF mechanism with deterministic centroids: every ivf_topk_batch
+    # stage (assign → probe → pruned join → exact rerank) replayed in
+    # SQL; only the KMeans fit itself stays rows-only.
+    _IVF_DOT9 = (
+        "round(list_sum(list_transform(list_zip(u, cu),"
+        " p -> p[1]::DOUBLE * p[2]::DOUBLE)), 9)"
+    )
+    o["ivf_fixed"] = f"""
+WITH {_EU},
+fc AS (SELECT vec_id::INT AS cluster_id, u AS cu FROM eu
+       WHERE vec_id < {IVF_FIXED_CENTS}),
+fa AS (SELECT vec_id, u, cluster_id, row_number() OVER (
+         PARTITION BY vec_id ORDER BY cs DESC, cluster_id) AS rn
+       FROM (SELECT e.vec_id, e.u, c.cluster_id, {_IVF_DOT9} AS cs
+             FROM eu e, fc c)),
+fassigned AS (SELECT vec_id, u, cluster_id FROM fa WHERE rn = 1),
+fq AS (SELECT vec_id AS query_id, u AS uq FROM eu WHERE vec_id < {BATCH_QUERIES}),
+fp AS (SELECT query_id, cluster_id, uq, row_number() OVER (
+         PARTITION BY query_id ORDER BY qs DESC, cluster_id) AS pr
+       FROM (SELECT q.query_id, c.cluster_id, q.uq,
+                    round(list_sum(list_transform(list_zip(q.uq, c.cu),
+                          p -> p[1]::DOUBLE * p[2]::DOUBLE)), 9) AS qs
+             FROM fq q, fc c)),
+fprobes AS (SELECT query_id, cluster_id, uq FROM fp WHERE pr <= {IVF_FIXED_PROBES}),
+fcand AS (SELECT p.query_id, a.vec_id,
+                 round(list_sum(list_transform(list_zip(a.u, p.uq),
+                       p2 -> p2[1]::DOUBLE * p2[2]::DOUBLE)), 6) AS cos_sim
+          FROM fassigned a JOIN fprobes p USING (cluster_id)),
+fr AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                    ORDER BY cos_sim DESC, vec_id) AS rn FROM fcand)
+SELECT query_id, vec_id, cos_sim, rn::BIGINT AS rn FROM fr WHERE rn <= {BATCH_K}"""
+
     # §3.1 flagship pipeline end-to-end: every stage of full_search
     # replayed in SQL. Driver-side scalars (preprocess, variant
     # expansion, α routing, adaptive threshold) are CALLED here at
@@ -2042,6 +2134,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "unembedded": q_unembedded,
     "moved_docs": q_moved_docs,
     "ivf_topk": q_ivf_topk,
+    "ivf_fixed": q_ivf_fixed,
     "bm25_expanded": q_bm25_expanded,
     "kg_edges": q_kg_edges,
     "kg_related": q_kg_related,
