@@ -50,18 +50,32 @@ class SparkProject:
         qv = self.vectors.filter(F.col("vec_id") == doc_id).select(
             F.col("embedding").alias("query_vec")
         )
-        return knn_brute_force(self.vectors, qv, limit + 1).filter(
-            F.col("vec_id") != doc_id
+        # over-retrieve by one, drop self, re-cap: with tied duplicate
+        # vectors the target may not be inside the top limit+1, in
+        # which case the filter removes nothing and the cap matters
+        return (
+            knn_brute_force(self.vectors, qv, limit + 1)
+            .filter(F.col("vec_id") != doc_id)
+            .limit(limit)
         )
 
     def search_hybrid(
         self, query: str, query_vec: DataFrame, limit: int = 10, alpha: float = 0.7
     ) -> DataFrame:
-        """BM25 ⊕ vector RRF fusion (tool `search_hybrid`)."""
+        """BM25 ⊕ vector RRF fusion (tool `search_hybrid`). The query
+        is preprocessed like `search_code` — postings terms are
+        lowercase tokens, so raw-cased input would silently empty the
+        BM25 leg."""
+        from mcp_vector_search_spark.functions.query import preprocess_query
         from mcp_vector_search_spark.plans.hybrid import hybrid_search
 
         return hybrid_search(
-            self.docs, self.vectors, query.split(), query_vec, k=limit, alpha=alpha
+            self.docs,
+            self.vectors,
+            preprocess_query(query).split(),
+            query_vec,
+            k=limit,
+            alpha=alpha,
         )
 
     def search_context(

@@ -71,16 +71,20 @@ def minhash_signature(tokens: Column, num_hashes: int) -> Column:
 
 
 def band_keys(signature: Column, num_bands: int, rows_per_band: int) -> Column:
-    """LSH band keys: array of `band_idx || ':' || concat(sig rows)`.
+    """LSH band keys: array of `band_idx : sig_row : sig_row : ...`.
 
-    Two docs collide on a band iff all `rows_per_band` minhashes in that
-    band are equal — the standard banding amplification.
+    Two docs collide on a band iff all `rows_per_band` minhashes in
+    that band are equal — the standard banding amplification. The ':'
+    separator between MEMBERS matters: signature members are
+    variable-length decimal longs, and delimiter-free concatenation
+    would alias e.g. (12, 345) with (123, 45) into one bucket.
     """
     keys = []
     for b in range(num_bands):
-        parts = [F.lit(f"{b}:")] + [
-            F.element_at(signature, b * rows_per_band + r + 1) for r in range(rows_per_band)
-        ]
+        parts: list[Column] = [F.lit(f"{b}")]
+        for r in range(rows_per_band):
+            parts.append(F.lit(":"))
+            parts.append(F.element_at(signature, b * rows_per_band + r + 1))
         keys.append(F.concat(*parts))
     return F.array(*keys)
 

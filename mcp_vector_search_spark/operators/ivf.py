@@ -120,7 +120,10 @@ def ivf_topk_batch(
     )
     probes = (
         q.join(F.broadcast(centroids))
-        .withColumn("_csim", cosine_sim(F.col("_uq"), F.col("centroid")))
+        # round-9 probe ranking: keeps cluster selection identical
+        # across this path, the vectorized path, and the SQL oracle
+        # when centroid sims differ only by float-summation noise
+        .withColumn("_csim", F.round(cosine_sim(F.col("_uq"), F.col("centroid")), 9))
         .withColumn("_pr", F.row_number().over(probe_rank))
         .filter(F.col("_pr") <= nprobes)
         .select(query_id_col, "cluster_id", "_uq")
@@ -203,18 +206,20 @@ def ivf_topk_batch_np(
     import numpy as np
     import pandas as pd
 
+    from mcp_vector_search_spark.operators.topk import _partial_topk, _safe_norms
+
     qpd = queries.select(query_id_col, query_vec_col).toPandas()
     Q = np.stack(qpd[query_vec_col].to_numpy()).astype(np.float64)
-    Q /= np.linalg.norm(Q, axis=1, keepdims=True)
+    Q /= _safe_norms(Q)
     qids = qpd[query_id_col].to_numpy()
 
     cpd = centroids.orderBy("cluster_id").toPandas()
     C = np.stack(cpd["centroid"].to_numpy()).astype(np.float64)
-    Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+    Cn = C / _safe_norms(C)
     cids = cpd["cluster_id"].to_numpy()
-    # rank clusters per query by centroid similarity (ties → lower id,
-    # matching the window in ivf_topk_batch)
-    csim = Q @ Cn.T  # (nq, nc)
+    # rank clusters per query by round-9 centroid similarity (ties →
+    # lower id), matching the rounded window in ivf_topk_batch
+    csim = np.round(Q @ Cn.T, 9)  # (nq, nc)
     order = np.lexsort((np.broadcast_to(cids, csim.shape), -csim), axis=1)
     probe_sets = order[:, :nprobes]  # (nq, nprobes) — indices into cids
     cluster_to_q: dict[int, list[int]] = {}
@@ -236,12 +241,12 @@ def ivf_topk_batch_np(
             ).astype({query_id_col: "int64", id_col: "int64", "cos_sim": "float64"})
         V = np.stack(pdf[score_col].to_numpy()).astype(np.float64)
         if not has_unit:
-            V /= np.linalg.norm(V, axis=1, keepdims=True)
+            V /= _safe_norms(V)
         S = np.round(V @ Q[qidx].T, round_to)  # (b, nqq)
         b, nqq = S.shape
         vids = pdf[id_col].to_numpy()
         if b > keep:
-            idx = np.argpartition(-S, keep - 1, axis=0)[:keep]
+            idx = _partial_topk(S, vids, keep)
         else:
             idx = np.tile(np.arange(b)[:, None], (1, nqq))
         rows = idx.shape[0]

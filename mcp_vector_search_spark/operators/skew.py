@@ -37,6 +37,10 @@ def salted_join(
     many *distinct* rows sharing a key. Result is column-identical to
     the plain join (pytest-gated).
     """
+    if how not in ("inner", "left", "left_outer", "left_semi", "left_anti"):
+        # dim rows are replicated n_salts×, so join modes that emit
+        # unmatched DIM rows (right/full) would duplicate them
+        raise ValueError(f"salted_join does not support how={how!r}")
     fact_s = fact.withColumn(
         _SALT, F.pmod(F.xxhash64(*[F.col(c) for c in fact.columns]), F.lit(n_salts))
     )

@@ -102,6 +102,37 @@ def rank_by(df: DataFrame, score_col: str, id_col: str, rank_col: str = "rank") 
     return df.withColumn(rank_col, F.row_number().over(w))
 
 
+def _safe_norms(M):
+    """Row norms with zero mapped to 1 — a zero vector stays the zero
+    vector (cosine 0 to everything), the same semantics `unit_expr`
+    gives the DataFrame paths; bare division would NaN-poison the
+    scores and rank the zero vector FIRST under DESC NaN ordering."""
+    import numpy as np
+
+    n = np.linalg.norm(M, axis=1, keepdims=True)
+    n[n == 0] = 1.0
+    return n
+
+
+def _partial_topk(S, vids, keep: int):
+    """Per-column top-`keep` row indexes of score matrix S, matching
+    the exact path's (score DESC, id ASC) order at the cutoff: the
+    cheap argpartition is score-only, so columns where a non-kept row
+    ties the boundary score fall back to an exact lexsort — rare, but
+    without it a batch of >keep identical vectors could drop the
+    lowest ids the exact path would return."""
+    import numpy as np
+
+    idx = np.argpartition(-S, keep - 1, axis=0)[:keep]
+    kept_scores = np.take_along_axis(S, idx, axis=0)
+    kth = kept_scores.min(axis=0)  # boundary score per column
+    n_tied_total = (S == kth[None, :]).sum(axis=0)
+    n_tied_kept = (kept_scores == kth[None, :]).sum(axis=0)
+    for j in np.nonzero(n_tied_total != n_tied_kept)[0]:
+        idx[:, j] = np.lexsort((vids, -S[:, j]))[:keep]
+    return idx
+
+
 def topk_per_query_np(
     vectors: DataFrame,
     queries: DataFrame,
@@ -134,7 +165,7 @@ def topk_per_query_np(
 
     qpd = queries.select(query_id_col, query_vec_col).toPandas()
     Q = np.stack(qpd[query_vec_col].to_numpy()).astype(np.float64)
-    Q /= np.linalg.norm(Q, axis=1, keepdims=True)
+    Q /= _safe_norms(Q)
     qids = qpd[query_id_col].to_numpy()
     nq = len(qids)
     keep = min(k * batch_buffer, 1 << 20)
@@ -142,12 +173,12 @@ def topk_per_query_np(
     def score(batches):
         for pdf in batches:
             V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
-            V /= np.linalg.norm(V, axis=1, keepdims=True)
+            V /= _safe_norms(V)
             S = np.round(V @ Q.T, round_to)  # (b, nq)
             b = S.shape[0]
             vids = pdf[id_col].to_numpy()
             if b > keep:
-                idx = np.argpartition(-S, keep - 1, axis=0)[:keep]  # (keep, nq)
+                idx = _partial_topk(S, vids, keep)  # (keep, nq)
             else:
                 idx = np.tile(np.arange(b)[:, None], (1, nq))
             rows = idx.shape[0]

@@ -158,8 +158,10 @@ def _band_keys_sql() -> str:
     rpb = MINHASH["num_hashes"] // nb
     keys = []
     for b in range(nb):
-        elems = " || ".join(f"sig[{b * rpb + r + 1}]" for r in range(rpb))
-        keys.append(f"'{b}:' || {elems}")
+        # ':'-separated members — variable-length longs would alias
+        # buckets if concatenated bare (mirrors hashing.band_keys)
+        elems = " || ".join(f"':' || sig[{b * rpb + r + 1}]" for r in range(rpb))
+        keys.append(f"'{b}' || {elems}")
     return "[" + ", ".join(keys) + "]"
 
 

@@ -124,18 +124,13 @@ def code_chunks_multilang(
             F.when(boundary_flag(F.col("line"), F.col("_lang")), 1).otherwise(0)
         ).over(w),
     )
-    return (
-        flagged.groupBy("doc_id", "chunk_no")
-        .agg(
-            F.min_by("line", "pos").alias("_first"),
-            F.count("*").alias("n_lines"),
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "line"))),
-                    lambda s: s.getField("line"),
-                ),
-                "\n",
-            ).alias("chunk_text"),
-        )
-        .drop("_first")
+    return flagged.groupBy("doc_id", "chunk_no").agg(
+        F.count("*").alias("n_lines"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s.getField("line"),
+            ),
+            "\n",
+        ).alias("chunk_text"),
     )

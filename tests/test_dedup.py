@@ -44,3 +44,20 @@ def test_neighbor_jaccard_sparse_ids(spark):
     got = {(r.doc_a, r.doc_b): r.jaccard for r in neighbor_jaccard(df, window=2).collect()}
     assert got[(10, 20)] == 1.0
     assert got[(10, 30)] == 0.0 and got[(20, 30)] == 0.0
+
+
+def test_band_keys_no_aliasing(spark):
+    """Variable-length long members must not alias buckets: (12,345)
+    and (123,45) concatenate identically without the separator."""
+    from pyspark.sql import functions as F
+
+    from mcp_vector_search_spark.functions.hashing import band_keys
+
+    df = spark.createDataFrame(
+        [(1, [12, 345]), (2, [123, 45])], "i long, sig array<long>"
+    )
+    keys = {
+        r["i"]: r["bk"]
+        for r in df.select("i", band_keys(F.col("sig"), 1, 2).alias("bk")).collect()
+    }
+    assert keys[1] != keys[2]

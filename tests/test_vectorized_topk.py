@@ -53,3 +53,24 @@ def test_ivf_np_matches_hof(spark):
     }
     assert a == b
     assert len(a) == 8 * 5
+
+
+def test_np_kernel_zero_vector_parity(spark):
+    """A zero-norm corpus vector must rank LAST (cos 0), not first
+    (NaN), in the vectorized path — same as unit_expr's semantics."""
+    from pyspark.sql import functions as F
+
+    from mcp_vector_search_spark.operators.topk import (
+        topk_per_query,
+        topk_per_query_np,
+    )
+
+    rows = [(0, [1.0, 0.0]), (1, [0.9, 0.1]), (2, [0.0, 0.0]), (3, [0.5, 0.5])]
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = spark.createDataFrame(
+        [(100, [1.0, 0.0])], "query_id long, query_vec array<double>"
+    )
+    a = [(r.vec_id, r.cos_sim, r.rn) for r in topk_per_query(vecs, q, 4).orderBy("rn").collect()]
+    b = [(r.vec_id, r.cos_sim, r.rn) for r in topk_per_query_np(vecs, q, 4).orderBy("rn").collect()]
+    assert a == b
+    assert a[-1][0] == 2 and a[-1][1] == 0.0  # zero vector last, score 0
