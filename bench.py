@@ -143,6 +143,44 @@ def main():
         per_query["bm25_query_indexed_warm"] = round(time.time() - t0, 3)
     total += per_query["bm25_query_indexed"]
 
+    # co-located join layout: the same join+agg with and without the
+    # pre-shuffled bucket layout (write cost reported separately, like
+    # the other index builds)
+    import uuid
+
+    from mcp_vector_search_spark.io import write_bucketed
+
+    old_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").select(
+        "l_orderkey", "l_quantity"
+    )
+    od = spark.read.parquet(f"{SF_DIR}/orders.parquet").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_custkey"
+    )
+
+    def _join_agg(a, b):
+        a.join(b, "l_orderkey").groupBy("o_custkey").agg(
+            F.sum("l_quantity")
+        ).write.format("noop").mode("overwrite").save()
+
+    t0 = time.time()
+    _join_agg(li, od)
+    per_query["join_shuffled"] = round(time.time() - t0, 3)
+    lt, rt = f"bench_bli_{uuid.uuid4().hex[:6]}", f"bench_bod_{uuid.uuid4().hex[:6]}"
+    try:
+        t0 = time.time()
+        write_bucketed(li, lt, ["l_orderkey"], 16, ["l_orderkey"])
+        write_bucketed(od, rt, ["l_orderkey"], 16, ["l_orderkey"])
+        per_query["bucketed_layout_build"] = round(time.time() - t0, 3)
+        t0 = time.time()
+        _join_agg(spark.table(lt), spark.table(rt))
+        per_query["join_bucketed"] = round(time.time() - t0, 3)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {lt}")
+        spark.sql(f"DROP TABLE IF EXISTS {rt}")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_bc)
+
     # amortized per-query serving latency for the BASELINE comparison
     # (single-query online latency is out of Spark's scope; batch
     # scoring throughput is the comparable metric)

@@ -112,3 +112,21 @@ def start_incremental_index(
     else:
         writer = writer.trigger(processingTime="2 seconds")
     return writer.start()
+
+
+def streaming_dedup(changes: DataFrame, watermark_delay: str = "10 minutes") -> DataFrame:
+    """Streaming exact-dedup: content fingerprints deduped within the
+    watermark horizon (`dropDuplicatesWithinWatermark` — state is
+    bounded by event time, unlike a plain dropDuplicates whose state
+    grows forever). The batch analog is `exact_duplicates`; this is
+    the arrival-stream half of the training-data dedup surface: docs
+    whose fingerprint already streamed by within the horizon are
+    suppressed at ingest.
+
+    `changes` must carry (doc_id, text, ts TIMESTAMP).
+    """
+    fp = changes.withColumn("fingerprint", doc_fingerprint("text"))
+    return (
+        fp.withWatermark("ts", watermark_delay)
+        .dropDuplicatesWithinWatermark(["fingerprint"])
+    )
