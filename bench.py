@@ -183,12 +183,26 @@ def main():
 
     # amortized per-query serving latency for the BASELINE comparison
     # (single-query online latency is out of Spark's scope; batch
-    # scoring throughput is the comparable metric)
+    # scoring throughput is the comparable metric). The 1024-query
+    # batch is the throughput-representative point — fixed job
+    # overhead amortizes across the batch, which is exactly how this
+    # engine would serve query sets on a cluster.
+    q1024 = emb.filter(F.col("vec_id") < 1024).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    t0 = time.time()
+    topk_per_query_np(emb, q1024, 10).write.format("noop").mode("overwrite").save()
+    per_query["ann_brute_q1024_np"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    ivf_topk_batch_np(
+        assigned, centroids, q1024, 10, nprobes=BENCH_NPROBES
+    ).write.format("noop").mode("overwrite").save()
+    per_query["ann_ivf_q1024_np"] = round(time.time() - t0, 3)
     per_query["ann_brute_ms_per_query"] = round(
-        per_query["ann_brute_q256_np"] * 1000 / 256, 2
+        per_query["ann_brute_q1024_np"] * 1000 / 1024, 2
     )
     per_query["ann_ivf_ms_per_query"] = round(
-        per_query["ann_ivf_q256_np"] * 1000 / 256, 2
+        per_query["ann_ivf_q1024_np"] * 1000 / 1024, 2
     )
 
     sf = SF_DIR.rstrip("/").split("sf")[-1]
