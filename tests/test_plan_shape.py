@@ -37,3 +37,39 @@ def test_bm25_no_cartesian(spark):
     docs = io.table(spark, SF_DIR, "documents")
     plan = _plan(bm25_topk(docs, ["data", "fast"], 10))
     assert "CartesianProduct" not in plan
+
+
+def test_blame_range_join_no_cartesian(spark):
+    """J13: the file equi-key must make the range join a hash/merge
+    join, never a cartesian product."""
+    from mcp_vector_search_spark.registry import q_blame_ranges
+
+    plan = _plan(q_blame_ranges(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_kg_boost_broadcasts_matched_nodes(spark):
+    """J9: the name-filtered node set is tiny and must broadcast; the
+    boost is a projection, not another aggregation over hits."""
+    from mcp_vector_search_spark.registry import q_kg_boost
+
+    plan = _plan(q_kg_boost(spark, SF_DIR))
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_vectorized_topk_shuffles_candidates_only(spark):
+    """The np kernel's shuffle input is the mapInPandas candidate
+    stream (O(batches·nq·k)), never the |V|×|Q| cross product — the
+    plan has exactly one exchange (the rank window) above the Python
+    stage."""
+    from mcp_vector_search_spark.operators.topk import topk_per_query_np
+
+    emb = io.table(spark, SF_DIR, "embeddings")
+    q = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    plan = _plan(topk_per_query_np(emb, q, 5))
+    assert "MapInPandas" in plan
+    assert "Join" not in plan  # scoring happens in the kernel, not a join
