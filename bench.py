@@ -151,24 +151,24 @@ def main():
     from mcp_vector_search_spark.io import write_bucketed
 
     old_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").select(
-        "l_orderkey", "l_quantity"
-    )
-    od = spark.read.parquet(f"{SF_DIR}/orders.parquet").select(
-        F.col("o_orderkey").alias("l_orderkey"), "o_custkey"
-    )
-
-    def _join_agg(a, b):
-        a.join(b, "l_orderkey").groupBy("o_custkey").agg(
-            F.sum("l_quantity")
-        ).write.format("noop").mode("overwrite").save()
-
-    t0 = time.time()
-    _join_agg(li, od)
-    per_query["join_shuffled"] = round(time.time() - t0, 3)
     lt, rt = f"bench_bli_{uuid.uuid4().hex[:6]}", f"bench_bod_{uuid.uuid4().hex[:6]}"
     try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").select(
+            "l_orderkey", "l_quantity"
+        )
+        od = spark.read.parquet(f"{SF_DIR}/orders.parquet").select(
+            F.col("o_orderkey").alias("l_orderkey"), "o_custkey"
+        )
+
+        def _join_agg(a, b):
+            a.join(b, "l_orderkey").groupBy("o_custkey").agg(
+                F.sum("l_quantity")
+            ).write.format("noop").mode("overwrite").save()
+
+        t0 = time.time()
+        _join_agg(li, od)
+        per_query["join_shuffled"] = round(time.time() - t0, 3)
         t0 = time.time()
         write_bucketed(li, lt, ["l_orderkey"], 16, ["l_orderkey"])
         write_bucketed(od, rt, ["l_orderkey"], 16, ["l_orderkey"])
@@ -189,7 +189,8 @@ def main():
     # engine would serve query sets on a cluster.
     q1024 = emb.filter(F.col("vec_id") < 1024).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
-    )
+    ).cache()
+    n_q1024 = q1024.count()  # < 1024 at small SFs — divide by the real size
     t0 = time.time()
     topk_per_query_np(emb, q1024, 10).write.format("noop").mode("overwrite").save()
     per_query["ann_brute_q1024_np"] = round(time.time() - t0, 3)
@@ -199,10 +200,10 @@ def main():
     ).write.format("noop").mode("overwrite").save()
     per_query["ann_ivf_q1024_np"] = round(time.time() - t0, 3)
     per_query["ann_brute_ms_per_query"] = round(
-        per_query["ann_brute_q1024_np"] * 1000 / 1024, 2
+        per_query["ann_brute_q1024_np"] * 1000 / n_q1024, 2
     )
     per_query["ann_ivf_ms_per_query"] = round(
-        per_query["ann_ivf_q1024_np"] * 1000 / 1024, 2
+        per_query["ann_ivf_q1024_np"] * 1000 / n_q1024, 2
     )
 
     sf = SF_DIR.rstrip("/").split("sf")[-1]

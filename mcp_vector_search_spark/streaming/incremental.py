@@ -123,9 +123,13 @@ def streaming_dedup(changes: DataFrame, watermark_delay: str = "10 minutes") -> 
     whose fingerprint already streamed by within the horizon are
     suppressed at ingest.
 
-    `changes` must carry (doc_id, text, ts TIMESTAMP).
+    `changes` must carry (doc_id, text, ts TIMESTAMP). Corrupt rows
+    (null text/ts) are filtered first — distinct corrupt records would
+    otherwise collapse onto one NULL fingerprint and suppress each
+    other (same guard the batch path applies in process_batch).
     """
-    fp = changes.withColumn("fingerprint", doc_fingerprint("text"))
+    clean = changes.filter(F.col("text").isNotNull() & F.col("ts").isNotNull())
+    fp = clean.withColumn("fingerprint", doc_fingerprint("text"))
     return (
         fp.withWatermark("ts", watermark_delay)
         .dropDuplicatesWithinWatermark(["fingerprint"])

@@ -73,3 +73,9 @@ def test_vectorized_topk_shuffles_candidates_only(spark):
     plan = _plan(topk_per_query_np(emb, q, 5))
     assert "MapInPandas" in plan
     assert "Join" not in plan  # scoring happens in the kernel, not a join
+    # exactly one exchange node: the rank-window shuffle above the
+    # kernel (formatted plans print each node in both the tree and the
+    # detail section — count detail headers)
+    import re
+
+    assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 1, plan

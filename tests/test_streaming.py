@@ -64,8 +64,6 @@ def test_incremental_stream_end_to_end(spark, tmp_path):
 def test_streaming_dedup(spark, tmp_path):
     """Duplicate content arriving within the watermark horizon is
     suppressed; distinct content passes."""
-    import json as _json
-
     from mcp_vector_search_spark.streaming.incremental import streaming_dedup
 
     input_dir = str(tmp_path / "din")
