@@ -66,6 +66,24 @@ def register_temp_views(spark: SparkSession, sf_dir: str) -> None:
         table(spark, sf_dir, name).createOrReplaceTempView(name)
 
 
+def atomic_swap_dir(tmp: str, path: str) -> None:
+    """Crash-safe directory swap (ST5 atomic rebuild): the previous
+    table is renamed aside before the staged one moves in, so a reader
+    (or a restart) at any intermediate point finds either the old or
+    the new table — never an empty path. rmtree-then-rename had a
+    window where a crash left only `<path>.tmp` on disk."""
+    import shutil
+
+    old = path + ".old"
+    if os.path.exists(old):
+        shutil.rmtree(old)
+    if os.path.exists(path):
+        os.rename(path, old)
+    os.rename(tmp, path)
+    if os.path.exists(old):
+        shutil.rmtree(old)
+
+
 def upsert_parquet(
     spark: SparkSession, updates: DataFrame, path: str, key_cols: list[str]
 ) -> None:
@@ -75,9 +93,6 @@ def upsert_parquet(
     everything else kept, staged to `<path>.tmp` and swapped (the
     reference's atomic-rebuild pattern, ST5). On Delta this whole
     function is one MERGE."""
-    import os
-    import shutil
-
     if os.path.exists(path):
         existing = spark.read.parquet(path)
         kept = existing.join(updates.select(*key_cols), key_cols, "left_anti")
@@ -86,9 +101,7 @@ def upsert_parquet(
         merged = updates
     tmp = path + ".tmp"
     merged.write.mode("overwrite").parquet(tmp)
-    if os.path.exists(path):
-        shutil.rmtree(path)
-    os.rename(tmp, path)
+    atomic_swap_dir(tmp, path)
 
 
 def export_results(df: DataFrame, path: str, fmt: str = "json") -> None:

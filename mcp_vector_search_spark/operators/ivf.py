@@ -236,9 +236,14 @@ def ivf_topk_batch_np(
         cid = int(pdf["cluster_id"].iloc[0])
         qidx = cluster_to_q_np.get(cid)
         if qidx is None:
+            # empty slices keep the input id dtypes (long or string)
             return pd.DataFrame(
-                {query_id_col: [], id_col: [], "cos_sim": []}
-            ).astype({query_id_col: "int64", id_col: "int64", "cos_sim": "float64"})
+                {
+                    query_id_col: qids[:0],
+                    id_col: pdf[id_col].to_numpy()[:0],
+                    "cos_sim": np.empty(0, dtype=np.float64),
+                }
+            )
         V = np.stack(pdf[score_col].to_numpy()).astype(np.float64)
         if not has_unit:
             V /= _safe_norms(V)
@@ -258,10 +263,16 @@ def ivf_topk_batch_np(
             }
         )
 
+    from mcp_vector_search_spark.operators.topk import id_type
+
     cand = (
         assigned.select("cluster_id", id_col, score_col)
         .groupBy("cluster_id")
-        .applyInPandas(per_cluster, f"{query_id_col} long, {id_col} long, cos_sim double")
+        .applyInPandas(
+            per_cluster,
+            f"{query_id_col} {id_type(queries, query_id_col)}, "
+            f"{id_col} {id_type(assigned, id_col)}, cos_sim double",
+        )
     )
     w = Window.partitionBy(query_id_col).orderBy(F.desc("cos_sim"), F.asc(id_col))
     return (

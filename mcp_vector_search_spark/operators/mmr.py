@@ -80,7 +80,9 @@ def mmr_diversify(
         out["mmr_rank"] = range(1, len(chosen) + 1)
         yield out
 
-    schema = f"{id_col} long, {score_col} double, mmr_rank int"
+    from mcp_vector_search_spark.operators.topk import id_type
+
+    schema = f"{id_col} {id_type(candidates, id_col)}, {score_col} double, mmr_rank int"
     return candidates.select(id_col, score_col, vec_col).coalesce(1).mapInPandas(
         run, schema=schema
     )

@@ -102,6 +102,13 @@ def rank_by(df: DataFrame, score_col: str, id_col: str, rank_col: str = "rank") 
     return df.withColumn(rank_col, F.row_number().over(w))
 
 
+def id_type(df: DataFrame, col: str) -> str:
+    """DDL type string of an id column, so the Arrow-kernel output
+    schemas inherit whatever id type the input carries (long vec_ids,
+    16-hex chunk_id strings, …) instead of hardcoding `long`."""
+    return df.schema[col].dataType.simpleString()
+
+
 def _safe_norms(M):
     """Row norms with zero mapped to 1 — a zero vector stays the zero
     vector (cosine 0 to everything), the same semantics `unit_expr`
@@ -191,7 +198,9 @@ def topk_per_query_np(
             )
 
     cand = vectors.select(id_col, vec_col).mapInPandas(
-        score, f"{query_id_col} long, {id_col} long, cos_sim double"
+        score,
+        f"{query_id_col} {id_type(queries, query_id_col)}, "
+        f"{id_col} {id_type(vectors, id_col)}, cos_sim double",
     )
     w = Window.partitionBy(query_id_col).orderBy(F.desc("cos_sim"), F.asc(id_col))
     return (

@@ -22,12 +22,12 @@ State layout: `<state_dir>/state.parquet` holds (doc_id, fingerprint);
 from __future__ import annotations
 
 import os
-import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from mcp_vector_search_spark.functions.text import doc_fingerprint
+from mcp_vector_search_spark.io import atomic_swap_dir
 from mcp_vector_search_spark.operators.incremental import changed_or_new
 from mcp_vector_search_spark.sources.chunker import chunk_tokens
 
@@ -49,19 +49,37 @@ def read_state(spark: SparkSession, state_dir: str) -> DataFrame:
     return spark.createDataFrame([], "doc_id long, fingerprint string")
 
 
-def process_batch(spark: SparkSession, batch: DataFrame, state_dir: str) -> int:
+def process_batch(
+    spark: SparkSession,
+    batch: DataFrame,
+    state_dir: str,
+    batch_id: int | None = None,
+) -> int:
     """One incremental round: fingerprint → anti-join against indexed
-    state → chunk only the delta → append chunks, swap state atomically.
+    state → chunk only the delta → write chunks, swap state atomically.
     Returns the number of changed/new docs (0 ⇒ no writes at all)."""
     # corrupt/partial records (permissive JSON parse yields null ids)
     # must not enter the index
     batch = batch.filter(F.col("doc_id").isNotNull() & F.col("text").isNotNull())
     docs = batch.withColumn("fingerprint", doc_fingerprint("text"))
-    # late-arriving duplicates within one batch: keep the last delivery
-    docs = docs.groupBy("doc_id").agg(
-        F.max_by("text", "source").alias("text"),
-        F.max("source").alias("source"),
-        F.max_by("fingerprint", "source").alias("fingerprint"),
+    # Late-arriving duplicates within one batch: keep the latest
+    # delivery as ONE whole row — text/source/fingerprint must come
+    # from the same record or the persisted fingerprint would not match
+    # the chunked text. Arrival order is the file modification time when
+    # the stream provides it (`_arrival_ts`); ties (and the plain batch
+    # path) fall back to a deterministic (source, fingerprint) order.
+    order_cols = ["source", "fingerprint"]
+    if "_arrival_ts" in docs.columns:
+        order_cols = ["_arrival_ts", *order_cols]
+    docs = (
+        docs.groupBy("doc_id")
+        .agg(
+            F.max_by(
+                F.struct("text", "source", "fingerprint"),
+                F.struct(*order_cols),
+            ).alias("r")
+        )
+        .select("doc_id", "r.text", "r.source", "r.fingerprint")
     )
     indexed = read_state(spark, state_dir)
     delta = changed_or_new(docs, indexed).cache()
@@ -70,8 +88,21 @@ def process_batch(spark: SparkSession, batch: DataFrame, state_dir: str) -> int:
         delta.unpersist()
         return 0
 
+    # Chunk write is keyed by the foreachBatch batch_id: a replayed
+    # micro-batch dynamically overwrites its own partition instead of
+    # appending duplicate chunk rows (plain append otherwise broke the
+    # replay-idempotency claim).
     chunks = chunk_tokens(delta)
-    chunks.write.mode("append").parquet(_chunks_path(state_dir))
+    if batch_id is not None:
+        (
+            chunks.withColumn("batch_id", F.lit(int(batch_id)))
+            .write.partitionBy("batch_id")
+            .option("partitionOverwriteMode", "dynamic")
+            .mode("overwrite")
+            .parquet(_chunks_path(state_dir))
+        )
+    else:
+        chunks.write.mode("append").parquet(_chunks_path(state_dir))
 
     # new state = old rows for unchanged ids + delta rows (upsert),
     # staged then swapped — the ST5 atomic-rebuild pattern
@@ -81,10 +112,7 @@ def process_batch(spark: SparkSession, batch: DataFrame, state_dir: str) -> int:
     )
     tmp = _state_path(state_dir) + ".tmp"
     new_state.write.mode("overwrite").parquet(tmp)
-    final = _state_path(state_dir)
-    if os.path.exists(final):
-        shutil.rmtree(final)
-    os.rename(tmp, final)
+    atomic_swap_dir(tmp, _state_path(state_dir))
     delta.unpersist()
     return n
 
@@ -101,9 +129,14 @@ def start_incremental_index(
     the deterministic test/backfill mode; a live deployment uses a
     processingTime trigger (the reference's 2s debounce)."""
     stream = spark.readStream.schema(DOC_SCHEMA).json(input_dir)
+    # file-source metadata gives a real arrival order for the
+    # keep-the-last-delivery collapse in process_batch
+    stream = stream.withColumn(
+        "_arrival_ts", F.col("_metadata.file_modification_time")
+    )
     writer = (
         stream.writeStream.foreachBatch(
-            lambda batch, _id: process_batch(spark, batch, state_dir)
+            lambda batch, bid: process_batch(spark, batch, state_dir, batch_id=bid)
         )
         .option("checkpointLocation", checkpoint_dir)
     )

@@ -98,3 +98,51 @@ def test_streaming_dedup(spark, tmp_path):
     assert len(fps) == 2 and len(set(fps)) == 2
     assert {r["doc_id"] for r in rows} <= {1, 2, 3}
     assert 3 in {r["doc_id"] for r in rows}
+
+
+def test_process_batch_replay_and_tie_coherence(spark, tmp_path):
+    """Replaying the same micro-batch (same batch_id) must not
+    duplicate chunk rows, and intra-batch redeliveries of one doc_id
+    must keep text and fingerprint from the SAME winning row."""
+    from mcp_vector_search_spark.functions.text import doc_fingerprint
+    from mcp_vector_search_spark.streaming.incremental import (
+        process_batch,
+        read_state,
+    )
+
+    state_dir = str(tmp_path / "state")
+    os.makedirs(state_dir)
+    batch = spark.createDataFrame(
+        [
+            (1, "first delivery words", "a.txt"),
+            (1, "second delivery other words", "a.txt"),  # same source: tie
+            (2, "unique text", "b.txt"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    n = process_batch(spark, batch, state_dir, batch_id=0)
+    assert n == 2
+    # simulate a crash AFTER the chunk write but BEFORE the state swap:
+    # wipe the committed state, then replay the identical micro-batch —
+    # the batch_id partition is overwritten in place, not appended
+    import shutil
+
+    import pyspark.sql.functions as F
+
+    shutil.rmtree(os.path.join(state_dir, "state.parquet"))
+    n2 = process_batch(spark, batch, state_dir, batch_id=0)
+    assert n2 == 2
+    chunks = spark.read.parquet(os.path.join(state_dir, "chunks.parquet"))
+    assert chunks.filter(F.col("doc_id") == 1).count() == 1
+    assert chunks.count() == 2
+    # fingerprint in state matches the fingerprint of the winning text
+    state = read_state(spark, state_dir)
+    winner = chunks.filter(F.col("doc_id") == 1).collect()[0]
+    fp = {r.doc_id: r.fingerprint for r in state.collect()}
+    recomputed = (
+        spark.createDataFrame([(winner.chunk_text,)], "text string")
+        .select(doc_fingerprint("text").alias("fp"))
+        .collect()[0]
+        .fp
+    )
+    assert fp[1] == recomputed
