@@ -32,15 +32,41 @@ class SparkProject:
         self.vectors = vectors
         self.chunk_meta = chunk_meta
         self._kg_edges: DataFrame | None = None
+        self._bm25_index: tuple[DataFrame, DataFrame, DataFrame] | None = None
+        self._ivf_layout: tuple[DataFrame, DataFrame] | None = None
 
     # ---------------------------------------------------------- search
 
-    def search_code(self, query: str, limit: int = 10) -> DataFrame:
-        """BM25 keyword search (tool `search_code`)."""
-        from mcp_vector_search_spark.functions.query import preprocess_query
-        from mcp_vector_search_spark.operators.bm25 import bm25_topk
+    def _bm25(self) -> tuple[DataFrame, DataFrame, DataFrame]:
+        """Memoized in-session BM25 index: ONE tokenize pass over the
+        corpus (cached postings/doc-stats/idf), every subsequent query
+        scores against it — the reference's prebuilt-BM25Okapi serving
+        shape. For a standing corpus, `write_bm25_index` persists the
+        same three frames (K3)."""
+        if self._bm25_index is None:
+            from mcp_vector_search_spark.operators.bm25 import (
+                build_postings,
+                build_term_stats,
+                doc_stats_from_postings,
+            )
 
-        return bm25_topk(self.docs, preprocess_query(query).split(), limit)
+            postings = build_postings(self.docs).cache()
+            stats = doc_stats_from_postings(postings).cache()
+            terms = build_term_stats(postings, stats).cache()
+            self._bm25_index = (postings, stats, terms)
+        return self._bm25_index
+
+    def search_code(self, query: str, limit: int = 10) -> DataFrame:
+        """BM25 keyword search (tool `search_code`) against the
+        memoized index — repeated queries never re-tokenize."""
+        from mcp_vector_search_spark.functions.query import preprocess_query
+        from mcp_vector_search_spark.operators.bm25 import bm25_scores
+
+        postings, stats, terms = self._bm25()
+        scored = bm25_scores(
+            postings, stats, preprocess_query(query).split(), term_stats=terms
+        )
+        return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(limit)
 
     def search_similar(self, doc_id: int, limit: int = 10) -> DataFrame:
         """Nearest neighbors of an indexed document (tool
@@ -58,6 +84,30 @@ class SparkProject:
             .filter(F.col("vec_id") != doc_id)
             .limit(limit)
         )
+
+    def build_ann_index(self, num_clusters: int | None = None) -> None:
+        """Build + memoize the KMeans-IVF layout so `search_batch`
+        prunes clusters instead of scanning the corpus per query."""
+        from mcp_vector_search_spark.operators.ivf import ivf_build
+
+        kwargs = {} if num_clusters is None else {"num_clusters": num_clusters}
+        assigned, centroids = ivf_build(self.vectors, **kwargs)
+        self._ivf_layout = (assigned.cache(), centroids)
+
+    def search_batch(self, queries: DataFrame, limit: int = 10) -> DataFrame:
+        """Batch ANN (tool batch search): always the Arrow-vectorized
+        kernels — per-batch numpy matmul with partial top-k, so the
+        shuffle carries O(batches·|Q|·k) rows, never |Q|×|V| scored
+        pairs (the round-2 perf-weak HOF path is oracle-only now).
+        With an IVF layout built, scoring additionally prunes to the
+        probed clusters."""
+        from mcp_vector_search_spark.operators.ivf import ivf_topk_batch_np
+        from mcp_vector_search_spark.operators.topk import topk_per_query_np
+
+        if self._ivf_layout is not None:
+            assigned, centroids = self._ivf_layout
+            return ivf_topk_batch_np(assigned, centroids, queries, limit)
+        return topk_per_query_np(self.vectors, queries, limit)
 
     def search_hybrid(
         self, query: str, query_vec: DataFrame, limit: int = 10, alpha: float = 0.7

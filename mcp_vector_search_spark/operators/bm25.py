@@ -192,23 +192,35 @@ def bm25_topk(
     id_col: str = "doc_id",
     text_col: str = "text",
     min_score: float | None = None,
+    cache_index: bool = True,
 ) -> DataFrame:
-    """End-to-end BM25 top-k over a raw document table (builds the
-    postings inline; production path persists them — K3).
+    """End-to-end BM25 top-k over a raw document table.
 
     `min_score=0.0` reproduces the reference's zero-score filter (P5,
     ``bm25_backend.py:187`` keeps only score > 0); default keeps every
     doc matching ≥1 query term, BM25Okapi-style.
+
+    With `cache_index` (default) the postings/doc-stats/idf frames are
+    cached: the scoring plan references postings from three branches,
+    and without a materialization each branch re-tokenizes the corpus
+    — three full passes, the scale-killer flagged in round 2 (measured
+    at sf0.1: 6.5 s → 4.9 s cold, ~1.0 s warm). Spark's CacheManager
+    dedupes by canonicalized plan, so repeated calls over the same
+    docs frame (hybrid legs, expanded variants) share ONE cached
+    build. (A localCheckpoint here measured worse — it destroys the
+    query-term pruning on the scoring branch.) The persisted-index
+    path (`write_bm25_index` / `bm25_topk_indexed`) remains the K3
+    production path for a standing corpus.
     """
-    # The scoring plan references postings from several branches; each
-    # re-derives from the scan, but the query-term branch prunes BEFORE
-    # its shuffle, which a forced materialization would destroy
-    # (measured: localCheckpoint here costs +30%). The persisted-index
-    # path (write_bm25_index / bm25_topk_indexed) is the real fix for
-    # repeated queries.
     postings = build_postings(docs, id_col, text_col)
+    if cache_index:
+        postings = postings.cache()
     stats = doc_stats_from_postings(postings)
-    scored = bm25_scores(postings, stats, query_terms)
+    term_stats = build_term_stats(postings, stats)
+    if cache_index:
+        stats = stats.cache()
+        term_stats = term_stats.cache()
+    scored = bm25_scores(postings, stats, query_terms, term_stats=term_stats)
     if min_score is not None:
         scored = scored.filter(F.col("score") > min_score)
     return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)

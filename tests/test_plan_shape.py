@@ -79,3 +79,53 @@ def test_vectorized_topk_shuffles_candidates_only(spark):
     import re
 
     assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 1, plan
+
+
+def test_api_search_batch_uses_np_kernel(spark):
+    """VERDICT r2 #5: the façade's batch search must land on the
+    vectorized partial-top-k kernel (MapInPandas, no scored-pair join),
+    never the |Q|×|V| HOF path."""
+    from mcp_vector_search_spark.api import SparkProject
+
+    emb = io.table(spark, SF_DIR, "embeddings")
+    proj = SparkProject(spark, io.table(spark, SF_DIR, "documents"), emb)
+    q = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    plan = _plan(proj.search_batch(q, 5))
+    assert "MapInPandas" in plan
+    assert "Join" not in plan
+
+    # with an ANN index built, the kernel runs per-cluster (grouped
+    # FlatMapGroupsInPandas) — still no scored-pair join
+    proj.build_ann_index(num_clusters=4)
+    plan2 = _plan(proj.search_batch(q, 5))
+    assert "FlatMapGroupsInPandas" in plan2
+    assert "CartesianProduct" not in plan2
+
+
+def test_bm25_topk_single_tokenize_pass(spark):
+    """VERDICT r2 #1 (perf-weak): the inline BM25 plan must reference
+    ONE cached postings build, not re-tokenize the corpus in three
+    branches. The cached InMemoryRelation carries the tokenize; every
+    other branch reads the InMemoryTableScan."""
+    from mcp_vector_search_spark.operators.bm25 import bm25_topk
+
+    docs = io.table(spark, SF_DIR, "documents")
+    import re
+
+    def distinct_parquet_scans(df) -> set[str]:
+        return set(re.findall(r"^\((\d+)\) Scan parquet", _plan(df), re.M))
+
+    df = bm25_topk(docs, ["data", "fast"], 10)
+    df.limit(1).count()  # materialize the caches
+    plan = _plan(df)
+    assert "InMemoryTableScan" in plan
+    # exactly ONE distinct corpus scan: the cached postings build.
+    # (The uncached variant re-derives postings per branch — three
+    # distinct parquet scans.)
+    assert len(distinct_parquet_scans(df)) == 1, plan
+    # (No uncached comparison here: once the postings cache exists,
+    # CacheManager substitutes it into ANY canonical-equal plan — even
+    # a cache_index=False build — which is precisely the dedupe
+    # property the fix relies on.)
