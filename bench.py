@@ -65,6 +65,18 @@ def main():
         per_query[name] = round(dt, 3)
         total += dt
 
+    # repeated-query serving against the now-materialized postings
+    # cache (the first bm25_topk call built it): what any query after
+    # the first costs in a session
+    from mcp_vector_search_spark.operators.bm25 import bm25_topk as _bm25_topk
+
+    docs_w = warm_io.table(spark, SF_DIR, "documents")
+    t0 = time.time()
+    _bm25_topk(docs_w, ["window", "merge"], 20).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    per_query["bm25_topk_warm"] = round(time.time() - t0, 3)
+
     # ANN: brute-force vs IVF on the same 256-query batch (BASELINE's
     # 4.9× ANN-speedup metric, measured as batch scoring throughput).
     from pyspark.sql import functions as F
@@ -180,6 +192,81 @@ def main():
         spark.sql(f"DROP TABLE IF EXISTS {lt}")
         spark.sql(f"DROP TABLE IF EXISTS {rt}")
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_bc)
+
+    # --- ANN above the IVF activation threshold -------------------------
+    # sf0.1's 2,000 vectors sit below ANN_ACTIVATION_MIN_ROWS (4,096),
+    # so the small-corpus numbers above are overhead-dominated and brute
+    # "wins". This section measures the crossover the IVF design exists
+    # for: the corpus deterministically inflated ×64 (each vector gets
+    # 63 tightly-perturbed variants — the clustered structure real
+    # embedding corpora have), then brute vs IVF at the reference's
+    # published nprobes=20 over 128 clusters.
+    INFLATE = 64
+    variants = F.broadcast(
+        spark.range(INFLATE).select(F.col("id").cast("int").alias("variant"))
+    )
+
+    def _perturb(x, i):
+        # deterministic per-(vector, variant, dim) offset; variant 0 is
+        # the original so every query's exact site exists in the corpus
+        wob = F.sin(F.col("variant") * 131.0 + F.col("vec_id") * 17.0 + i)
+        return x + F.when(F.col("variant") == 0, F.lit(0.0)).otherwise(0.02 * wob)
+
+    big = (
+        emb.select("vec_id", "embedding")
+        .crossJoin(variants)
+        .withColumn("pert", F.transform("embedding", _perturb))
+        .select(
+            (F.col("vec_id") * INFLATE + F.col("variant")).cast("long").alias("vec_id"),
+            F.col("pert").alias("embedding"),
+        )
+        .cache()
+    )
+    n_big = big.count()
+    per_query["ann_big_n_vectors"] = n_big
+    big_q = big.filter((F.col("vec_id") % INFLATE == 0) & (F.col("vec_id") % 7 == 0)).limit(
+        256
+    ).select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")).cache()
+    n_big_q = big_q.count()
+    t0 = time.time()
+    topk_per_query_np(big, big_q, 10).write.format("noop").mode("overwrite").save()
+    per_query["ann_big_brute_sec"] = round(time.time() - t0, 3)
+    per_query["ann_big_brute_ms_per_query"] = round(
+        per_query["ann_big_brute_sec"] * 1000 / n_big_q, 2
+    )
+    t0 = time.time()
+    big_assigned, big_cents = ivf_build(big, num_clusters=128)
+    # serving layout: hash-partitioned by cluster_id (on disk this is
+    # the partitioned-parquet layout ivf_build is designed for), so the
+    # per-batch grouped scoring needs NO exchange — the plan reuses the
+    # existing partitioning
+    big_assigned = big_assigned.repartition("cluster_id").cache()
+    big_assigned.count()
+    per_query["ann_big_ivf_build_sec"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    ivf_topk_batch_np(big_assigned, big_cents, big_q, 10, nprobes=20).write.format(
+        "noop"
+    ).mode("overwrite").save()
+    per_query["ann_big_ivf_sec"] = round(time.time() - t0, 3)
+    per_query["ann_big_ivf_ms_per_query"] = round(
+        per_query["ann_big_ivf_sec"] * 1000 / n_big_q, 2
+    )
+    big_sample = big_q.limit(32)
+    big_truth = {
+        (r.query_id, r.vec_id)
+        for r in topk_per_query_np(big, big_sample, 10).collect()
+    }
+    big_approx = {
+        (r.query_id, r.vec_id)
+        for r in ivf_topk_batch_np(
+            big_assigned, big_cents, big_sample, 10, nprobes=20
+        ).collect()
+    }
+    per_query["ann_big_recall_at_10"] = round(
+        len(big_truth & big_approx) / max(len(big_truth), 1), 4
+    )
+    big.unpersist()
+    big_assigned.unpersist()
 
     # amortized per-query serving latency for the BASELINE comparison
     # (single-query online latency is out of Spark's scope; batch

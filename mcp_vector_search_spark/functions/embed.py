@@ -58,30 +58,51 @@ def fake_embed_expr(text: Column | str, dim: int = DEFAULT_DIM) -> Column:
     )
 
 
+def load_sentence_transformer(model_name: str):
+    """Guarded real-model loader: returns a SentenceTransformer when
+    the library (and weights) are available, else None — the swap-in is
+    one config value (reference model registry, ``core/embeddings.py:
+    108-283``; default all-MiniLM-L6-v2)."""
+    try:
+        from sentence_transformers import SentenceTransformer
+
+        return SentenceTransformer(model_name)
+    except Exception:
+        return None
+
+
 def embed_batch(
     docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     dim: int = DEFAULT_DIM,
+    model_name: str | None = None,
 ) -> DataFrame:
     """(id, embedding) via Arrow-batched mapInPandas — the production
-    inference shape. Values are identical to `fake_embed_expr`."""
+    inference shape. With `model_name` set and sentence-transformers
+    importable, each python worker loads the model ONCE and encodes
+    Arrow batches; otherwise (this container) the deterministic fake
+    runs through the identical plumbing, so values match
+    `fake_embed_expr` and stay oracle-checkable."""
     import pandas as pd
 
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
-        # a real model would be loaded HERE, once per worker
+        model = load_sentence_transformer(model_name) if model_name else None
         for pdf in batches:
-            yield pd.DataFrame(
-                {
-                    id_col: pdf[id_col],
-                    "embedding": pdf[text_col].map(
-                        lambda t: [_fake_dim(t, i) for i in range(dim)]
-                    ),
-                }
-            )
+            if model is not None:
+                vecs = model.encode(
+                    pdf[text_col].tolist(), batch_size=64, show_progress_bar=False
+                )
+                emb = [[float(x) for x in v] for v in vecs]
+            else:
+                emb = pdf[text_col].map(
+                    lambda t: [_fake_dim(t, i) for i in range(dim)]
+                )
+            yield pd.DataFrame({id_col: pdf[id_col], "embedding": emb})
 
+    id_type = docs.schema[id_col].dataType.simpleString()
     return docs.select(id_col, text_col).mapInPandas(
-        run, schema=f"{id_col} long, embedding array<double>"
+        run, schema=f"{id_col} {id_type}, embedding array<double>"
     )
 
 

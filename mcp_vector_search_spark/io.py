@@ -102,16 +102,112 @@ def upsert_parquet(
     tmp = path + ".tmp"
     merged.write.mode("overwrite").parquet(tmp)
     atomic_swap_dir(tmp, path)
+    write_schema_version(path)
 
 
-def export_results(df: DataFrame, path: str, fmt: str = "json") -> None:
-    """K5 export sink (reference JSON/CSV/Markdown exporters,
-    ``cli/export.py``). Distributed write; coalesce upstream if a
-    single file is required."""
+# ---------------------------------------------------------------- schema versioning
+
+SCHEMA_VERSION = 1
+
+
+def _version_marker(path: str) -> str:
+    # underscore prefix: Spark's parquet reader ignores the file
+    return os.path.join(path, "_schema_version.json")
+
+
+def write_schema_version(path: str, version: int = SCHEMA_VERSION) -> None:
+    """Stamp a table directory with its schema version (reference
+    ``core/schema.py:17-78`` schema_version property)."""
+    import json
+
+    with open(_version_marker(path), "w") as f:
+        json.dump({"schema_version": version}, f)
+
+
+def read_schema_version(path: str) -> int | None:
+    import json
+
+    marker = _version_marker(path)
+    if not os.path.exists(marker):
+        return None
+    with open(marker) as f:
+        return json.load(f).get("schema_version")
+
+
+def check_schema_version(path: str, expected: int = SCHEMA_VERSION) -> bool:
+    """False ⇒ the caller must rebuild the table (the reference resets
+    the index on version mismatch, ``vectors_backend.py:182-215``); a
+    missing marker counts as current (pre-versioning tables)."""
+    found = read_schema_version(path)
+    return found is None or found == expected
+
+
+def read_evolved(spark: SparkSession, path: str, target_schema) -> DataFrame:
+    """Additive schema evolution (reference ``core/schema.py``):
+    columns in `target_schema` missing on disk come back as typed
+    nulls, extra on-disk columns are dropped, column order follows the
+    target. `target_schema` is a StructType or DDL string."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StructType, _parse_datatype_string
+
+    if isinstance(target_schema, str):
+        target_schema = _parse_datatype_string(target_schema)
+    assert isinstance(target_schema, StructType)
+    df = spark.read.parquet(path)
+    have = set(df.columns)
+    cols = [
+        F.col(f.name) if f.name in have else F.lit(None).cast(f.dataType).alias(f.name)
+        for f in target_schema.fields
+    ]
+    return df.select(*cols)
+
+
+def export_results(df: DataFrame, path: str, fmt: str = "json", max_rows: int = 1000) -> None:
+    """K5 export sink (reference JSON/CSV/Markdown/D3 exporters,
+    ``cli/export.py``, ``cli/commands/visualize/exporters/``).
+
+    json/csv are distributed writes (coalesce upstream for one file).
+    md renders a Markdown table, d3 renders force-graph JSON
+    ({nodes, links} from (src, dst[, weight]) rows) — both driver-side
+    over at most `max_rows` collected rows, matching the reference's
+    report renderers which format top-N results, never corpora.
+    """
     if fmt == "json":
         df.write.mode("overwrite").json(path)
     elif fmt == "csv":
         df.write.mode("overwrite").option("header", True).csv(path)
+    elif fmt == "md":
+        rows = df.limit(max_rows).collect()
+        cols = df.columns
+        lines = [
+            "| " + " | ".join(cols) + " |",
+            "| " + " | ".join("---" for _ in cols) + " |",
+        ]
+        for r in rows:
+            lines.append(
+                "| " + " | ".join("" if v is None else str(v) for v in r) + " |"
+            )
+        with open(path, "w") as f:
+            f.write("\n".join(lines) + "\n")
+    elif fmt == "d3":
+        import json
+
+        assert {"src", "dst"} <= set(df.columns), "d3 export needs (src, dst[, weight])"
+        rows = df.limit(max_rows).collect()
+        nodes = sorted({r["src"] for r in rows} | {r["dst"] for r in rows})
+        payload = {
+            "nodes": [{"id": n} for n in nodes],
+            "links": [
+                {
+                    "source": r["src"],
+                    "target": r["dst"],
+                    "value": r["weight"] if "weight" in df.columns else 1,
+                }
+                for r in rows
+            ],
+        }
+        with open(path, "w") as f:
+            json.dump(payload, f)
     else:
         raise ValueError(f"unsupported export format {fmt!r}")
 

@@ -32,22 +32,57 @@ from mcp_vector_search_spark.operators.mmr import mmr_diversify
 from mcp_vector_search_spark.plans.hybrid import hybrid_search
 
 
+def load_cross_encoder(model_name: str):
+    """Guarded loader: a sentence-transformers CrossEncoder when the
+    library is available, else None (reference ``core/reranker.py:
+    22-174``, default ms-marco-MiniLM)."""
+    try:
+        from sentence_transformers import CrossEncoder
+
+        return CrossEncoder(model_name)
+    except Exception:
+        return None
+
+
 def cross_encoder_rescore(
     candidates: DataFrame,
     query: str,
     score_col: str = "rescored",
     content_col: str = "content",
+    model_name: str | None = None,
 ) -> DataFrame:
-    """F12 stand-in: a deterministic pairwise relevance signal
-    (query-token overlap rate), sigmoid-normalized and averaged with
-    the incoming score — same staging as the reference's
-    ms-marco cross-encoder (``core/reranker.py:22-174``), swap in a
-    pandas-UDF model call for production."""
+    """F12 rerank stage. With `model_name` set and sentence-transformers
+    importable, (query, content) pairs are scored by a real
+    cross-encoder over Arrow batches (model loaded once per worker);
+    otherwise a deterministic pairwise signal (query-token overlap
+    rate) runs through the same staging — sigmoid-normalized and
+    averaged with the incoming score, so the oracle stays exact in
+    this container and the swap-in is one config value."""
     from mcp_vector_search_spark.functions.text import tokenize
 
     q_terms = [t for t in query.lower().split() if t]
     if not q_terms:
         return candidates.withColumn("ce_score", F.col(score_col))
+
+    if model_name is not None and load_cross_encoder(model_name) is not None:
+        import pandas as pd
+        from pyspark.sql.types import DoubleType
+
+        out_schema = candidates.schema.add("ce_score", DoubleType())
+
+        def rerank(batches):
+            model = load_cross_encoder(model_name)
+            for pdf in batches:
+                raw = model.predict(
+                    [(query, c) for c in pdf[content_col].tolist()]
+                )
+                sig = 1.0 / (1.0 + pd.Series(raw).map(lambda x: __import__("math").exp(-x)))
+                pdf = pdf.copy()
+                pdf["ce_score"] = ((sig + pdf[score_col]) / 2.0).round(6)
+                yield pdf
+
+        return candidates.mapInPandas(rerank, out_schema)
+
     toks = tokenize(content_col)
     overlap = F.size(F.array_intersect(F.array_distinct(toks), F.array(*[F.lit(t) for t in q_terms])))
     raw = overlap.cast("double") / len(q_terms)
