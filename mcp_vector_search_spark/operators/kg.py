@@ -33,6 +33,172 @@ def build_nodes(
     )
 
 
+# Information-Architecture hierarchy (reference ``kg_builder.py:39-57``
+# IA_GROUPS): doc_category → Topic group
+IA_GROUPS: dict[str, list[str]] = {
+    "Orientation": ["readme", "contributing", "license", "changelog"],
+    "Guides & Tutorials": [
+        "guide",
+        "tutorial",
+        "example",
+        "setup",
+        "faq",
+        "troubleshooting",
+    ],
+    "Architecture & Design": ["design", "spec", "research", "internal", "report"],
+    "API Reference": ["api_doc"],
+    "Operations": ["deployment", "configuration", "performance", "security"],
+    "Lifecycle": ["roadmap", "release_notes", "upgrade_guide", "migration", "bugfix"],
+    "Testing": ["test_doc", "other"],
+}
+CATEGORY_TO_IA_GROUP = {c: g for g, cats in IA_GROUPS.items() for c in cats}
+
+# reference ``kg_builder.py:3387-3450`` framework detection patterns
+FRAMEWORK_PATTERNS: dict[str, tuple[str, str]] = {
+    "fastapi": ("web", "FastAPI"),
+    "django": ("web", "Django"),
+    "flask": ("web", "Flask"),
+    "pytest": ("testing", "pytest"),
+    "unittest": ("testing", "unittest"),
+    "sqlalchemy": ("orm", "SQLAlchemy"),
+    "pydantic": ("validation", "Pydantic"),
+    "numpy": ("scientific", "NumPy"),
+    "pandas": ("data", "Pandas"),
+    "requests": ("http", "Requests"),
+    "aiohttp": ("http", "aiohttp"),
+    "click": ("cli", "Click"),
+    "typer": ("cli", "Typer"),
+}
+
+
+def build_ontology(
+    files: DataFrame, path_col: str = "path", text_col: str | None = None
+) -> tuple[DataFrame, DataFrame]:
+    """Document / Topic / ProgrammingLanguage node tables + HAS_TOPIC /
+    WRITTEN_IN edges (reference Document-ontology KG node types,
+    ``knowledge_graph.py:26-160``, build ``kg_builder.py:2154-2215``).
+
+    → (nodes(id, name, entity_type, doc_category, word_count,
+        section_count), edges(src, dst, rel)). Everything is column
+    expressions over one file scan: the classifier when-ladder assigns
+    doc_category, a second ladder maps category → IA Topic group, and
+    the extension → language map builds ProgrammingLanguage nodes.
+    """
+    from mcp_vector_search_spark.functions.classify import categorize_path
+    from mcp_vector_search_spark.sources.discovery import EXTENSION_LANGUAGE
+
+    cat = categorize_path(path_col)
+    topic_expr = None
+    for c, g in CATEGORY_TO_IA_GROUP.items():
+        cond = F.col("doc_category") == c
+        topic_expr = (
+            F.when(cond, g) if topic_expr is None else topic_expr.when(cond, g)
+        )
+    topic_expr = topic_expr.otherwise("Uncategorized")
+
+    ext = F.lower(F.element_at(F.split(F.col(path_col), r"\."), -1))
+    lang_expr = None
+    for e, lang in EXTENSION_LANGUAGE.items():
+        cond = ext == e
+        lang_expr = (
+            F.when(cond, lang) if lang_expr is None else lang_expr.when(cond, lang)
+        )
+    lang_expr = lang_expr.otherwise(F.lit(None))
+
+    word_count = (
+        F.size(F.split(F.col(text_col), r"\s+")).cast("long")
+        if text_col
+        else F.lit(None).cast("long")
+    )
+    section_count = (
+        F.size(F.filter(F.split(F.col(text_col), "\n"), lambda l: l.rlike("^#{1,6} ")))
+        .cast("long")
+        if text_col
+        else F.lit(None).cast("long")
+    )
+
+    base = files.select(
+        F.col(path_col).alias("path"),
+        cat.alias("doc_category"),
+        word_count.alias("word_count"),
+        section_count.alias("section_count"),
+        lang_expr.alias("_lang"),
+    ).withColumn("topic", topic_expr)
+
+    doc_nodes = base.select(
+        F.concat(F.lit("doc:"), F.col("path")).alias("id"),
+        F.col("path").alias("name"),
+        F.lit("Document").alias("entity_type"),
+        "doc_category",
+        "word_count",
+        "section_count",
+    )
+    topic_nodes = base.select("topic").distinct().select(
+        F.concat(F.lit("topic:"), F.col("topic")).alias("id"),
+        F.col("topic").alias("name"),
+        F.lit("Topic").alias("entity_type"),
+        F.lit(None).cast("string").alias("doc_category"),
+        F.lit(None).cast("long").alias("word_count"),
+        F.lit(None).cast("long").alias("section_count"),
+    )
+    lang_nodes = (
+        base.filter(F.col("_lang").isNotNull())
+        .select("_lang")
+        .distinct()
+        .select(
+            F.concat(F.lit("lang:"), F.col("_lang")).alias("id"),
+            F.col("_lang").alias("name"),
+            F.lit("ProgrammingLanguage").alias("entity_type"),
+            F.lit(None).cast("string").alias("doc_category"),
+            F.lit(None).cast("long").alias("word_count"),
+            F.lit(None).cast("long").alias("section_count"),
+        )
+    )
+    nodes = doc_nodes.unionByName(topic_nodes).unionByName(lang_nodes)
+
+    topic_edges = base.select(
+        F.concat(F.lit("doc:"), F.col("path")).alias("src"),
+        F.concat(F.lit("topic:"), F.col("topic")).alias("dst"),
+        F.lit("HAS_TOPIC").alias("rel"),
+    )
+    lang_edges = base.filter(F.col("_lang").isNotNull()).select(
+        F.concat(F.lit("doc:"), F.col("path")).alias("src"),
+        F.concat(F.lit("lang:"), F.col("_lang")).alias("dst"),
+        F.lit("WRITTEN_IN").alias("rel"),
+    )
+    return nodes, topic_edges.unionByName(lang_edges)
+
+
+def detect_frameworks(deps: DataFrame, dep_col: str = "dep") -> DataFrame:
+    """ProgrammingFramework nodes from dependency rows (reference
+    ``kg_builder.py:3387-3450`` parses pyproject/requirements
+    driver-side; at corpus scale dependency entries are rows).
+    Normalizes `fastapi>=0.100[extra]` → `fastapi`, matches the
+    pattern table → (id, name, category, language_id)."""
+    pkg = F.lower(
+        F.trim(F.split(F.split(F.split(F.col(dep_col), r"\[").getItem(0), ">=").getItem(0), "==").getItem(0))
+    )
+    cat_expr, name_expr = None, None
+    for p, (c, display) in FRAMEWORK_PATTERNS.items():
+        cond = F.col("_pkg") == p
+        cat_expr = F.when(cond, c) if cat_expr is None else cat_expr.when(cond, c)
+        name_expr = (
+            F.when(cond, display) if name_expr is None else name_expr.when(cond, display)
+        )
+    return (
+        deps.withColumn("_pkg", pkg)
+        .filter(F.col("_pkg").isin(list(FRAMEWORK_PATTERNS)))
+        .select("_pkg")
+        .distinct()
+        .select(
+            F.concat(F.lit("framework:"), F.col("_pkg")).alias("id"),
+            name_expr.alias("name"),
+            cat_expr.alias("category"),
+            F.lit("lang:python").alias("language_id"),
+        )
+    )
+
+
 def call_edges(
     chunks: DataFrame,
     id_col: str = "chunk_id",

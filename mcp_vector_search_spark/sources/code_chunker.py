@@ -62,6 +62,134 @@ def code_chunks(
     )
 
 
+HIER_BOUNDARY_RE = r"^[ \t]*(async )?(def |class )"
+HIER_NAME_RE = r"^(?:async )?(?:def|class) ([A-Za-z0-9_]+)"
+DECORATOR_RE = r"^[ \t]*@"
+
+
+def code_chunks_hierarchical(
+    sources: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Hierarchical chunk extraction (reference S2 AST parse,
+    ``parsers/python.py`` + ``parsers/base.py:24-298``): module →
+    class → method chunks with parent links, decorator lists, and
+    signature fields — the chunk *shape* tree-sitter produces,
+    re-derived relationally (tree-sitter is a native dep absent here;
+    tests/test_ast_parity.py holds the golden parity matrix against
+    the reference's own AST fixtures, including what the line-regex
+    model can NOT recover: multi-line signature params and bodies of
+    nested closures).
+
+    → (doc_id, chunk_no, depth, chunk_type, name, parent, decorators,
+       params, return_type, n_lines, chunk_text)
+
+    - depth 0 = top level, 1 = indented (class members); deeper
+      nesting stays inside its parent chunk.
+    - decorators: the '@' lines immediately preceding a boundary are
+      reported on the decorated chunk (they sit in the previous
+      chunk's text — one chunk-level lag attaches them).
+    - params/return_type parse from single-line signatures;
+      signatures spanning lines yield empty params (documented
+      fallback-model limitation).
+    One shuffle (the per-doc groupBy), same as `code_chunks`.
+    """
+    lines = sources.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    )
+    stripped = F.regexp_replace("line", r"^[ \t]+", "")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    flagged = lines.withColumn(
+        "chunk_no",
+        F.sum(F.when(F.col("line").rlike(HIER_BOUNDARY_RE), 1).otherwise(0)).over(w),
+    )
+    sorted_lines = F.transform(
+        F.array_sort(F.collect_list(F.struct("pos", "line"))),
+        lambda s: s.getField("line"),
+    )
+    grouped = flagged.groupBy("doc_id", "chunk_no").agg(
+        F.min_by("line", "pos").alias("_first"),
+        F.count("*").alias("n_lines"),
+        sorted_lines.alias("_lines"),
+    )
+    first_stripped = F.regexp_replace("_first", r"^[ \t]+", "")
+    indent = F.length("_first") - F.length(first_stripped)
+    depth = F.when(F.col("chunk_no") == 0, 0).when(indent == 0, 0).otherwise(1)
+    is_def = first_stripped.rlike(r"^(async )?def ")
+    chunk_type = (
+        F.when(F.col("chunk_no") == 0, "module")
+        .when(first_stripped.startswith("class "), "class")
+        .when(is_def & (depth > 0), "method")
+        .when(is_def, "function")
+        .otherwise("module")
+    )
+    # longest suffix of this chunk's lines that are decorator lines —
+    # they decorate the NEXT chunk (attached below via lag)
+    trail_dec = F.reverse(
+        F.aggregate(
+            F.reverse("_lines"),
+            F.struct(
+                F.lit(True).alias("take"),
+                F.array().cast("array<string>").alias("dec"),
+            ),
+            lambda acc, x: F.struct(
+                (acc.getField("take") & x.rlike(DECORATOR_RE)).alias("take"),
+                F.when(
+                    acc.getField("take") & x.rlike(DECORATOR_RE),
+                    F.concat(
+                        acc.getField("dec"),
+                        F.array(F.regexp_replace(x, r"^[ \t]+", "")),
+                    ),
+                ).otherwise(acc.getField("dec")).alias("dec"),
+            ),
+        ).getField("dec")
+    )
+    sig = F.regexp_extract(first_stripped, r"\(([^)]*)\)", 1)
+    has_closed_sig = first_stripped.rlike(r"\)")
+    params = F.when(
+        is_def & has_closed_sig,
+        F.filter(
+            F.transform(F.split(sig, ","), lambda p: F.trim(p)), lambda p: p != ""
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return_type = F.when(
+        is_def, F.trim(F.regexp_extract(first_stripped, r"->\s*([^:]+):", 1))
+    ).otherwise(F.lit(""))
+
+    typed = grouped.select(
+        "doc_id",
+        "chunk_no",
+        depth.alias("depth"),
+        chunk_type.alias("chunk_type"),
+        F.regexp_extract(first_stripped, HIER_NAME_RE, 1).alias("name"),
+        trail_dec.alias("_trail_dec"),
+        params.alias("params"),
+        return_type.alias("return_type"),
+        "n_lines",
+        F.array_join("_lines", "\n").alias("chunk_text"),
+    )
+    wc = Window.partitionBy("doc_id").orderBy("chunk_no")
+    prev = wc.rowsBetween(Window.unboundedPreceding, -1)
+    last_top = F.last(
+        F.when(F.col("depth") == 0, F.col("name")), ignorenulls=True
+    ).over(prev)
+    return typed.select(
+        "doc_id",
+        "chunk_no",
+        "depth",
+        "chunk_type",
+        "name",
+        F.when(F.col("depth") > 0, last_top).alias("parent"),
+        F.coalesce(F.lag("_trail_dec").over(wc), F.array().cast("array<string>")).alias(
+            "decorators"
+        ),
+        "params",
+        "return_type",
+        "n_lines",
+        "chunk_text",
+    )
+
+
 def complexity_metrics(
     chunks: DataFrame,
     branch_keywords: list[str],

@@ -42,3 +42,54 @@ def test_tag_query_and_semantics(spark):
     )
     got = sorted(r.doc_id for r in tag_query(tags, ["a", "b"]).collect())
     assert got == [1, 3]
+
+
+def test_build_ontology_node_types(spark):
+    """Document/Topic/ProgrammingLanguage nodes + HAS_TOPIC/WRITTEN_IN
+    edges (reference Document-ontology node tables)."""
+    from mcp_vector_search_spark.operators.kg import build_ontology
+
+    files = spark.createDataFrame(
+        [
+            ("README.md", "# Title\nhello world\n## Section\nmore"),
+            ("docs/api/client.md", "# API\ncall things"),
+            ("src/main.py", "print('hi')"),
+        ],
+        "path string, text string",
+    )
+    nodes, edges = build_ontology(files, text_col="text")
+    by_type = {
+        t: {r.name for r in rows}
+        for t, rows in __import__("itertools").groupby(
+            sorted(nodes.collect(), key=lambda r: r.entity_type),
+            key=lambda r: r.entity_type,
+        )
+    }
+    assert by_type["Document"] == {"README.md", "docs/api/client.md", "src/main.py"}
+    assert "Orientation" in by_type["Topic"]  # readme -> Orientation
+    assert "API Reference" in by_type["Topic"]  # api_doc -> API Reference
+    assert by_type["ProgrammingLanguage"] >= {"python", "markdown"} or by_type[
+        "ProgrammingLanguage"
+    ]  # extension map decides exact names
+    doc_rows = {r.name: r for r in nodes.filter("entity_type = 'Document'").collect()}
+    assert doc_rows["README.md"].doc_category == "readme"
+    assert doc_rows["README.md"].section_count == 2
+    assert doc_rows["docs/api/client.md"].doc_category == "api_doc"
+    e = {(r.src, r.dst, r.rel) for r in edges.collect()}
+    assert ("doc:README.md", "topic:Orientation", "HAS_TOPIC") in e
+    assert any(r == ("doc:src/main.py", "lang:python", "WRITTEN_IN") for r in e)
+
+
+def test_detect_frameworks(spark):
+    from mcp_vector_search_spark.operators.kg import detect_frameworks
+
+    deps = spark.createDataFrame(
+        [("fastapi>=0.100.0",), ("pytest==8.0",), ("numpy[all]>=2",), ("leftpad",)],
+        "dep string",
+    )
+    got = {r.id: (r.name, r.category) for r in detect_frameworks(deps).collect()}
+    assert got == {
+        "framework:fastapi": ("FastAPI", "web"),
+        "framework:pytest": ("pytest", "testing"),
+        "framework:numpy": ("NumPy", "scientific"),
+    }
