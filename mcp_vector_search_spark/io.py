@@ -162,6 +162,35 @@ def read_evolved(spark: SparkSession, path: str, target_schema) -> DataFrame:
     return df.select(*cols)
 
 
+def upsert_delta(
+    spark: SparkSession, updates: DataFrame, path: str, key_cols: list[str]
+) -> str:
+    """K1/K2 upsert as a real Delta MERGE when delta-spark is
+    importable (one `MERGE INTO ... WHEN MATCHED UPDATE WHEN NOT
+    MATCHED INSERT` — ACID, no staged swap needed); falls back to
+    `upsert_parquet` otherwise. Returns which path ran ('delta' |
+    'parquet') so callers/tests can see the dispatch."""
+    try:
+        from delta.tables import DeltaTable  # noqa: F401
+
+        if DeltaTable.isDeltaTable(spark, path):
+            cond = " AND ".join(f"t.{k} = s.{k}" for k in key_cols)
+            (
+                DeltaTable.forPath(spark, path)
+                .alias("t")
+                .merge(updates.alias("s"), cond)
+                .whenMatchedUpdateAll()
+                .whenNotMatchedInsertAll()
+                .execute()
+            )
+        else:
+            updates.write.format("delta").mode("overwrite").save(path)
+        return "delta"
+    except Exception:
+        upsert_parquet(spark, updates, path, key_cols)
+        return "parquet"
+
+
 def export_results(df: DataFrame, path: str, fmt: str = "json", max_rows: int = 1000) -> None:
     """K5 export sink (reference JSON/CSV/Markdown/D3 exporters,
     ``cli/export.py``, ``cli/commands/visualize/exporters/``).
@@ -189,6 +218,27 @@ def export_results(df: DataFrame, path: str, fmt: str = "json", max_rows: int = 
             )
         with open(path, "w") as f:
             f.write("\n".join(lines) + "\n")
+    elif fmt == "html":
+        rows = df.limit(max_rows).collect()
+        cols = df.columns
+
+        def esc(v) -> str:
+            return (
+                ""
+                if v is None
+                else str(v).replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+            )
+
+        body = "\n".join(
+            "<tr>" + "".join(f"<td>{esc(v)}</td>" for v in r) + "</tr>" for r in rows
+        )
+        head = "<tr>" + "".join(f"<th>{esc(c)}</th>" for c in cols) + "</tr>"
+        with open(path, "w") as f:
+            f.write(
+                "<!doctype html><html><body><table>\n"
+                f"<thead>{head}</thead>\n<tbody>\n{body}\n</tbody>"
+                "</table></body></html>\n"
+            )
     elif fmt == "d3":
         import json
 

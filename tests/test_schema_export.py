@@ -111,3 +111,32 @@ def test_embed_batch_string_ids(spark):
     docs = spark.createDataFrame([("c1", "alpha")], "doc_id string, text string")
     got = embed_batch(docs, dim=4).collect()
     assert got[0].doc_id == "c1" and len(got[0].embedding) == 4
+
+
+def test_export_html(spark, tmp_path):
+    out = str(tmp_path / "r.html")
+    df = spark.createDataFrame([(1, "<b>&x")], "id long, name string")
+    io.export_results(df, out, fmt="html")
+    text = open(out).read()
+    assert "<th>id</th><th>name</th>" in text
+    assert "<td>1</td><td>&lt;b&gt;&amp;x</td>" in text  # escaped
+
+
+def test_upsert_delta_guarded_fallback(spark, tmp_path):
+    """delta-spark absent here → the MERGE path must fall back to the
+    parquet upsert and say so; with delta installed the same call runs
+    a real MERGE (the dispatch return value proves which)."""
+    path = str(tmp_path / "dt")
+    a = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    which = io.upsert_delta(spark, a, path, ["id"])
+    b = spark.createDataFrame([(2, "B"), (3, "c")], "id long, v string")
+    which2 = io.upsert_delta(spark, b, path, ["id"])
+    assert which == which2
+    try:
+        import delta  # noqa: F401
+
+        assert which == "delta"  # pragma: no cover - env with delta
+    except ImportError:
+        assert which == "parquet"
+    got = {r.id: r.v for r in spark.read.parquet(path).collect()}
+    assert got == {1: "a", 2: "B", 3: "c"}
