@@ -77,6 +77,23 @@ def main():
     ).save()
     per_query["bm25_topk_warm"] = round(time.time() - t0, 3)
 
+    # warm hybrid serving: a second hybrid query in the same session
+    # reuses the postings cache, so this is what interactive search
+    # actually costs after the first query
+    from pyspark.sql import functions as _F
+
+    from mcp_vector_search_spark.plans.hybrid import hybrid_search as _hybrid
+
+    emb_w = warm_io.table(spark, SF_DIR, "embeddings")
+    qv_w = emb_w.filter(_F.col("vec_id") == 3).select(
+        _F.col("embedding").alias("query_vec")
+    )
+    t0 = time.time()
+    _hybrid(docs_w, emb_w, ["window", "merge"], qv_w, k=10, alpha=0.7).write.format(
+        "noop"
+    ).mode("overwrite").save()
+    per_query["hybrid_rrf_warm"] = round(time.time() - t0, 3)
+
     # ANN: brute-force vs IVF on the same 256-query batch (BASELINE's
     # 4.9× ANN-speedup metric, measured as batch scoring throughput).
     from pyspark.sql import functions as F

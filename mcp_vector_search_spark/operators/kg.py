@@ -169,6 +169,40 @@ def build_ontology(
     return nodes, topic_edges.unionByName(lang_edges)
 
 
+def section_nodes(
+    files: DataFrame, path_col: str = "path", text_col: str = "text"
+) -> tuple[DataFrame, DataFrame]:
+    """Section nodes + CONTAINS_SECTION edges from markdown headings
+    (reference Document ontology relationships, ``kg_builder.py``
+    CONTAINS_SECTION): one posexplode over heading lines — no UDF.
+    → (nodes(id, name, entity_type, level), edges(src, dst, rel))."""
+    heads = (
+        files.select(
+            F.col(path_col).alias("path"),
+            F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+        )
+        .filter(F.col("line").rlike("^#{1,6} "))
+        .select(
+            "path",
+            "pos",
+            F.length(F.regexp_extract("line", "^(#{1,6}) ", 1)).alias("level"),
+            F.trim(F.regexp_replace("line", "^#{1,6} ", "")).alias("heading"),
+        )
+    )
+    nodes = heads.select(
+        F.concat(F.lit("sec:"), F.col("path"), F.lit("#"), F.col("pos")).alias("id"),
+        F.col("heading").alias("name"),
+        F.lit("Section").alias("entity_type"),
+        F.col("level").cast("long").alias("level"),
+    )
+    edges = heads.select(
+        F.concat(F.lit("doc:"), F.col("path")).alias("src"),
+        F.concat(F.lit("sec:"), F.col("path"), F.lit("#"), F.col("pos")).alias("dst"),
+        F.lit("CONTAINS_SECTION").alias("rel"),
+    )
+    return nodes, edges
+
+
 def detect_frameworks(deps: DataFrame, dep_col: str = "dep") -> DataFrame:
     """ProgrammingFramework nodes from dependency rows (reference
     ``kg_builder.py:3387-3450`` parses pyproject/requirements

@@ -93,3 +93,18 @@ def test_detect_frameworks(spark):
         "framework:pytest": ("pytest", "testing"),
         "framework:numpy": ("NumPy", "scientific"),
     }
+
+
+def test_section_nodes(spark):
+    from mcp_vector_search_spark.operators.kg import section_nodes
+
+    files = spark.createDataFrame(
+        [("README.md", "# Title\nbody\n## Install\nsteps\nnot # a heading")],
+        "path string, text string",
+    )
+    nodes, edges = section_nodes(files)
+    got = {(r.name, r.level) for r in nodes.collect()}
+    assert got == {("Title", 1), ("Install", 2)}
+    e = edges.collect()
+    assert all(r.rel == "CONTAINS_SECTION" and r.src == "doc:README.md" for r in e)
+    assert len(e) == 2
