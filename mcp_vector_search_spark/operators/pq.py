@@ -1,0 +1,301 @@
+"""Product quantization (PQ) — memory-compressed ANN, the 100 TB
+scan path.
+
+The reference's IVF_SQ index scalar-quantizes vectors to int8 before
+scanning (``vectors_backend.py:1264-1341``); PQ (Jégou et al. 2011,
+"Product Quantization for Nearest Neighbor Search", the FAISS IVF-PQ
+layout) is the stronger published form of the same idea: split each
+d-dim vector into `m` subvectors, vector-quantize each subspace with
+its own `k`-entry codebook, and store only the m code bytes. A
+768-dim float32 row is 3 KB; its PQ-8 code is 8 bytes — at 100 TB
+that is the difference between scanning compressed codes from memory
+and scanning raw floats from disk. Query-time ADC (asymmetric
+distance computation) scores a query against codes with one
+(m × k) lookup table per query — no decompression.
+
+Spark-first shape:
+
+- codebooks are a tiny DataFrame ``(sub_idx, code, centroid)`` —
+  m·k rows, always collected/broadcast (≤ a few hundred KB);
+- codes are an ``array<int>`` column next to the id — the compressed
+  corpus is a normal parquet table, co-partitionable with any IVF
+  ``cluster_id`` layout;
+- encode and ADC scoring are Arrow ``mapInPandas`` kernels: per batch
+  one numpy gather+sum, per-batch partial top-k so the shuffle into
+  the final rank window carries O(batches·nq·shortlist), never
+  |V|×|Q|;
+- the shortlist → exact-rerank join (``pq_topk_refined``) is a plain
+  equi-join on the id column, O(nq·shortlist) rows.
+
+Determinism contract (shared with the SQL oracles): all float work in
+float64; per-subspace distances/partial dots rounded to 9 before
+argmin/summation; final ADC score rounded to 6; ties break to the
+lower code / lower id. Matches ``registry.q_pq_fixed``'s DuckDB
+replay expression-for-expression.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from mcp_vector_search_spark.functions.vectors import l2_norm, unit_expr
+
+PQ_M = 8  # subspaces
+PQ_CODES = 256  # codes per subspace (one byte)
+
+
+def _collect_codebooks(codebooks: DataFrame):
+    """(sub_idx, code, centroid) rows → numpy (m, k, dsub) float64.
+    Codebooks are m·k rows by construction — driver-side by contract,
+    like the IVF centroid matrix."""
+    import numpy as np
+
+    pdf = codebooks.orderBy("sub_idx", "code").toPandas()
+    m = int(pdf["sub_idx"].max()) + 1
+    k = int(pdf["code"].max()) + 1
+    dsub = len(pdf["centroid"].iloc[0])
+    cb = np.zeros((m, k, dsub), dtype=np.float64)
+    for r in pdf.itertuples(index=False):
+        cb[int(r.sub_idx), int(r.code)] = np.asarray(r.centroid, dtype=np.float64)
+    return cb
+
+
+def _unit_rows(pdf_col) -> "object":
+    import numpy as np
+
+    from mcp_vector_search_spark.operators.topk import _safe_norms
+
+    V = np.stack(pdf_col.to_numpy()).astype(np.float64)
+    return V / _safe_norms(V)
+
+
+def pq_train(
+    vectors: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    m: int = PQ_M,
+    k: int = PQ_CODES,
+    sample_rows: int = 16384,
+    iters: int = 15,
+    seed: int = 42,
+) -> DataFrame:
+    """Fit per-subspace codebooks with numpy Lloyd's iterations on a
+    bounded driver-side sample → (sub_idx int, code int,
+    centroid array<double>).
+
+    The sample is the lowest-`sample_rows` ids (a TakeOrdered, so the
+    fit is deterministic across runs and partition layouts); codebook
+    quality needs a representative sample, not the full corpus — the
+    same contract as the IVF KMeans fit. Training operates on UNIT
+    vectors: PQ-for-cosine is PQ on the unit sphere with inner-product
+    ADC.
+    """
+    import numpy as np
+
+    sample = (
+        vectors.select(id_col, vec_col).orderBy(id_col).limit(sample_rows).toPandas()
+    )
+    X = _unit_rows(sample[vec_col])
+    n, d = X.shape
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    dsub = d // m
+    k = min(k, n)
+    rng = np.random.default_rng(seed)
+    rows = []
+    for s in range(m):
+        Xs = X[:, s * dsub : (s + 1) * dsub]
+        cents = Xs[rng.choice(n, size=k, replace=False)].copy()
+        for _ in range(iters):
+            # (n, k) squared distances; argmin ties → lower code
+            d2 = ((Xs[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            assign = np.argmin(d2, axis=1)
+            for c in range(k):
+                mask = assign == c
+                if mask.any():
+                    cents[c] = Xs[mask].mean(axis=0)
+        rows.extend(
+            (s, c, [float(x) for x in cents[c]]) for c in range(k)
+        )
+    return vectors.sparkSession.createDataFrame(
+        rows, "sub_idx int, code int, centroid array<double>"
+    )
+
+
+def pq_encode(
+    vectors: DataFrame,
+    codebooks: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    round_to: int = 9,
+) -> DataFrame:
+    """Compress the corpus → (id, codes array<int>): per subspace the
+    nearest codebook entry by round-9 squared L2 on the unit sphere
+    (ties → lower code). One Arrow batch = m argmin passes over a
+    numpy distance matrix; no shuffle — the output inherits the input
+    partitioning, so an IVF-partitioned corpus stays IVF-partitioned.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from mcp_vector_search_spark.operators.topk import id_type
+
+    cb = _collect_codebooks(codebooks)
+    m, _, dsub = cb.shape
+
+    def encode(batches):
+        for pdf in batches:
+            V = _unit_rows(pdf[vec_col])
+            b = V.shape[0]
+            codes = np.empty((b, m), dtype=np.int32)
+            for s in range(m):
+                Vs = V[:, s * dsub : (s + 1) * dsub]
+                d2 = np.round(
+                    ((Vs[:, None, :] - cb[s][None, :, :]) ** 2).sum(axis=2), round_to
+                )
+                codes[:, s] = np.argmin(d2, axis=1)  # first occurrence = lower code
+            yield pd.DataFrame(
+                {id_col: pdf[id_col].to_numpy(), "codes": list(codes)}
+            )
+
+    return vectors.select(id_col, vec_col).mapInPandas(
+        encode, f"{id_col} {id_type(vectors, id_col)}, codes array<int>"
+    )
+
+
+def pq_adc_topk(
+    codes: DataFrame,
+    codebooks: DataFrame,
+    queries: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    round_to: int = 6,
+    batch_buffer: int = 4,
+) -> DataFrame:
+    """ADC batch top-k over the compressed corpus →
+    (query_id, id, adc_score, rn).
+
+    Per query one (m × k) lookup table of round-9 partial inner
+    products (query subvector · codebook entry); per Arrow batch the
+    score is m table gathers + a sum — the corpus floats are never
+    touched. Per-batch partial top-k keeps the rank-window shuffle at
+    O(batches·nq·k). ADC score = round(Σ_s round(lut, 9), 6); ranking
+    ties break on the id column, same as every exact path.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from mcp_vector_search_spark.operators.topk import (
+        _partial_topk,
+        _safe_norms,
+        id_type,
+    )
+
+    cb = _collect_codebooks(codebooks)
+    m, _, dsub = cb.shape
+    qpd = queries.select(query_id_col, query_vec_col).toPandas()
+    Q = np.stack(qpd[query_vec_col].to_numpy()).astype(np.float64)
+    Q /= _safe_norms(Q)
+    qids = qpd[query_id_col].to_numpy()
+    nq = len(qids)
+    # lut[qi, s, c] = round(Q_sub · cb[s, c], 9)
+    lut = np.round(
+        np.einsum("qsd,scd->qsc", Q.reshape(nq, m, dsub), cb), 9
+    )
+    keep = k * batch_buffer
+
+    def score(batches):
+        for pdf in batches:
+            C = np.stack(pdf["codes"].to_numpy())  # (b, m)
+            b = C.shape[0]
+            S = np.zeros((b, nq), dtype=np.float64)
+            for s in range(m):
+                S += lut[:, s, C[:, s]].T  # (b, nq)
+            S = np.round(S, round_to)
+            vids = pdf[id_col].to_numpy()
+            if b > keep:
+                idx = _partial_topk(S, vids, keep)
+            else:
+                idx = np.tile(np.arange(b)[:, None], (1, nq))
+            rows = idx.shape[0]
+            yield pd.DataFrame(
+                {
+                    query_id_col: np.repeat(qids[None, :], rows, axis=0).ravel(),
+                    id_col: vids[idx].ravel(),
+                    "adc_score": np.take_along_axis(S, idx, axis=0).ravel(),
+                }
+            )
+
+    cand = codes.select(id_col, "codes").mapInPandas(
+        score,
+        f"{query_id_col} {id_type(queries, query_id_col)}, "
+        f"{id_col} {id_type(codes, id_col)}, adc_score double",
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("adc_score"), F.asc(id_col))
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select(query_id_col, id_col, "adc_score", "rn")
+    )
+
+
+def pq_topk_refined(
+    vectors: DataFrame,
+    codes: DataFrame,
+    codebooks: DataFrame,
+    queries: DataFrame,
+    k: int,
+    rerank_factor: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    round_to: int = 6,
+) -> DataFrame:
+    """ADC shortlist → exact rerank (the reference's
+    ``refine_factor=5`` two-stage shape, ``vectors_backend.py:1336``)
+    → (query_id, id, cos_sim, rn).
+
+    The ADC pass never reads the float corpus; only the
+    O(nq·k·rerank_factor) shortlist joins back to full-precision
+    vectors for the exact cosine. That join is an equi-join on the id
+    column — broadcastable whenever the shortlist is small, and the
+    rank window input is already shortlist-sized.
+    """
+    shortlist = pq_adc_topk(
+        codes,
+        codebooks,
+        queries,
+        k * rerank_factor,
+        id_col=id_col,
+        query_id_col=query_id_col,
+        query_vec_col=query_vec_col,
+    ).select(query_id_col, id_col)
+    v = (
+        vectors.withColumn("_nrm", l2_norm(F.col(vec_col)))
+        .withColumn("_u", unit_expr(F.col(vec_col), F.col("_nrm")))
+        .select(id_col, "_u")
+    )
+    q = (
+        queries.withColumn("_qnrm", l2_norm(F.col(query_vec_col)))
+        .withColumn("_uq", unit_expr(F.col(query_vec_col), F.col("_qnrm")))
+        .select(query_id_col, "_uq")
+    )
+    from mcp_vector_search_spark.functions.vectors import dot
+
+    sim = F.round(dot(F.col("_u"), F.col("_uq")), round_to)
+    cand = (
+        shortlist.join(v, id_col)
+        .join(F.broadcast(q), query_id_col)
+        .withColumn("cos_sim", sim)
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cos_sim"), F.asc(id_col))
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select(query_id_col, id_col, "cos_sim", "rn")
+    )

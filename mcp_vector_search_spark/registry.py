@@ -59,6 +59,7 @@ KNN_QUERY_ID = 0
 KNN_K = 20
 BATCH_QUERIES = 8
 BATCH_K = 10
+EMB_DIM = 64  # testdata embeddings dimension (TESTDATA.md)
 HYBRID_K = 10
 MINHASH = dict(num_hashes=8, num_bands=4, shingle_n=3)
 MINHASH_CAP = 200
@@ -511,6 +512,120 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PQ_FIXED_M = 4  # subspaces (dim 64 → dsub 16)
+PQ_FIXED_CODES = 16  # codebook entries per subspace
+PQ_RECALL_FLOOR = 0.975  # same band floor as IVF (reference CHANGELOG.md:429-432)
+PQ_GATE_M = 16
+PQ_GATE_CODES = 64
+PQ_GATE_RERANK = 5  # reference refine_factor=5 (vectors_backend.py:1336)
+
+
+def q_pq_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PQ *mechanism* (operators/pq.py) with deterministic
+    codebooks — subvector slices of the first 16 unit vectors — so
+    every stage is SQL-replayable and hash-checked: per-subspace
+    round-9 L2 encoding (ties → lower code), the per-query ADC lookup
+    table of round-9 partial inner products, the gather-sum ADC score
+    (round 6), and the per-query rank window. Runs the REAL
+    `pq_encode` + `pq_adc_topk` Arrow kernels with the fixed codebook
+    DataFrame injected; only the Lloyd's fit (`pq_train`, an external
+    solver) stays outside SQL — the trained index keeps its recall
+    gate in `ann_recall`."""
+    from mcp_vector_search_spark.functions.vectors import l2_norm, unit_expr
+    from mcp_vector_search_spark.operators.pq import pq_adc_topk, pq_encode
+
+    emb = _emb(spark, sf_dir)
+    dsub = EMB_DIM // PQ_FIXED_M
+    eu = (
+        emb.withColumn("_nrm", l2_norm(F.col("embedding")))
+        .select("vec_id", unit_expr(F.col("embedding"), F.col("_nrm")).alias("u"))
+    )
+    subs = spark.range(PQ_FIXED_M).select(F.col("id").cast("int").alias("sub_idx"))
+    codebooks = (
+        eu.filter(F.col("vec_id") < PQ_FIXED_CODES)
+        .crossJoin(F.broadcast(subs))
+        .select(
+            "sub_idx",
+            F.col("vec_id").cast("int").alias("code"),
+            F.slice(F.col("u"), F.col("sub_idx") * dsub + 1, dsub).alias("centroid"),
+        )
+    )
+    codes = pq_encode(emb, codebooks)
+    queries = emb.filter(F.col("vec_id") < BATCH_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = pq_adc_topk(codes, codebooks, queries, BATCH_K)
+    return out.select(
+        "query_id", "vec_id", "adc_score", F.col("rn").cast("long").alias("rn")
+    )
+
+
+def _recall_row(approx: DataFrame, brute: DataFrame, floor: float, tag: str) -> DataFrame:
+    """1-row (path, n_queries, n_results, recall_ok) agreement summary
+    of an ANN result against the exact brute-force top-k — recall_ok
+    flips false (hash mismatch → red row) if recall@k drops below the
+    reference band floor."""
+    hits = approx.join(brute, ["query_id", "vec_id"]).agg(
+        F.count("*").alias("n_hits")
+    )
+    totals = brute.agg(
+        F.countDistinct("query_id").alias("n_queries"),
+        F.count("*").alias("n_results"),
+    )
+    return totals.crossJoin(hits).select(
+        F.lit(tag).alias("path"),
+        F.col("n_queries").cast("long").alias("n_queries"),
+        F.col("n_results").cast("long").alias("n_results"),
+        (
+            F.col("n_hits") >= F.ceil(F.lit(floor) * F.col("n_results"))
+        ).alias("recall_ok"),
+    )
+
+
+def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-oracled recall gate for BOTH trained ANN paths — the
+    quantizer fits (MLlib KMeans, numpy Lloyd's) are external solvers
+    DuckDB can't replay, so each path is compared against the exact
+    brute-force top-k INSIDE Spark and summarized as a deterministic
+    row the oracle asserts:
+
+    - `ivf`: KMeans-IVF probe path (`ivf_topk_batch`, nprobes=15/16 at
+      this 500-vector scale — see the probe-ratio note in the r2
+      registry history; bench measures 20/128 at 128K vectors);
+    - `pq`: product-quantization ADC shortlist → exact rerank
+      (`pq_topk_refined`, refine ×5 like the reference).
+
+    The *mechanisms* are separately hash-gated end-to-end by
+    `ivf_fixed` and `pq_fixed`."""
+    from mcp_vector_search_spark.operators.ivf import ivf_build, ivf_topk_batch
+    from mcp_vector_search_spark.operators.pq import (
+        pq_encode,
+        pq_topk_refined,
+        pq_train,
+    )
+
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < BATCH_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    brute = topk_per_query(emb, queries, BATCH_K).select("query_id", "vec_id")
+
+    assigned, centroids = ivf_build(emb, num_clusters=16)
+    ivf = ivf_topk_batch(assigned, centroids, queries, BATCH_K, nprobes=15).select(
+        "query_id", "vec_id"
+    )
+
+    codebooks = pq_train(emb, m=PQ_GATE_M, k=PQ_GATE_CODES)
+    codes = pq_encode(emb, codebooks)
+    pq = pq_topk_refined(
+        emb, codes, codebooks, queries, BATCH_K, rerank_factor=PQ_GATE_RERANK
+    ).select("query_id", "vec_id")
+
+    return _recall_row(ivf, brute, IVF_RECALL_FLOOR, "ivf").unionByName(
+        _recall_row(pq, brute, PQ_RECALL_FLOOR, "pq")
+    )
+
+
 def q_knn_batch_np(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-vectorized batch top-k — same semantics (and same oracle)
     as `knn_batch`; the numpy-matmul physical strategy."""
@@ -866,6 +981,31 @@ def q_viz_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("rnk") > lo) & (F.col("rnk") <= hi))
         .select("id", F.col("rnk").cast("long").alias("rnk"))
     )
+
+
+def q_kg_views(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G8+G9 merged gate: the ontology rollup and the visualization
+    subgraph page as one tagged union (schemas padded with typed
+    nulls), so both registry-level KG views share a single driver
+    window slot; the standalone `ontology`/`viz_neighbors` twins stay
+    oracle-checked past the window."""
+    ont = q_ontology(spark, sf_dir).select(
+        F.lit("ontology").alias("view"),
+        F.col("category").alias("node"),
+        "n_docs",
+        "n_sources",
+        "children",
+        F.lit(None).cast("long").alias("rnk"),
+    )
+    viz = q_viz_neighbors(spark, sf_dir).select(
+        F.lit("viz").alias("view"),
+        F.col("id").alias("node"),
+        F.lit(None).cast("long").alias("n_docs"),
+        F.lit(None).cast("long").alias("n_sources"),
+        F.lit(None).cast("string").alias("children"),
+        "rnk",
+    )
+    return ont.unionByName(viz)
 
 
 def q_kg_boost(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2024,6 +2164,17 @@ r AS (SELECT id, row_number() OVER (ORDER BY id) AS rnk FROM neigh)
 SELECT id, rnk FROM r
 WHERE rnk > {(VIZ_PAGE - 1) * VIZ_PAGE_SIZE} AND rnk <= {VIZ_PAGE * VIZ_PAGE_SIZE}"""
 
+    # merged G8+G9 gate: the two views above as one tagged union
+    o["kg_views"] = f"""
+WITH onto AS ({o['ontology']}), vz AS ({o['viz_neighbors']})
+SELECT 'ontology' AS view, category AS node, n_docs, n_sources, children,
+       CAST(NULL AS BIGINT) AS rnk
+FROM onto
+UNION ALL
+SELECT 'viz' AS view, id AS node, CAST(NULL AS BIGINT) AS n_docs,
+       CAST(NULL AS BIGINT) AS n_sources, CAST(NULL AS VARCHAR) AS children, rnk
+FROM vz"""
+
     terms_in = ", ".join(f"'{t}'" for t in QUERY_TERMS)
     o["kg_boost"] = f"""
 WITH {_bm25_ctes(KNN_K)},{_KG_EDGE_CTES},
@@ -2374,6 +2525,56 @@ SELECT count(*)::BIGINT AS n_queries, (count(*) * {BATCH_K})::BIGINT AS n_result
        true AS recall_ok
 FROM embeddings WHERE vec_id < {BATCH_QUERIES}"""
 
+    # merged self-oracle for both trained ANN paths (IVF + PQ-refined):
+    # one asserted row per path; any recall regression flips recall_ok
+    # and hash-mismatches
+    o["ann_recall"] = f"""
+WITH q AS (SELECT count(*)::BIGINT AS n_queries,
+                  (count(*) * {BATCH_K})::BIGINT AS n_results
+           FROM embeddings WHERE vec_id < {BATCH_QUERIES})
+SELECT 'ivf' AS path, n_queries, n_results, true AS recall_ok FROM q
+UNION ALL
+SELECT 'pq' AS path, n_queries, n_results, true AS recall_ok FROM q"""
+
+    # PQ mechanism with deterministic codebooks (subvector slices of
+    # the first 16 unit vectors): every pq_encode/pq_adc_topk stage
+    # replayed in SQL — round-9 per-subspace L2 encode (ties → lower
+    # code), round-9 ADC lookup table, round-6 gather-sum score, rank
+    # window with id tiebreak. Only the Lloyd's fit stays rows-only
+    # (gated by ann_recall).
+    _pq_dsub = EMB_DIM // PQ_FIXED_M
+    o["pq_fixed"] = f"""
+WITH {_EU},
+subs AS (SELECT unnest(range({PQ_FIXED_M}))::INT AS sub_idx),
+cb AS (SELECT s.sub_idx, e.vec_id::INT AS code,
+              list_slice(e.u, s.sub_idx*{_pq_dsub}+1, s.sub_idx*{_pq_dsub}+{_pq_dsub}) AS cvec
+       FROM eu e, subs s WHERE e.vec_id < {PQ_FIXED_CODES}),
+sv AS (SELECT e.vec_id, s.sub_idx,
+              list_slice(e.u, s.sub_idx*{_pq_dsub}+1, s.sub_idx*{_pq_dsub}+{_pq_dsub}) AS svec
+       FROM eu e, subs s),
+d AS (SELECT sv.vec_id, sv.sub_idx, cb.code,
+             round(list_sum(list_transform(list_zip(sv.svec, cb.cvec),
+                   p -> (p[1]::DOUBLE - p[2]::DOUBLE) * (p[1]::DOUBLE - p[2]::DOUBLE))), 9) AS d2
+      FROM sv JOIN cb USING (sub_idx)),
+enc AS (SELECT vec_id, sub_idx, code FROM (
+          SELECT *, row_number() OVER (PARTITION BY vec_id, sub_idx
+                                       ORDER BY d2, code) AS ern FROM d)
+        WHERE ern = 1),
+fq AS (SELECT vec_id AS query_id, u FROM eu WHERE vec_id < {BATCH_QUERIES}),
+qs AS (SELECT q.query_id, s.sub_idx,
+              list_slice(q.u, s.sub_idx*{_pq_dsub}+1, s.sub_idx*{_pq_dsub}+{_pq_dsub}) AS qvec
+       FROM fq q, subs s),
+lut AS (SELECT qs.query_id, qs.sub_idx, cb.code,
+               round(list_sum(list_transform(list_zip(qs.qvec, cb.cvec),
+                     p -> p[1]::DOUBLE * p[2]::DOUBLE)), 9) AS ip
+        FROM qs JOIN cb USING (sub_idx)),
+sc AS (SELECT l.query_id, e.vec_id, round(sum(l.ip), 6) AS adc_score
+       FROM enc e JOIN lut l ON l.sub_idx = e.sub_idx AND l.code = e.code
+       GROUP BY l.query_id, e.vec_id),
+rk AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                    ORDER BY adc_score DESC, vec_id) AS rn FROM sc)
+SELECT query_id, vec_id, adc_score, rn::BIGINT AS rn FROM rk WHERE rn <= {BATCH_K}"""
+
     from mcp_vector_search_spark.functions.classify import category_case_sql
 
     def _sql_tpl(tpl: str) -> str:
@@ -2440,8 +2641,9 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_lag_delta": q_events_lag_delta,
     "sessionize": q_sessionize,
     "incremental_delta": q_incremental_delta,
-    "ivf_topk": q_ivf_topk,
+    "ann_recall": q_ann_recall,
     "ivf_fixed": q_ivf_fixed,
+    "pq_fixed": q_pq_fixed,
     "bm25_expanded": q_bm25_expanded,
     "kg_edges": q_kg_edges,
     "tag_query": q_tag_query,
@@ -2459,8 +2661,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "complexity": q_complexity,
     "lcom4": q_lcom4,
     "asof_latest": q_asof_latest,
-    "ontology": q_ontology,
-    "viz_neighbors": q_viz_neighbors,
+    "kg_views": q_kg_views,
     "kg_boost": q_kg_boost,
     "code_enrichment": q_code_enrichment,
     "blame_ranges": q_blame_ranges,
@@ -2472,6 +2673,9 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mmr": q_mmr,
     "doc_categories": q_doc_categories,
     # --- overflow: oracle-checked twins/demos (past the window) ---
+    "ontology": q_ontology,
+    "viz_neighbors": q_viz_neighbors,
+    "ivf_topk": q_ivf_topk,
     "knn_batch": q_knn_batch,
     "simhash": q_simhash,
     "smells": q_smells,
