@@ -282,6 +282,42 @@ def main():
     per_query["ann_big_recall_at_10"] = round(
         len(big_truth & big_approx) / max(len(big_truth), 1), 4
     )
+
+    # IVF-PQ on the same layout: residual-PQ encode on top of the
+    # existing coarse quantizer (no KMeans refit), ADC scan of codes
+    # (m bytes/vector instead of d floats) + exact rerank ×5. At 100 TB
+    # this is the path whose scan I/O is ~48× smaller than plain IVF.
+    from mcp_vector_search_spark.operators.ivfpq import (
+        ivfpq_build,
+        ivfpq_topk_refined,
+    )
+
+    t0 = time.time()
+    big_enc, big_pq_cents, big_cbs = ivfpq_build(
+        big, m=16, k_codes=256, coarse=(big_assigned, big_cents)
+    )
+    big_enc = big_enc.repartition("cluster_id").cache()
+    big_enc.count()
+    per_query["ann_big_ivfpq_encode_sec"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    ivfpq_topk_refined(
+        big, big_enc, big_pq_cents, big_cbs, big_q, 10, nprobes=20, rerank_factor=10
+    ).write.format("noop").mode("overwrite").save()
+    per_query["ann_big_ivfpq_sec"] = round(time.time() - t0, 3)
+    per_query["ann_big_ivfpq_ms_per_query"] = round(
+        per_query["ann_big_ivfpq_sec"] * 1000 / n_big_q, 2
+    )
+    big_ivfpq = {
+        (r.query_id, r.vec_id)
+        for r in ivfpq_topk_refined(
+            big, big_enc, big_pq_cents, big_cbs, big_sample, 10,
+            nprobes=20, rerank_factor=10,
+        ).collect()
+    }
+    per_query["ann_big_ivfpq_recall_at_10"] = round(
+        len(big_truth & big_ivfpq) / max(len(big_truth), 1), 4
+    )
+    big_enc.unpersist()
     big.unpersist()
     big_assigned.unpersist()
 

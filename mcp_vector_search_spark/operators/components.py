@@ -1,0 +1,97 @@
+"""Connected components over a pair/edge list — the clustering tail
+of the dedup pipeline (reference parity: the reference stops at dup
+*pairs*; training-data dedup needs the transitive closure so one
+canonical doc survives per duplicate CLUSTER, which is how C4/Gopher/
+RefinedWeb-style pipelines apply near-dedup at scale).
+
+Algorithm: iterative min-label propagation (the MapReduce-CC shape of
+Kiveris et al. 2014, "Connected Components in MapReduce and Beyond" —
+the label-propagation baseline, which converges in O(diameter)
+rounds). Duplicate graphs are short-chained in practice (diameter ≪
+10), so the simple propagation beats the star-contraction variants'
+extra shuffles per round.
+
+Scale shape per round: one equi-join (labels → neighbor candidates)
++ one min-groupBy — both keyed on the node id, so AQE coalesces and
+skew-splits them; `localCheckpoint` every few rounds truncates the
+growing lineage exactly like `operators/graph.bfs`. The all-pairs
+explosion never exists: work is O(|E|) per round, and |E| is the
+candidate-pair output of the banded LSH/exact detectors, not N².
+
+Determinism: the component label is the MIN node id reachable —
+unique regardless of iteration order; ties cannot occur.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+CHECKPOINT_EVERY = 4
+
+
+def connected_components(
+    pairs: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_iters: int = 25,
+) -> DataFrame:
+    """Pair list → (node, component) where component = min reachable
+    node id. Every node appearing in `pairs` is labeled; isolated
+    nodes (not in any pair) are by definition not duplicates and are
+    not emitted — union them in with component = own id if needed.
+    """
+    sym = pairs.select(
+        F.col(src).alias("a"), F.col(dst).alias("b")
+    ).unionByName(pairs.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+    sym = sym.distinct()
+    labels = (
+        sym.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("component", F.col("node"))
+    )
+    for it in range(max_iters):
+        # neighbor labels: node b receives a's current label
+        prop = (
+            sym.join(labels, sym["a"] == labels["node"])
+            .select(F.col("b").alias("node"), "component")
+        )
+        new_labels = (
+            labels.unionByName(prop)
+            .groupBy("node")
+            .agg(F.min("component").alias("component"))
+        )
+        if (it + 1) % CHECKPOINT_EVERY == 0:
+            new_labels = new_labels.localCheckpoint(eager=True)
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def dup_clusters(
+    pairs: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_iters: int = 25,
+) -> DataFrame:
+    """Duplicate-pair list → (doc_id, cluster_rep, cluster_size,
+    is_keeper): the transitive dedup clusters with one canonical
+    keeper (the min id) per cluster. Dropping every row with
+    ``NOT is_keeper`` is the dedup action."""
+    comp = connected_components(pairs, src=src, dst=dst, max_iters=max_iters)
+    w = Window.partitionBy("component")
+    return comp.select(
+        F.col("node").alias("doc_id"),
+        F.col("component").alias("cluster_rep"),
+        F.count("*").over(w).cast("long").alias("cluster_size"),
+        (F.col("node") == F.col("component")).alias("is_keeper"),
+    )

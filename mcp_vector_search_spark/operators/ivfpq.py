@@ -1,0 +1,288 @@
+"""IVF-PQ — coarse quantizer + product-quantized residuals, the
+billion-scale ANN layout (Jégou et al. 2011 §IV "IVFADC"; the FAISS
+``IVFx,PQy`` index; reference parity: the IVF_SQ two-stage
+shape of ``vectors_backend.py:1264-1341`` with PQ replacing scalar
+quantization).
+
+Why this exists on top of `operators/ivf.py` and `operators/pq.py`:
+
+- IVF alone prunes the scan to ~nprobes/num_clusters of the corpus
+  but still reads full-precision floats inside probed clusters — at
+  100 TB the probed slice is still TBs of float I/O.
+- PQ alone compresses ~48× but scans ALL codes for every query.
+- IVF-PQ does both: probe a few clusters, ADC-scan only their
+  *codes* (bytes, not floats), exact-rerank a tiny shortlist. The
+  scan cost per query is (nprobes/num_clusters) · |V| · m byte
+  gathers; the float corpus is touched only for k·rerank_factor rows.
+
+Spark-first shape:
+
+- the encoded corpus is one parquet table ``(id, cluster_id,
+  codes array<int>)`` partitioned by ``cluster_id`` — probe filters
+  become partition pruning, exactly like the plain-IVF layout;
+- PQ codebooks are trained on RESIDUALS (unit − centroid), the
+  detail IVFADC adds over independent IVF+PQ: residuals concentrate
+  near 0 so a k-entry codebook spends its entries on the part of the
+  vector the coarse quantizer didn't explain;
+- for the inner-product (cosine-on-unit-sphere) metric the ADC table
+  is CLUSTER-INDEPENDENT: q·(c + r) = q·c + q·r, so scoring needs
+  one (m × k) LUT per query plus a per-(query, probed-cluster)
+  scalar offset — both driver-computed, both tiny, both broadcast in
+  the applyInPandas closure;
+- scoring groups by ``cluster_id`` (`applyInPandas`), each cluster
+  ADC-scores only the queries probing it with per-cluster partial
+  top-k, so the rank-window shuffle carries
+  O(clusters · probing-queries · shortlist) rows — never |V|×|Q|.
+
+Determinism contract (same as ivf.py / pq.py): float64 everywhere,
+round-9 probe ranking and LUT entries, round-6 final scores, ties →
+lower cluster_id / lower id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from mcp_vector_search_spark.functions.vectors import l2_norm, unit_expr
+from mcp_vector_search_spark.operators.ivf import NPROBES, ivf_build
+from mcp_vector_search_spark.operators.pq import _collect_codebooks
+
+
+def ivfpq_build(
+    vectors: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    num_clusters: int | None = None,
+    m: int = 8,
+    k_codes: int = 256,
+    sample_rows: int = 16384,
+    seed: int = 42,
+    coarse: tuple[DataFrame, DataFrame] | None = None,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Fit both quantizers and encode the corpus.
+
+    Returns ``(encoded, centroids, codebooks)``:
+
+    - encoded   = (id, cluster_id, codes array<int>) — the table to
+                  persist partitioned by cluster_id;
+    - centroids = (cluster_id, centroid) — coarse quantizer, tiny;
+    - codebooks = (sub_idx, code, centroid) — residual PQ codebooks,
+                  m·k rows, tiny.
+
+    The residual PQ fit samples the lowest-`sample_rows` ids (same
+    deterministic-sample contract as ``pq_train``/``ivf_build``), and
+    `pq_encode`'s kernel is reused on the residual column so the
+    round-9 argmin tie-breaking is bit-identical to the plain-PQ path.
+    Pass `coarse=(assigned, centroids)` from a prior ``ivf_build`` to
+    add PQ codes to an existing IVF layout without refitting KMeans.
+    """
+    from mcp_vector_search_spark.operators.pq import pq_encode, pq_train
+
+    if coarse is not None:
+        assigned, centroids = coarse
+    else:
+        assigned, centroids = ivf_build(
+            vectors, vec_col=vec_col, num_clusters=num_clusters, seed=seed
+        )
+    # residual = unit − centroid[cluster_id]; centroids broadcast
+    resid = (
+        assigned.join(F.broadcast(centroids), "cluster_id")
+        .withColumn(
+            "_resid",
+            F.zip_with("unit", "centroid", lambda u, c: u - c),
+        )
+        .select(id_col, "cluster_id", "_resid")
+    )
+    codebooks = pq_train(
+        resid,
+        vec_col="_resid",
+        id_col=id_col,
+        m=m,
+        k=k_codes,
+        sample_rows=sample_rows,
+        seed=seed,
+        normalize=False,
+    )
+    codes = pq_encode(
+        resid, codebooks, vec_col="_resid", id_col=id_col, normalize=False
+    )
+    encoded = codes.join(
+        resid.select(id_col, "cluster_id"), id_col
+    ).select(id_col, "cluster_id", "codes")
+    return encoded, centroids, codebooks
+
+
+def ivfpq_topk(
+    encoded: DataFrame,
+    centroids: DataFrame,
+    codebooks: DataFrame,
+    queries: DataFrame,
+    k: int,
+    nprobes: int = NPROBES,
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    round_to: int = 6,
+    batch_buffer: int = 4,
+) -> DataFrame:
+    """IVF-ADC batch top-k over the compressed layout →
+    (query_id, id, adc_score, rn).
+
+    Driver side (all tiny): probe assignment by round-9 query ×
+    centroid similarity (ties → lower cluster_id, identical to
+    ``ivf_topk_batch_np``), one (m × k) residual LUT per query, one
+    q·centroid offset per (query, probed cluster). Executor side:
+    per-cluster ADC = offset + m LUT gathers + sum over only the
+    queries probing that cluster, then partial top-k. The float
+    corpus is never read.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from mcp_vector_search_spark.operators.topk import (
+        _partial_topk,
+        _safe_norms,
+        id_type,
+    )
+
+    cb = _collect_codebooks(codebooks)
+    m, _, dsub = cb.shape
+
+    qpd = queries.select(query_id_col, query_vec_col).toPandas()
+    Q = np.stack(qpd[query_vec_col].to_numpy()).astype(np.float64)
+    Q /= _safe_norms(Q)
+    qids = qpd[query_id_col].to_numpy()
+    nq = len(qids)
+
+    cpd = centroids.orderBy("cluster_id").toPandas()
+    C = np.stack(cpd["centroid"].to_numpy()).astype(np.float64)
+    cids = cpd["cluster_id"].to_numpy()
+    Cn = C / _safe_norms(C)
+
+    # probe ranking mirrors ivf_topk_batch_np exactly (round-9 on the
+    # NORMALIZED centroid sim; ties → lower cluster_id)
+    csim = np.round(Q @ Cn.T, 9)  # (nq, nc)
+    order = np.lexsort((np.broadcast_to(cids, csim.shape), -csim), axis=1)
+    probe_sets = order[:, :nprobes]
+    cluster_to_q: dict[int, list[int]] = {}
+    for qi in range(nq):
+        for ci in probe_sets[qi]:
+            cluster_to_q.setdefault(int(cids[ci]), []).append(qi)
+    cluster_to_q_np = {c: np.asarray(v) for c, v in cluster_to_q.items()}
+
+    # offsets use the RAW centroid (unit + residual reconstructs the
+    # unit vector relative to the un-normalized centroid the residual
+    # was computed against)
+    offset = Q @ C.T  # (nq, nc) — q·centroid, cluster_id-indexed below
+    cid_to_row = {int(c): i for i, c in enumerate(cids)}
+    # lut[qi, s, c] = round(Q_sub · codebook[s, c], 9); cluster-free
+    lut = np.round(np.einsum("qsd,scd->qsc", Q.reshape(nq, m, dsub), cb), 9)
+    keep = k * batch_buffer
+
+    def per_cluster(pdf: pd.DataFrame) -> pd.DataFrame:
+        cid = int(pdf["cluster_id"].iloc[0])
+        qidx = cluster_to_q_np.get(cid)
+        if qidx is None:
+            return pd.DataFrame(
+                {
+                    query_id_col: qids[:0],
+                    id_col: pdf[id_col].to_numpy()[:0],
+                    "adc_score": np.empty(0, dtype=np.float64),
+                }
+            )
+        Cm = np.stack(pdf["codes"].to_numpy())  # (b, m)
+        b = Cm.shape[0]
+        S = np.broadcast_to(
+            offset[qidx, cid_to_row[cid]][None, :], (b, len(qidx))
+        ).copy()
+        lutq = lut[qidx]  # (nqq, m, k) — one gather, not one per subspace
+        for s in range(m):
+            S += lutq[:, s, Cm[:, s]].T  # (b, nqq)
+        S = np.round(S, round_to)
+        vids = pdf[id_col].to_numpy()
+        if b > keep:
+            idx = _partial_topk(S, vids, keep)
+        else:
+            idx = np.tile(np.arange(b)[:, None], (1, len(qidx)))
+        rows = idx.shape[0]
+        return pd.DataFrame(
+            {
+                query_id_col: np.repeat(qids[qidx][None, :], rows, axis=0).ravel(),
+                id_col: vids[idx].ravel(),
+                "adc_score": np.take_along_axis(S, idx, axis=0).ravel(),
+            }
+        )
+
+    cand = (
+        encoded.select("cluster_id", id_col, "codes")
+        .groupBy("cluster_id")
+        .applyInPandas(
+            per_cluster,
+            f"{query_id_col} {id_type(queries, query_id_col)}, "
+            f"{id_col} {id_type(encoded, id_col)}, adc_score double",
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("adc_score"), F.asc(id_col))
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select(query_id_col, id_col, "adc_score", "rn")
+    )
+
+
+def ivfpq_topk_refined(
+    vectors: DataFrame,
+    encoded: DataFrame,
+    centroids: DataFrame,
+    codebooks: DataFrame,
+    queries: DataFrame,
+    k: int,
+    nprobes: int = NPROBES,
+    rerank_factor: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    round_to: int = 6,
+) -> DataFrame:
+    """IVF-ADC shortlist → exact rerank (reference ``refine_factor=5``,
+    ``vectors_backend.py:1336``) → (query_id, id, cos_sim, rn). Only
+    O(nq·k·rerank_factor) rows rejoin the float corpus; the join is an
+    id equi-join with the (tiny) query side broadcast."""
+    from mcp_vector_search_spark.functions.vectors import dot
+
+    shortlist = ivfpq_topk(
+        encoded,
+        centroids,
+        codebooks,
+        queries,
+        k * rerank_factor,
+        nprobes=nprobes,
+        id_col=id_col,
+        query_id_col=query_id_col,
+        query_vec_col=query_vec_col,
+    ).select(query_id_col, id_col)
+    v = (
+        vectors.withColumn("_nrm", l2_norm(F.col(vec_col)))
+        .withColumn("_u", unit_expr(F.col(vec_col), F.col("_nrm")))
+        .select(id_col, "_u")
+    )
+    q = (
+        queries.withColumn("_qnrm", l2_norm(F.col(query_vec_col)))
+        .withColumn("_uq", unit_expr(F.col(query_vec_col), F.col("_qnrm")))
+        .select(query_id_col, "_uq")
+    )
+    sim = F.round(dot(F.col("_u"), F.col("_uq")), round_to)
+    cand = (
+        shortlist.join(v, id_col)
+        .join(F.broadcast(q), query_id_col)
+        .withColumn("cos_sim", sim)
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cos_sim"), F.asc(id_col))
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select(query_id_col, id_col, "cos_sim", "rn")
+    )

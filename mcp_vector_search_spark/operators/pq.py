@@ -80,6 +80,7 @@ def pq_train(
     sample_rows: int = 16384,
     iters: int = 15,
     seed: int = 42,
+    normalize: bool = True,
 ) -> DataFrame:
     """Fit per-subspace codebooks with numpy Lloyd's iterations on a
     bounded driver-side sample → (sub_idx int, code int,
@@ -89,15 +90,20 @@ def pq_train(
     fit is deterministic across runs and partition layouts); codebook
     quality needs a representative sample, not the full corpus — the
     same contract as the IVF KMeans fit. Training operates on UNIT
-    vectors: PQ-for-cosine is PQ on the unit sphere with inner-product
-    ADC.
+    vectors by default: PQ-for-cosine is PQ on the unit sphere with
+    inner-product ADC. `normalize=False` trains on the raw column —
+    the IVF-PQ residual path (`operators/ivfpq.py`), where the input
+    is already a residual that must not be re-scaled.
     """
     import numpy as np
 
     sample = (
         vectors.select(id_col, vec_col).orderBy(id_col).limit(sample_rows).toPandas()
     )
-    X = _unit_rows(sample[vec_col])
+    if normalize:
+        X = _unit_rows(sample[vec_col])
+    else:
+        X = np.stack(sample[vec_col].to_numpy()).astype(np.float64)
     n, d = X.shape
     if d % m:
         raise ValueError(f"dim {d} not divisible by m={m}")
@@ -107,15 +113,21 @@ def pq_train(
     rows = []
     for s in range(m):
         Xs = X[:, s * dsub : (s + 1) * dsub]
+        xs_sq = (Xs * Xs).sum(axis=1)
         cents = Xs[rng.choice(n, size=k, replace=False)].copy()
         for _ in range(iters):
-            # (n, k) squared distances; argmin ties → lower code
-            d2 = ((Xs[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            # BLAS-form squared distances (the n×k×dsub tensor of the
+            # naive form doesn't fit in cache at k=256); argmin ties →
+            # lower code. Training needs no SQL-replay determinism —
+            # only the trained index's recall is gated.
+            d2 = xs_sq[:, None] + (cents * cents).sum(axis=1)[None, :]
+            d2 -= 2.0 * (Xs @ cents.T)
             assign = np.argmin(d2, axis=1)
-            for c in range(k):
-                mask = assign == c
-                if mask.any():
-                    cents[c] = Xs[mask].mean(axis=0)
+            counts = np.bincount(assign, minlength=k)
+            sums = np.zeros((k, dsub))
+            np.add.at(sums, assign, Xs)
+            nz = counts > 0
+            cents[nz] = sums[nz] / counts[nz, None]
         rows.extend(
             (s, c, [float(x) for x in cents[c]]) for c in range(k)
         )
@@ -130,12 +142,15 @@ def pq_encode(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     round_to: int = 9,
+    normalize: bool = True,
 ) -> DataFrame:
     """Compress the corpus → (id, codes array<int>): per subspace the
     nearest codebook entry by round-9 squared L2 on the unit sphere
-    (ties → lower code). One Arrow batch = m argmin passes over a
-    numpy distance matrix; no shuffle — the output inherits the input
-    partitioning, so an IVF-partitioned corpus stays IVF-partitioned.
+    (ties → lower code; `normalize=False` encodes the raw column —
+    the IVF-PQ residual path). One Arrow batch = m argmin passes over
+    a numpy distance matrix; no shuffle — the output inherits the
+    input partitioning, so an IVF-partitioned corpus stays
+    IVF-partitioned.
     """
     import numpy as np
     import pandas as pd
@@ -147,15 +162,21 @@ def pq_encode(
 
     def encode(batches):
         for pdf in batches:
-            V = _unit_rows(pdf[vec_col])
+            if normalize:
+                V = _unit_rows(pdf[vec_col])
+            else:
+                V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
             b = V.shape[0]
             codes = np.empty((b, m), dtype=np.int32)
             for s in range(m):
                 Vs = V[:, s * dsub : (s + 1) * dsub]
-                d2 = np.round(
-                    ((Vs[:, None, :] - cb[s][None, :, :]) ** 2).sum(axis=2), round_to
-                )
-                codes[:, s] = np.argmin(d2, axis=1)  # first occurrence = lower code
+                # BLAS form of Σ(v−c)²; round-9 before argmin keeps
+                # the code choice aligned with the SQL replay (ulp
+                # noise from the expansion identity sits at ~1e-15,
+                # absorbed by the rounding like summation-order noise)
+                d2 = (Vs * Vs).sum(axis=1)[:, None] + (cb[s] * cb[s]).sum(axis=1)[None, :]
+                d2 -= 2.0 * (Vs @ cb[s].T)
+                codes[:, s] = np.argmin(np.round(d2, round_to), axis=1)
             yield pd.DataFrame(
                 {id_col: pdf[id_col].to_numpy(), "codes": list(codes)}
             )

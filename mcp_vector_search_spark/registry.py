@@ -236,6 +236,34 @@ def q_minhash_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jaccard_verify(cand, sh, threshold=JACCARD_T)
 
 
+def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup pipeline TAIL: exact-dup star edges ∪ MinHash-LSH
+    verified near-dup pairs → connected components (min-label
+    propagation, operators/components.py) → one canonical keeper per
+    duplicate CLUSTER. The transitive closure is what lets a pipeline
+    drop N−1 of every N-way duplicate set even when only chained
+    pairs (A~B, B~C) were detected; oracle replays it with a
+    recursive CTE."""
+    from mcp_vector_search_spark.operators.components import dup_clusters
+
+    docs = _docs(spark, sf_dir)
+    sh = shingle_sets(docs, MINHASH["shingle_n"]).cache()
+    cand = minhash_candidates(docs, max_bucket_size=MINHASH_CAP, shingles=sh, **MINHASH)
+    mh = jaccard_verify(cand, sh, threshold=JACCARD_T).select("doc_a", "doc_b")
+    fp = docs.select("doc_id", doc_fingerprint("text").alias("fingerprint"))
+    groups = (
+        fp.groupBy("fingerprint")
+        .agg(F.count("*").alias("c"), F.min("doc_id").alias("keep_id"))
+        .filter(F.col("c") > 1)
+    )
+    ex = (
+        fp.join(groups, "fingerprint")
+        .filter(F.col("doc_id") != F.col("keep_id"))
+        .select(F.col("keep_id").alias("doc_a"), F.col("doc_id").alias("doc_b"))
+    )
+    return dup_clusters(mh.unionByName(ex))
+
+
 def q_neighbor_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return neighbor_jaccard(
         _docs(spark, sf_dir), window=NEIGHBOR_WINDOW, threshold=NEIGHBOR_T
@@ -593,11 +621,19 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
       this 500-vector scale — see the probe-ratio note in the r2
       registry history; bench measures 20/128 at 128K vectors);
     - `pq`: product-quantization ADC shortlist → exact rerank
-      (`pq_topk_refined`, refine ×5 like the reference).
+      (`pq_topk_refined`, refine ×5 like the reference);
+    - `ivfpq`: the combined IVFADC layout (`ivfpq_topk_refined`,
+      operators/ivfpq.py — coarse probe → residual-PQ ADC scan →
+      exact rerank), same probe count as the ivf row and the same
+      refine ×5.
 
     The *mechanisms* are separately hash-gated end-to-end by
     `ivf_fixed` and `pq_fixed`."""
     from mcp_vector_search_spark.operators.ivf import ivf_build, ivf_topk_batch
+    from mcp_vector_search_spark.operators.ivfpq import (
+        ivfpq_build,
+        ivfpq_topk_refined,
+    )
     from mcp_vector_search_spark.operators.pq import (
         pq_encode,
         pq_topk_refined,
@@ -621,8 +657,24 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, codes, codebooks, queries, BATCH_K, rerank_factor=PQ_GATE_RERANK
     ).select("query_id", "vec_id")
 
-    return _recall_row(ivf, brute, IVF_RECALL_FLOOR, "ivf").unionByName(
-        _recall_row(pq, brute, PQ_RECALL_FLOOR, "pq")
+    encoded, ip_cents, ip_cbs = ivfpq_build(
+        emb, num_clusters=16, m=PQ_GATE_M, k_codes=PQ_GATE_CODES
+    )
+    ivfpq = ivfpq_topk_refined(
+        emb,
+        encoded,
+        ip_cents,
+        ip_cbs,
+        queries,
+        BATCH_K,
+        nprobes=15,
+        rerank_factor=PQ_GATE_RERANK,
+    ).select("query_id", "vec_id")
+
+    return (
+        _recall_row(ivf, brute, IVF_RECALL_FLOOR, "ivf")
+        .unionByName(_recall_row(ivfpq, brute, PQ_RECALL_FLOOR, "ivfpq"))
+        .unionByName(_recall_row(pq, brute, PQ_RECALL_FLOOR, "pq"))
     )
 
 
@@ -1572,6 +1624,44 @@ SELECT doc_a, doc_b,
        round(CASE WHEN (ab - i) > 0 THEN i / (ab - i) ELSE 0.0 END, 6) AS jaccard
 FROM j
 WHERE round(CASE WHEN (ab - i) > 0 THEN i / (ab - i) ELSE 0.0 END, 6) >= {JACCARD_T}"""
+
+    # dedup tail: same MinHash pair derivation as minhash_jaccard +
+    # exact-dup star edges, then the transitive closure via a
+    # recursive CTE (min reachable id = component label — unique, so
+    # the iterative Spark propagation and the CTE agree exactly)
+    o["dup_clusters"] = f"""
+WITH RECURSIVE t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+sh AS (SELECT doc_id, {_SHINGLES3} AS shingles FROM t),
+hps AS (SELECT doc_id, {_HASH_PAIRS_SQL} AS hp FROM sh),
+sigs AS (SELECT doc_id, {_minhash_sig_sql()} AS sig FROM hps),
+banded AS (SELECT doc_id, unnest({_band_keys_sql()}) AS band_key FROM sigs),
+ok AS (SELECT band_key FROM banded GROUP BY band_key HAVING count(*) <= {MINHASH_CAP}),
+b2 AS (SELECT banded.* FROM banded JOIN ok USING (band_key)),
+cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         FROM b2 a JOIN b2 b ON a.band_key = b.band_key AND a.doc_id < b.doc_id),
+j AS (SELECT c.doc_a, c.doc_b,
+             len(list_intersect(sa.shingles, sb.shingles))::DOUBLE AS i,
+             (len(sa.shingles) + len(sb.shingles))::DOUBLE AS ab
+      FROM cand c JOIN sh sa ON sa.doc_id = c.doc_a JOIN sh sb ON sb.doc_id = c.doc_b),
+mh AS (SELECT doc_a, doc_b FROM j
+       WHERE round(CASE WHEN (ab - i) > 0 THEN i / (ab - i) ELSE 0.0 END, 6)
+             >= {JACCARD_T}),
+fpp AS (SELECT doc_id, {_FP} AS fingerprint FROM documents),
+gg AS (SELECT fingerprint, min(doc_id) AS keep_id
+       FROM fpp GROUP BY fingerprint HAVING count(*) > 1),
+ex AS (SELECT g.keep_id AS doc_a, f.doc_id AS doc_b
+       FROM fpp f JOIN gg g USING (fingerprint) WHERE f.doc_id != g.keep_id),
+pr AS (SELECT doc_a, doc_b FROM mh UNION SELECT doc_a, doc_b FROM ex),
+edges AS (SELECT doc_a AS a, doc_b AS b FROM pr UNION SELECT doc_b, doc_a FROM pr),
+reach(node, lbl) AS (
+  SELECT DISTINCT a, a FROM edges
+  UNION
+  SELECT e.b, r.lbl FROM reach r JOIN edges e ON e.a = r.node),
+comp AS (SELECT node, min(lbl) AS cluster_rep FROM reach GROUP BY node)
+SELECT node AS doc_id, cluster_rep,
+       (count(*) OVER (PARTITION BY cluster_rep))::BIGINT AS cluster_size,
+       node = cluster_rep AS is_keeper
+FROM comp"""
 
     o["neighbor_jaccard"] = f"""
 WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
@@ -2534,6 +2624,8 @@ WITH q AS (SELECT count(*)::BIGINT AS n_queries,
            FROM embeddings WHERE vec_id < {BATCH_QUERIES})
 SELECT 'ivf' AS path, n_queries, n_results, true AS recall_ok FROM q
 UNION ALL
+SELECT 'ivfpq' AS path, n_queries, n_results, true AS recall_ok FROM q
+UNION ALL
 SELECT 'pq' AS path, n_queries, n_results, true AS recall_ok FROM q"""
 
     # PQ mechanism with deterministic codebooks (subvector slices of
@@ -2626,7 +2718,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "knn_topk": q_knn_topk,
     "knn_batch_np": q_knn_batch_np,
     "hybrid_rrf": q_hybrid_rrf,
-    "exact_dups": q_exact_dups,
+    "dup_clusters": q_dup_clusters,
     "minhash_jaccard": q_minhash_jaccard,
     "neighbor_jaccard": q_neighbor_jaccard,
     "simhash_near_dups": q_simhash_near_dups,
@@ -2673,6 +2765,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mmr": q_mmr,
     "doc_categories": q_doc_categories,
     # --- overflow: oracle-checked twins/demos (past the window) ---
+    "exact_dups": q_exact_dups,
     "ontology": q_ontology,
     "viz_neighbors": q_viz_neighbors,
     "ivf_topk": q_ivf_topk,
