@@ -86,6 +86,83 @@ def distinct_token_ratio(tokens: Column) -> Column:
     ).otherwise(F.lit(0.0))
 
 
+# Gopher-style repetition / quality signals (Rae et al. 2021,
+# "Scaling Language Models: ... Gopher", Table A1 — the standard
+# LLM-pretraining document filters). All pure column expressions
+# (codegen, no shuffle, no UDF): per-doc signals must stay narrow at
+# 100 TB. The DuckDB oracle replays each with list functions.
+
+
+def doc_lines(text: Column | str) -> Column:
+    """Non-empty trimmed lines, order-preserving."""
+    col = F.col(text) if isinstance(text, str) else text
+    return F.filter(
+        F.transform(F.split(col, "\n"), lambda x: F.trim(x)),
+        lambda x: x != F.lit(""),
+    )
+
+
+def dup_line_fraction(lines: Column) -> Column:
+    """1 − |distinct lines| / |lines| — Gopher drops docs > 0.30."""
+    return F.when(
+        F.size(lines) > 0,
+        1.0 - F.size(F.array_distinct(lines)).cast("double") / F.size(lines),
+    ).otherwise(F.lit(0.0))
+
+
+def bullet_line_fraction(lines: Column) -> Column:
+    """Fraction of lines starting with a bullet ('-' or '*') —
+    Gopher drops docs > 0.90."""
+    bullets = F.filter(
+        lines,
+        lambda x: F.startswith(x, F.lit("-")) | F.startswith(x, F.lit("*")),
+    )
+    return F.when(
+        F.size(lines) > 0, F.size(bullets).cast("double") / F.size(lines)
+    ).otherwise(F.lit(0.0))
+
+
+def ellipsis_line_fraction(lines: Column) -> Column:
+    """Fraction of lines ending in '...' — Gopher drops docs > 0.30."""
+    ell = F.filter(lines, lambda x: F.endswith(x, F.lit("...")))
+    return F.when(
+        F.size(lines) > 0, F.size(ell).cast("double") / F.size(lines)
+    ).otherwise(F.lit(0.0))
+
+
+def mean_word_length(tokens: Column) -> Column:
+    """Mean token length — Gopher keeps 3..10."""
+    total = F.aggregate(
+        tokens, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+    )
+    return F.when(
+        F.size(tokens) > 0, total.cast("double") / F.size(tokens)
+    ).otherwise(F.lit(0.0))
+
+
+def alpha_word_fraction(tokens: Column) -> Column:
+    """Fraction of tokens containing at least one letter — Gopher
+    keeps ≥ 0.80 (tokens here are already lowercased alnum runs, so
+    the check is 'not purely numeric')."""
+    alpha = F.filter(tokens, lambda x: x.rlike("[a-z]"))
+    return F.when(
+        F.size(tokens) > 0, F.size(alpha).cast("double") / F.size(tokens)
+    ).otherwise(F.lit(0.0))
+
+
+def symbol_word_ratio(text: Column | str, tokens: Column) -> Column:
+    """(# of '#' chars + # of '...' runs) per word — Gopher drops
+    docs > 0.10."""
+    col = F.col(text) if isinstance(text, str) else text
+    hashes = F.length(col) - F.length(F.replace(col, F.lit("#"), F.lit("")))
+    dots = (
+        F.length(col) - F.length(F.replace(col, F.lit("..."), F.lit("")))
+    ) / F.lit(3)
+    return F.when(
+        F.size(tokens) > 0, (hashes + dots).cast("double") / F.size(tokens)
+    ).otherwise(F.lit(0.0))
+
+
 # F6 NLP entity extraction (reference ``core/nlp_extractor.py``, invoked
 # from ``parsers/base.py:240-249``). The reference pulls YAKE keywords,
 # backtick code refs, and camel/snake/ACRONYM identifier terms out of

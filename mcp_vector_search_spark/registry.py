@@ -96,6 +96,16 @@ _GRAMS3 = (
     "list_transform(range(1, greatest(len(toks) - 1, 1)),"
     " i -> array_to_string(toks[i:i+2], '_'))"
 )
+# word 2-grams, non-distinct — mirrors word_ngrams(tokens, 2)
+_GRAMS2 = (
+    "list_transform(range(1, greatest(len(toks), 1)),"
+    " i -> array_to_string(toks[i:i+1], '_'))"
+)
+# non-empty trimmed lines — mirrors functions.text.doc_lines
+_LINES = (
+    "list_filter(list_transform(string_split(text, chr(10)), x -> trim(x)),"
+    " x -> x != '')"
+)
 
 
 def _terms_in() -> str:
@@ -293,17 +303,68 @@ def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Text metrics (S4/F1/LLM-pipeline) + the F15 quality score in one
-    gate — both operators run, joined on doc_id."""
+    """Text metrics (S4/F1/LLM-pipeline) + the F15 quality score + the
+    Gopher repetition/quality filter signals (Rae et al. 2021 Table
+    A1) in one gate. All per-doc signals are narrow column exprs (no
+    shuffle); only top_2gram_frac aggregates (explode → two keyed
+    groupBys with map-side combine — linear, the HOF alternative is
+    quadratic in doc length). `passes_gopher` is the standard
+    pretraining keep/drop decision."""
+    from mcp_vector_search_spark.functions.text import (
+        alpha_word_fraction,
+        bullet_line_fraction,
+        doc_lines,
+        dup_line_fraction,
+        ellipsis_line_fraction,
+        mean_word_length,
+        symbol_word_ratio,
+    )
+
+    docs = _docs(spark, sf_dir)
     toks = tokenize("text")
-    metrics = _docs(spark, sf_dir).select(
+    lines = doc_lines("text")
+    metrics = docs.select(
         "doc_id",
         F.size(toks).cast("long").alias("n_tokens"),
         F.round(punct_ratio("text"), 6).alias("punct_ratio"),
         F.round(distinct_token_ratio(toks), 6).alias("distinct_ratio"),
         doc_fingerprint("text").alias("fingerprint"),
+        F.round(dup_line_fraction(lines), 6).alias("dup_line_frac"),
+        F.round(bullet_line_fraction(lines), 6).alias("bullet_line_frac"),
+        F.round(ellipsis_line_fraction(lines), 6).alias("ellipsis_line_frac"),
+        F.round(mean_word_length(toks), 6).alias("mean_word_len"),
+        F.round(alpha_word_fraction(toks), 6).alias("alpha_word_frac"),
+        F.round(symbol_word_ratio("text", toks), 6).alias("symbol_word_ratio"),
     )
-    return metrics.join(quality_score(_docs(spark, sf_dir)), "doc_id")
+    grams = docs.select(
+        "doc_id", F.explode(word_ngrams(tokenize("text"), 2)).alias("gram")
+    )
+    top2 = (
+        grams.groupBy("doc_id", "gram")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.max("c").cast("double") / F.sum("c"), 6).alias(
+                "top_2gram_frac"
+            )
+        )
+    )
+    out = (
+        metrics.join(top2, "doc_id", "left")
+        .withColumn("top_2gram_frac", F.coalesce(F.col("top_2gram_frac"), F.lit(0.0)))
+        .withColumn(
+            "passes_gopher",
+            F.col("n_tokens").between(50, 100000)
+            & F.col("mean_word_len").between(3.0, 10.0)
+            & (F.col("symbol_word_ratio") <= 0.1)
+            & (F.col("bullet_line_frac") <= 0.9)
+            & (F.col("ellipsis_line_frac") <= 0.3)
+            & (F.col("alpha_word_frac") >= 0.8)
+            & (F.col("dup_line_frac") <= 0.3)
+            & (F.col("top_2gram_frac") <= 0.2),
+        )
+    )
+    return out.join(quality_score(docs), "doc_id")
 
 
 def q_ngram_top50(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2555,9 +2616,60 @@ FROM embeddings GROUP BY label"""
     # (subquery-wrapped), so the per-operator SQL stays auditable while
     # one registry key gates several §2 rows.
 
+    # Gopher-style repetition/quality signals (Rae et al. 2021 Table
+    # A1) — composed into the text_quality gate below; the list-lambda
+    # expressions mirror functions/text.py's column exprs 1:1
+    _gopher_sql = f"""
+WITH t AS (SELECT doc_id, text, {_TOKS} AS toks, {_LINES} AS lns FROM documents),
+m AS (SELECT doc_id,
+       len(toks) AS nt,
+       round(CASE WHEN len(lns) > 0
+             THEN 1.0 - len(list_distinct(lns))::DOUBLE / len(lns)
+             ELSE 0.0 END, 6) AS dup_line_frac,
+       round(CASE WHEN len(lns) > 0
+             THEN len(list_filter(lns, x -> starts_with(x, '-')
+                                         OR starts_with(x, '*')))::DOUBLE / len(lns)
+             ELSE 0.0 END, 6) AS bullet_line_frac,
+       round(CASE WHEN len(lns) > 0
+             THEN len(list_filter(lns, x -> ends_with(x, '...')))::DOUBLE / len(lns)
+             ELSE 0.0 END, 6) AS ellipsis_line_frac,
+       round(CASE WHEN len(toks) > 0
+             THEN list_sum(list_transform(toks, x -> length(x)))::DOUBLE / len(toks)
+             ELSE 0.0 END, 6) AS mean_word_len,
+       round(CASE WHEN len(toks) > 0
+             THEN len(list_filter(toks, x -> regexp_matches(x, '[a-z]')))::DOUBLE
+                  / len(toks)
+             ELSE 0.0 END, 6) AS alpha_word_frac,
+       round(CASE WHEN len(toks) > 0
+             THEN ((length(text) - length(replace(text, '#', '')))
+                   + (length(text) - length(replace(text, '...', ''))) / 3.0)
+                  / len(toks)
+             ELSE 0.0 END, 6) AS symbol_word_ratio
+      FROM t),
+g AS (SELECT doc_id, unnest({_GRAMS2}) AS gram FROM t),
+gc AS (SELECT doc_id, gram, count(*) AS c FROM g GROUP BY doc_id, gram),
+tg AS (SELECT doc_id, round(max(c)::DOUBLE / sum(c), 6) AS top_2gram_frac FROM gc
+       GROUP BY doc_id)
+SELECT m.doc_id, m.dup_line_frac, m.bullet_line_frac, m.ellipsis_line_frac,
+       m.mean_word_len, m.alpha_word_frac, m.symbol_word_ratio,
+       coalesce(tg.top_2gram_frac, 0.0) AS top_2gram_frac,
+       (m.nt BETWEEN 50 AND 100000
+        AND m.mean_word_len BETWEEN 3.0 AND 10.0
+        AND m.symbol_word_ratio <= 0.1
+        AND m.bullet_line_frac <= 0.9
+        AND m.ellipsis_line_frac <= 0.3
+        AND m.alpha_word_frac >= 0.8
+        AND m.dup_line_frac <= 0.3
+        AND coalesce(tg.top_2gram_frac, 0.0) <= 0.2) AS passes_gopher
+FROM m LEFT JOIN tg USING (doc_id)"""
+
     o["text_quality"] = f"""
-SELECT a.*, b.quality
-FROM ({o['text_quality']}) a JOIN ({o['quality_score']}) b USING (doc_id)"""
+SELECT a.*, g.dup_line_frac, g.bullet_line_frac, g.ellipsis_line_frac,
+       g.mean_word_len, g.alpha_word_frac, g.symbol_word_ratio,
+       g.top_2gram_frac, g.passes_gopher, b.quality
+FROM ({o['text_quality']}) a
+JOIN ({_gopher_sql}) g USING (doc_id)
+JOIN ({o['quality_score']}) b USING (doc_id)"""
 
     o["incremental_delta"] = f"""
 SELECT 'changed' AS kind, doc_id AS id_a, NULL::BIGINT AS id_b, fingerprint

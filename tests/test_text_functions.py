@@ -53,3 +53,66 @@ def test_chunk_id_null_name_keeps_separator(spark):
     h8 = hashlib.sha256(b"body").hexdigest()[:8]
     want = hashlib.sha256(f"p:t::0:5:{h8}".encode()).hexdigest()[:16]
     assert got == want
+
+
+def test_gopher_line_signals(spark):
+    from mcp_vector_search_spark.functions.text import (
+        bullet_line_fraction,
+        doc_lines,
+        dup_line_fraction,
+        ellipsis_line_fraction,
+    )
+
+    text = "alpha\nalpha\n- bullet\n* item\nend...\n\n  \n"
+    df = spark.createDataFrame([(text,)], "text string")
+    lines = doc_lines("text")
+    dup, bul, ell = df.select(
+        dup_line_fraction(lines),
+        bullet_line_fraction(lines),
+        ellipsis_line_fraction(lines),
+    ).first()
+    # 5 non-empty lines; "alpha" duplicated once
+    assert abs(dup - 1 / 5) < 1e-12
+    assert abs(bul - 2 / 5) < 1e-12
+    assert abs(ell - 1 / 5) < 1e-12
+
+
+def test_gopher_word_signals(spark):
+    from mcp_vector_search_spark.functions.text import (
+        alpha_word_fraction,
+        mean_word_length,
+        symbol_word_ratio,
+        tokenize,
+    )
+
+    df = spark.createDataFrame([("ab 12 cdef ## ...",)], "text string")
+    toks = tokenize("text")
+    mwl, awf, swr = df.select(
+        mean_word_length(toks),
+        alpha_word_fraction(toks),
+        symbol_word_ratio("text", toks),
+    ).first()
+    # tokens: ab, 12, cdef → lengths 2,2,4
+    assert abs(mwl - 8 / 3) < 1e-12
+    assert abs(awf - 2 / 3) < 1e-12
+    # 2 '#' + 1 '...' over 3 words
+    assert abs(swr - 3 / 3) < 1e-12
+
+
+def test_gopher_empty_doc_is_zero(spark):
+    from mcp_vector_search_spark.functions.text import (
+        alpha_word_fraction,
+        doc_lines,
+        dup_line_fraction,
+        mean_word_length,
+        tokenize,
+    )
+
+    df = spark.createDataFrame([("",)], "text string")
+    toks = tokenize("text")
+    vals = df.select(
+        dup_line_fraction(doc_lines("text")),
+        mean_word_length(toks),
+        alpha_word_fraction(toks),
+    ).first()
+    assert list(vals) == [0.0, 0.0, 0.0]
