@@ -34,6 +34,7 @@ class SparkProject:
         self._kg_edges: DataFrame | None = None
         self._bm25_index: tuple[DataFrame, DataFrame, DataFrame] | None = None
         self._ivf_layout: tuple[DataFrame, DataFrame] | None = None
+        self._ivfpq_layout: tuple[DataFrame, DataFrame, DataFrame] | None = None
 
     # ---------------------------------------------------------- search
 
@@ -85,14 +86,37 @@ class SparkProject:
             .limit(limit)
         )
 
-    def build_ann_index(self, num_clusters: int | None = None) -> None:
-        """Build + memoize the KMeans-IVF layout so `search_batch`
-        prunes clusters instead of scanning the corpus per query."""
+    def build_ann_index(
+        self,
+        num_clusters: int | None = None,
+        kind: str = "ivf",
+        m: int = 8,
+        k_codes: int = 256,
+    ) -> None:
+        """Build + memoize an ANN layout so `search_batch` prunes
+        clusters instead of scanning the corpus per query.
+
+        kind="ivf"   — coarse quantizer only; probed clusters score
+                       full-precision floats (exact within the probe).
+        kind="ivfpq" — additionally residual-PQ-encodes the corpus
+                       (operators/ivfpq.py): probed clusters scan m
+                       code bytes per vector instead of d floats, then
+                       exact-rerank — the 100 TB memory/I-O path.
+        """
         from mcp_vector_search_spark.operators.ivf import ivf_build
 
         kwargs = {} if num_clusters is None else {"num_clusters": num_clusters}
         assigned, centroids = ivf_build(self.vectors, **kwargs)
         self._ivf_layout = (assigned.cache(), centroids)
+        if kind == "ivfpq":
+            from mcp_vector_search_spark.operators.ivfpq import ivfpq_build
+
+            encoded, cents, codebooks = ivfpq_build(
+                self.vectors, m=m, k_codes=k_codes, coarse=(assigned, centroids)
+            )
+            self._ivfpq_layout = (encoded.cache(), cents, codebooks)
+        elif kind != "ivf":
+            raise ValueError(f"unknown ANN index kind: {kind!r}")
 
     def search_batch(self, queries: DataFrame, limit: int = 10) -> DataFrame:
         """Batch ANN (tool batch search): always the Arrow-vectorized
@@ -104,6 +128,13 @@ class SparkProject:
         from mcp_vector_search_spark.operators.ivf import ivf_topk_batch_np
         from mcp_vector_search_spark.operators.topk import topk_per_query_np
 
+        if self._ivfpq_layout is not None:
+            from mcp_vector_search_spark.operators.ivfpq import ivfpq_topk_refined
+
+            encoded, cents, codebooks = self._ivfpq_layout
+            return ivfpq_topk_refined(
+                self.vectors, encoded, cents, codebooks, queries, limit
+            )
         if self._ivf_layout is not None:
             assigned, centroids = self._ivf_layout
             return ivf_topk_batch_np(assigned, centroids, queries, limit)
@@ -138,6 +169,62 @@ class SparkProject:
         assert self.chunk_meta is not None, "search_context needs chunk_meta"
         return full_search(
             self.docs, self.chunk_meta, self.vectors, query, query_vec, k=limit
+        )
+
+    # ----------------------------------------------------------- dedup
+
+    def find_duplicates(self, method: str = "minhash", **kw) -> DataFrame:
+        """Candidate duplicate pairs by detector:
+        'exact' (fingerprint groups), 'minhash' (LSH + Jaccard
+        verify), 'simhash' (pigeonhole-banded hamming), 'embedding'
+        (cosine near-dups). Pairs feed `dedup_clusters`."""
+        from mcp_vector_search_spark.operators import dedup as D
+
+        if method == "exact":
+            return D.exact_duplicates(self.docs, **kw)
+        if method == "minhash":
+            sh = D.shingle_sets(self.docs)
+            cand = D.minhash_candidates(self.docs, shingles=sh, **kw)
+            return D.jaccard_verify(cand, sh)
+        if method == "simhash":
+            return D.simhash_near_dups(self.docs, **kw)
+        if method == "embedding":
+            return D.embedding_near_dups(self.vectors, **kw)
+        raise ValueError(f"unknown dedup method: {method!r}")
+
+    def dedup_clusters(self, pairs: DataFrame) -> DataFrame:
+        """Pair list → transitive duplicate clusters with one keeper
+        per cluster (operators/components.py); filter `is_keeper` to
+        apply the dedup."""
+        from mcp_vector_search_spark.operators.components import dup_clusters
+
+        return dup_clusters(pairs)
+
+    def quality_signals(self) -> DataFrame:
+        """Per-doc Gopher repetition/quality signals + keep/drop flag
+        (functions/text.py) — the pretraining filter columns."""
+        from mcp_vector_search_spark.functions.text import (
+            alpha_word_fraction,
+            bullet_line_fraction,
+            doc_lines,
+            dup_line_fraction,
+            ellipsis_line_fraction,
+            mean_word_length,
+            symbol_word_ratio,
+            tokenize,
+        )
+
+        toks = tokenize("text")
+        lines = doc_lines("text")
+        return self.docs.select(
+            "doc_id",
+            F.size(toks).cast("long").alias("n_tokens"),
+            F.round(dup_line_fraction(lines), 6).alias("dup_line_frac"),
+            F.round(bullet_line_fraction(lines), 6).alias("bullet_line_frac"),
+            F.round(ellipsis_line_fraction(lines), 6).alias("ellipsis_line_frac"),
+            F.round(mean_word_length(toks), 6).alias("mean_word_len"),
+            F.round(alpha_word_fraction(toks), 6).alias("alpha_word_frac"),
+            F.round(symbol_word_ratio("text", toks), 6).alias("symbol_word_ratio"),
         )
 
     # ------------------------------------------------------- analytics

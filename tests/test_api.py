@@ -101,3 +101,29 @@ def test_config_surfaces(tmp_path):
     assert "retrieve" in merged["fetch"] and "zz_custom" in merged["fetch"]
     assert merged["new"] == ["fresh"]
     assert {k: list(v) for k, v in CODE_SYNONYMS.items()} == before  # untouched
+
+
+def test_api_dedup_and_quality(spark):
+    p = _project(spark)
+    pairs = p.find_duplicates("minhash").select("doc_a", "doc_b")
+    clusters = p.dedup_clusters(pairs)
+    if clusters.count() > 0:
+        per = clusters.groupBy("cluster_rep").agg(
+            F.sum(F.col("is_keeper").cast("int")).alias("k")
+        )
+        assert per.filter(F.col("k") != 1).count() == 0
+    sig = p.quality_signals()
+    assert sig.count() == p.docs.count()
+    row = sig.first()
+    assert 0.0 <= row.dup_line_frac <= 1.0 and row.mean_word_len >= 0.0
+
+
+def test_api_ivfpq_batch_search(spark):
+    p = _project(spark)
+    p.build_ann_index(num_clusters=8, kind="ivfpq", m=16, k_codes=64)
+    q = p.vectors.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = p.search_batch(q, limit=5).collect()
+    assert len(out) == 15
+    assert {r.query_id for r in out} == {0, 1, 2}
