@@ -128,7 +128,10 @@ def main():
         "noop"
     ).mode("overwrite").save()
     per_query["ann_ivf_q256"] = round(time.time() - t0, 3)
-    from mcp_vector_search_spark.operators.ivf import ivf_topk_batch_np
+    from mcp_vector_search_spark.operators.ivf import (
+        ivf_build_sampled,
+        ivf_topk_batch_np,
+    )
 
     t0 = time.time()
     ivf_topk_batch_np(
@@ -214,11 +217,13 @@ def main():
     # sf0.1's 2,000 vectors sit below ANN_ACTIVATION_MIN_ROWS (4,096),
     # so the small-corpus numbers above are overhead-dominated and brute
     # "wins". This section measures the crossover the IVF design exists
-    # for: the corpus deterministically inflated ×64 (each vector gets
-    # 63 tightly-perturbed variants — the clustered structure real
+    # for: the corpus deterministically inflated ×256 (each vector gets
+    # 255 tightly-perturbed variants — the clustered structure real
     # embedding corpora have), then brute vs IVF at the reference's
-    # published nprobes=20 over 128 clusters.
-    INFLATE = 64
+    # published nprobes=20, over 256 clusters (~8% of the corpus
+    # scanned per probe set). The build is the sample-fit one scan-pass
+    # `ivf_build_sampled` — the build that holds at 100 TB.
+    INFLATE = 256
     variants = F.broadcast(
         spark.range(INFLATE).select(F.col("id").cast("int").alias("variant"))
     )
@@ -252,7 +257,7 @@ def main():
         per_query["ann_big_brute_sec"] * 1000 / n_big_q, 2
     )
     t0 = time.time()
-    big_assigned, big_cents = ivf_build(big, num_clusters=128)
+    big_assigned, big_cents = ivf_build_sampled(big, num_clusters=256)
     # serving layout: hash-partitioned by cluster_id (on disk this is
     # the partitioned-parquet layout ivf_build is designed for), so the
     # per-batch grouped scoring needs NO exchange — the plan reuses the

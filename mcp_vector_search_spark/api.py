@@ -35,6 +35,7 @@ class SparkProject:
         self._bm25_index: tuple[DataFrame, DataFrame, DataFrame] | None = None
         self._ivf_layout: tuple[DataFrame, DataFrame] | None = None
         self._ivfpq_layout: tuple[DataFrame, DataFrame, DataFrame] | None = None
+        self._sq_layout: tuple[DataFrame, DataFrame] | None = None
 
     # ---------------------------------------------------------- search
 
@@ -102,6 +103,11 @@ class SparkProject:
                        (operators/ivfpq.py): probed clusters scan m
                        code bytes per vector instead of d floats, then
                        exact-rerank — the 100 TB memory/I-O path.
+        kind="ivfsq" — the reference's own IVF_SQ shape
+                       (``vectors_backend.py:1264-1341``): scalar-
+                       quantize to one byte per dimension on top of
+                       the IVF layout; queries decode-and-GEMM the SQ
+                       codes then exact-rerank (operators/sq.py).
         """
         from mcp_vector_search_spark.operators.ivf import ivf_build
 
@@ -115,6 +121,12 @@ class SparkProject:
                 self.vectors, m=m, k_codes=k_codes, coarse=(assigned, centroids)
             )
             self._ivfpq_layout = (encoded.cache(), cents, codebooks)
+        elif kind == "ivfsq":
+            from mcp_vector_search_spark.operators.sq import sq_encode, sq_train
+
+            bounds = sq_train(self.vectors)
+            codes = sq_encode(self.vectors, bounds)
+            self._sq_layout = (codes.cache(), bounds)
         elif kind != "ivf":
             raise ValueError(f"unknown ANN index kind: {kind!r}")
 
@@ -135,6 +147,11 @@ class SparkProject:
             return ivfpq_topk_refined(
                 self.vectors, encoded, cents, codebooks, queries, limit
             )
+        if self._sq_layout is not None:
+            from mcp_vector_search_spark.operators.sq import sq_topk_refined
+
+            codes, bounds = self._sq_layout
+            return sq_topk_refined(self.vectors, codes, bounds, queries, limit)
         if self._ivf_layout is not None:
             assigned, centroids = self._ivf_layout
             return ivf_topk_batch_np(assigned, centroids, queries, limit)

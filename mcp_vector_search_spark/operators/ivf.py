@@ -90,6 +90,75 @@ def ivf_build(
     return assigned, centroids
 
 
+def ivf_build_sampled(
+    vectors: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    num_clusters: int | None = None,
+    sample_rows: int = 32768,
+    iters: int = 20,
+    seed: int = 42,
+) -> tuple[DataFrame, DataFrame]:
+    """`ivf_build` without the iterative distributed fit: Lloyd's runs
+    driver-side on a bounded deterministic sample (lowest-`sample_rows`
+    ids — a TakeOrdered, stable across partition layouts), then ONE
+    Arrow map pass assigns every vector to its nearest centroid. Same
+    (assigned, centroids) contract as `ivf_build`, including the
+    materialized `unit` column.
+
+    This is the build that holds at 100 TB: MLlib KMeans re-scans the
+    full corpus per iteration (20 iterations = 20 corpus scans), while
+    a centroid fit needs a representative sample, not every row — the
+    same contract as `pq_train`. Here the corpus is scanned exactly
+    once, map-side, for assignment."""
+    import numpy as np
+    import pandas as pd
+
+    from mcp_vector_search_spark.operators.topk import _safe_norms
+
+    if num_clusters is None:
+        num_clusters = clamp_clusters(vectors.count())
+    sample = (
+        vectors.select(id_col, vec_col).orderBy(id_col).limit(sample_rows).toPandas()
+    )
+    X = np.stack(sample[vec_col].to_numpy()).astype(np.float64)
+    X /= _safe_norms(X)
+    n, d = X.shape
+    k = min(num_clusters, n)
+    rng = np.random.default_rng(seed)
+    cents = X[rng.choice(n, size=k, replace=False)].copy()
+    for _ in range(iters):
+        # unit sphere: argmin L2 ≡ argmax (u·c − ‖c‖²/2); BLAS form
+        d2 = (cents * cents).sum(axis=1)[None, :] - 2.0 * (X @ cents.T)
+        assign = np.argmin(d2, axis=1)
+        counts = np.bincount(assign, minlength=k)
+        sums = np.zeros((k, d))
+        np.add.at(sums, assign, X)
+        nz = counts > 0
+        cents[nz] = sums[nz] / counts[nz, None]
+    half_c2 = (cents * cents).sum(axis=1) / 2.0
+
+    passthrough = [f.simpleString().replace(":", " ", 1) for f in vectors.schema.fields]
+    out_schema = ", ".join(passthrough + ["unit array<double>", "cluster_id int"])
+
+    def assign_pass(batches):
+        for pdf in batches:
+            V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            U = V / _safe_norms(V)
+            cid = np.argmin(half_c2[None, :] - U @ cents.T, axis=1)
+            out = pdf.copy()
+            out["unit"] = list(U)
+            out["cluster_id"] = cid.astype(np.int32)
+            yield out
+
+    assigned = vectors.mapInPandas(assign_pass, out_schema)
+    centroids = vectors.sparkSession.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(cents)],
+        "cluster_id int, centroid array<double>",
+    )
+    return assigned, centroids
+
+
 def ivf_topk_batch(
     assigned: DataFrame,
     centroids: DataFrame,

@@ -1,0 +1,171 @@
+"""Deterministic sampling / splitting / packing for training-data corpora.
+
+The reference engine's end product is a curated corpus (chunks ranked,
+deduplicated, quality-scored — ``README.md:1-40``); these operators
+finish that pipeline with the steps a large-scale training run needs:
+reproducible train/val/test splits, per-stratum and quality-weighted
+downsampling, deterministic shard assignment, and greedy sequence
+packing to a context-length budget.
+
+Randomness is replaced everywhere by md5-hash uniforms (the same
+portable-hash discipline as ``functions/hashing.py``): a doc's fate is
+a pure function of its id + salt, so re-running on 100 TB — or on two
+different engines — yields byte-identical membership with zero
+coordination, and every operator here is replayable by a SQL oracle.
+
+100 TB notes:
+- splits / samples / shard assignment are map-side column expressions —
+  zero shuffle, fully pushdown-friendly.
+- ``sample_exact`` is TakeOrderedAndProject (per-partition partial
+  top-N + single reduce; never a global sort).
+- ``pack_sequences`` shuffles once on the shard key, then packs each
+  shard in one Arrow batch in arrival (id) order; ``n_shards`` bounds
+  both parallelism and per-task memory. Packing is *per shard* by
+  design — a global greedy order would serialize the whole corpus.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+HEX_W = 6  # 24-bit uniform: enough resolution for per-mille fractions
+HEX_SCALE = 16**HEX_W
+
+
+def hash_uniform(id_col: Column, salt: str) -> Column:
+    """Deterministic uniform in [0, 1): the first 24 md5 bits of
+    ``str(id) + '#' + salt`` over 2^24. Exactly reproducible in any
+    engine with md5 (DuckDB: ``('0x' || substr(md5(..), 1, 6))::BIGINT
+    / 16777216.0``); dividing an integer by a power of two is exact in
+    float64, so threshold comparisons agree bit-for-bit."""
+    h = F.md5(F.concat(id_col.cast("string"), F.lit("#" + salt)))
+    return F.conv(F.substring(h, 1, HEX_W), 16, 10).cast("double") / F.lit(float(HEX_SCALE))
+
+
+_uniform = hash_uniform
+
+
+def hash_split(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    train: float = 0.8,
+    val: float = 0.1,
+    salt: str = "split",
+) -> DataFrame:
+    """Reproducible train/val/test split: adds a ``split`` column.
+
+    A doc's split never changes as the corpus grows (membership depends
+    only on its own id), which is the property replays and ablations
+    need; Spark's ``randomSplit`` can't give it."""
+    u = _uniform(F.col(id_col), salt)
+    return docs.withColumn(
+        "split",
+        F.when(u < F.lit(train), F.lit("train"))
+        .when(u < F.lit(train + val), F.lit("val"))
+        .otherwise(F.lit("test")),
+    )
+
+
+def stratified_sample(
+    docs: DataFrame,
+    fractions: dict[str, float],
+    strata_col: str = "lang",
+    id_col: str = "doc_id",
+    default_fraction: float = 1.0,
+    salt: str = "strat",
+) -> DataFrame:
+    """Per-stratum deterministic downsample: keep a doc iff its hash
+    uniform < its stratum's fraction (language rebalancing, domain
+    mixing). Map-side only; expected kept fraction per stratum is
+    exact to 2^-24."""
+    frac: Column = F.lit(float(default_fraction))
+    for value, f in sorted(fractions.items()):
+        frac = F.when(F.col(strata_col) == F.lit(value), F.lit(float(f))).otherwise(frac)
+    return docs.filter(_uniform(F.col(id_col), salt) < frac)
+
+
+def weighted_downsample(
+    docs: DataFrame,
+    weight_col: Column | str,
+    id_col: str = "doc_id",
+    salt: str = "wsample",
+) -> DataFrame:
+    """Keep each doc with probability = its own (clamped to [0,1])
+    weight column — e.g. a quality score, so high-quality docs are
+    kept outright and low-quality ones thinned proportionally."""
+    w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    w = F.least(F.lit(1.0), F.greatest(F.lit(0.0), w.cast("double")))
+    return docs.filter(_uniform(F.col(id_col), salt) < w)
+
+
+def assign_shards(
+    docs: DataFrame,
+    n_shards: int,
+    id_col: str = "doc_id",
+    salt: str = "shard",
+    out_col: str = "shard",
+) -> DataFrame:
+    """Deterministic shard id in [0, n_shards): hash-mod, independent
+    of physical partitioning, stable across runs and engines."""
+    h = F.md5(F.concat(F.col(id_col).cast("string"), F.lit("#" + salt)))
+    n = F.conv(F.substring(h, 1, HEX_W), 16, 10).cast("long")
+    return docs.withColumn(out_col, (n % F.lit(int(n_shards))).cast("int"))
+
+
+def sample_exact(docs: DataFrame, n: int, id_col: str = "doc_id", salt: str = "take") -> DataFrame:
+    """Exactly-n deterministic sample: order by the doc's hash and take
+    the first n. Plans as TakeOrderedAndProject — each partition emits
+    its local top-n, one reduce merges; no global sort at 100 TB."""
+    return (
+        docs.withColumn("_r", F.md5(F.concat(F.col(id_col).cast("string"), F.lit("#" + salt))))
+        .orderBy("_r")
+        .limit(n)
+        .drop("_r")
+    )
+
+
+def pack_sequences(
+    docs: DataFrame,
+    max_tokens: int,
+    n_shards: int = 32,
+    id_col: str = "doc_id",
+    token_col: str = "tok",
+    salt: str = "pack",
+) -> DataFrame:
+    """Greedy sequence packing: within each (hash-assigned) shard,
+    walk docs in id order and append to the current bin until adding
+    the next doc would exceed ``max_tokens``, then open a new bin.
+    Returns (shard, doc_id, tok, bin_id) — bin_id is 1-based per
+    shard. A doc longer than the budget gets a bin of its own.
+
+    This is the pre-tokenization step of training-batch construction:
+    bins map 1:1 to context windows. The fold is order-dependent so it
+    runs as one Arrow batch per shard (`applyInPandas`); shard count
+    is the parallelism lever, and the fold itself is O(shard size).
+    """
+    id_t = docs.schema[id_col].dataType.simpleString()
+    tok_t = docs.schema[token_col].dataType.simpleString()
+    out_schema = f"shard int, {id_col} {id_t}, {token_col} {tok_t}, bin_id long"
+    cap = int(max_tokens)
+
+    def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col, kind="mergesort").reset_index(drop=True)
+        bins = []
+        bin_id, fill = 0, cap  # sentinel: first doc always opens bin 1
+        for tok in pdf[token_col]:
+            t = int(tok)
+            if fill + t > cap:
+                bin_id += 1
+                fill = t
+            else:
+                fill += t
+            bins.append(bin_id)
+        pdf["bin_id"] = pd.Series(bins, dtype="int64")
+        return pdf[["shard", id_col, token_col, "bin_id"]]
+
+    sharded = assign_shards(docs, n_shards, id_col=id_col, salt=salt).select(
+        "shard", id_col, token_col
+    )
+    return sharded.groupBy("shard").applyInPandas(_pack, schema=out_schema)

@@ -1,0 +1,238 @@
+"""Scalar quantization (SQ) — the reference's own ANN codec.
+
+The reference's LanceDB index is IVF_**SQ**: vectors are scalar-
+quantized to int8 before the probed-cluster scan
+(``vectors_backend.py:1264-1341``, ``CHANGELOG.md:429-432``). SQ keeps
+one byte per *dimension* (vs PQ's one byte per *subspace*): a 64-dim
+float32 row shrinks 4× (768-dim: 3 KB → 768 B), with far simpler math
+than PQ — per-dimension affine codes against global per-dim [min, max]
+bounds.
+
+Spark-first shape:
+
+- bounds are a per-dimension aggregate — ``posexplode → groupBy(dim)
+  → min/max`` — a real distributed fit (unlike KMeans, it is also
+  exactly SQL-replayable, so the WHOLE index build is oracle-checked,
+  not just the mechanism);
+- codes are an ``array<int>`` column next to the id, co-partitionable
+  with an IVF ``cluster_id`` layout (IVF_SQ = write this table
+  partitioned by cluster, prune partitions on probe);
+- encode and scoring are Arrow ``mapInPandas`` kernels; scoring
+  decodes per batch (``recon = mn + code·step``, a (b×d) float64
+  intermediate bounded by the Arrow batch size) and GEMMs against the
+  query block, with per-batch partial top-k so the rank-window shuffle
+  carries O(batches·nq·k), never |V|×|Q|.
+
+Determinism contract (shared with ``registry.q_sq_fixed``'s DuckDB
+replay): unit-normalize in float64; code = clip(floor(x + 0.5), 0,
+255) — floor(x+0.5) instead of round() sidesteps numpy's banker
+rounding vs SQL half-away; degenerate dims (mx == mn) code to 0 and
+reconstruct to mn; final score rounded to 6; rank ties → lower id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from mcp_vector_search_spark.functions.vectors import l2_norm, unit_expr
+
+SQ_LEVELS = 255  # code range [0, 255] — int8-equivalent
+
+
+def sq_train(
+    vectors: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    normalize: bool = True,
+) -> DataFrame:
+    """Per-dimension bounds over the (unit) corpus → (dim int,
+    mn double, mx double). One posexplode + one groupBy(dim): the
+    shuffle carries (dim, partial min/max) only — at any corpus size
+    this is d rows out."""
+    v = vectors
+    if normalize:
+        v = v.withColumn("_nrm", l2_norm(F.col(vec_col))).withColumn(
+            "_u", unit_expr(F.col(vec_col), F.col("_nrm"))
+        )
+        src = F.col("_u")
+    else:
+        src = F.col(vec_col)
+    return (
+        v.select(F.posexplode(src).alias("dim", "v"))
+        .groupBy("dim")
+        .agg(F.min("v").alias("mn"), F.max("v").alias("mx"))
+    )
+
+
+def _collect_bounds(bounds: DataFrame):
+    """(dim, mn, mx) rows → numpy (d,) mn and step arrays; step = 0 on
+    degenerate dims so decode lands exactly on mn."""
+    import numpy as np
+
+    pdf = bounds.orderBy("dim").toPandas()
+    mn = pdf["mn"].to_numpy(dtype=np.float64)
+    mx = pdf["mx"].to_numpy(dtype=np.float64)
+    rng = mx - mn
+    step = np.where(rng > 0, rng / SQ_LEVELS, 0.0)
+    return mn, step, rng
+
+
+def sq_encode(
+    vectors: DataFrame,
+    bounds: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    normalize: bool = True,
+) -> DataFrame:
+    """Compress the corpus → (id, codes array<int>),
+    code_d = clip(floor((v_d − mn_d)·255/(mx_d − mn_d) + 0.5), 0, 255). Map-side
+    only; the output inherits the input partitioning, so an
+    IVF-partitioned corpus stays IVF-partitioned (= IVF_SQ)."""
+    import numpy as np
+    import pandas as pd
+
+    from mcp_vector_search_spark.operators.pq import _unit_rows
+    from mcp_vector_search_spark.operators.topk import id_type
+
+    mn, step, rng = _collect_bounds(bounds)
+    ok = rng > 0
+
+    def encode(batches):
+        for pdf in batches:
+            if normalize:
+                V = _unit_rows(pdf[vec_col])
+            else:
+                V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            x = np.zeros_like(V)
+            # exactly the oracle's op order — (v−mn)·255/(mx−mn) —
+            # so identical inputs give identical IEEE results
+            x[:, ok] = (V[:, ok] - mn[ok]) * SQ_LEVELS / rng[ok]
+            codes = np.clip(np.floor(x + 0.5), 0, SQ_LEVELS).astype(np.int32)
+            codes[:, ~ok] = 0
+            yield pd.DataFrame(
+                {id_col: pdf[id_col].to_numpy(), "codes": list(codes)}
+            )
+
+    return vectors.select(id_col, vec_col).mapInPandas(
+        encode, f"{id_col} {id_type(vectors, id_col)}, codes array<int>"
+    )
+
+
+def sq_topk(
+    codes: DataFrame,
+    bounds: DataFrame,
+    queries: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    round_to: int = 6,
+    batch_buffer: int = 4,
+) -> DataFrame:
+    """Batch top-k over the compressed corpus →
+    (query_id, id, sq_score, rn): per Arrow batch decode
+    (recon = mn + codes·step) then one GEMM against the unit query
+    block; per-batch partial top-k bounds the rank-window shuffle at
+    O(batches·nq·k). sq_score ≈ cosine against the quantized corpus.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from mcp_vector_search_spark.operators.topk import (
+        _partial_topk,
+        _safe_norms,
+        id_type,
+    )
+
+    mn, step, _ = _collect_bounds(bounds)
+    qpd = queries.select(query_id_col, query_vec_col).toPandas()
+    Q = np.stack(qpd[query_vec_col].to_numpy()).astype(np.float64)
+    Q /= _safe_norms(Q)
+    qids = qpd[query_id_col].to_numpy()
+    keep = k * batch_buffer
+
+    def score(batches):
+        for pdf in batches:
+            C = np.stack(pdf["codes"].to_numpy()).astype(np.float64)  # (b, d)
+            R = mn + C * step
+            S = np.round(R @ Q.T, round_to)  # (b, nq)
+            vids = pdf[id_col].to_numpy()
+            b = C.shape[0]
+            if b > keep:
+                idx = _partial_topk(S, vids, keep)
+            else:
+                idx = np.tile(np.arange(b)[:, None], (1, len(qids)))
+            rows = idx.shape[0]
+            yield pd.DataFrame(
+                {
+                    query_id_col: np.repeat(qids[None, :], rows, axis=0).ravel(),
+                    id_col: vids[idx].ravel(),
+                    "sq_score": np.take_along_axis(S, idx, axis=0).ravel(),
+                }
+            )
+
+    cand = codes.select(id_col, "codes").mapInPandas(
+        score,
+        f"{query_id_col} {id_type(queries, query_id_col)}, "
+        f"{id_col} {id_type(codes, id_col)}, sq_score double",
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("sq_score"), F.asc(id_col))
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select(query_id_col, id_col, "sq_score", "rn")
+    )
+
+
+def sq_topk_refined(
+    vectors: DataFrame,
+    codes: DataFrame,
+    bounds: DataFrame,
+    queries: DataFrame,
+    k: int,
+    rerank_factor: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    round_to: int = 6,
+) -> DataFrame:
+    """SQ shortlist → exact cosine rerank (the reference's
+    ``refine_factor=5`` two-stage shape, ``vectors_backend.py:1336``)
+    → (query_id, id, cos_sim, rn). Only the O(nq·k·rerank_factor)
+    shortlist joins back to the float corpus."""
+    from mcp_vector_search_spark.functions.vectors import dot
+
+    shortlist = sq_topk(
+        codes,
+        bounds,
+        queries,
+        k * rerank_factor,
+        id_col=id_col,
+        query_id_col=query_id_col,
+        query_vec_col=query_vec_col,
+    ).select(query_id_col, id_col)
+    v = (
+        vectors.withColumn("_nrm", l2_norm(F.col(vec_col)))
+        .withColumn("_u", unit_expr(F.col(vec_col), F.col("_nrm")))
+        .select(id_col, "_u")
+    )
+    q = (
+        queries.withColumn("_qnrm", l2_norm(F.col(query_vec_col)))
+        .withColumn("_uq", unit_expr(F.col(query_vec_col), F.col("_qnrm")))
+        .select(query_id_col, "_uq")
+    )
+    sim = F.round(dot(F.col("_u"), F.col("_uq")), round_to)
+    cand = (
+        shortlist.join(v, id_col)
+        .join(F.broadcast(q), query_id_col)
+        .withColumn("cos_sim", sim)
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cos_sim"), F.asc(id_col))
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select(query_id_col, id_col, "cos_sim", "rn")
+    )

@@ -649,6 +649,27 @@ def q_pq_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sq_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's own codec — IVF_**SQ** scalar quantization
+    (``vectors_backend.py:1264-1341``) — hash-checked END-TO-END:
+    unlike the KMeans paths, the SQ fit itself (per-dim min/max over
+    unit vectors) is SQL-expressible, so train → encode → decode →
+    score → rank all replay in DuckDB. Runs the real `sq_train` +
+    `sq_encode` + `sq_topk` distributed kernels (operators/sq.py)."""
+    from mcp_vector_search_spark.operators.sq import sq_encode, sq_topk, sq_train
+
+    emb = _emb(spark, sf_dir)
+    bounds = sq_train(emb)
+    codes = sq_encode(emb, bounds)
+    queries = emb.filter(F.col("vec_id") < BATCH_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = sq_topk(codes, bounds, queries, BATCH_K)
+    return out.select(
+        "query_id", "vec_id", "sq_score", F.col("rn").cast("long").alias("rn")
+    )
+
+
 def _recall_row(approx: DataFrame, brute: DataFrame, floor: float, tag: str) -> DataFrame:
     """1-row (path, n_queries, n_results, recall_ok) agreement summary
     of an ANN result against the exact brute-force top-k — recall_ok
@@ -1581,6 +1602,68 @@ def q_doc_categories(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", expr.alias("path"))
         .withColumn("category", categorize_path("path"))
     )
+
+
+SPLIT_TRAIN, SPLIT_VAL = 0.8, 0.1
+STRAT_FRACTIONS = {"en": 0.5, "zh": 0.25}  # thin the two biggest strata
+SAMPLE_N = 100
+SHARD_N = 8
+PACK_CAP = 256
+
+
+def q_sampling_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One gate over the deterministic-sampling surface
+    (operators/sampling.py): per doc — its hash train/val/test split,
+    its hash shard, and whether it survives the stratified, the
+    quality-weighted, and the exact-n samples. Every decision is a
+    pure function of (doc_id, salt) via md5, so DuckDB replays all
+    five operators bit-for-bit."""
+    from mcp_vector_search_spark.operators.sampling import (
+        assign_shards,
+        hash_split,
+        sample_exact,
+        stratified_sample,
+        weighted_downsample,
+    )
+
+    docs = _docs(spark, sf_dir)
+    base = assign_shards(
+        hash_split(docs, train=SPLIT_TRAIN, val=SPLIT_VAL), SHARD_N
+    ).select("doc_id", "split", "shard")
+    strat = stratified_sample(docs, STRAT_FRACTIONS).select(
+        "doc_id", F.lit(True).alias("kept_strat")
+    )
+    weight = F.least(F.lit(1.0), F.col("n_chars").cast("double") / F.lit(400.0))
+    wkeep = weighted_downsample(docs, weight).select("doc_id", F.lit(True).alias("kept_weight"))
+    take = sample_exact(docs, SAMPLE_N).select("doc_id", F.lit(True).alias("kept_exact"))
+    return (
+        base.join(strat, "doc_id", "left")
+        .join(wkeep, "doc_id", "left")
+        .join(take, "doc_id", "left")
+        .select(
+            "doc_id",
+            "split",
+            "shard",
+            F.coalesce("kept_strat", F.lit(False)).alias("kept_strat"),
+            F.coalesce("kept_weight", F.lit(False)).alias("kept_weight"),
+            F.coalesce("kept_exact", F.lit(False)).alias("kept_exact"),
+        )
+    )
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy sequence packing to a 256-token context budget
+    (operators/sampling.py:pack_sequences): docs hash-shard, then each
+    shard folds in doc_id order. The oracle replays the fold as a
+    recursive CTE, so bin assignment is hash-checked end-to-end."""
+    from mcp_vector_search_spark.functions.text import token_count
+    from mcp_vector_search_spark.operators.sampling import pack_sequences
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", token_count("text").cast("long").alias("tok")
+    )
+    packed = pack_sequences(docs, PACK_CAP, n_shards=SHARD_N, token_col="tok")
+    return packed.select("shard", "doc_id", "tok", "bin_id")
 
 
 def q_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2796,6 +2879,73 @@ WITH f AS (SELECT doc_id, CASE doc_id % {n_tpl} {tpl_cases} END AS path FROM doc
 l AS (SELECT doc_id, path, lower(path) AS pl FROM f)
 SELECT doc_id, path, {category_case_sql('pl')} AS category FROM l"""
 
+    o["sq_fixed"] = f"""
+WITH {_EU},
+ed AS (SELECT vec_id, unnest(u) AS v, generate_subscripts(u, 1) AS dim FROM eu),
+b AS (SELECT dim, min(v) AS mn, max(v) AS mx FROM ed GROUP BY dim),
+enc AS (SELECT vec_id, dim,
+               CASE WHEN mx > mn THEN
+                 least(255, greatest(0, floor((v - mn) * 255 / (mx - mn) + 0.5)))::INT
+               ELSE 0 END AS code
+        FROM ed JOIN b USING (dim)),
+rec AS (SELECT vec_id, dim, mn + code * ((mx - mn) / 255.0) AS rv
+        FROM enc JOIN b USING (dim)),
+fq AS (SELECT vec_id AS query_id, u FROM eu WHERE vec_id < {BATCH_QUERIES}),
+qd AS (SELECT query_id, unnest(u) AS qv, generate_subscripts(u, 1) AS dim FROM fq),
+sc AS (SELECT q.query_id, r.vec_id, round(sum(q.qv * r.rv), 6) AS sq_score
+       FROM qd q JOIN rec r USING (dim)
+       GROUP BY q.query_id, r.vec_id),
+rk AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                    ORDER BY sq_score DESC, vec_id) AS rn FROM sc)
+SELECT query_id, vec_id, sq_score, rn::BIGINT AS rn FROM rk WHERE rn <= {BATCH_K}"""
+
+    # 24-bit md5 uniform — the exact expression hash_uniform() renders
+    # (integer / 2^24 is exact in float64, so thresholds agree)
+    def _u(salt: str) -> str:
+        return (
+            f"('0x' || substr(md5(doc_id::VARCHAR || '#{salt}'), 1, 6))::BIGINT"
+            " / 16777216.0"
+        )
+
+    strat_cases = " ".join(
+        f"WHEN '{k}' THEN {v!r}" for k, v in sorted(STRAT_FRACTIONS.items())
+    )
+    o["sampling_splits"] = f"""
+WITH s AS (
+  SELECT doc_id,
+         CASE WHEN {_u('split')} < {SPLIT_TRAIN!r} THEN 'train'
+              WHEN {_u('split')} < {SPLIT_TRAIN + SPLIT_VAL!r} THEN 'val'
+              ELSE 'test' END AS split,
+         (('0x' || substr(md5(doc_id::VARCHAR || '#shard'), 1, 6))::BIGINT
+          % {SHARD_N})::INT AS shard,
+         {_u('strat')} < (CASE lang {strat_cases} ELSE 1.0 END) AS kept_strat,
+         {_u('wsample')} < least(1.0, n_chars / 400.0) AS kept_weight,
+         doc_id IN (SELECT doc_id FROM documents
+                    ORDER BY md5(doc_id::VARCHAR || '#take') LIMIT {SAMPLE_N})
+           AS kept_exact
+  FROM documents)
+SELECT * FROM s"""
+
+    o["pack_sequences"] = f"""
+WITH RECURSIVE
+pt AS (SELECT doc_id, len({_TOKS})::BIGINT AS tok,
+              (('0x' || substr(md5(doc_id::VARCHAR || '#pack'), 1, 6))::BIGINT
+               % {SHARD_N})::INT AS shard
+       FROM documents),
+pr AS (SELECT shard, doc_id, tok,
+              row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS rn
+       FROM pt),
+fold(shard, rn, doc_id, tok, bin_id, fill) AS (
+  SELECT shard, rn, doc_id, tok, 1::BIGINT, tok FROM pr WHERE rn = 1
+  UNION ALL
+  SELECT p.shard, p.rn, p.doc_id, p.tok,
+         CASE WHEN f.fill + p.tok > {PACK_CAP} THEN f.bin_id + 1
+              ELSE f.bin_id END,
+         CASE WHEN f.fill + p.tok > {PACK_CAP} THEN p.tok
+              ELSE f.fill + p.tok END
+  FROM fold f JOIN pr p ON p.shard = f.shard AND p.rn = f.rn + 1)
+SELECT shard, doc_id, tok, bin_id FROM fold"""
+
     # absorbed into the merged gates above — drop the standalone keys
     # so queries()/oracle_sql() stay exactly key-aligned
     for absorbed in (
@@ -2876,7 +3026,11 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_features": q_multimodal_features,
     "mmr": q_mmr,
     "doc_categories": q_doc_categories,
-    # --- overflow: oracle-checked twins/demos (past the window) ---
+    # --- overflow: oracle-checked past the driver's 50-query window;
+    # tools/verify_local.py runs them on every round ---
+    "sampling_splits": q_sampling_splits,
+    "pack_sequences": q_pack_sequences,
+    "sq_fixed": q_sq_fixed,
     "exact_dups": q_exact_dups,
     "ontology": q_ontology,
     "viz_neighbors": q_viz_neighbors,

@@ -127,3 +127,14 @@ def test_api_ivfpq_batch_search(spark):
     out = p.search_batch(q, limit=5).collect()
     assert len(out) == 15
     assert {r.query_id for r in out} == {0, 1, 2}
+
+
+def test_api_ivfsq_batch_search(spark):
+    p = _project(spark)
+    p.build_ann_index(num_clusters=8, kind="ivfsq")
+    q = p.vectors.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = p.search_batch(q, limit=5).collect()
+    assert len(out) == 15
+    assert {r.query_id for r in out} == {0, 1, 2}

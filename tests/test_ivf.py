@@ -50,3 +50,34 @@ def test_ivf_build_deterministic_and_complete(spark):
         .count()
     )
     assert diff == 0
+
+
+def test_ivf_build_sampled_contract_and_recall(spark):
+    """The sample-fit build honors the ivf_build contract (unit column,
+    complete assignment, deterministic) and its trained index keeps
+    recall in the reference band via the np scoring kernel."""
+    from mcp_vector_search_spark.operators.ivf import ivf_build_sampled, ivf_topk_batch_np
+    from mcp_vector_search_spark.operators.topk import topk_per_query_np
+
+    emb = io.table(spark, SF_DIR, "embeddings")
+    assigned, centroids = ivf_build_sampled(emb, num_clusters=16, sample_rows=256)
+    assert centroids.count() == 16
+    assert assigned.count() == emb.count()
+    assert {"unit", "cluster_id"} <= set(assigned.columns)
+    # deterministic rebuild
+    a2, _ = ivf_build_sampled(emb, num_clusters=16, sample_rows=256)
+    assert (
+        assigned.select("vec_id", "cluster_id")
+        .exceptAll(a2.select("vec_id", "cluster_id"))
+        .count()
+        == 0
+    )
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    truth = topk_per_query_np(emb, queries, K)
+    approx = ivf_topk_batch_np(assigned, centroids, queries, K, nprobes=14)
+    t = {(r.query_id, r.vec_id) for r in truth.collect()}
+    a = {(r.query_id, r.vec_id) for r in approx.collect()}
+    recall = len(t & a) / len(t)
+    assert recall >= 0.975, f"recall@10 = {recall}"
