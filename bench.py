@@ -273,6 +273,28 @@ def main():
     per_query["ann_big_ivf_ms_per_query"] = round(
         per_query["ann_big_ivf_sec"] * 1000 / n_big_q, 2
     )
+    # small-batch serving: with 8 queries the union of probe sets is a
+    # fraction of the clusters, so the probed-union filter prunes the
+    # scan (on a partitioned layout: partition pruning). Brute cost is
+    # scan-bound and independent of batch size — this is where IVF's
+    # per-query crossover lives locally.
+    b8 = big_q.limit(8).cache()
+    b8.count()
+    t0 = time.time()
+    topk_per_query_np(big, b8, 10).write.format("noop").mode("overwrite").save()
+    per_query["ann_big_brute_b8_sec"] = round(time.time() - t0, 3)
+    per_query["ann_big_brute_b8_ms_per_query"] = round(
+        per_query["ann_big_brute_b8_sec"] * 1000 / 8, 2
+    )
+    t0 = time.time()
+    ivf_topk_batch_np(big_assigned, big_cents, b8, 10, nprobes=20).write.format(
+        "noop"
+    ).mode("overwrite").save()
+    per_query["ann_big_ivf_b8_sec"] = round(time.time() - t0, 3)
+    per_query["ann_big_ivf_b8_ms_per_query"] = round(
+        per_query["ann_big_ivf_b8_sec"] * 1000 / 8, 2
+    )
+
     big_sample = big_q.limit(32)
     big_truth = {
         (r.query_id, r.vec_id)

@@ -313,3 +313,40 @@ class SparkProject:
 
         assert self._kg_edges is not None, "call kg_build first"
         return trace_paths(self._kg_edges, entity_id, max_hops)
+
+    def build_repo_graph(
+        self, repo_path: str, project_name: str
+    ) -> tuple[DataFrame, DataFrame]:
+        """Version-control node/edge tables — Person (email-hashed) /
+        Project / Repository / Branch / Commit with AUTHORED +
+        hierarchy edges (reference ``knowledge_graph.py:50-160``)."""
+        from mcp_vector_search_spark.operators.kg import repo_nodes
+        from mcp_vector_search_spark.sources.git_source import (
+            current_branch,
+            git_log_df,
+        )
+
+        commits = git_log_df(self.spark, repo_path)
+        return repo_nodes(commits, project_name, branch=current_branch(repo_path))
+
+    # ------------------------------------------------- corpus curation
+
+    def split_corpus(self, train: float = 0.8, val: float = 0.1) -> DataFrame:
+        """Reproducible hash-based train/val/test split of the doc
+        corpus (operators/sampling.py) — membership is a pure function
+        of doc_id, stable as the corpus grows."""
+        from mcp_vector_search_spark.operators.sampling import hash_split
+
+        return hash_split(self.docs, train=train, val=val)
+
+    def pack_corpus(self, max_tokens: int, n_shards: int = 32) -> DataFrame:
+        """Greedy sequence packing of the corpus to a context budget →
+        (shard, doc_id, tok, bin_id); bins map 1:1 to training context
+        windows."""
+        from mcp_vector_search_spark.functions.text import token_count
+        from mcp_vector_search_spark.operators.sampling import pack_sequences
+
+        docs = self.docs.select(
+            "doc_id", token_count("text").cast("long").alias("tok")
+        )
+        return pack_sequences(docs, max_tokens, n_shards=n_shards, token_col="tok")

@@ -299,3 +299,51 @@ def embedding_near_dups_clustered(
         .filter(F.col("cos_sim") >= threshold)
         .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"), "cos_sim")
     )
+
+
+def contaminated_docs(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_text_col: str = "text",
+) -> DataFrame:
+    """Benchmark decontamination: per doc, how many distinct word
+    n-grams it shares with an evaluation set → (doc_id, n_hits,
+    contaminated). The standard pre-training hygiene step (an eval
+    example whose n-grams leak into the corpus inflates downstream
+    scores); n=5..13 word-gram overlap is the published recipe.
+
+    100 TB shape: both sides explode to DISTINCT (gram, id) pairs —
+    the join key is the gram string, so the shuffle carries grams and
+    ids, never document text. A benchmark set is thousands of docs →
+    its gram side is broadcast-sized in practice (Spark's threshold
+    decides); corpus-side grams are map-side generated and
+    partial-aggregated before the final per-doc count.
+    """
+    corpus_grams = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.array_distinct(word_ngrams(tokenize(text_col), n))
+        ).alias("gram"),
+    )
+    bench_grams = benchmark.select(
+        F.explode(
+            F.array_distinct(word_ngrams(tokenize(bench_text_col), n))
+        ).alias("gram")
+    ).distinct()
+    hits = (
+        corpus_grams.join(bench_grams, "gram")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("gram").alias("n_hits"))
+    )
+    return (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+            (F.coalesce("n_hits", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )

@@ -215,8 +215,12 @@ def ivfpq_topk(
             }
         )
 
+    # union-of-probes pre-filter = partition pruning on a cluster_id-
+    # partitioned layout (same rationale as ivf_topk_batch_np): codes
+    # of non-probed clusters are never deserialized
     cand = (
-        encoded.select("cluster_id", id_col, "codes")
+        encoded.filter(F.col("cluster_id").isin(sorted(cluster_to_q)))
+        .select("cluster_id", id_col, "codes")
         .groupBy("cluster_id")
         .applyInPandas(
             per_cluster,

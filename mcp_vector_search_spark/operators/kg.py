@@ -233,6 +233,82 @@ def detect_frameworks(deps: DataFrame, dep_col: str = "dep") -> DataFrame:
     )
 
 
+def repo_nodes(
+    commits: DataFrame,
+    project_name: str,
+    branch: str = "main",
+    repo_url: str = "",
+) -> tuple[DataFrame, DataFrame]:
+    """Version-control side of the 12-node-table graph (reference
+    ``knowledge_graph.py:50-160``: Person, Project, Repository, Branch,
+    Commit) → (nodes, edges).
+
+    nodes(id, name, entity_type, meta): one Person per author email —
+    id = ``person:<sha2(email)>`` (the reference's privacy hash, raw
+    email never leaves the aggregation), with commit count + first/last
+    commit timestamps in `meta`; one Project / Repository / Branch row;
+    one Commit node per sha. edges(src, dst, rel): Person AUTHORED
+    Commit, Commit IN_BRANCH Branch, Branch OF_REPO Repository,
+    Repository OF_PROJECT Project.
+
+    Scale: authors aggregate with one groupBy over commit metadata
+    (thousands of rows); everything else is column expressions."""
+    person_id = F.concat(F.lit("person:"), F.sha2(F.col("author_email"), 256))
+    persons = (
+        commits.groupBy("author_email")
+        .agg(
+            F.max_by("author", "ts").alias("name"),
+            F.count("*").alias("n_commits"),
+            F.min("ts").alias("first_ts"),
+            F.max("ts").alias("last_ts"),
+        )
+        .select(
+            person_id.alias("id"),
+            F.col("name"),
+            F.lit("Person").alias("entity_type"),
+            F.to_json(
+                F.struct("n_commits", "first_ts", "last_ts")
+            ).alias("meta"),
+        )
+    )
+    commit_nodes = commits.select(
+        F.concat(F.lit("commit:"), F.col("commit_sha")).alias("id"),
+        F.col("subject").alias("name"),
+        F.lit("Commit").alias("entity_type"),
+        F.to_json(F.struct("ts", "author")).alias("meta"),
+    )
+    spark = commits.sparkSession
+    fixed = spark.createDataFrame(
+        [
+            (f"project:{project_name}", project_name, "Project", repo_url),
+            (f"repo:{project_name}", project_name, "Repository", repo_url),
+            (f"branch:{project_name}#{branch}", branch, "Branch", ""),
+        ],
+        "id string, name string, entity_type string, meta string",
+    )
+    nodes = persons.unionByName(commit_nodes).unionByName(fixed)
+
+    authored = commits.select(
+        person_id.alias("src"),
+        F.concat(F.lit("commit:"), F.col("commit_sha")).alias("dst"),
+        F.lit("AUTHORED").alias("rel"),
+    )
+    in_branch = commits.select(
+        F.concat(F.lit("commit:"), F.col("commit_sha")).alias("src"),
+        F.lit(f"branch:{project_name}#{branch}").alias("dst"),
+        F.lit("IN_BRANCH").alias("rel"),
+    )
+    hierarchy = spark.createDataFrame(
+        [
+            (f"branch:{project_name}#{branch}", f"repo:{project_name}", "OF_REPO"),
+            (f"repo:{project_name}", f"project:{project_name}", "OF_PROJECT"),
+        ],
+        "src string, dst string, rel string",
+    )
+    edges = authored.unionByName(in_branch).unionByName(hierarchy)
+    return nodes, edges
+
+
 def call_edges(
     chunks: DataFrame,
     id_col: str = "chunk_id",

@@ -1666,6 +1666,25 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return packed.select("shard", "doc_id", "tok", "bin_id")
 
 
+DECONTAM_N = 5
+DECONTAM_MOD = 97  # every 97th doc stands in for the eval benchmark
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (operators/dedup.py:contaminated_docs):
+    per-doc count of distinct 5-gram overlaps with a held-out eval
+    stand-in (every 97th doc). The gram join shuffles gram strings +
+    ids, never text."""
+    from mcp_vector_search_spark.operators.dedup import contaminated_docs
+
+    docs = _docs(spark, sf_dir)
+    bench = docs.filter(F.col("doc_id") % DECONTAM_MOD == 0)
+    out = contaminated_docs(docs, bench, n=DECONTAM_N)
+    return out.select(
+        "doc_id", F.col("n_hits").cast("long").alias("n_hits"), "contaminated"
+    )
+
+
 def q_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         _emb(spark, sf_dir)
@@ -2899,6 +2918,21 @@ rk AS (SELECT *, row_number() OVER (PARTITION BY query_id
                                     ORDER BY sq_score DESC, vec_id) AS rn FROM sc)
 SELECT query_id, vec_id, sq_score, rn::BIGINT AS rn FROM rk WHERE rn <= {BATCH_K}"""
 
+    _g5 = (
+        f"list_transform(range(1, greatest(len(toks) - {DECONTAM_N - 2}, 1)),"
+        f" i -> array_to_string(toks[i:i+{DECONTAM_N - 1}], '_'))"
+    )
+    o["decontaminate"] = f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+g AS (SELECT doc_id, unnest(list_distinct({_g5})) AS gram
+      FROM t WHERE len(toks) >= {DECONTAM_N}),
+b AS (SELECT DISTINCT gram FROM g WHERE doc_id % {DECONTAM_MOD} = 0),
+h AS (SELECT g.doc_id, count(DISTINCT g.gram)::BIGINT AS n_hits
+      FROM g JOIN b USING (gram) GROUP BY g.doc_id)
+SELECT d.doc_id, coalesce(h.n_hits, 0)::BIGINT AS n_hits,
+       coalesce(h.n_hits, 0) > 0 AS contaminated
+FROM documents d LEFT JOIN h USING (doc_id)"""
+
     # 24-bit md5 uniform — the exact expression hash_uniform() renders
     # (integer / 2^24 is exact in float64, so thresholds agree)
     def _u(salt: str) -> str:
@@ -2978,7 +3012,6 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- §2 primary gates (driver window) ---
     "bm25_topk": q_bm25_topk,
     "knn_topk": q_knn_topk,
-    "knn_batch_np": q_knn_batch_np,
     "hybrid_rrf": q_hybrid_rrf,
     "dup_clusters": q_dup_clusters,
     "minhash_jaccard": q_minhash_jaccard,
@@ -2986,7 +3019,6 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "simhash_near_dups": q_simhash_near_dups,
     "embedding_near_dups": q_embedding_near_dups,
     "text_quality": q_text_quality,
-    "ngram_top50": q_ngram_top50,
     "lang_distribution": q_lang_distribution,
     "source_rollup": q_source_rollup,
     "hotspots": q_hotspots,
@@ -2997,7 +3029,9 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "incremental_delta": q_incremental_delta,
     "ann_recall": q_ann_recall,
     "ivf_fixed": q_ivf_fixed,
-    "pq_fixed": q_pq_fixed,
+    "sq_fixed": q_sq_fixed,
+    "sampling_splits": q_sampling_splits,
+    "pack_sequences": q_pack_sequences,
     "bm25_expanded": q_bm25_expanded,
     "kg_edges": q_kg_edges,
     "tag_query": q_tag_query,
@@ -3028,9 +3062,10 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_categories": q_doc_categories,
     # --- overflow: oracle-checked past the driver's 50-query window;
     # tools/verify_local.py runs them on every round ---
-    "sampling_splits": q_sampling_splits,
-    "pack_sequences": q_pack_sequences,
-    "sq_fixed": q_sq_fixed,
+    "decontaminate": q_decontaminate,
+    "knn_batch_np": q_knn_batch_np,
+    "pq_fixed": q_pq_fixed,
+    "ngram_top50": q_ngram_top50,
     "exact_dups": q_exact_dups,
     "ontology": q_ontology,
     "viz_neighbors": q_viz_neighbors,

@@ -36,8 +36,14 @@ def get_spark(
     """
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     parts = str(shuffle_partitions or cpus)
+    # local-mode default driver heap is 1g — far below what a 32-thread
+    # local "cluster" needs for cached vector layouts. Only effective
+    # when this process creates the JVM (driver-harness sessions keep
+    # their own setting).
+    mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g")
     builder = (
         SparkSession.builder.appName(app_name)
+        .config("spark.driver.memory", mem)
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")

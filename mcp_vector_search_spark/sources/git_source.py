@@ -19,19 +19,20 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 COMMITS_SCHEMA = (
-    "commit_sha string, parent_sha string, author string, ts long, subject string"
+    "commit_sha string, parent_sha string, author string, author_email string,"
+    " ts long, subject string"
 )
 
 
 def git_log_df(spark: SparkSession, repo_path: str) -> DataFrame:
-    """commits(commit_sha, parent_sha, author, ts, subject) from
-    `git log --first-parent` (linear mainline history; merge side
-    branches enter via their merge commit, matching the reference's
-    history walk)."""
+    """commits(commit_sha, parent_sha, author, author_email, ts,
+    subject) from `git log --first-parent` (linear mainline history;
+    merge side branches enter via their merge commit, matching the
+    reference's history walk)."""
     out = subprocess.run(
         [
             "git", "-C", repo_path, "log", "--first-parent",
-            "--format=%H%x1f%P%x1f%an%x1f%at%x1f%s",
+            "--format=%H%x1f%P%x1f%an%x1f%ae%x1f%at%x1f%s",
         ],
         capture_output=True,
         text=True,
@@ -39,9 +40,27 @@ def git_log_df(spark: SparkSession, repo_path: str) -> DataFrame:
     ).stdout
     rows = []
     for line in out.splitlines():
-        sha, parents, author, ts, subject = line.split("\x1f")
-        rows.append((sha, parents.split(" ")[0] if parents else None, author, int(ts), subject))
+        sha, parents, author, email, ts, subject = line.split("\x1f")
+        rows.append(
+            (
+                sha,
+                parents.split(" ")[0] if parents else None,
+                author,
+                email,
+                int(ts),
+                subject,
+            )
+        )
     return spark.createDataFrame(rows, COMMITS_SCHEMA)
+
+
+def current_branch(repo_path: str) -> str:
+    return subprocess.run(
+        ["git", "-C", repo_path, "rev-parse", "--abbrev-ref", "HEAD"],
+        capture_output=True,
+        text=True,
+        check=True,
+    ).stdout.strip()
 
 
 def commit_order(commits: DataFrame) -> DataFrame:

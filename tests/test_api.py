@@ -138,3 +138,17 @@ def test_api_ivfsq_batch_search(spark):
     out = p.search_batch(q, limit=5).collect()
     assert len(out) == 15
     assert {r.query_id for r in out} == {0, 1, 2}
+
+
+def test_api_corpus_curation_and_repo_graph(spark):
+    p = _project(spark)
+    split = p.split_corpus()
+    assert {r["split"] for r in split.select("split").distinct().collect()} <= {
+        "train", "val", "test"
+    }
+    packed = p.pack_corpus(256, n_shards=4)
+    assert packed.count() == p.docs.count()
+    nodes, edges = p.build_repo_graph("/root/repo", "proj")
+    types = {r["entity_type"] for r in nodes.select("entity_type").distinct().collect()}
+    assert {"Person", "Commit", "Project", "Repository", "Branch"} <= types
+    assert edges.filter(F.col("rel") == "AUTHORED").count() > 0

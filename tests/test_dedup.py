@@ -61,3 +61,24 @@ def test_band_keys_no_aliasing(spark):
         for r in df.select("i", band_keys(F.col("sig"), 1, 2).alias("bk")).collect()
     }
     assert keys[1] != keys[2]
+
+
+def test_contaminated_docs_flags_exact_and_partial_overlap(spark):
+    from mcp_vector_search_spark.operators.dedup import contaminated_docs
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog tonight"),
+            (2, "completely unrelated words about spark query planning"),
+            (3, "prefix words then the quick brown fox jumps too"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over a fence")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in contaminated_docs(corpus, bench, n=5).collect()}
+    assert out[1]["contaminated"] and out[1]["n_hits"] >= 1
+    assert out[3]["contaminated"]  # shares 'the quick brown fox jumps'
+    assert not out[2]["contaminated"] and out[2]["n_hits"] == 0
