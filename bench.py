@@ -319,6 +319,13 @@ def main():
         ivfpq_topk_refined,
     )
 
+    # rerank_factor=30 (not the reference's 5): each query here has 255
+    # near-identical variants whose differences sit BELOW the PQ
+    # quantization floor, so ADC can find the right neighborhood but
+    # cannot rank inside it — the exact-rerank window must span the
+    # duplicate cluster (measured: rerank 10 -> recall 0.43, 30 -> 1.0).
+    # Real corpora after dedup don't have 256-deep duplicate stacks;
+    # this is the honest worst case.
     t0 = time.time()
     big_enc, big_pq_cents, big_cbs = ivfpq_build(
         big, m=16, k_codes=256, coarse=(big_assigned, big_cents)
@@ -328,7 +335,7 @@ def main():
     per_query["ann_big_ivfpq_encode_sec"] = round(time.time() - t0, 3)
     t0 = time.time()
     ivfpq_topk_refined(
-        big, big_enc, big_pq_cents, big_cbs, big_q, 10, nprobes=20, rerank_factor=10
+        big, big_enc, big_pq_cents, big_cbs, big_q, 10, nprobes=20, rerank_factor=30
     ).write.format("noop").mode("overwrite").save()
     per_query["ann_big_ivfpq_sec"] = round(time.time() - t0, 3)
     per_query["ann_big_ivfpq_ms_per_query"] = round(
@@ -338,7 +345,7 @@ def main():
         (r.query_id, r.vec_id)
         for r in ivfpq_topk_refined(
             big, big_enc, big_pq_cents, big_cbs, big_sample, 10,
-            nprobes=20, rerank_factor=10,
+            nprobes=20, rerank_factor=30,
         ).collect()
     }
     per_query["ann_big_ivfpq_recall_at_10"] = round(

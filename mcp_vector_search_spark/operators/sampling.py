@@ -126,6 +126,30 @@ def sample_exact(docs: DataFrame, n: int, id_col: str = "doc_id", salt: str = "t
     )
 
 
+def shuffle_corpus(
+    docs: DataFrame,
+    num_partitions: int,
+    id_col: str = "doc_id",
+    salt: str = "shuffle",
+    key_col: str = "_shuffle_key",
+) -> DataFrame:
+    """Deterministic global shuffle for training order: sort the corpus
+    by md5(id + salt) with `repartitionByRange` + per-partition sort —
+    partition p holds a contiguous hash range, rows sorted within, so
+    partitions written in index order read back as ONE reproducible
+    global permutation. No single global sort task at any size; a new
+    salt is a fresh epoch permutation with zero state.
+
+    The hash key column stays in the output (callers drop it after the
+    write) — it doubles as the resume cursor for interrupted epochs."""
+    key = F.md5(F.concat(F.col(id_col).cast("string"), F.lit("#" + salt)))
+    return (
+        docs.withColumn(key_col, key)
+        .repartitionByRange(num_partitions, key_col)
+        .sortWithinPartitions(key_col)
+    )
+
+
 def pack_sequences(
     docs: DataFrame,
     max_tokens: int,

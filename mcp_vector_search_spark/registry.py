@@ -1685,6 +1685,19 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-bigram LM quality scoring (operators/lm.py): per-doc
+    average interpolated-bigram log-prob — the CCNet-style perplexity
+    filter signal. Gate emits avg_logp (round 6); ppl = exp(−avg_logp)
+    is derived and excluded from the hash (libm exp parity)."""
+    from mcp_vector_search_spark.operators.lm import lm_perplexity
+
+    out = lm_perplexity(_docs(spark, sf_dir))
+    return out.select(
+        "doc_id", F.col("n_bigrams").cast("long").alias("n_bigrams"), "avg_logp"
+    )
+
+
 def q_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         _emb(spark, sf_dir)
@@ -2933,6 +2946,28 @@ SELECT d.doc_id, coalesce(h.n_hits, 0)::BIGINT AS n_hits,
        coalesce(h.n_hits, 0) > 0 AS contaminated
 FROM documents d LEFT JOIN h USING (doc_id)"""
 
+    from mcp_vector_search_spark.operators.lm import LM_ALPHA as _LMA
+
+    o["lm_perplexity"] = f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+uc AS (SELECT term, count(*)::BIGINT AS c1
+       FROM (SELECT unnest(toks) AS term FROM t) GROUP BY term),
+tot AS (SELECT sum(c1)::DOUBLE AS total FROM uc),
+bg AS (SELECT doc_id, unnest({_GRAMS2}) AS gram FROM t),
+bc AS (SELECT gram, count(*)::BIGINT AS c2 FROM bg GROUP BY gram),
+ev AS (SELECT doc_id, gram, string_split(gram, '_')[1] AS prev,
+              string_split(gram, '_')[2] AS cur FROM bg),
+j AS (SELECT e.doc_id,
+             (CASE WHEN bc.c2 IS NOT NULL AND up.c1 IS NOT NULL
+                   THEN {_LMA!r} * bc.c2 / up.c1 ELSE 0.0 END)
+             + {1.0 - _LMA!r} * coalesce(ucur.c1, 1) / tot.total AS p
+      FROM ev e
+      LEFT JOIN bc ON bc.gram = e.gram
+      LEFT JOIN uc up ON up.term = e.prev
+      LEFT JOIN uc ucur ON ucur.term = e.cur, tot)
+SELECT doc_id, count(*)::BIGINT AS n_bigrams, round(avg(ln(p)), 6) AS avg_logp
+FROM j GROUP BY doc_id"""
+
     # 24-bit md5 uniform — the exact expression hash_uniform() renders
     # (integer / 2^24 is exact in float64, so thresholds agree)
     def _u(salt: str) -> str:
@@ -3063,6 +3098,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- overflow: oracle-checked past the driver's 50-query window;
     # tools/verify_local.py runs them on every round ---
     "decontaminate": q_decontaminate,
+    "lm_perplexity": q_lm_perplexity,
     "knn_batch_np": q_knn_batch_np,
     "pq_fixed": q_pq_fixed,
     "ngram_top50": q_ngram_top50,
