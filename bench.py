@@ -273,28 +273,46 @@ def main():
     per_query["ann_big_ivf_ms_per_query"] = round(
         per_query["ann_big_ivf_sec"] * 1000 / n_big_q, 2
     )
-    # small-batch serving: with 8 queries the union of probe sets is a
-    # fraction of the clusters, so the probed-union filter prunes the
-    # scan (on a partitioned layout: partition pruning). Brute cost is
-    # scan-bound and independent of batch size — this is where IVF's
-    # per-query crossover lives locally.
-    b8 = big_q.limit(8).cache()
-    b8.count()
-    t0 = time.time()
-    topk_per_query_np(big, b8, 10).write.format("noop").mode("overwrite").save()
-    per_query["ann_big_brute_b8_sec"] = round(time.time() - t0, 3)
-    per_query["ann_big_brute_b8_ms_per_query"] = round(
-        per_query["ann_big_brute_b8_sec"] * 1000 / 8, 2
-    )
-    t0 = time.time()
-    ivf_topk_batch_np(big_assigned, big_cents, b8, 10, nprobes=20).write.format(
-        "noop"
-    ).mode("overwrite").save()
-    per_query["ann_big_ivf_b8_sec"] = round(time.time() - t0, 3)
-    per_query["ann_big_ivf_b8_ms_per_query"] = round(
-        per_query["ann_big_ivf_b8_sec"] * 1000 / 8, 2
-    )
+    # --- the reproducible IVF win: I/O pruning on a persisted layout.
+    # In memory both paths deserialize every cached row (64-dim flops
+    # are trivial), so the in-memory timings above fluctuate with
+    # Arrow/GC noise. On disk the probed-union filter becomes physical
+    # partition pruning (plan-asserted in
+    # tests/test_ivf_partition_pruning.py): an 8-query batch probes
+    # ~half the clusters, so the IVF scan reads ~half the bytes the
+    # flat scan reads — the fraction that keeps shrinking as corpus
+    # and cluster count grow while the probe set stays fixed.
+    import shutil as _sh
+    import tempfile as _tf
 
+    layout_dir = _tf.mkdtemp(prefix="bench_ivf_layout_")
+    try:
+        flat_p = f"{layout_dir}/flat"
+        part_p = f"{layout_dir}/by_cluster"
+        big.select("vec_id", "embedding").write.parquet(flat_p)
+        big_assigned.select("vec_id", "unit", "cluster_id").write.partitionBy(
+            "cluster_id"
+        ).parquet(part_p)
+        q8 = big_q.limit(8).cache()
+        q8.count()
+        flat_df = spark.read.parquet(flat_p)
+        part_df = spark.read.parquet(part_p)
+        t0 = time.time()
+        topk_per_query_np(flat_df, q8, 10).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        per_query["ann_big_disk_brute_sec"] = round(time.time() - t0, 3)
+        t0 = time.time()
+        ivf_topk_batch_np(part_df, big_cents, q8, 10, nprobes=20).write.format(
+            "noop"
+        ).mode("overwrite").save()
+        per_query["ann_big_disk_ivf_sec"] = round(time.time() - t0, 3)
+    finally:
+        _sh.rmtree(layout_dir, ignore_errors=True)
+
+    # (no in-memory small-batch latency point: below ~32 queries that
+    # measurement is fixed job-launch overhead divided by batch size —
+    # it flips sign run to run.)
     big_sample = big_q.limit(32)
     big_truth = {
         (r.query_id, r.vec_id)

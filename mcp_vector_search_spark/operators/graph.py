@@ -116,9 +116,26 @@ def cycle_nodes(
     Level-synchronous (origin, node) pair expansion with per-level
     dedup — pair count is bounded by V² but import graphs are small
     relative to the corpus (the reference collects them to the driver
-    outright); `max_len` bounds the join depth."""
-    e = edges.select(F.col(src_col).alias("_es"), F.col(dst_col).alias("_ed"))
-    pairs = edges.select(F.col(src_col).alias("origin"), F.col(dst_col).alias("node")).distinct()
+    outright); `max_len` bounds the join depth.
+
+    Before expanding, the graph is trimmed to edges whose BOTH
+    endpoints have in- and out-degree ≥ 1: a node on a directed cycle
+    necessarily has both, so the trim never loses a cycle, and it
+    deletes every source/sink chain — on sparse import graphs that
+    removes most of the V² pair base."""
+    e0 = edges.select(F.col(src_col).alias("_es"), F.col(dst_col).alias("_ed"))
+    both = (
+        e0.select(F.col("_es").alias("_n"))
+        .intersect(e0.select(F.col("_ed").alias("_n")))
+    )
+    # semi-joins on node ids only (AQE broadcasts the trim set when it
+    # fits; the shuffle otherwise carries bare ids)
+    e = (
+        e0.join(both.withColumnRenamed("_n", "_es"), "_es", "left_semi")
+        .join(both.withColumnRenamed("_n", "_ed"), "_ed", "left_semi")
+        .select("_es", "_ed")
+    )
+    pairs = e.select(F.col("_es").alias("origin"), F.col("_ed").alias("node")).distinct()
     hits = pairs.filter(F.col("origin") == F.col("node")).select(F.col("origin").alias("id"))
     cur = pairs
     for _ in range(2, max_len + 1):

@@ -271,15 +271,18 @@ def ivf_topk_batch_np(
     """IVF batch ANN with the Arrow-vectorized scoring kernel.
 
     Probe assignment runs on the driver over the (tiny) query set and
-    centroid matrix — pure numpy, no Spark job. Scoring groups the
-    vector side by cluster (`applyInPandas`): each cluster computes one
-    matmul against ONLY the queries probing it, so flops scale with
-    nprobes/num_clusters of the brute-force work. The per-cluster
-    partial top-k keeps the final exact rank window's input at
-    O(clusters · probing-queries · k). At scale the groupBy shuffle
-    disappears when `assigned` is stored partitioned by cluster_id
-    (the layout `ivf_build` is designed for — see
-    tests/test_ivf_partition_pruning.py).
+    centroid matrix — pure numpy, no Spark job. Scoring is a
+    shuffle-free `mapInPandas` over the probe-pruned scan: each Arrow
+    batch sub-groups its rows by cluster_id (on a cluster-partitioned
+    layout rows arrive already grouped, so this is one cheap pandas
+    groupby over contiguous runs) and computes one matmul per cluster
+    run against ONLY the queries probing it — flops scale with
+    nprobes/num_clusters of the brute-force work, and NO exchange
+    precedes scoring (an earlier groupBy(cluster_id).applyInPandas
+    formulation shuffled every probed row — on the partitioned-layout
+    disk bench that exchange cost more than the pruning saved). The
+    per-run partial top-k keeps the final exact rank window's input at
+    O(runs · probing-queries · k).
     """
     import numpy as np
     import pandas as pd
@@ -310,24 +313,13 @@ def ivf_topk_batch_np(
     has_unit = "unit" in assigned.columns
     score_col = "unit" if has_unit else vec_col
 
-    def per_cluster(pdf: pd.DataFrame) -> pd.DataFrame:
-        cid = int(pdf["cluster_id"].iloc[0])
-        qidx = cluster_to_q_np.get(cid)
-        if qidx is None:
-            # empty slices keep the input id dtypes (long or string)
-            return pd.DataFrame(
-                {
-                    query_id_col: qids[:0],
-                    id_col: pdf[id_col].to_numpy()[:0],
-                    "cos_sim": np.empty(0, dtype=np.float64),
-                }
-            )
-        V = np.stack(pdf[score_col].to_numpy()).astype(np.float64)
+    def _score_run(sub: pd.DataFrame, qidx) -> pd.DataFrame:
+        V = np.stack(sub[score_col].to_numpy()).astype(np.float64)
         if not has_unit:
             V /= _safe_norms(V)
         S = np.round(V @ Q[qidx].T, round_to)  # (b, nqq)
         b, nqq = S.shape
-        vids = pdf[id_col].to_numpy()
+        vids = sub[id_col].to_numpy()
         if b > keep:
             idx = _partial_topk(S, vids, keep)
         else:
@@ -341,21 +333,34 @@ def ivf_topk_batch_np(
             }
         )
 
+    def score_batches(batches):
+        empty = pd.DataFrame(
+            {
+                query_id_col: qids[:0],
+                id_col: np.empty(0, dtype=object),
+                "cos_sim": np.empty(0, dtype=np.float64),
+            }
+        )
+        for pdf in batches:
+            outs = []
+            for cid, sub in pdf.groupby("cluster_id", sort=False):
+                qidx = cluster_to_q_np.get(int(cid))
+                if qidx is not None:
+                    outs.append(_score_run(sub, qidx))
+            yield pd.concat(outs) if outs else empty
+
     from mcp_vector_search_spark.operators.topk import id_type
 
     # pre-filter to the UNION of probed clusters: on a cluster_id-
     # partitioned layout this is partition pruning — non-probed
-    # clusters are never deserialized (the kernel's empty-return arm
-    # only covers cached/unpartitioned inputs, where rows still reach
-    # Python before being skipped). For small query batches the union
-    # is a small fraction of the corpus; that is the serving win.
+    # clusters are never deserialized. For small query batches the
+    # union is a small fraction of the corpus; that is the serving win.
     probed = sorted(cluster_to_q)
     cand = (
         assigned.filter(F.col("cluster_id").isin(probed))
         .select("cluster_id", id_col, score_col)
-        .groupBy("cluster_id")
-        .applyInPandas(
-            per_cluster,
+        .mapInPandas(
+            score_batches,
             f"{query_id_col} {id_type(queries, query_id_col)}, "
             f"{id_col} {id_type(assigned, id_col)}, cos_sim double",
         )

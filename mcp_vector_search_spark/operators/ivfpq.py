@@ -181,18 +181,8 @@ def ivfpq_topk(
     lut = np.round(np.einsum("qsd,scd->qsc", Q.reshape(nq, m, dsub), cb), 9)
     keep = k * batch_buffer
 
-    def per_cluster(pdf: pd.DataFrame) -> pd.DataFrame:
-        cid = int(pdf["cluster_id"].iloc[0])
-        qidx = cluster_to_q_np.get(cid)
-        if qidx is None:
-            return pd.DataFrame(
-                {
-                    query_id_col: qids[:0],
-                    id_col: pdf[id_col].to_numpy()[:0],
-                    "adc_score": np.empty(0, dtype=np.float64),
-                }
-            )
-        Cm = np.stack(pdf["codes"].to_numpy())  # (b, m)
+    def _score_run(cid: int, sub: pd.DataFrame, qidx) -> pd.DataFrame:
+        Cm = np.stack(sub["codes"].to_numpy())  # (b, m)
         b = Cm.shape[0]
         S = np.broadcast_to(
             offset[qidx, cid_to_row[cid]][None, :], (b, len(qidx))
@@ -201,7 +191,7 @@ def ivfpq_topk(
         for s in range(m):
             S += lutq[:, s, Cm[:, s]].T  # (b, nqq)
         S = np.round(S, round_to)
-        vids = pdf[id_col].to_numpy()
+        vids = sub[id_col].to_numpy()
         if b > keep:
             idx = _partial_topk(S, vids, keep)
         else:
@@ -215,15 +205,31 @@ def ivfpq_topk(
             }
         )
 
+    def score_batches(batches):
+        empty = pd.DataFrame(
+            {
+                query_id_col: qids[:0],
+                id_col: np.empty(0, dtype=object),
+                "adc_score": np.empty(0, dtype=np.float64),
+            }
+        )
+        for pdf in batches:
+            outs = []
+            for cid, sub in pdf.groupby("cluster_id", sort=False):
+                qidx = cluster_to_q_np.get(int(cid))
+                if qidx is not None:
+                    outs.append(_score_run(int(cid), sub, qidx))
+            yield pd.concat(outs) if outs else empty
+
     # union-of-probes pre-filter = partition pruning on a cluster_id-
-    # partitioned layout (same rationale as ivf_topk_batch_np): codes
-    # of non-probed clusters are never deserialized
+    # partitioned layout, and a shuffle-free mapInPandas scan with
+    # within-batch cluster runs (same rationale as ivf_topk_batch_np:
+    # a groupBy here shuffled every probed code row for nothing)
     cand = (
         encoded.filter(F.col("cluster_id").isin(sorted(cluster_to_q)))
         .select("cluster_id", id_col, "codes")
-        .groupBy("cluster_id")
-        .applyInPandas(
-            per_cluster,
+        .mapInPandas(
+            score_batches,
             f"{query_id_col} {id_type(queries, query_id_col)}, "
             f"{id_col} {id_type(encoded, id_col)}, adc_score double",
         )
