@@ -96,12 +96,35 @@ def test_api_search_batch_uses_np_kernel(spark):
     assert "MapInPandas" in plan
     assert "Join" not in plan
 
-    # with an ANN index built, the kernel runs per-cluster (grouped
-    # FlatMapGroupsInPandas) — still no scored-pair join
+    # with an ANN index built, the kernel scans probed clusters with
+    # the SAME shuffle-free MapInPandas shape (within-batch cluster
+    # runs) — no grouped exchange, no scored-pair join
     proj.build_ann_index(num_clusters=4)
     plan2 = _plan(proj.search_batch(q, 5))
-    assert "FlatMapGroupsInPandas" in plan2
+    assert "MapInPandas" in plan2
+    assert "FlatMapGroupsInPandas" not in plan2
     assert "CartesianProduct" not in plan2
+
+
+def test_ivf_np_kernel_is_shuffle_free_below_rank_window(spark):
+    """The probed-cluster scan must reach the Python kernel WITHOUT an
+    exchange (the r3 fix: groupBy(cluster_id).applyInPandas shuffled
+    every probed row; mapInPandas with within-batch cluster runs does
+    not) — the only exchange in the plan is the rank window above the
+    candidate stream, and the probe filter sits on the scan side."""
+    import re
+
+    from mcp_vector_search_spark.operators.ivf import ivf_build, ivf_topk_batch_np
+
+    emb = io.table(spark, SF_DIR, "embeddings")
+    assigned, centroids = ivf_build(emb, num_clusters=8)
+    q = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    plan = _plan(ivf_topk_batch_np(assigned, centroids, q, 5, nprobes=3))
+    assert "MapInPandas" in plan and "Join" not in plan
+    assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 1, plan
+    assert "cluster_id IN" in plan or "cluster_id#" in plan  # probe pre-filter
 
 
 def test_bm25_topk_single_tokenize_pass(spark):
