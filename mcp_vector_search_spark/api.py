@@ -350,3 +350,90 @@ class SparkProject:
             "doc_id", token_count("text").cast("long").alias("tok")
         )
         return pack_sequences(docs, max_tokens, n_shards=n_shards, token_col="tok")
+
+    def curate_corpus(
+        self,
+        max_tokens: int = 512,
+        benchmark: DataFrame | None = None,
+        lang_fractions: dict[str, float] | None = None,
+        near_dup_jaccard: float = 0.8,
+        n_shards: int = 32,
+    ) -> tuple[DataFrame, DataFrame]:
+        """The end-to-end training-corpus pipeline this engine exists
+        for, composed from the individually oracle-gated stages:
+
+        1. exact dedup — drop every doc whose normalized fingerprint
+           already appeared at a lower id;
+        2. near-dedup — MinHash-LSH candidates, exact-Jaccard
+           verified ≥ `near_dup_jaccard`; the higher id of each pair
+           drops;
+        3. decontamination — drop docs sharing 5-grams with
+           `benchmark` (skipped when None);
+        4. stratified rebalance by language (skipped when None);
+        5. reproducible hash split; the train split then
+        6. greedy-packs into `max_tokens` bins assembled as training
+           rows.
+
+        Returns (bins, report): bins = (shard, bin_id, n_docs,
+        total_tok, text) for the train split; report = one row per
+        pipeline stage with the surviving doc count — the mixture /
+        attrition summary a curation run is judged by.
+        """
+        from mcp_vector_search_spark.functions.text import doc_fingerprint, token_count
+        from mcp_vector_search_spark.operators.dedup import (
+            contaminated_docs,
+            jaccard_verify,
+            minhash_candidates,
+            shingle_sets,
+        )
+        from mcp_vector_search_spark.operators.sampling import (
+            bin_texts,
+            hash_split,
+            pack_sequences,
+            stratified_sample,
+        )
+
+        spark = self.spark
+        stages: list[tuple[str, int]] = [("input", self.docs.count())]
+
+        # 1. exact: keep the lowest id per fingerprint (window over the
+        # fingerprint key — shuffles (fingerprint, id), never text)
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy("_fp").orderBy("doc_id")
+        docs = (
+            self.docs.withColumn("_fp", doc_fingerprint("text"))
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_fp", "_rn")
+        )
+        stages.append(("exact_dedup", docs.count()))
+
+        # 2. near-dup: verified LSH pairs; the higher id drops
+        sh = shingle_sets(docs)
+        pairs = jaccard_verify(
+            minhash_candidates(docs, shingles=sh), sh, threshold=near_dup_jaccard
+        )
+        drop = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
+        docs = docs.join(drop, "doc_id", "left_anti")
+        stages.append(("near_dedup", docs.count()))
+
+        # 3. decontaminate
+        if benchmark is not None:
+            flagged = contaminated_docs(docs, benchmark).filter("contaminated")
+            docs = docs.join(flagged.select("doc_id"), "doc_id", "left_anti")
+            stages.append(("decontaminated", docs.count()))
+
+        # 4. rebalance
+        if lang_fractions:
+            docs = stratified_sample(docs, lang_fractions)
+            stages.append(("rebalanced", docs.count()))
+
+        # 5. split → 6. pack the train split
+        train = hash_split(docs).filter(F.col("split") == "train")
+        stages.append(("train_split", train.count()))
+        toks = train.select("doc_id", token_count("text").cast("long").alias("tok"))
+        packed = pack_sequences(toks, max_tokens, n_shards=n_shards, token_col="tok")
+        bins = bin_texts(packed, train)
+        report = spark.createDataFrame(stages, "stage string, n_docs long")
+        return bins, report

@@ -193,3 +193,44 @@ def pack_sequences(
         "shard", id_col, token_col
     )
     return sharded.groupBy("shard").applyInPandas(_pack, schema=out_schema)
+
+
+def bin_texts(
+    packed: DataFrame,
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    token_col: str = "tok",
+    sep: str = "\n\n",
+) -> DataFrame:
+    """Assemble packed bins into training rows → (shard, bin_id,
+    n_docs, total_tok, text): each bin's member docs concatenate in id
+    order — one context-window example per row, the jsonl-shard
+    payload. One equi-join on the id column + one groupBy on
+    (shard, bin_id); the shuffle carries each doc's text exactly once.
+    """
+    joined = packed.join(docs.select(id_col, text_col), id_col)
+    assembled = F.array_join(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(F.col(id_col).alias("i"), F.col(text_col).alias("t"))
+                )
+            ),
+            lambda s: s["t"],
+        ),
+        sep,
+    )
+    return joined.groupBy("shard", "bin_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(token_col).cast("long").alias("total_tok"),
+        assembled.alias("text"),
+    )
+
+
+def write_training_shards(bins: DataFrame, path: str) -> None:
+    """Persist assembled bins as shard-partitioned JSONL — the final
+    artifact of the curation pipeline. Each shard directory is one
+    training-reader unit; within a shard, files carry (bin_id, n_docs,
+    total_tok, text) rows."""
+    bins.write.mode("overwrite").partitionBy("shard").json(path)

@@ -1666,6 +1666,27 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return packed.select("shard", "doc_id", "tok", "bin_id")
 
 
+def q_packed_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pipeline's final artifact, hash-checked: packed bins
+    assembled into training rows (operators/sampling.py:bin_texts) —
+    per (shard, bin_id) the member count, token total, and an md5 over
+    the id-ordered concatenated text (the exact jsonl payload)."""
+    from mcp_vector_search_spark.functions.text import token_count
+    from mcp_vector_search_spark.operators.sampling import bin_texts, pack_sequences
+
+    docs = _docs(spark, sf_dir)
+    toks = docs.select("doc_id", token_count("text").cast("long").alias("tok"))
+    packed = pack_sequences(toks, PACK_CAP, n_shards=SHARD_N, token_col="tok")
+    bins = bin_texts(packed, docs)
+    return bins.select(
+        "shard",
+        "bin_id",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        "total_tok",
+        F.md5(F.col("text")).alias("text_hash"),
+    )
+
+
 DECONTAM_N = 5
 DECONTAM_MOD = 97  # every 97th doc stands in for the eval benchmark
 
@@ -2995,8 +3016,7 @@ WITH s AS (
   FROM documents)
 SELECT * FROM s"""
 
-    o["pack_sequences"] = f"""
-WITH RECURSIVE
+    _pack_ctes = f"""WITH RECURSIVE
 pt AS (SELECT doc_id, len({_TOKS})::BIGINT AS tok,
               (('0x' || substr(md5(doc_id::VARCHAR || '#pack'), 1, 6))::BIGINT
                % {SHARD_N})::INT AS shard
@@ -3012,8 +3032,18 @@ fold(shard, rn, doc_id, tok, bin_id, fill) AS (
               ELSE f.bin_id END,
          CASE WHEN f.fill + p.tok > {PACK_CAP} THEN p.tok
               ELSE f.fill + p.tok END
-  FROM fold f JOIN pr p ON p.shard = f.shard AND p.rn = f.rn + 1)
+  FROM fold f JOIN pr p ON p.shard = f.shard AND p.rn = f.rn + 1)"""
+
+    o["pack_sequences"] = f"""
+{_pack_ctes}
 SELECT shard, doc_id, tok, bin_id FROM fold"""
+
+    o["packed_shards"] = f"""
+{_pack_ctes}
+SELECT shard, bin_id, count(*)::BIGINT AS n_docs, sum(tok)::BIGINT AS total_tok,
+       md5(string_agg(text, chr(10) || chr(10) ORDER BY doc_id)) AS text_hash
+FROM fold JOIN documents USING (doc_id)
+GROUP BY shard, bin_id"""
 
     # absorbed into the merged gates above — drop the standalone keys
     # so queries()/oracle_sql() stay exactly key-aligned
@@ -3099,6 +3129,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # tools/verify_local.py runs them on every round ---
     "decontaminate": q_decontaminate,
     "lm_perplexity": q_lm_perplexity,
+    "packed_shards": q_packed_shards,
     "knn_batch_np": q_knn_batch_np,
     "pq_fixed": q_pq_fixed,
     "ngram_top50": q_ngram_top50,

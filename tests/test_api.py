@@ -152,3 +152,38 @@ def test_api_corpus_curation_and_repo_graph(spark):
     types = {r["entity_type"] for r in nodes.select("entity_type").distinct().collect()}
     assert {"Person", "Commit", "Project", "Repository", "Branch"} <= types
     assert edges.filter(F.col("rel") == "AUTHORED").count() > 0
+
+
+def test_api_curate_corpus_end_to_end(spark, tmp_path):
+    """The full curation pipeline: exact dedup -> near-dedup ->
+    decontaminate -> rebalance -> split -> pack -> shard write."""
+    from mcp_vector_search_spark.api import SparkProject
+    from mcp_vector_search_spark.operators.sampling import write_training_shards
+
+    base = [
+        (i, f"doc number {i} talks about topic {i % 7} in some detail here", "en")
+        for i in range(60)
+    ]
+    base += [(100, base[0][1], "en")]  # exact dup of doc 0
+    base += [(101, base[1][1] + " extra", "de")]  # near dup of doc 1
+    docs = spark.createDataFrame(base, "doc_id long, text string, lang string")
+    bench = spark.createDataFrame(
+        [(9000, base[2][1])], "doc_id long, text string"
+    )
+    p = SparkProject(spark, docs, docs.limit(0))
+    bins, report = p.curate_corpus(
+        max_tokens=64, benchmark=bench, lang_fractions={"de": 0.0}, n_shards=4
+    )
+    rep = {r["stage"]: r["n_docs"] for r in report.collect()}
+    assert rep["exact_dedup"] == rep["input"] - 1  # doc 100 dropped
+    assert rep["near_dedup"] <= rep["exact_dedup"] - 1  # doc 101 dropped
+    assert rep["decontaminated"] <= rep["near_dedup"] - 1  # doc 2 dropped
+    assert rep["rebalanced"] <= rep["decontaminated"]
+    assert 0 < rep["train_split"] <= rep["rebalanced"]
+    rows = bins.collect()
+    assert sum(r["n_docs"] for r in rows) == rep["train_split"]
+    assert all(r["text"] for r in rows)
+    out = str(tmp_path / "shards")
+    write_training_shards(bins, out)
+    back = spark.read.json(out)
+    assert back.count() == len(rows)
