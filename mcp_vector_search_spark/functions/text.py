@@ -229,3 +229,23 @@ def top_keywords(
             F.col("kw_rank").cast("long").alias("kw_rank"),
         )
     )
+
+
+def bpe_token_estimate(text: Column | str) -> Column:
+    """Deterministic BPE-style token-count estimate, no model needed:
+    alphabetic runs cost ceil(len/4) subword units (BPE merges average
+    ~4 chars/token on English), every digit is its own token (the
+    GPT-style digit split), and every other non-space symbol is one
+    token. Pure column expressions — portable to the SQL oracle, and a
+    far better context-budget predictor than whitespace counting on
+    code or punctuation-heavy text."""
+    col = F.col(text) if isinstance(text, str) else text
+    words = F.regexp_extract_all(col, F.lit("[A-Za-z]+"), 0)
+    alpha = F.aggregate(
+        words,
+        F.lit(0).cast("long"),
+        lambda acc, w: acc + F.ceil(F.length(w) / F.lit(4.0)),
+    )
+    digits = F.length(F.regexp_replace(col, "[^0-9]", ""))
+    symbols = F.length(F.regexp_replace(col, r"[A-Za-z0-9\s]", ""))
+    return alpha + digits + symbols

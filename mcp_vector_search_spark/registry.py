@@ -1687,6 +1687,19 @@ def q_packed_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_token_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both token-counting modes side by side (functions/text.py):
+    whitespace-ish word count vs the BPE-style subword estimate
+    (ceil(len/4) per alpha run + per-digit + per-symbol)."""
+    from mcp_vector_search_spark.functions.text import bpe_token_estimate, token_count
+
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        token_count("text").cast("long").alias("n_ws_tokens"),
+        bpe_token_estimate("text").cast("long").alias("n_bpe_est"),
+    )
+
+
 DECONTAM_N = 5
 DECONTAM_MOD = 97  # every 97th doc stands in for the eval benchmark
 
@@ -2952,6 +2965,15 @@ rk AS (SELECT *, row_number() OVER (PARTITION BY query_id
                                     ORDER BY sq_score DESC, vec_id) AS rn FROM sc)
 SELECT query_id, vec_id, sq_score, rn::BIGINT AS rn FROM rk WHERE rn <= {BATCH_K}"""
 
+    o["token_estimate"] = f"""
+SELECT doc_id, len({_TOKS})::BIGINT AS n_ws_tokens,
+       (coalesce(list_sum(list_transform(regexp_extract_all(text, '[A-Za-z]+'),
+                                         w -> ceil(length(w) / 4.0))), 0)::BIGINT
+        + length(regexp_replace(text, '[^0-9]', '', 'g'))
+        + length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')))::BIGINT
+         AS n_bpe_est
+FROM documents"""
+
     _g5 = (
         f"list_transform(range(1, greatest(len(toks) - {DECONTAM_N - 2}, 1)),"
         f" i -> array_to_string(toks[i:i+{DECONTAM_N - 1}], '_'))"
@@ -3130,6 +3152,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "decontaminate": q_decontaminate,
     "lm_perplexity": q_lm_perplexity,
     "packed_shards": q_packed_shards,
+    "token_estimate": q_token_estimate,
     "knn_batch_np": q_knn_batch_np,
     "pq_fixed": q_pq_fixed,
     "ngram_top50": q_ngram_top50,

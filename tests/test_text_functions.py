@@ -116,3 +116,21 @@ def test_gopher_empty_doc_is_zero(spark):
         alpha_word_fraction(toks),
     ).first()
     assert list(vals) == [0.0, 0.0, 0.0]
+
+
+def test_bpe_token_estimate(spark):
+    from mcp_vector_search_spark.functions.text import bpe_token_estimate
+
+    rows = [
+        (1, "hello"),         # 1 alpha run of 5 -> ceil(5/4) = 2
+        (2, "a b c"),         # 3 runs of 1 -> 3
+        (3, "x = 42;"),       # 1 + 2 digits + '=' + ';' = 5
+        (4, "1234"),          # 4 digit tokens
+        (5, ""),              # nothing
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r["est"]
+        for r in df.select("doc_id", bpe_token_estimate("text").alias("est")).collect()
+    }
+    assert out == {1: 2, 2: 3, 3: 5, 4: 4, 5: 0}
