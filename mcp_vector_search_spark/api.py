@@ -358,7 +358,8 @@ class SparkProject:
         lang_fractions: dict[str, float] | None = None,
         near_dup_jaccard: float = 0.8,
         n_shards: int = 32,
-    ) -> tuple[DataFrame, DataFrame]:
+        collect_report: bool = True,
+    ) -> tuple[DataFrame, DataFrame | None]:
         """The end-to-end training-corpus pipeline this engine exists
         for, composed from the individually oracle-gated stages:
 
@@ -377,7 +378,11 @@ class SparkProject:
         Returns (bins, report): bins = (shard, bin_id, n_docs,
         total_tok, text) for the train split; report = one row per
         pipeline stage with the surviving doc count — the mixture /
-        attrition summary a curation run is judged by.
+        attrition summary a curation run is judged by. The report
+        costs one action per stage, so each surviving-docs frame is
+        cached at the stage boundary (count + reuse, no recompute of
+        the upstream chain); `collect_report=False` skips both the
+        counts and the caches for a single lazy end-to-end plan.
         """
         from mcp_vector_search_spark.functions.text import doc_fingerprint, token_count
         from mcp_vector_search_spark.operators.dedup import (
@@ -394,7 +399,16 @@ class SparkProject:
         )
 
         spark = self.spark
-        stages: list[tuple[str, int]] = [("input", self.docs.count())]
+        stages: list[tuple[str, int]] = []
+
+        def checkpoint(name: str, df: DataFrame) -> DataFrame:
+            if not collect_report:
+                return df
+            df = df.cache()
+            stages.append((name, df.count()))
+            return df
+
+        checkpoint("input", self.docs)
 
         # 1. exact: keep the lowest id per fingerprint (window over the
         # fingerprint key — shuffles (fingerprint, id), never text)
@@ -407,7 +421,7 @@ class SparkProject:
             .filter(F.col("_rn") == 1)
             .drop("_fp", "_rn")
         )
-        stages.append(("exact_dedup", docs.count()))
+        docs = checkpoint("exact_dedup", docs)
 
         # 2. near-dup: verified LSH pairs; the higher id drops
         sh = shingle_sets(docs)
@@ -415,25 +429,30 @@ class SparkProject:
             minhash_candidates(docs, shingles=sh), sh, threshold=near_dup_jaccard
         )
         drop = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
-        docs = docs.join(drop, "doc_id", "left_anti")
-        stages.append(("near_dedup", docs.count()))
+        docs = checkpoint("near_dedup", docs.join(drop, "doc_id", "left_anti"))
 
         # 3. decontaminate
         if benchmark is not None:
             flagged = contaminated_docs(docs, benchmark).filter("contaminated")
-            docs = docs.join(flagged.select("doc_id"), "doc_id", "left_anti")
-            stages.append(("decontaminated", docs.count()))
+            docs = checkpoint(
+                "decontaminated",
+                docs.join(flagged.select("doc_id"), "doc_id", "left_anti"),
+            )
 
         # 4. rebalance
         if lang_fractions:
-            docs = stratified_sample(docs, lang_fractions)
-            stages.append(("rebalanced", docs.count()))
+            docs = checkpoint("rebalanced", stratified_sample(docs, lang_fractions))
 
         # 5. split → 6. pack the train split
-        train = hash_split(docs).filter(F.col("split") == "train")
-        stages.append(("train_split", train.count()))
+        train = checkpoint(
+            "train_split", hash_split(docs).filter(F.col("split") == "train")
+        )
         toks = train.select("doc_id", token_count("text").cast("long").alias("tok"))
         packed = pack_sequences(toks, max_tokens, n_shards=n_shards, token_col="tok")
         bins = bin_texts(packed, train)
-        report = spark.createDataFrame(stages, "stage string, n_docs long")
+        report = (
+            spark.createDataFrame(stages, "stage string, n_docs long")
+            if collect_report
+            else None
+        )
         return bins, report
