@@ -359,6 +359,7 @@ class SparkProject:
         near_dup_jaccard: float = 0.8,
         n_shards: int = 32,
         collect_report: bool = True,
+        redact: bool = False,
     ) -> tuple[DataFrame, DataFrame | None]:
         """The end-to-end training-corpus pipeline this engine exists
         for, composed from the individually oracle-gated stages:
@@ -370,6 +371,7 @@ class SparkProject:
            drops;
         3. decontamination — drop docs sharing 5-grams with
            `benchmark` (skipped when None);
+        3b. PII masking of the surviving text (`redact=True`);
         4. stratified rebalance by language (skipped when None);
         5. reproducible hash split; the train split then
         6. greedy-packs into `max_tokens` bins assembled as training
@@ -438,6 +440,12 @@ class SparkProject:
                 "decontaminated",
                 docs.join(flagged.select("doc_id"), "doc_id", "left_anti"),
             )
+
+        # 3b. PII masking (map-side; not a filter, so no stage count)
+        if redact:
+            from mcp_vector_search_spark.functions.text import redact_pii
+
+            docs = docs.withColumn("text", redact_pii("text"))
 
         # 4. rebalance
         if lang_fractions:

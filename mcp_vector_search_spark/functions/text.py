@@ -249,3 +249,38 @@ def bpe_token_estimate(text: Column | str) -> Column:
     digits = F.length(F.regexp_replace(col, "[^0-9]", ""))
     symbols = F.length(F.regexp_replace(col, r"[A-Za-z0-9\s]", ""))
     return alpha + digits + symbols
+
+
+# PII masking patterns — applied in list order (email before phone so a
+# mailbox's digits are gone before the looser phone pattern runs; the
+# masks contain no digits, so later passes never re-match). Patterns
+# stay inside the regex subset Java and RE2 interpret identically.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ip", r"\b\d{1,3}(\.\d{1,3}){3}\b", "<IP>"),
+    ("phone", r"\+?\d[\d\- ]{7,}\d", "<PHONE>"),
+]
+
+
+def redact_pii(text: Column | str) -> Column:
+    """Mask emails / IPv4 addresses / phone-number-shaped digit runs —
+    the pre-training privacy pass. Pure sequential regexp_replace
+    column expressions; replayable in any engine with RE2-compatible
+    regexes."""
+    col = F.col(text) if isinstance(text, str) else text
+    for _, pat, mask in PII_PATTERNS:
+        col = F.regexp_replace(col, pat, mask)
+    return col
+
+
+def pii_counts(text: Column | str) -> Column:
+    """struct(n_email, n_ip, n_phone): per-kind match counts on the
+    ORIGINAL text (each pattern counted independently) — the audit
+    column a redaction pass reports."""
+    col = F.col(text) if isinstance(text, str) else text
+    return F.struct(
+        *[
+            F.size(F.regexp_extract_all(col, F.lit(pat), 0)).alias(f"n_{name}")
+            for name, pat, _ in PII_PATTERNS
+        ]
+    )

@@ -1705,6 +1705,42 @@ def q_token_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PII_MOD = 7  # every 7th doc gets synthesized PII for the gate
+
+
+def q_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII masking (functions/text.py:redact_pii): the corpus text is
+    PII-free word salad, so every `PII_MOD`-th doc gets a deterministic
+    synthesized email + IPv4 + phone appended; the gate hash-checks the
+    per-kind counts and the md5 of the redacted text."""
+    from mcp_vector_search_spark.functions.text import pii_counts, redact_pii
+
+    docs = _docs(spark, sf_dir)
+    synth = F.concat(
+        F.col("text"),
+        F.lit(" contact bob"),
+        F.col("doc_id"),
+        F.lit("@example.com at 10.1.2."),
+        (F.col("doc_id") % 250).cast("string"),
+        F.lit(" or +1-555-123-4567"),
+    )
+    with_pii = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % PII_MOD == 0, synth).otherwise(F.col("text")).alias("t"),
+    )
+    return with_pii.select(
+        "doc_id",
+        pii_counts("t").alias("c"),
+        F.md5(redact_pii("t")).alias("redacted_hash"),
+    ).select(
+        "doc_id",
+        F.col("c.n_email").cast("long").alias("n_email"),
+        F.col("c.n_ip").cast("long").alias("n_ip"),
+        F.col("c.n_phone").cast("long").alias("n_phone"),
+        "redacted_hash",
+    )
+
+
 DECONTAM_N = 5
 DECONTAM_MOD = 97  # every 97th doc stands in for the eval benchmark
 
@@ -2979,6 +3015,23 @@ SELECT doc_id, len({_TOKS})::BIGINT AS n_ws_tokens,
          AS n_bpe_est
 FROM documents"""
 
+    from mcp_vector_search_spark.functions.text import PII_PATTERNS as _PII
+
+    _red = "t"
+    for _, _pat, _mask in _PII:
+        _red = f"regexp_replace({_red}, '{_pat}', '{_mask}', 'g')"
+    _cnt = ", ".join(
+        f"len(regexp_extract_all(t, '{pat}'))::BIGINT AS n_{name}"
+        for name, pat, _ in _PII
+    )
+    o["redact_pii"] = f"""
+WITH s AS (SELECT doc_id,
+  CASE WHEN doc_id % {PII_MOD} = 0 THEN
+    text || ' contact bob' || doc_id::VARCHAR || '@example.com at 10.1.2.'
+         || (doc_id % 250)::VARCHAR || ' or +1-555-123-4567'
+  ELSE text END AS t FROM documents)
+SELECT doc_id, {_cnt}, md5({_red}) AS redacted_hash FROM s"""
+
     _g5 = (
         f"list_transform(range(1, greatest(len(toks) - {DECONTAM_N - 2}, 1)),"
         f" i -> array_to_string(toks[i:i+{DECONTAM_N - 1}], '_'))"
@@ -3158,6 +3211,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lm_perplexity": q_lm_perplexity,
     "packed_shards": q_packed_shards,
     "token_estimate": q_token_estimate,
+    "redact_pii": q_redact_pii,
     "knn_batch_np": q_knn_batch_np,
     "pq_fixed": q_pq_fixed,
     "ngram_top50": q_ngram_top50,

@@ -134,3 +134,27 @@ def test_bpe_token_estimate(spark):
         for r in df.select("doc_id", bpe_token_estimate("text").alias("est")).collect()
     }
     assert out == {1: 2, 2: 3, 3: 5, 4: 4, 5: 0}
+
+
+def test_redact_pii_masks_and_counts(spark):
+    from mcp_vector_search_spark.functions.text import pii_counts, redact_pii
+
+    rows = [
+        (1, "mail a.b@x.io or call +1-555-123-4567 from 10.0.0.1"),
+        (2, "no pii here at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id",
+            redact_pii("text").alias("red"),
+            pii_counts("text").alias("c"),
+        ).collect()
+    }
+    assert out[1]["red"] == "mail <EMAIL> or call <PHONE> from <IP>"
+    assert out[1]["c"]["n_email"] == 1
+    assert out[1]["c"]["n_ip"] == 1
+    assert out[1]["c"]["n_phone"] == 1
+    assert out[2]["red"] == "no pii here at all"
+    assert sum(out[2]["c"]) == 0
