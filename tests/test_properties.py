@@ -112,3 +112,33 @@ def test_chunker_conserves_tokens(spark, xs):
     chunks = chunk_tokens(df, chunk_size=7).collect()
     assert sum(c["n_tokens"] for c in chunks) == len(xs)
     assert sorted(c["chunk_idx"] for c in chunks) == list(range(len(chunks)))
+
+
+@given(
+    toks=st.lists(st.integers(min_value=1, max_value=300), min_size=1, max_size=60),
+    cap=st.integers(min_value=50, max_value=200),
+)
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_pack_sequences_greedy_property(spark, toks, cap):
+    """For arbitrary token lengths and budgets: every doc lands in
+    exactly one bin, multi-doc bins never exceed the budget, and bin
+    ids are contiguous from 1 in doc order within the single shard."""
+    from mcp_vector_search_spark.operators.sampling import pack_sequences
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(toks)], "doc_id long, tok long"
+    )
+    out = pack_sequences(docs, cap, n_shards=1).orderBy("doc_id").collect()
+    assert len(out) == len(toks)
+    fills: dict[int, int] = {}
+    counts: dict[int, int] = {}
+    last_bin = 0
+    for r in out:
+        fills[r["bin_id"]] = fills.get(r["bin_id"], 0) + r["tok"]
+        counts[r["bin_id"]] = counts.get(r["bin_id"], 0) + 1
+        assert r["bin_id"] in (last_bin, last_bin + 1)  # contiguous, no skips
+        last_bin = r["bin_id"]
+    assert min(fills) == 1
+    for b, fill in fills.items():
+        if counts[b] > 1:
+            assert fill <= cap
