@@ -412,8 +412,10 @@ class SparkProject:
 
         checkpoint("input", self.docs)
 
-        # 1. exact: keep the lowest id per fingerprint (window over the
-        # fingerprint key — shuffles (fingerprint, id), never text)
+        # 1. exact: keep the lowest id per fingerprint — one full-row
+        # shuffle on the fingerprint key (any id-level filter of the
+        # corpus moves the rows once; a slim window + semi-join would
+        # add a second exchange, not remove this one)
         from pyspark.sql.window import Window
 
         w = Window.partitionBy("_fp").orderBy("doc_id")
