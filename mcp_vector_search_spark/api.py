@@ -357,6 +357,7 @@ class SparkProject:
         benchmark: DataFrame | None = None,
         lang_fractions: dict[str, float] | None = None,
         near_dup_jaccard: float = 0.8,
+        semantic_threshold: float | None = None,
         n_shards: int = 32,
         collect_report: bool = True,
         redact: bool = False,
@@ -369,6 +370,10 @@ class SparkProject:
         2. near-dedup — MinHash-LSH candidates, exact-Jaccard
            verified ≥ `near_dup_jaccard`; the higher id of each pair
            drops;
+        2b. semantic dedup (`semantic_threshold` set and vectors
+           present) — embedding-cosine pairs blocked by IVF cluster
+           (Σ|c|² candidate pairs, never N²; vec_id must align with
+           doc_id); the higher id drops;
         3. decontamination — drop docs sharing 5-grams with
            `benchmark` (skipped when None);
         3b. PII masking of the surviving text (`redact=True`);
@@ -434,6 +439,25 @@ class SparkProject:
         )
         drop = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
         docs = checkpoint("near_dedup", docs.join(drop, "doc_id", "left_anti"))
+
+        # 2b. semantic near-dedup on the embedding column
+        if semantic_threshold is not None and self.vectors is not None:
+            from mcp_vector_search_spark.operators.dedup import (
+                embedding_near_dups_clustered,
+            )
+            from mcp_vector_search_spark.operators.ivf import ivf_build_sampled
+
+            surviving = self.vectors.join(
+                docs.select(F.col("doc_id").alias("vec_id")), "vec_id", "left_semi"
+            )
+            assigned, _ = ivf_build_sampled(surviving)
+            sem_pairs = embedding_near_dups_clustered(
+                assigned, threshold=semantic_threshold
+            )
+            sem_drop = sem_pairs.select(F.col("id_b").alias("doc_id")).distinct()
+            docs = checkpoint(
+                "semantic_dedup", docs.join(sem_drop, "doc_id", "left_anti")
+            )
 
         # 3. decontaminate
         if benchmark is not None:

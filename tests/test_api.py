@@ -187,3 +187,32 @@ def test_api_curate_corpus_end_to_end(spark, tmp_path):
     write_training_shards(bins, out)
     back = spark.read.json(out)
     assert back.count() == len(rows)
+
+
+def test_api_curate_semantic_dedup_stage(spark):
+    """semantic_threshold drops the higher id of near-identical
+    embedding pairs via IVF-cluster blocking."""
+    import numpy as np
+
+    from mcp_vector_search_spark.api import SparkProject
+
+    rng = np.random.default_rng(7)
+    vecs = rng.normal(size=(40, 16))
+    vecs[1] = vecs[0] + 1e-4  # doc 1 is a semantic dup of doc 0
+    rows = [
+        (i, f"document body {i} with several distinct words " + " ".join(
+            f"w{i}x{j}" for j in range(6)), [float(x) for x in vecs[i]])
+        for i in range(40)
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t, _ in rows], "doc_id long, text string"
+    )
+    emb = spark.createDataFrame(
+        [(i, v) for i, _, v in rows], "vec_id long, embedding array<double>"
+    )
+    p = SparkProject(spark, docs, emb)
+    _, report = p.curate_corpus(
+        max_tokens=64, semantic_threshold=0.999, n_shards=2
+    )
+    rep = {r["stage"]: r["n_docs"] for r in report.collect()}
+    assert rep["semantic_dedup"] == rep["near_dedup"] - 1  # doc 1 dropped
