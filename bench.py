@@ -65,16 +65,22 @@ def main():
         per_query[name] = round(dt, 3)
         total += dt
 
-    # repeated-query serving against the now-materialized postings
-    # cache (the first bm25_topk call built it): what any query after
-    # the first costs in a session
+    # warm serving: prime the cached-index build once (untimed), then
+    # measure what any DIFFERENT query costs against the in-session
+    # cache — the SparkProject._bm25 serving shape. (The cold headline
+    # bm25_topk above is the one-shot zero-shuffle path and builds no
+    # cache.)
     from mcp_vector_search_spark.operators.bm25 import bm25_topk as _bm25_topk
+    from mcp_vector_search_spark.registry import QUERY_TERMS as _QT
 
     docs_w = warm_io.table(spark, SF_DIR, "documents")
-    t0 = time.time()
-    _bm25_topk(docs_w, ["window", "merge"], 20).write.format("noop").mode(
+    _bm25_topk(docs_w, _QT, 20, cache_index=True).write.format("noop").mode(
         "overwrite"
     ).save()
+    t0 = time.time()
+    _bm25_topk(docs_w, ["window", "merge"], 20, cache_index=True).write.format(
+        "noop"
+    ).mode("overwrite").save()
     per_query["bm25_topk_warm"] = round(time.time() - t0, 3)
 
     # warm hybrid serving: a second hybrid query in the same session
@@ -89,9 +95,10 @@ def main():
         _F.col("embedding").alias("query_vec")
     )
     t0 = time.time()
-    _hybrid(docs_w, emb_w, ["window", "merge"], qv_w, k=10, alpha=0.7).write.format(
-        "noop"
-    ).mode("overwrite").save()
+    _hybrid(
+        docs_w, emb_w, ["window", "merge"], qv_w, k=10, alpha=0.7,
+        bm25_cache_index=True,
+    ).write.format("noop").mode("overwrite").save()
     per_query["hybrid_rrf_warm"] = round(time.time() - t0, 3)
 
     # ANN: brute-force vs IVF on the same 256-query batch (BASELINE's

@@ -185,6 +185,64 @@ def bm25_topk_indexed(
     )
 
 
+def bm25_oneshot_stats(
+    docs: DataFrame,
+    query_terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    epsilon: float = EPSILON,
+) -> dict:
+    """Corpus scalars + per-query-term idf for the one-shot scoring
+    path, collected to the driver in TWO small jobs:
+
+    - job 1: (N, avgdl) — a map-side-only aggregate over token counts;
+      nothing shuffles, nothing is materialized.
+    - job 2: document frequency per distinct term (the only corpus-wide
+      shuffle, and it moves (term, count) pairs after map-side combine
+      — never the postings) → in ONE aggregation both the
+      corpus-average raw idf (BM25Okapi's epsilon floor needs the
+      average over ALL terms) and the query terms' own df rows
+      (collect_list skips the non-query nulls).
+
+    The result is a handful of Python floats — query-independent except
+    for the `idf` dict, so multi-variant callers (query expansion)
+    compute it once for the UNION of variant terms and share it.
+    """
+    q = list(dict.fromkeys(query_terms))
+    toks = docs.select(tokenize(text_col).alias("toks"))
+    row = (
+        toks.select(F.size("toks").cast("double").alias("dl"))
+        .filter(F.col("dl") > 0)
+        .agg(F.count("*").cast("double").alias("n_docs"), F.avg("dl").alias("avgdl"))
+        .first()
+    )
+    n_docs = float(row["n_docs"] or 0.0)
+    avgdl = float(row["avgdl"] or 0.0)
+    if n_docs == 0:
+        return {"n_docs": 0.0, "avgdl": 0.0, "avg_idf": 0.0, "idf": {}}
+    dfreq = (
+        toks.select(F.explode(F.array_distinct("toks")).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").cast("double").alias("df"))
+        .withColumn(
+            "idf_raw",
+            F.log((F.lit(n_docs) - F.col("df") + 0.5) / (F.col("df") + 0.5)),
+        )
+    )
+    srow = dfreq.agg(
+        F.avg("idf_raw").alias("avg_idf"),
+        F.collect_list(
+            F.when(F.col("term").isin(q), F.struct("term", "idf_raw"))
+        ).alias("q_rows"),
+    ).first()
+    avg_idf = float(srow["avg_idf"] or 0.0)
+    idf = {}
+    for r in srow["q_rows"]:
+        ir = float(r["idf_raw"])
+        idf[r["term"]] = epsilon * avg_idf if ir < 0 else ir
+    return {"n_docs": n_docs, "avgdl": avgdl, "avg_idf": avg_idf, "idf": idf}
+
+
 def bm25_topk(
     docs: DataFrame,
     query_terms: list[str],
@@ -192,7 +250,10 @@ def bm25_topk(
     id_col: str = "doc_id",
     text_col: str = "text",
     min_score: float | None = None,
-    cache_index: bool = True,
+    cache_index: bool = False,
+    stats: dict | None = None,
+    k1: float = K1,
+    b: float = B,
 ) -> DataFrame:
     """End-to-end BM25 top-k over a raw document table.
 
@@ -200,27 +261,67 @@ def bm25_topk(
     ``bm25_backend.py:187`` keeps only score > 0); default keeps every
     doc matching ≥1 query term, BM25Okapi-style.
 
-    With `cache_index` (default) the postings/doc-stats/idf frames are
-    cached: the scoring plan references postings from three branches,
-    and without a materialization each branch re-tokenizes the corpus
-    — three full passes, the scale-killer flagged in round 2 (measured
-    at sf0.1: 6.5 s → 4.9 s cold, ~1.0 s warm). Spark's CacheManager
-    dedupes by canonicalized plan, so repeated calls over the same
-    docs frame (hybrid legs, expanded variants) share ONE cached
-    build. (A localCheckpoint here measured worse — it destroys the
-    query-term pruning on the scoring branch.) The persisted-index
-    path (`write_bm25_index` / `bm25_topk_indexed`) remains the K3
-    production path for a standing corpus.
+    Default (one-shot) path — the reference's O(df(q)) query-cost
+    property (``bm25_backend.py:147-200``) without building an index:
+    corpus scalars and the query terms' idf are collected in two small
+    jobs (`bm25_oneshot_stats`), then the scoring query is pure
+    per-row arithmetic — tf(term) = size(filter(toks, = term)), score
+    = Σ idf·tf·(k1+1)/(tf + k1·(1-b+b·dl/avgdl)) — under a single
+    TakeOrderedAndProject. ZERO shuffles, ONE corpus scan in the
+    scoring job, and the query-term restriction never materializes a
+    full postings table. (Round 3 cached the complete postings build
+    here; the cache fill shuffled every term of the corpus before the
+    query filter could prune — 10.7 s vs 4.7 s at sf0.1. Fixed per
+    VERDICT r3 #1.)
+
+    `cache_index=True` keeps the round-3 behavior — materialize the
+    full postings/doc-stats/idf frames in the session cache — which is
+    the right trade when MANY different queries will hit the same docs
+    frame in-session (the warm-serving shape; `SparkProject._bm25`
+    memoizes the same build). For a standing corpus the persisted K3
+    index (`write_bm25_index` / `bm25_topk_indexed`) replaces both.
     """
-    postings = build_postings(docs, id_col, text_col)
     if cache_index:
-        postings = postings.cache()
-    stats = doc_stats_from_postings(postings)
-    term_stats = build_term_stats(postings, stats)
-    if cache_index:
-        stats = stats.cache()
-        term_stats = term_stats.cache()
-    scored = bm25_scores(postings, stats, query_terms, term_stats=term_stats)
+        postings = build_postings(docs, id_col, text_col).cache()
+        dstats = doc_stats_from_postings(postings).cache()
+        term_stats = build_term_stats(postings, dstats).cache()
+        scored = bm25_scores(postings, dstats, query_terms, term_stats=term_stats)
+        if min_score is not None:
+            scored = scored.filter(F.col("score") > min_score)
+        return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+    q = list(dict.fromkeys(query_terms))
+    if stats is None:
+        stats = bm25_oneshot_stats(docs, q, id_col, text_col)
+    idf, avgdl = stats["idf"], stats["avgdl"]
+    terms = [t for t in q if t in idf]  # absent terms: df=0, no contribution
+    if not terms or avgdl == 0:
+        return (
+            docs.select(F.col(id_col).alias("doc_id"))
+            .withColumn("score", F.lit(0.0))
+            .limit(0)
+        )
+
+    d = docs.select(F.col(id_col).alias("doc_id"), tokenize(text_col).alias("toks"))
+
+    def _tf(term: str):
+        # 1-arg lambda in a fresh scope: a default-arg closure would make
+        # PySpark treat it as the (element, index) 2-arg filter form
+        return F.size(F.filter("toks", lambda x: x == F.lit(term))).cast("double")
+
+    tf_cols = [_tf(t).alias(f"_tf{i}") for i, t in enumerate(terms)]
+    d = d.select("doc_id", F.size("toks").cast("double").alias("_dl"), *tf_cols)
+    matched = sum((F.col(f"_tf{i}") for i in range(len(terms))), F.lit(0.0))
+    d = d.filter(matched > 0)
+    norm = k1 * (1 - b + b * F.col("_dl") / F.lit(avgdl))
+    score = sum(
+        (
+            F.lit(idf[t]) * F.col(f"_tf{i}") * (k1 + 1) / (F.col(f"_tf{i}") + norm)
+            for i, t in enumerate(terms)
+        ),
+        F.lit(0.0),
+    )
+    scored = d.select("doc_id", F.round(score, 6).alias("score"))
     if min_score is not None:
         scored = scored.filter(F.col("score") > min_score)
     return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)

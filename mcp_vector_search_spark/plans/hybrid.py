@@ -35,6 +35,7 @@ def hybrid_search(
     text_col: str = "text",
     vec_col: str = "embedding",
     vec_id_col: str = "vec_id",
+    bm25_cache_index: bool = False,
 ) -> DataFrame:
     """(doc_id, rrf_score) — top-k fused results.
 
@@ -45,7 +46,14 @@ def hybrid_search(
     n_leg = k * over_retrieve
 
     bm_leg = rank_by(
-        bm25_topk(docs, query_terms, n_leg, id_col=id_col, text_col=text_col),
+        bm25_topk(
+            docs,
+            query_terms,
+            n_leg,
+            id_col=id_col,
+            text_col=text_col,
+            cache_index=bm25_cache_index,
+        ),
         "score",
         "doc_id",
     )

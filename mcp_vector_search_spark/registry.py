@@ -786,12 +786,17 @@ def q_bm25_expanded(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F3/J5/U1: synonym-expanded variant fanout → per-variant BM25 →
     union → max-score merge → top-k (reference ``search.py:297-349``)."""
     from mcp_vector_search_spark.functions.query import expand_query
+    from mcp_vector_search_spark.operators.bm25 import bm25_oneshot_stats
     from mcp_vector_search_spark.operators.fusion import max_score_merge
 
     docs = _docs(spark, sf_dir)
+    variants = expand_query(EXPAND_QUERY)
+    # corpus stats + idf for the UNION of variant terms: ONE build
+    # shared by every leg (the per-leg scoring plans stay shuffle-free)
+    stats = bm25_oneshot_stats(docs, [t for v in variants for t in v.split()])
     legs = None
-    for v in expand_query(EXPAND_QUERY):
-        leg = bm25_topk(docs, v.split(), KNN_K)
+    for v in variants:
+        leg = bm25_topk(docs, v.split(), KNN_K, stats=stats)
         legs = leg if legs is None else legs.unionByName(leg)
     return (
         max_score_merge(legs, "doc_id", "score")

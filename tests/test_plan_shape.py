@@ -127,9 +127,27 @@ def test_ivf_np_kernel_is_shuffle_free_below_rank_window(spark):
     assert "cluster_id IN" in plan or "cluster_id#" in plan  # probe pre-filter
 
 
-def test_bm25_topk_single_tokenize_pass(spark):
-    """VERDICT r2 #1 (perf-weak): the inline BM25 plan must reference
-    ONE cached postings build, not re-tokenize the corpus in three
+def test_bm25_oneshot_zero_shuffle_single_scan(spark):
+    """VERDICT r3 #1: the default (one-shot) BM25 scoring plan is ONE
+    corpus scan of per-row tf expressions under TakeOrderedAndProject —
+    no exchange, no materialized postings, nothing cached. The
+    query-term restriction never pays for a full postings build."""
+    import re
+
+    from mcp_vector_search_spark.operators.bm25 import bm25_topk
+
+    docs = io.table(spark, SF_DIR, "documents")
+    df = bm25_topk(docs, ["data", "fast"], 10)
+    plan = _plan(df)
+    assert "InMemoryTableScan" not in plan
+    assert "TakeOrderedAndProject" in plan
+    assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 0, plan
+    assert len(set(re.findall(r"^\((\d+)\) Scan parquet", plan, re.M))) == 1, plan
+
+
+def test_bm25_cached_index_single_tokenize_pass(spark):
+    """The warm-serving variant (cache_index=True) must reference ONE
+    cached postings build, not re-tokenize the corpus in three
     branches. The cached InMemoryRelation carries the tokenize; every
     other branch reads the InMemoryTableScan."""
     from mcp_vector_search_spark.operators.bm25 import bm25_topk
@@ -140,15 +158,9 @@ def test_bm25_topk_single_tokenize_pass(spark):
     def distinct_parquet_scans(df) -> set[str]:
         return set(re.findall(r"^\((\d+)\) Scan parquet", _plan(df), re.M))
 
-    df = bm25_topk(docs, ["data", "fast"], 10)
+    df = bm25_topk(docs, ["data", "fast"], 10, cache_index=True)
     df.limit(1).count()  # materialize the caches
     plan = _plan(df)
     assert "InMemoryTableScan" in plan
     # exactly ONE distinct corpus scan: the cached postings build.
-    # (The uncached variant re-derives postings per branch — three
-    # distinct parquet scans.)
     assert len(distinct_parquet_scans(df)) == 1, plan
-    # (No uncached comparison here: once the postings cache exists,
-    # CacheManager substitutes it into ANY canonical-equal plan — even
-    # a cache_index=False build — which is precisely the dedupe
-    # property the fix relies on.)
