@@ -388,8 +388,12 @@ class SparkProject:
         attrition summary a curation run is judged by. The report
         costs one action per stage, so each surviving-docs frame is
         cached at the stage boundary (count + reuse, no recompute of
-        the upstream chain); `collect_report=False` skips both the
-        counts and the caches for a single lazy end-to-end plan.
+        the upstream chain) and unpersisted as soon as the NEXT stage
+        is materialized — only the newest boundary stays cached, so
+        repeated curation runs in a long-lived session don't
+        accumulate executor cache (ADVICE r3). `collect_report=False`
+        skips both the counts and the caches for a single lazy
+        end-to-end plan.
         """
         from mcp_vector_search_spark.functions.text import doc_fingerprint, token_count
         from mcp_vector_search_spark.operators.dedup import (
@@ -407,15 +411,24 @@ class SparkProject:
 
         spark = self.spark
         stages: list[tuple[str, int]] = []
+        prev_cached: list[DataFrame] = []
 
         def checkpoint(name: str, df: DataFrame) -> DataFrame:
             if not collect_report:
                 return df
             df = df.cache()
             stages.append((name, df.count()))
+            # the count above materialized THIS stage, so the previous
+            # boundary's cache can no longer be re-read — release it
+            while prev_cached:
+                prev_cached.pop().unpersist()
+            prev_cached.append(df)
             return df
 
-        checkpoint("input", self.docs)
+        # input is counted but never cached: it's the caller's frame,
+        # and cache()+unpersist() here would clobber their cache state
+        if collect_report:
+            stages.append(("input", self.docs.count()))
 
         # 1. exact: keep the lowest id per fingerprint — one full-row
         # shuffle on the fingerprint key (any id-level filter of the

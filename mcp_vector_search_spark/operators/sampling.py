@@ -177,7 +177,10 @@ def pack_sequences(
     def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(id_col, kind="mergesort").reset_index(drop=True)
         bins = []
-        bin_id, fill = 0, cap  # sentinel: first doc always opens bin 1
+        # sentinel fill=cap+1 (not cap): forces the FIRST doc — even a
+        # zero-token one, where fill+0 > cap must still trip — to open
+        # bin 1, matching the oracle's unconditional first-row bin 1
+        bin_id, fill = 0, cap + 1
         for tok in pdf[token_col]:
             t = int(tok)
             if fill + t > cap:

@@ -115,14 +115,17 @@ def test_chunker_conserves_tokens(spark, xs):
 
 
 @given(
-    toks=st.lists(st.integers(min_value=1, max_value=300), min_size=1, max_size=60),
+    toks=st.lists(st.integers(min_value=0, max_value=300), min_size=1, max_size=60),
     cap=st.integers(min_value=50, max_value=200),
 )
 @settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
 def test_pack_sequences_greedy_property(spark, toks, cap):
-    """For arbitrary token lengths and budgets: every doc lands in
-    exactly one bin, multi-doc bins never exceed the budget, and bin
-    ids are contiguous from 1 in doc order within the single shard."""
+    """For arbitrary token lengths and budgets — INCLUDING zero-token
+    docs (tokenize yields 0 for empty/punctuation-only text, and a
+    zero-token doc at the head of a shard must still open bin 1, per
+    ADVICE r3): every doc lands in exactly one bin, multi-doc bins
+    never exceed the budget, and bin ids are contiguous from 1 in doc
+    order within the single shard."""
     from mcp_vector_search_spark.operators.sampling import pack_sequences
 
     docs = spark.createDataFrame(
