@@ -298,8 +298,43 @@ def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mcp_vector_search_spark.operators.dedup import embedding_near_dups
 
     return embedding_near_dups(
-        _emb(spark, sf_dir), window=NEIGHBOR_WINDOW, threshold=EMB_DUP_T
+        _emb(spark, sf_dir),
+        window=NEIGHBOR_WINDOW,
+        threshold=EMB_DUP_T,
+        method="window",
     )
+
+
+def q_embedding_near_dups_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J11 scale path: embedding near-dup pairs blocked on IVF
+    cluster_id — the default dispatch when a layout exists (VERDICT r3
+    #3/#5). Deterministic first-16 centroids (the same mechanism
+    pinning as `ivf_fixed`) make the assignment + intra-cluster pair
+    join + cosine threshold fully hash-checkable in SQL."""
+    from pyspark.sql.window import Window as W
+
+    from mcp_vector_search_spark.functions.vectors import dot as _dot
+    from mcp_vector_search_spark.functions.vectors import l2_norm, unit_expr
+    from mcp_vector_search_spark.operators.dedup import embedding_near_dups
+
+    emb = _emb(spark, sf_dir)
+    eu = emb.withColumn("_nrm", l2_norm(F.col("embedding"))).select(
+        "vec_id",
+        "embedding",
+        unit_expr(F.col("embedding"), F.col("_nrm")).alias("u"),
+    )
+    cents = eu.filter(F.col("vec_id") < IVF_FIXED_CENTS).select(
+        F.col("vec_id").cast("int").alias("cluster_id"), F.col("u").alias("cu")
+    )
+    aw = W.partitionBy("vec_id").orderBy(F.desc("_cs"), F.asc("cluster_id"))
+    assigned = (
+        eu.join(F.broadcast(cents))
+        .withColumn("_cs", F.round(_dot(F.col("u"), F.col("cu")), 9))
+        .withColumn("_rn", F.row_number().over(aw))
+        .filter(F.col("_rn") == 1)
+        .select("vec_id", "embedding", "cluster_id")
+    )
+    return embedding_near_dups(emb, threshold=EMB_DUP_T, assigned=assigned)
 
 
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2692,6 +2727,28 @@ p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
       FROM e a JOIN e b ON b.pos > a.pos AND b.pos <= a.pos + {NEIGHBOR_WINDOW})
 SELECT id_a, id_b, {_COS_AB} AS cos_sim FROM p WHERE {_COS_AB} >= {EMB_DUP_T}"""
 
+    # the clustered (scale-path) variant: deterministic first-16
+    # centroid assignment (same fc/fa shape as ivf_fixed), pairs only
+    # within a cluster
+    o["embedding_near_dups_clustered"] = f"""
+WITH cen AS (SELECT vec_id, embedding, sqrt({_NORMSQ}) AS nrm FROM embeddings),
+ceu AS (SELECT vec_id, embedding,
+               list_transform(embedding, x -> x::DOUBLE / nrm) AS u FROM cen),
+cfc AS (SELECT vec_id::INT AS cluster_id, u AS cu FROM ceu
+        WHERE vec_id < {IVF_FIXED_CENTS}),
+cfa AS (SELECT vec_id, embedding, cluster_id, row_number() OVER (
+          PARTITION BY vec_id ORDER BY cs DESC, cluster_id) AS rn
+        FROM (SELECT e.vec_id, e.embedding, c.cluster_id,
+                     round(list_sum(list_transform(list_zip(e.u, c.cu),
+                           p -> p[1]::DOUBLE * p[2]::DOUBLE)), 9) AS cs
+              FROM ceu e, cfc c)),
+cassigned AS (SELECT vec_id, embedding, cluster_id FROM cfa WHERE rn = 1),
+p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             a.embedding AS va, b.embedding AS vb
+      FROM cassigned a JOIN cassigned b
+        ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id)
+SELECT id_a, id_b, {_COS_AB} AS cos_sim FROM p WHERE {_COS_AB} >= {EMB_DUP_T}"""
+
     q_full = " ".join(QUERY_TERMS)
 
     def _cm(col: str) -> str:
@@ -3199,6 +3256,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "neighbor_jaccard": q_neighbor_jaccard,
     "simhash_near_dups": q_simhash_near_dups,
     "embedding_near_dups": q_embedding_near_dups,
+    "embedding_near_dups_clustered": q_embedding_near_dups_clustered,
     "text_quality": q_text_quality,
     "lang_distribution": q_lang_distribution,
     "source_rollup": q_source_rollup,
