@@ -376,6 +376,30 @@ def main():
     per_query["ann_big_ivfpq_recall_at_10"] = round(
         len(big_truth & big_ivfpq) / max(len(big_truth), 1), 4
     )
+    # Where PQ actually wins at this dim/scale: index BYTES, not
+    # latency (ISSUES.md #2; reference claims 27 vs 108 MB,
+    # CHANGELOG.md:432). Measure the serialized layouts: full-vector
+    # parquet vs (cluster_id, m-byte codes) parquet.
+    import os as _os
+    import shutil as _sh2
+    import tempfile as _tf2
+
+    fd = _tf2.mkdtemp(prefix="bench_idx_bytes_")
+    try:
+        big.select("vec_id", "embedding").write.parquet(f"{fd}/full")
+        big_enc.select("vec_id", "cluster_id", "codes").write.parquet(f"{fd}/pq")
+
+        def _du(p):
+            return sum(
+                _os.path.getsize(_os.path.join(r, f))
+                for r, _, fs in _os.walk(p)
+                for f in fs
+            )
+
+        per_query["ann_big_index_mb_full"] = round(_du(f"{fd}/full") / 1e6, 1)
+        per_query["ann_big_index_mb_pq"] = round(_du(f"{fd}/pq") / 1e6, 1)
+    finally:
+        _sh2.rmtree(fd, ignore_errors=True)
     big_enc.unpersist()
     big.unpersist()
     big_assigned.unpersist()

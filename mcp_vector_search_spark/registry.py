@@ -674,10 +674,18 @@ PQ_GATE_M = 16
 PQ_GATE_CODES = 64
 # Reference refine_factor default is 5 (vectors_backend.py:1336); the
 # gate uses 12 — on this synthetic weakly-clustered corpus the PQ codec
-# floor sits right at the recall band edge at refine 5 (measured 0.9375
-# at sf0.1), and the wider exact-rerank shortlist is the principled
-# recovery (refine_factor is the reference's own knob for exactly this).
+# floor sits right at the recall band edge at refine 5, and the wider
+# exact-rerank shortlist is the principled recovery (refine_factor is
+# the reference's own knob for exactly this).
 PQ_GATE_RERANK = 12
+# ADVICE r3: ALSO gate the codec at the reference's own refine=5, with
+# an honestly lowered floor instead of hiding the shortfall behind the
+# wider window. Measured recall@10 at refine 5: 1.0 at sf0.01, 0.925
+# at sf0.1 (vs 0.975 at refine 12) — the deficit is the PQ codebook's
+# quality on this weakly-clustered synthetic corpus, tracked in
+# ISSUES.md #1, not a rerank-width problem.
+PQ_REF5_RERANK = 5
+PQ_REF5_FLOOR = 0.92
 
 
 def q_pq_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -809,6 +817,11 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     pq = pq_topk_refined(
         emb, codes, codebooks, queries, BATCH_K, rerank_factor=PQ_GATE_RERANK
     ).select("query_id", "vec_id")
+    # the codec at the REFERENCE's refine_factor=5, gated against its
+    # own (honestly lowered) floor — see PQ_REF5_FLOOR note / ISSUES.md
+    pq5 = pq_topk_refined(
+        emb, codes, codebooks, queries, BATCH_K, rerank_factor=PQ_REF5_RERANK
+    ).select("query_id", "vec_id")
 
     encoded, ip_cents, ip_cbs = ivfpq_build(
         emb, num_clusters=16, m=PQ_GATE_M, k_codes=PQ_GATE_CODES
@@ -828,6 +841,7 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         _recall_row(ivf, brute, IVF_RECALL_FLOOR, "ivf")
         .unionByName(_recall_row(ivfpq, brute, PQ_RECALL_FLOOR, "ivfpq"))
         .unionByName(_recall_row(pq, brute, PQ_RECALL_FLOOR, "pq"))
+        .unionByName(_recall_row(pq5, brute, PQ_REF5_FLOOR, "pq_ref5"))
     )
 
 
@@ -3021,7 +3035,9 @@ SELECT 'ivf' AS path, n_queries, n_results, true AS recall_ok FROM q
 UNION ALL
 SELECT 'ivfpq' AS path, n_queries, n_results, true AS recall_ok FROM q
 UNION ALL
-SELECT 'pq' AS path, n_queries, n_results, true AS recall_ok FROM q"""
+SELECT 'pq' AS path, n_queries, n_results, true AS recall_ok FROM q
+UNION ALL
+SELECT 'pq_ref5' AS path, n_queries, n_results, true AS recall_ok FROM q"""
 
     # PQ mechanism with deterministic codebooks (subvector slices of
     # the first 16 unit vectors): every pq_encode/pq_adc_topk stage
