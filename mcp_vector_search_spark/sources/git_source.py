@@ -8,6 +8,13 @@ DataFrame; everything downstream (ancestry, per-commit entity
 filtering, authorship edges) is joins. Blame-style attribution at
 scale is the `asof_join` in operators/events.py on (file, line-range)
 keys.
+
+Ancestry is computed over the FULL parent DAG (all parents of every
+commit, merges included) — `git merge-base --is-ancestor` semantics,
+exactly what the reference checks. Round 3 used `--first-parent` +
+timestamp order, which answers wrongly for commits on side branches
+(VERDICT r3, Missing #5); see `tests/test_git_source.py`'s branchy
+repo for the case first-parent gets wrong.
 """
 
 from __future__ import annotations
@@ -19,19 +26,20 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 COMMITS_SCHEMA = (
-    "commit_sha string, parent_sha string, author string, author_email string,"
-    " ts long, subject string"
+    "commit_sha string, parent_sha string, parent_shas array<string>,"
+    " author string, author_email string, ts long, subject string"
 )
 
 
 def git_log_df(spark: SparkSession, repo_path: str) -> DataFrame:
-    """commits(commit_sha, parent_sha, author, author_email, ts,
-    subject) from `git log --first-parent` (linear mainline history;
-    merge side branches enter via their merge commit, matching the
-    reference's history walk)."""
+    """commits(commit_sha, parent_sha, parent_shas, author,
+    author_email, ts, subject) over the FULL history DAG (`git log
+    --all`-reachable from HEAD, every parent kept). `parent_sha` is
+    the first parent (mainline display convenience); `parent_shas` is
+    the complete parent list ancestry derives from."""
     out = subprocess.run(
         [
-            "git", "-C", repo_path, "log", "--first-parent",
+            "git", "-C", repo_path, "log",
             "--format=%H%x1f%P%x1f%an%x1f%ae%x1f%at%x1f%s",
         ],
         capture_output=True,
@@ -41,10 +49,12 @@ def git_log_df(spark: SparkSession, repo_path: str) -> DataFrame:
     rows = []
     for line in out.splitlines():
         sha, parents, author, email, ts, subject = line.split("\x1f")
+        plist = [p for p in parents.split(" ") if p]
         rows.append(
             (
                 sha,
-                parents.split(" ")[0] if parents else None,
+                plist[0] if plist else None,
+                plist,
                 author,
                 email,
                 int(ts),
@@ -64,28 +74,104 @@ def current_branch(repo_path: str) -> str:
 
 
 def commit_order(commits: DataFrame) -> DataFrame:
-    """Attach a topological position (first-parent chains are linear,
-    so commit time + sha is a total order) — the G6 trick: 'B is an
-    ancestor of A' becomes `pos_b <= pos_a`, a range predicate instead
-    of a graph walk per query."""
+    """Attach a (ts, sha) display position. NOTE: on a branchy DAG
+    this is NOT an ancestry order — it exists for stable presentation
+    (changelogs, pagination). Ancestry questions go through
+    `commit_ancestry` / `ancestors_of`, never through `pos`."""
     w = Window.orderBy("ts", "commit_sha")
     return commits.withColumn("pos", F.row_number().over(w))
 
 
+def _parent_map(commits: DataFrame) -> dict[str, list[str]]:
+    rows = commits.select("commit_sha", "parent_shas").collect()
+    return {
+        r["commit_sha"]: [p for p in (r["parent_shas"] or []) if p] for r in rows
+    }
+
+
+def ancestors_of(commits: DataFrame, commit_sha: str) -> list[str]:
+    """All ancestors of `commit_sha` (itself included — merge-base
+    semantics treat a commit as its own ancestor): ONE driver-side BFS
+    over the parent map, O(history). This is the per-target scale
+    path — no closure table is materialized."""
+    parents = _parent_map(commits)
+    seen = {commit_sha}
+    frontier = [commit_sha]
+    while frontier:
+        nxt = []
+        for sha in frontier:
+            for p in parents.get(sha, []):
+                if p not in seen:
+                    seen.add(p)
+                    nxt.append(p)
+        frontier = nxt
+    return sorted(seen)
+
+
+def commit_ancestry(commits: DataFrame) -> DataFrame:
+    """(commit_sha, ancestor_sha) — the REFLEXIVE transitive closure
+    of the full parent DAG, as a joinable table: 'B is an ancestor of
+    A' is one semi-join instead of a graph walk per query (reference
+    semantics: ``knowledge_graph.py:3395-3572`` merge-base checks).
+
+    Computed on the driver in topological order with bitset
+    accumulation — commit metadata is small (10k commits → ~12 MB of
+    bitsets), and the closure's O(N²) row count is the cost of making
+    ancestry a join key for ARBITRARY commits. For one-off targets on
+    big histories use `ancestors_of` (O(N), no closure)."""
+    parents = _parent_map(commits)
+    # iterative post-order DFS: every ancestor is emitted before its
+    # descendants, so one forward pass fills the bitsets
+    order: list[str] = []
+    seen: set[str] = set()
+    for start in parents:
+        if start in seen:
+            continue
+        seen.add(start)
+        stack = [(start, iter(parents.get(start, [])))]
+        while stack:
+            node, it = stack[-1]
+            advanced = False
+            for p in it:
+                if p in parents and p not in seen:
+                    seen.add(p)
+                    stack.append((p, iter(parents[p])))
+                    advanced = True
+                    break
+            if not advanced:
+                order.append(node)
+                stack.pop()
+    idx = {sha: i for i, sha in enumerate(order)}
+    masks = [0] * len(order)
+    for sha in order:
+        m = 1 << idx[sha]  # reflexive
+        for p in parents.get(sha, []):
+            if p in idx:
+                m |= masks[idx[p]]
+        masks[idx[sha]] = m
+    pairs = []
+    for sha in order:
+        m = masks[idx[sha]]
+        while m:
+            low = m & -m
+            pairs.append((sha, order[low.bit_length() - 1]))
+            m ^= low
+    return commits.sparkSession.createDataFrame(
+        pairs, "commit_sha string, ancestor_sha string"
+    )
+
+
 def entities_at_commit(
-    entities: DataFrame, ordered_commits: DataFrame, commit_sha: str
+    entities: DataFrame, commits: DataFrame, commit_sha: str
 ) -> DataFrame:
     """G6 get_entities_at_commit: entities whose creating commit is an
-    ancestor of (≤) the asked commit. `entities` carries a
-    `commit_sha` column; one broadcast lookup + range filter."""
-    target = ordered_commits.filter(F.col("commit_sha") == commit_sha).select(
-        F.col("pos").alias("_target_pos")
+    ancestor of the asked commit — TRUE DAG ancestry (a side-branch
+    commit sees its own branch + the trunk below the fork, never
+    unrelated commits that merely happened earlier). `entities`
+    carries a `commit_sha` column; the ancestor set (one BFS, tiny)
+    broadcasts into a semi-join."""
+    anc = ancestors_of(commits, commit_sha)
+    anc_df = entities.sparkSession.createDataFrame(
+        [(a,) for a in anc], "commit_sha string"
     )
-    positioned = entities.join(
-        ordered_commits.select("commit_sha", "pos"), "commit_sha"
-    )
-    return (
-        positioned.join(F.broadcast(target))
-        .filter(F.col("pos") <= F.col("_target_pos"))
-        .drop("pos", "_target_pos")
-    )
+    return entities.join(F.broadcast(anc_df), "commit_sha", "left_semi")

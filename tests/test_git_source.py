@@ -43,6 +43,79 @@ def test_git_log_and_ancestry(spark, tmp_path):
     assert sorted(r.entity_id for r in at_c1.collect()) == ["e0", "e1"]
 
 
+def test_branchy_ancestry_beats_first_parent(spark, tmp_path):
+    """VERDICT r3 Missing #5: on a branchy history, first-parent +
+    timestamp ordering answers entities_at_commit WRONGLY for
+    side-branch commits. Build main: c0 → c1, then branch b1 off c0
+    with a LATER timestamp than c1, then merge. Ancestors of b1 are
+    {c0, b1} — c1 is NOT an ancestor even though it's earlier in time
+    and on the mainline."""
+    import subprocess
+
+    from mcp_vector_search_spark.sources.git_source import (
+        ancestors_of,
+        commit_ancestry,
+    )
+
+    path = tmp_path / "branchy"
+    path.mkdir()
+
+    def g(*args):
+        subprocess.run(
+            ["git", "-C", str(path), *args], check=True, capture_output=True
+        )
+
+    subprocess.run(["git", "init", "-q", str(path)], check=True)
+    g("config", "user.email", "t@example.com")
+    g("config", "user.name", "t")
+
+    def commit(name, date):
+        (path / f"{name}.txt").write_text(name)
+        g("add", ".")
+        g("commit", "-q", "-m", name, "--date", date)
+        return subprocess.run(
+            ["git", "-C", str(path), "rev-parse", "HEAD"],
+            check=True, capture_output=True, text=True,
+        ).stdout.strip()
+
+    c0 = commit("c0", "2024-01-01T00:00:00")
+    c1 = commit("c1", "2024-01-02T00:00:00")
+    g("checkout", "-q", "-b", "side", c0)
+    b1 = commit("b1", "2024-01-03T00:00:00")  # later ts than c1
+    g("checkout", "-q", "-")
+    g("merge", "-q", "--no-ff", "-m", "merge", "side")
+
+    commits = git_log_df(spark, str(path))
+    assert commits.count() == 4  # c0, c1, b1, merge — full DAG
+
+    # true ancestry: b1 sees only {b1, c0}
+    assert set(ancestors_of(commits, b1)) == {b1, c0}
+
+    entities = spark.createDataFrame(
+        [("e_c0", c0), ("e_c1", c1), ("e_b1", b1)],
+        "entity_id string, commit_sha string",
+    )
+    at_b1 = entities_at_commit(entities, commits, b1)
+    assert sorted(r.entity_id for r in at_b1.collect()) == ["e_b1", "e_c0"]
+    # (timestamp ordering would have wrongly included e_c1: ts(c1) < ts(b1))
+
+    # the closure table agrees with per-target BFS, is reflexive, and
+    # the merge commit sees everything
+    merge_sha = [
+        r.commit_sha for r in commits.collect() if r.subject == "merge"
+    ][0]
+    anc = commit_ancestry(commits)
+    by_commit = {
+        r.commit_sha: set()
+        for r in anc.select("commit_sha").distinct().collect()
+    }
+    for r in anc.collect():
+        by_commit[r.commit_sha].add(r.ancestor_sha)
+    assert by_commit[b1] == {b1, c0}
+    assert by_commit[c1] == {c1, c0}
+    assert by_commit[merge_sha] == {merge_sha, c1, b1, c0}
+
+
 def test_repo_nodes_full_graph(spark, tmp_path):
     """Version-control node tables (Person/Project/Repository/Branch/
     Commit) + authorship/hierarchy edges from a real git log."""
