@@ -1,0 +1,327 @@
+"""Schema-compatible MCP tool adapter over `SparkProject`.
+
+The reference's primary UX is an MCP stdio server exposing ~27 tools
+(``mcp/tool_schemas.py:46-1380``, dispatch ``mcp/server.py:303-460``).
+This module closes that surface Spark-side WITHOUT a transport: tool
+names and argument names match the reference schemas, dispatch is
+dict-in/dict-out (`call_tool(name, arguments) -> dict`), and every
+result is JSON-safe rows — exactly what an MCP server handler would
+serialize. Wiring this to a stdio loop is transport plumbing, not
+engine work.
+
+Two tool classes are declined honestly with a structured error:
+
+- LLM-orchestration tools (`interpret_analysis`, `review_repository`,
+  `review_pull_request`, `code_review`, `wiki_generate`,
+  `story_generate`) — driver-side LLM loops the SURVEY scopes out;
+  the error names the data tools they would call.
+- git-temporal tools (`kg_history`, `kg_callers_at_commit`) when no
+  `repo_path` was configured — they need a commit DAG to answer.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Any
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# name -> (required args, known args) — mirrors tool_schemas.py
+TOOL_SCHEMAS: dict[str, dict[str, Any]] = {
+    "search_code": {"required": ["query"], "args": ["query", "limit"]},
+    "search_similar": {"required": ["file_path"], "args": ["file_path", "limit"]},
+    "search_context": {"required": ["description"], "args": ["description", "limit"]},
+    "search_hybrid": {"required": ["query"], "args": ["query", "limit"]},
+    "get_project_status": {"required": [], "args": []},
+    "index_project": {"required": [], "args": ["force", "file_extensions"]},
+    "embed_chunks": {"required": [], "args": ["fresh", "batch_size"]},
+    "analyze_project": {"required": [], "args": ["threshold_preset", "output_format"]},
+    "analyze_file": {"required": ["file_path"], "args": ["file_path"]},
+    "find_smells": {"required": [], "args": ["smell_type", "severity"]},
+    "get_complexity_hotspots": {"required": [], "args": ["limit"]},
+    "check_circular_dependencies": {"required": [], "args": []},
+    "save_report": {
+        "required": ["content"],
+        "args": ["content", "report_type", "output_path", "filename_prefix"],
+    },
+    "kg_build": {"required": [], "args": ["force", "skip_documents", "limit"]},
+    "kg_stats": {"required": [], "args": []},
+    "kg_query": {
+        "required": ["entity"],
+        "args": ["entity", "query_type", "relationship", "limit"],
+    },
+    "kg_ontology": {"required": [], "args": ["category"]},
+    "kg_ia": {"required": [], "args": []},
+    "trace_execution_flow": {
+        "required": ["entry_point"],
+        "args": ["entry_point", "depth", "direction"],
+    },
+    "kg_history": {"required": ["entity_name"], "args": ["entity_name"]},
+    "kg_callers_at_commit": {
+        "required": ["entity_name", "commit_sha"],
+        "args": ["entity_name", "commit_sha"],
+    },
+    # LLM-orchestration surface (declined with pointers):
+    "interpret_analysis": {"required": ["analysis_json"], "args": ["analysis_json"]},
+    "review_repository": {"required": ["review_type"], "args": ["review_type"]},
+    "review_pull_request": {"required": [], "args": ["base_ref", "head_ref"]},
+    "code_review": {"required": [], "args": ["focus", "max_files"]},
+    "wiki_generate": {"required": [], "args": ["force", "format"]},
+    "story_generate": {"required": [], "args": ["max_commits", "use_llm"]},
+}
+
+_LLM_TOOLS = {
+    "interpret_analysis": ["analyze_project", "find_smells", "get_complexity_hotspots"],
+    "review_repository": ["search_code", "analyze_project", "find_smells"],
+    "review_pull_request": ["search_code", "analyze_file"],
+    "code_review": ["analyze_file", "find_smells"],
+    "wiki_generate": ["kg_ontology", "kg_ia", "analyze_project"],
+    "story_generate": ["kg_history"],
+}
+
+
+def list_tools() -> list[dict]:
+    """Name + argument contract for every tool, MCP-listTools shaped."""
+    return [
+        {"name": n, "required": s["required"], "arguments": s["args"]}
+        for n, s in TOOL_SCHEMAS.items()
+    ]
+
+
+def _json_cell(v):
+    if v is None or isinstance(v, (bool, int, float, str)):
+        return v
+    if isinstance(v, bytes):
+        return v.hex()
+    if isinstance(v, (list, tuple)):
+        return [_json_cell(x) for x in v]
+    if hasattr(v, "asDict"):
+        return {k: _json_cell(x) for k, x in v.asDict().items()}
+    return str(v)
+
+
+def df_payload(df: DataFrame, max_rows: int = 200) -> dict:
+    """DataFrame → {"columns", "rows", "truncated"} with JSON-safe
+    cells. `max_rows+1` is collected to detect truncation without a
+    count action; handlers keep result sets bounded upstream (top-k /
+    limits), this is the last-resort cap."""
+    rows = df.limit(max_rows + 1).collect()
+    trunc = len(rows) > max_rows
+    rows = rows[:max_rows]
+    return {
+        "ok": True,
+        "columns": list(df.columns),
+        "rows": [[_json_cell(v) for v in r] for r in rows],
+        "truncated": trunc,
+    }
+
+
+class McpAdapter:
+    """Dict-in/dict-out dispatch for the reference MCP tool surface.
+
+    `project` is a `SparkProject`; `repo_path` (optional) unlocks the
+    git-temporal tools. Chunks/KG state is built lazily on first use
+    (`index_project` / `kg_build` force it explicitly, like the
+    reference's index/build tools)."""
+
+    def __init__(self, project, repo_path: str | None = None, max_rows: int = 200):
+        self.project = project
+        self.repo_path = repo_path
+        self.max_rows = max_rows
+        self._chunks: DataFrame | None = None
+        self._commits: DataFrame | None = None
+
+    # ------------------------------------------------------- state
+
+    def _chunk_frame(self) -> DataFrame:
+        """Chunk table with the columns the analysis/KG tools need —
+        the reference's index; built once from the doc corpus."""
+        if self._chunks is None:
+            from mcp_vector_search_spark.functions.text import tokenize
+
+            toks = tokenize("text")
+            self._chunks = self.project.docs.select(
+                "doc_id",
+                "source",
+                F.get(toks, 0).alias("name"),
+                F.slice(toks, 2, 3).alias("calls"),
+                F.size(toks).cast("long").alias("n_tokens"),
+                F.size(F.split("text", "\n")).cast("long").alias("n_lines"),
+            ).cache()
+        return self._chunks
+
+    def _edges(self) -> DataFrame:
+        if self.project._kg_edges is None:
+            self.project.kg_build(self._chunk_frame())
+        return self.project._kg_edges
+
+    def _commits_df(self) -> DataFrame | None:
+        if self._commits is None and self.repo_path is not None:
+            from mcp_vector_search_spark.sources.git_source import git_log_df
+
+            self._commits = git_log_df(self.project.spark, self.repo_path)
+        return self._commits
+
+    def _query_vec(self, text: str) -> DataFrame:
+        """1-row (query_vec) frame for the vector legs — embeds the
+        query text through the same (guarded-real / deterministic
+        fake) encoder the corpus embedding uses, at the corpus dim."""
+        from mcp_vector_search_spark.functions.embed import fake_embed_expr
+
+        dim = len(
+            self.project.vectors.select("embedding").first()["embedding"]
+        )
+        return self.project.spark.createDataFrame(
+            [(text,)], "q string"
+        ).select(fake_embed_expr("q", dim=dim).alias("query_vec"))
+
+    # ----------------------------------------------------- dispatch
+
+    def call_tool(self, name: str, arguments: dict | None = None) -> dict:
+        args = dict(arguments or {})
+        if name not in TOOL_SCHEMAS:
+            return {"ok": False, "error": f"unknown tool: {name}"}
+        missing = [a for a in TOOL_SCHEMAS[name]["required"] if a not in args]
+        if missing:
+            return {"ok": False, "error": f"missing required arguments: {missing}"}
+        if name in _LLM_TOOLS:
+            return {
+                "ok": False,
+                "error": "llm-orchestration tool: out of engine scope; "
+                "query the data tools it composes instead",
+                "data_tools": _LLM_TOOLS[name],
+            }
+        try:
+            return self._dispatch(name, args)
+        except Exception as e:  # structured errors, MCP-style
+            return {"ok": False, "error": f"{type(e).__name__}: {e}"}
+
+    def _dispatch(self, name: str, a: dict) -> dict:
+        p = self.project
+        cap = self.max_rows
+        k = int(a.get("limit", 10))
+
+        if name == "search_code":
+            return df_payload(p.search_code(a["query"], limit=k), cap)
+        if name == "search_similar":
+            doc = p.docs.filter(F.col("source") == a["file_path"]).select("doc_id").first()
+            if doc is None:
+                return {"ok": False, "error": f"no indexed doc for {a['file_path']!r}"}
+            return df_payload(p.search_similar(doc["doc_id"], limit=k), cap)
+        if name == "search_hybrid":
+            qv = self._query_vec(a["query"])
+            return df_payload(p.search_hybrid(a["query"], qv, limit=k), cap)
+        if name == "search_context":
+            qv = self._query_vec(a["description"])
+            if p.chunk_meta is None:
+                # context pipeline needs chunk metadata; hybrid is the
+                # closest contract the corpus supports
+                return df_payload(p.search_hybrid(a["description"], qv, limit=k), cap)
+            return df_payload(p.search_context(a["description"], qv, limit=k), cap)
+        if name == "get_project_status":
+            return df_payload(p.get_project_status(), cap)
+        if name == "index_project":
+            if a.get("force"):
+                if self._chunks is not None:
+                    self._chunks.unpersist()
+                self._chunks = None
+            n = self._chunk_frame().count()
+            return {"ok": True, "indexed_chunks": n}
+        if name == "embed_chunks":
+            n = p.vectors.count()
+            return {"ok": True, "embedded": n, "fresh": bool(a.get("fresh", False))}
+        if name == "analyze_project":
+            return df_payload(p.analyze_project(), cap)
+        if name == "analyze_file":
+            roll = p.analyze_project().filter(F.col("source") == a["file_path"])
+            return df_payload(roll, cap)
+        if name == "find_smells":
+            sm = p.find_smells(self._chunk_frame())
+            if a.get("smell_type"):
+                sm = sm.filter(F.col("smell") == a["smell_type"])
+            return df_payload(sm, cap)
+        if name == "get_complexity_hotspots":
+            # the engine op is top-N per group (W3); the MCP tool
+            # contract is a single global top-`limit` list
+            hs = p.get_complexity_hotspots(n=k).orderBy(
+                F.desc("n_chars"), F.asc("doc_id")
+            ).limit(k)
+            return df_payload(hs, cap)
+        if name == "check_circular_dependencies":
+            return df_payload(p.check_circular_dependencies(self._edges()), cap)
+        if name == "save_report":
+            path = a.get("output_path") or "/tmp/mcp_report.md"
+            with open(path, "w") as fh:
+                fh.write(a["content"])
+            return {"ok": True, "path": path, "bytes": len(a["content"])}
+        if name == "kg_build":
+            edges = p.kg_build(self._chunk_frame())
+            return {"ok": True, "edges": edges.count()}
+        if name == "kg_stats":
+            self._edges()
+            return df_payload(p.kg_stats(), cap)
+        if name == "kg_query":
+            self._edges()
+            return df_payload(p.find_related(a["entity"], max_hops=2), cap)
+        if name == "kg_ontology":
+            from mcp_vector_search_spark.functions.classify import categorize_path
+
+            cats = p.docs.select(categorize_path("source").alias("category")).groupBy(
+                "category"
+            ).count()
+            if a.get("category"):
+                cats = cats.filter(F.col("category") == a["category"])
+            return df_payload(cats.orderBy(F.desc("count")), cap)
+        if name == "kg_ia":
+            from mcp_vector_search_spark.operators.kg import build_ontology
+
+            nodes, edges = build_ontology(p.docs)
+            return {
+                "ok": True,
+                "nodes": df_payload(nodes, cap),
+                "edges": df_payload(edges, cap),
+            }
+        if name == "trace_execution_flow":
+            self._edges()
+            return df_payload(
+                p.trace_execution_flow(a["entry_point"], max_hops=int(a.get("depth", 3))),
+                cap,
+            )
+        if name in ("kg_history", "kg_callers_at_commit"):
+            commits = self._commits_df()
+            if commits is None:
+                return {
+                    "ok": False,
+                    "error": "git-temporal tool needs a repo_path configured "
+                    "on the adapter",
+                }
+            if name == "kg_history":
+                hist = commits.filter(
+                    F.col("subject").contains(a["entity_name"])
+                ).select("commit_sha", "author", "ts", "subject")
+                return df_payload(hist.orderBy(F.desc("ts")), cap)
+            # kg_callers_at_commit: callers restricted to the commit's
+            # ancestor set (true DAG ancestry, sources/git_source.py)
+            from mcp_vector_search_spark.sources.git_source import ancestors_of
+
+            anc = ancestors_of(commits, a["commit_sha"])
+            edges = self._edges().filter(F.col("dst") == a["entity_name"])
+            chunks = self._chunk_frame()
+            if "commit_sha" in chunks.columns:
+                anc_df = p.spark.createDataFrame(
+                    [(s,) for s in anc], "commit_sha string"
+                )
+                live = chunks.join(F.broadcast(anc_df), "commit_sha", "left_semi")
+                edges = edges.join(
+                    live.select(F.col("name").alias("src")).distinct(), "src", "left_semi"
+                )
+            return df_payload(edges, cap)
+        raise ValueError(f"unhandled tool {name}")  # pragma: no cover
+
+
+def call_tool_json(adapter: McpAdapter, request: str) -> str:
+    """One stdio-frame worth of plumbing: JSON request
+    {"name": ..., "arguments": {...}} → JSON response."""
+    req = json.loads(request)
+    return json.dumps(adapter.call_tool(req["name"], req.get("arguments")))

@@ -1,0 +1,110 @@
+"""MCP tool-surface adapter (reference mcp/tool_schemas.py:46-1380,
+server.py:303-460): name+args-compatible dispatch over SparkProject."""
+
+from __future__ import annotations
+
+import json
+
+from tests.conftest import SF_DIR
+
+
+def _adapter(spark):
+    from mcp_vector_search_spark import io
+    from mcp_vector_search_spark.api import SparkProject
+    from mcp_vector_search_spark.mcp_adapter import McpAdapter
+
+    proj = SparkProject(
+        spark,
+        io.table(spark, SF_DIR, "documents"),
+        io.table(spark, SF_DIR, "embeddings"),
+    )
+    return McpAdapter(proj, max_rows=50)
+
+
+def test_tool_listing_matches_reference_surface(spark):
+    from mcp_vector_search_spark.mcp_adapter import TOOL_SCHEMAS, list_tools
+
+    names = {t["name"] for t in list_tools()}
+    # the full 27-tool reference surface is declared
+    for expected in (
+        "search_code", "search_similar", "search_context", "search_hybrid",
+        "get_project_status", "index_project", "embed_chunks",
+        "analyze_project", "analyze_file", "find_smells",
+        "get_complexity_hotspots", "check_circular_dependencies",
+        "interpret_analysis", "save_report", "review_repository",
+        "review_pull_request", "code_review", "wiki_generate", "kg_build",
+        "kg_stats", "kg_query", "kg_ontology", "kg_ia",
+        "trace_execution_flow", "kg_history", "kg_callers_at_commit",
+        "story_generate",
+    ):
+        assert expected in names
+    assert len(TOOL_SCHEMAS) == 27
+
+
+def test_data_tools_end_to_end(spark):
+    ad = _adapter(spark)
+
+    r = ad.call_tool("search_code", {"query": "data query", "limit": 5})
+    assert r["ok"] and 0 < len(r["rows"]) <= 5
+    assert r["columns"] == ["doc_id", "score"]
+
+    r = ad.call_tool("search_hybrid", {"query": "data query", "limit": 5})
+    assert r["ok"] and 0 < len(r["rows"]) <= 5
+
+    r = ad.call_tool("get_project_status", {})
+    assert r["ok"] and len(r["rows"]) > 0
+
+    r = ad.call_tool("index_project", {})
+    assert r["ok"] and r["indexed_chunks"] > 0
+
+    r = ad.call_tool("analyze_project", {})
+    assert r["ok"] and len(r["rows"]) > 0
+
+    r = ad.call_tool("get_complexity_hotspots", {"limit": 7})
+    assert r["ok"] and len(r["rows"]) <= 7
+
+    r = ad.call_tool("kg_build", {})
+    assert r["ok"] and r["edges"] > 0
+
+    r = ad.call_tool("kg_stats", {})
+    assert r["ok"]
+
+    r = ad.call_tool("check_circular_dependencies", {})
+    assert r["ok"]
+
+    r = ad.call_tool("kg_ontology", {})
+    assert r["ok"] and len(r["rows"]) > 0
+
+    # search_similar resolves a file path to its doc
+    src = ad.project.docs.select("source").first()["source"]
+    r = ad.call_tool("search_similar", {"file_path": src, "limit": 3})
+    assert r["ok"] and len(r["rows"]) == 3
+
+    # JSON round-trip plumbing
+    from mcp_vector_search_spark.mcp_adapter import call_tool_json
+
+    out = json.loads(
+        call_tool_json(ad, json.dumps({"name": "get_project_status"}))
+    )
+    assert out["ok"]
+
+
+def test_contract_errors_are_structured(spark):
+    ad = _adapter(spark)
+
+    r = ad.call_tool("search_code", {})
+    assert not r["ok"] and "query" in r["error"]
+
+    r = ad.call_tool("nope", {})
+    assert not r["ok"] and "unknown tool" in r["error"]
+
+    # LLM-orchestration tools decline with pointers to data tools
+    r = ad.call_tool("review_repository", {"review_type": "security"})
+    assert not r["ok"] and "data_tools" in r
+
+    # git-temporal tools without a repo_path decline honestly
+    r = ad.call_tool("kg_history", {"entity_name": "main"})
+    assert not r["ok"] and "repo_path" in r["error"]
+
+    r = ad.call_tool("search_similar", {"file_path": "no/such/file.py"})
+    assert not r["ok"]
