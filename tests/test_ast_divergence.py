@@ -1,0 +1,131 @@
+"""Adversarial fixtures where the regex boundary chunker is KNOWN to
+diverge from real tree-sitter AST parsing (VERDICT r3 Missing #1).
+
+Each test pins the CURRENT behavior so the divergence envelope is
+executable documentation, not folklore. Summary (also in COVERAGE.md):
+
+| case                              | tree-sitter          | this repo             |
+|-----------------------------------|----------------------|-----------------------|
+| multiline signature params        | full param list      | name yes, params []   |
+| `def` at col 0 inside docstring   | no chunk             | FALSE chunk boundary  |
+| decorated nested (depth≥2) def    | own node             | merged into parent    |
+| conditional C macro function      | ifdef-aware          | both branches chunked |
+| one-line `def f(): return x`      | body captured        | same chunk, works     |
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def _chunks(spark, src: str):
+    from mcp_vector_search_spark.sources.code_chunker import (
+        code_chunks_hierarchical,
+    )
+
+    df = spark.createDataFrame([(1, src)], "doc_id long, text string")
+    return code_chunks_hierarchical(df).orderBy("chunk_no").collect()
+
+
+def test_multiline_signature_params_are_empty(spark):
+    """Tree-sitter reads the full AST param list; the line-regex model
+    only parses single-line signatures. Boundary + name survive,
+    params do not — the documented fallback envelope."""
+    src = (
+        "def long_sig(\n"
+        "    first: int,\n"
+        "    second: str = 'x',\n"
+        ") -> bool:\n"
+        "    return True\n"
+        "\n"
+        "def short_sig(a: int) -> int:\n"
+        "    return a\n"
+    )
+    rows = {r.name: r for r in _chunks(spark, src) if r.name}
+    assert set(rows) == {"long_sig", "short_sig"}  # boundaries: parity
+    assert rows["long_sig"].params == []  # DIVERGES from AST
+    assert rows["long_sig"].return_type == ""  # '->' on a later line
+    assert rows["short_sig"].params == ["a: int"]  # single-line: parity
+    assert rows["short_sig"].return_type == "int"
+
+
+def test_docstring_def_is_a_false_boundary(spark):
+    """A column-0 'def ' line inside a triple-quoted string is source
+    TEXT to tree-sitter but a boundary to the regex model. Pinned as a
+    known false positive: the phantom chunk exists."""
+    src = (
+        "DOC = '''usage:\n"
+        "def not_code(x):\n"
+        "    pass\n"
+        "'''\n"
+        "def real(x):\n"
+        "    return x\n"
+    )
+    names = [r.name for r in _chunks(spark, src) if r.name]
+    # tree-sitter would produce ['real'] only
+    assert names == ["not_code", "real"]  # DIVERGES: phantom chunk
+
+
+def test_decorated_deeply_nested_def_stays_in_parent(spark):
+    """Depth ≥ 2 defs (a decorated method of a class nested inside a
+    class) do not open their own chunk — they stay inside the
+    depth-1 parent's text. Tree-sitter would emit a node with its own
+    decorator; here the decorator stays embedded in the parent text."""
+    src = (
+        "class Outer:\n"
+        "    class Inner:\n"
+        "        @cached\n"
+        "        def deep(self):\n"
+        "            return 1\n"
+        "    def shallow(self):\n"
+        "        return 2\n"
+    )
+    rows = _chunks(spark, src)
+    names = [r.name for r in rows if r.name]
+    # Inner IS a boundary (depth clamps to 1) and `deep` too — the
+    # regex model flattens nesting rather than dropping chunks; what
+    # diverges is the DEPTH (tree-sitter: 2) and the parent link
+    # (tree-sitter: Inner; here: the last depth-0 chunk, Outer)
+    assert "deep" in names and "shallow" in names
+    deep = next(r for r in rows if r.name == "deep")
+    assert deep.depth == 1  # DIVERGES: real depth is 2
+    assert deep.parent == "Outer"  # DIVERGES: real parent is Inner
+    assert deep.decorators == ["@cached"]  # decorator attach: parity
+
+
+def test_c_macro_conditional_functions_both_chunked(spark):
+    """C sources guarded by #ifdef produce ONE function after the
+    preprocessor; the spec-based chunker sees both branches' openers.
+    Pinned: both chunks appear (the over-report direction, never
+    silent loss)."""
+    from mcp_vector_search_spark.sources.code_chunker import (
+        code_chunks_multilang,
+    )
+
+    src = (
+        "#ifdef FAST\n"
+        "int work(int x) {\n"
+        "    return x * 2;\n"
+        "}\n"
+        "#else\n"
+        "int work(int x) {\n"
+        "    return slow(x);\n"
+        "}\n"
+        "#endif\n"
+    )
+    df = spark.createDataFrame(
+        [(1, src, "c")], "doc_id long, text string, language string"
+    )
+    rows = code_chunks_multilang(df).collect()
+    # tree-sitter-with-preprocessor view: 1 function; regex view: 2
+    n_func_chunks = sum(1 for r in rows if "work" in (r.chunk_text or ""))
+    assert n_func_chunks >= 2  # DIVERGES: both ifdef branches chunked
+
+
+def test_one_line_def_keeps_body_in_chunk(spark):
+    """`def f(): return x` on one line: boundary, name, params, and
+    body all land in the same chunk — parity with AST for this form."""
+    src = "def f(a, b): return a + b\nprint(f(1, 2))\n"
+    rows = {r.name: r for r in _chunks(spark, src) if r.name}
+    assert rows["f"].params == ["a", "b"]
+    assert "return a + b" in rows["f"].chunk_text
