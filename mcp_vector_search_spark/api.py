@@ -200,7 +200,7 @@ class SparkProject:
         if method == "exact":
             return D.exact_duplicates(self.docs, **kw)
         if method == "minhash":
-            sh = D.shingle_sets(self.docs)
+            sh = D.shingle_index(self.docs)
             cand = D.minhash_candidates(self.docs, shingles=sh, **kw)
             return D.jaccard_verify(cand, sh)
         if method == "simhash":
@@ -400,7 +400,7 @@ class SparkProject:
             contaminated_docs,
             jaccard_verify,
             minhash_candidates,
-            shingle_sets,
+            shingle_index,
         )
         from mcp_vector_search_spark.operators.sampling import (
             bin_texts,
@@ -445,8 +445,9 @@ class SparkProject:
         )
         docs = checkpoint("exact_dedup", docs)
 
-        # 2. near-dup: verified LSH pairs; the higher id drops
-        sh = shingle_sets(docs)
+        # 2. near-dup: verified LSH pairs; the higher id drops (hashed
+        # shingle form: longs in the shuffle/cache, never the strings)
+        sh = shingle_index(docs)
         pairs = jaccard_verify(
             minhash_candidates(docs, shingles=sh), sh, threshold=near_dup_jaccard
         )

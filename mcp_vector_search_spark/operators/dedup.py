@@ -116,14 +116,23 @@ def minhash_candidates(
 
     Pass a (cached) `shingles` frame when the caller also runs
     `jaccard_verify` — both stages then share one shingle computation.
+    Sharing the HASH-PAIR form (`shingle_hash_pairs`) is better still:
+    the cache holds two longs per shingle instead of the shingle
+    string, and the md5 pass runs once for signature AND verify.
     """
     rows_per_band = num_hashes // num_bands
-    sh = shingles if shingles is not None else shingle_sets(docs, shingle_n, id_col, text_col)
-    # pair column materialized in its own projection: one md5 pass per
-    # shingle, shared by all signature members (see token_hash_pairs)
-    sig = sh.select(
-        "doc_id", token_hash_pairs(F.col("shingles")).alias("_hp")
-    ).select("doc_id", minhash_from_pairs(F.col("_hp"), num_hashes).alias("sig"))
+    if shingles is not None and "hp" in shingles.columns:
+        hp = shingles.select("doc_id", "hp")
+    else:
+        sh = (
+            shingles
+            if shingles is not None
+            else shingle_sets(docs, shingle_n, id_col, text_col)
+        )
+        # pair column materialized in its own projection: one md5 pass
+        # per shingle, shared by all signature members (token_hash_pairs)
+        hp = sh.select("doc_id", token_hash_pairs(F.col("shingles")).alias("hp"))
+    sig = hp.select("doc_id", minhash_from_pairs(F.col("hp"), num_hashes).alias("sig"))
     banded = sig.select(
         "doc_id", F.explode(band_keys(F.col("sig"), num_bands, rows_per_band)).alias("band_key")
     )
@@ -145,6 +154,30 @@ def minhash_candidates(
     )
 
 
+def shingle_index(
+    docs: DataFrame, n: int = 3, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, hp, h64) — the compact shareable shingle form, ONE
+    tokenize+ngram pass:
+
+    - `hp` array<struct<h1,h2>>: md5-half pairs, the (oracle-portable)
+      seed material `minhash_candidates` derives signatures from;
+    - `h64` array<bigint>: one xxhash64 per shingle, what
+      `jaccard_verify` intersects.
+
+    Cache THIS instead of the shingle strings: ~24 B/shingle of longs,
+    the md5 pass runs once for signature AND verify, and primitive
+    long-array intersects measured 1.5× faster than string intersects
+    (struct-pair intersects measured 3× SLOWER — see BENCH_NOTES.md).
+    Jaccard over h64 equals string Jaccard up to 64-bit collisions
+    (~L²/2⁶⁴ per pair — negligible at any realistic doc size)."""
+    return shingle_sets(docs, n, id_col, text_col).select(
+        "doc_id",
+        token_hash_pairs(F.col("shingles")).alias("hp"),
+        F.transform("shingles", lambda s: F.xxhash64(s)).alias("h64"),
+    )
+
+
 def jaccard_verify(
     candidates: DataFrame,
     shingles: DataFrame,
@@ -154,10 +187,12 @@ def jaccard_verify(
     """Exact Jaccard on candidate pairs → (doc_a, doc_b, jaccard ≥ t).
 
     Joins the shingle sets back per side; intersection/union via
-    array_intersect (sets are already distinct).
-    """
-    sa = shingles.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
-    sb = shingles.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    array_intersect (sets are already distinct). Accepts either the
+    string form (`shingle_sets`) or the hashed form (`shingle_index`,
+    preferred — primitive-array intersects)."""
+    col = "h64" if "h64" in shingles.columns else "shingles"
+    sa = shingles.select(F.col("doc_id").alias("doc_a"), F.col(col).alias("sh_a"))
+    sb = shingles.select(F.col("doc_id").alias("doc_b"), F.col(col).alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
     union = (F.size("sh_a") + F.size("sh_b")).cast("double") - inter
     jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))

@@ -71,14 +71,19 @@ def cross_encoder_rescore(
         out_schema = candidates.schema.add("ce_score", DoubleType())
 
         def rerank(batches):
-            model = load_cross_encoder(model_name)
+            import numpy as np
+
+            model = load_cross_encoder(model_name)  # once per worker stream
             for pdf in batches:
-                raw = model.predict(
-                    [(query, c) for c in pdf[content_col].tolist()]
+                raw = np.asarray(
+                    model.predict([(query, c) for c in pdf[content_col].tolist()]),
+                    dtype="float64",
                 )
-                sig = 1.0 / (1.0 + pd.Series(raw).map(lambda x: __import__("math").exp(-x)))
+                sig = 1.0 / (1.0 + np.exp(-raw))  # vectorized sigmoid
                 pdf = pdf.copy()
-                pdf["ce_score"] = ((sig + pdf[score_col]) / 2.0).round(6)
+                pdf["ce_score"] = pd.Series(
+                    (sig + pdf[score_col].to_numpy()) / 2.0
+                ).round(6)
                 yield pdf
 
         return candidates.mapInPandas(rerank, out_schema)

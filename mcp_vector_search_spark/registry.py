@@ -239,11 +239,14 @@ def q_exact_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_minhash_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mcp_vector_search_spark.operators.dedup import shingle_index
+
     docs = _docs(spark, sf_dir)
-    # one shingle computation shared by signature and verify stages
-    sh = shingle_sets(docs, MINHASH["shingle_n"]).cache()
-    cand = minhash_candidates(docs, max_bucket_size=MINHASH_CAP, shingles=sh, **MINHASH)
-    return jaccard_verify(cand, sh, threshold=JACCARD_T)
+    # ONE shingle+md5 computation shared by signature and verify, in
+    # the compact hash-pair form (the cache holds longs, not strings)
+    hp = shingle_index(docs, MINHASH["shingle_n"]).cache()
+    cand = minhash_candidates(docs, max_bucket_size=MINHASH_CAP, shingles=hp, **MINHASH)
+    return jaccard_verify(cand, hp, threshold=JACCARD_T)
 
 
 def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -255,11 +258,12 @@ def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs (A~B, B~C) were detected; oracle replays it with a
     recursive CTE."""
     from mcp_vector_search_spark.operators.components import dup_clusters
+    from mcp_vector_search_spark.operators.dedup import shingle_index
 
     docs = _docs(spark, sf_dir)
-    sh = shingle_sets(docs, MINHASH["shingle_n"]).cache()
-    cand = minhash_candidates(docs, max_bucket_size=MINHASH_CAP, shingles=sh, **MINHASH)
-    mh = jaccard_verify(cand, sh, threshold=JACCARD_T).select("doc_a", "doc_b")
+    hp = shingle_index(docs, MINHASH["shingle_n"]).cache()
+    cand = minhash_candidates(docs, max_bucket_size=MINHASH_CAP, shingles=hp, **MINHASH)
+    mh = jaccard_verify(cand, hp, threshold=JACCARD_T).select("doc_a", "doc_b")
     fp = docs.select("doc_id", doc_fingerprint("text").alias("fingerprint"))
     groups = (
         fp.groupBy("fingerprint")
