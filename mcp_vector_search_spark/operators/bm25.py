@@ -193,54 +193,63 @@ def bm25_oneshot_stats(
     epsilon: float = EPSILON,
 ) -> dict:
     """Corpus scalars + per-query-term idf for the one-shot scoring
-    path, collected to the driver in TWO small jobs:
+    path, from ONE corpus scan:
 
-    - job 1: (N, avgdl) — a map-side-only aggregate over token counts;
-      nothing shuffles, nothing is materialized.
-    - job 2: document frequency per distinct term (the only corpus-wide
-      shuffle, and it moves (term, count) pairs after map-side combine
-      — never the postings) → in ONE aggregation both the
-      corpus-average raw idf (BM25Okapi's epsilon floor needs the
-      average over ALL terms) and the query terms' own df rows
-      (collect_list skips the non-query nulls).
+    every doc explodes to its distinct terms PLUS one sentinel term
+    carrying its length, so a single groupBy(term) yields the per-term
+    document frequencies AND (in the sentinel group) N / avgdl —
+    the corpus is tokenized once, and the only shuffle moves (term,
+    partial count) pairs after map-side combine, never the postings.
+    The resulting vocabulary table is cached (vocab is sublinear in
+    corpus size) for the two tiny driver reads: the sentinel row, and
+    one aggregation producing the corpus-average raw idf (BM25Okapi's
+    epsilon floor averages over ALL terms) plus the query terms' own
+    df rows (collect_list skips the non-query nulls).
 
     The result is a handful of Python floats — query-independent except
     for the `idf` dict, so multi-variant callers (query expansion)
     compute it once for the UNION of variant terms and share it.
     """
     q = list(dict.fromkeys(query_terms))
-    toks = docs.select(tokenize(text_col).alias("toks"))
-    row = (
-        toks.select(F.size("toks").cast("double").alias("dl"))
-        .filter(F.col("dl") > 0)
-        .agg(F.count("*").cast("double").alias("n_docs"), F.avg("dl").alias("avgdl"))
-        .first()
-    )
-    n_docs = float(row["n_docs"] or 0.0)
-    avgdl = float(row["avgdl"] or 0.0)
-    if n_docs == 0:
-        return {"n_docs": 0.0, "avgdl": 0.0, "avg_idf": 0.0, "idf": {}}
-    dfreq = (
-        toks.select(F.explode(F.array_distinct("toks")).alias("term"))
+    # '#' can never appear in a token (tokenize splits on non-[a-z0-9])
+    # so the sentinel term is collision-free by construction
+    SENTINEL = "#doc#"
+    toks = docs.select(tokenize(text_col).alias("toks")).filter(F.size("toks") > 0)
+    grouped = (
+        toks.select(
+            F.explode(
+                F.concat(F.array(F.lit(SENTINEL)), F.array_distinct("toks"))
+            ).alias("term"),
+            F.size("toks").cast("double").alias("dl"),
+        )
         .groupBy("term")
-        .agg(F.count("*").cast("double").alias("df"))
-        .withColumn(
+        .agg(F.count("*").cast("double").alias("df"), F.avg("dl").alias("avgdl"))
+        .cache()
+    )
+    try:
+        doc_row = grouped.filter(F.col("term") == SENTINEL).first()
+        if doc_row is None:
+            return {"n_docs": 0.0, "avgdl": 0.0, "avg_idf": 0.0, "idf": {}}
+        n_docs = float(doc_row["df"])
+        avgdl = float(doc_row["avgdl"] or 0.0)
+        terms = grouped.filter(F.col("term") != SENTINEL).withColumn(
             "idf_raw",
             F.log((F.lit(n_docs) - F.col("df") + 0.5) / (F.col("df") + 0.5)),
         )
-    )
-    srow = dfreq.agg(
-        F.avg("idf_raw").alias("avg_idf"),
-        F.collect_list(
-            F.when(F.col("term").isin(q), F.struct("term", "idf_raw"))
-        ).alias("q_rows"),
-    ).first()
-    avg_idf = float(srow["avg_idf"] or 0.0)
-    idf = {}
-    for r in srow["q_rows"]:
-        ir = float(r["idf_raw"])
-        idf[r["term"]] = epsilon * avg_idf if ir < 0 else ir
-    return {"n_docs": n_docs, "avgdl": avgdl, "avg_idf": avg_idf, "idf": idf}
+        srow = terms.agg(
+            F.avg("idf_raw").alias("avg_idf"),
+            F.collect_list(
+                F.when(F.col("term").isin(q), F.struct("term", "idf_raw"))
+            ).alias("q_rows"),
+        ).first()
+        avg_idf = float(srow["avg_idf"] or 0.0)
+        idf = {}
+        for r in srow["q_rows"]:
+            ir = float(r["idf_raw"])
+            idf[r["term"]] = epsilon * avg_idf if ir < 0 else ir
+        return {"n_docs": n_docs, "avgdl": avgdl, "avg_idf": avg_idf, "idf": idf}
+    finally:
+        grouped.unpersist()
 
 
 def bm25_topk(
@@ -263,8 +272,8 @@ def bm25_topk(
 
     Default (one-shot) path — the reference's O(df(q)) query-cost
     property (``bm25_backend.py:147-200``) without building an index:
-    corpus scalars and the query terms' idf are collected in two small
-    jobs (`bm25_oneshot_stats`), then the scoring query is pure
+    corpus scalars and the query terms' idf come from ONE stats scan
+    (`bm25_oneshot_stats`), then the scoring query is pure
     per-row arithmetic — tf(term) = size(filter(toks, = term)), score
     = Σ idf·tf·(k1+1)/(tf + k1·(1-b+b·dl/avgdl)) — under a single
     TakeOrderedAndProject. ZERO shuffles, ONE corpus scan in the
