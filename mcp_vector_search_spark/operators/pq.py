@@ -115,6 +115,16 @@ def pq_train(
         X = _unit_rows(sample[vec_col])
     else:
         X = np.stack(sample[vec_col].to_numpy()).astype(np.float64)
+    return vectors.sparkSession.createDataFrame(
+        _fit_codebooks(X, m, k, iters, seed),
+        "sub_idx int, code int, centroid array<double>",
+    )
+
+
+def _fit_codebooks(X, m: int, k: int, iters: int, seed: int) -> list:
+    """numpy Lloyd's per subspace → [(sub_idx, code, centroid), ...]."""
+    import numpy as np
+
     n, d = X.shape
     if d % m:
         raise ValueError(f"dim {d} not divisible by m={m}")
@@ -142,9 +152,79 @@ def pq_train(
         rows.extend(
             (s, c, [float(x) for x in cents[c]]) for c in range(k)
         )
-    return vectors.sparkSession.createDataFrame(
-        rows, "sub_idx int, code int, centroid array<double>"
+    return rows
+
+
+def opq_rotation(X, m: int):
+    """d×d orthogonal rotation for OPQ-style PQ (Ge et al. 2013,
+    "Optimized Product Quantization", CVPR — the parametric variant):
+    PCA-decorrelate, then assign principal directions to the m
+    subspaces by greedy eigenvalue-product balancing so every subspace
+    carries comparable variance. Addresses ISSUES.md #1 — on
+    weakly-clustered corpora the identity split leaves some subspaces
+    with no contrast for Lloyd's to quantize.
+
+    Rotation is orthogonal, so inner products (and the ADC scores
+    built from them) are preserved exactly; only the subspace SPLIT
+    changes."""
+    import numpy as np
+
+    n, d = X.shape
+    dsub = d // m
+    lam, U = np.linalg.eigh(np.cov(X, rowvar=False))
+    order = np.argsort(lam)[::-1]
+    lam, U = lam[order], U[:, order]
+    # LPT greedy over SHIFTED log-eigenvalues: balancing log-products
+    # is shift-invariant (every bucket holds exactly dsub dims), and
+    # the shift makes every job positive — with raw logs (negative for
+    # λ<1) the emptiest bucket keeps winning and the greedy degenerates
+    # to consecutive fill
+    logs = np.log(np.maximum(lam, 1e-12))
+    jobs = logs - logs.min() + 1.0
+    buckets: list[list[int]] = [[] for _ in range(m)]
+    loads = [0.0] * m
+    for i in range(d):
+        free = [b for b in range(m) if len(buckets[b]) < dsub]
+        b = min(free, key=lambda j: loads[j])
+        buckets[b].append(i)
+        loads[b] += float(jobs[i])
+    perm = [i for b in buckets for i in b]
+    return np.ascontiguousarray(U[:, perm].T)
+
+
+def pq_train_rotated(
+    vectors: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    m: int = PQ_M,
+    k: int = PQ_CODES,
+    sample_rows: int = 16384,
+    iters: int = 15,
+    seed: int = 42,
+):
+    """OPQ fit → (codebooks DataFrame, rotation d×d numpy). Same
+    deterministic md5-ordered sample as `pq_train`; the rotation is
+    computed from the sample, the codebooks are fit in rotated space.
+    Pass the returned rotation to `pq_encode` / `pq_adc_topk` /
+    `pq_topk_refined` — the exact-rerank stage is untouched (true
+    cosine on the original vectors)."""
+    from pyspark.sql import functions as _F
+
+    sample = (
+        vectors.select(id_col, vec_col)
+        .orderBy(
+            _F.md5(_F.concat(_F.col(id_col).cast("string"), _F.lit("#pq-fit")))
+        )
+        .limit(sample_rows)
+        .toPandas()
     )
+    X = _unit_rows(sample[vec_col])
+    R = opq_rotation(X, m)
+    cb = vectors.sparkSession.createDataFrame(
+        _fit_codebooks(X @ R.T, m, k, iters, seed),
+        "sub_idx int, code int, centroid array<double>",
+    )
+    return cb, R
 
 
 def pq_encode(
@@ -154,6 +234,7 @@ def pq_encode(
     id_col: str = "vec_id",
     round_to: int = 9,
     normalize: bool = True,
+    rotation=None,
 ) -> DataFrame:
     """Compress the corpus → (id, codes array<int>): per subspace the
     nearest codebook entry by round-9 squared L2 on the unit sphere
@@ -161,7 +242,8 @@ def pq_encode(
     the IVF-PQ residual path). One Arrow batch = m argmin passes over
     a numpy distance matrix; no shuffle — the output inherits the
     input partitioning, so an IVF-partitioned corpus stays
-    IVF-partitioned.
+    IVF-partitioned. `rotation` (from `pq_train_rotated`) applies the
+    OPQ basis change before the subspace split.
     """
     import numpy as np
     import pandas as pd
@@ -177,6 +259,8 @@ def pq_encode(
                 V = _unit_rows(pdf[vec_col])
             else:
                 V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            if rotation is not None:
+                V = V @ rotation.T
             b = V.shape[0]
             codes = np.empty((b, m), dtype=np.int32)
             for s in range(m):
@@ -207,6 +291,7 @@ def pq_adc_topk(
     query_vec_col: str = "query_vec",
     round_to: int = 6,
     batch_buffer: int = 4,
+    rotation=None,
 ) -> DataFrame:
     """ADC batch top-k over the compressed corpus →
     (query_id, id, adc_score, rn).
@@ -232,6 +317,9 @@ def pq_adc_topk(
     qpd = queries.select(query_id_col, query_vec_col).toPandas()
     Q = np.stack(qpd[query_vec_col].to_numpy()).astype(np.float64)
     Q /= _safe_norms(Q)
+    if rotation is not None:
+        # orthogonal: rotated-space inner products == original ones
+        Q = Q @ rotation.T
     qids = qpd[query_id_col].to_numpy()
     nq = len(qids)
     # lut[qi, s, c] = round(Q_sub · cb[s, c], 9)
@@ -287,6 +375,7 @@ def pq_topk_refined(
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
     round_to: int = 6,
+    rotation=None,
 ) -> DataFrame:
     """ADC shortlist → exact rerank (the reference's
     ``refine_factor=5`` two-stage shape, ``vectors_backend.py:1336``)
@@ -306,6 +395,7 @@ def pq_topk_refined(
         id_col=id_col,
         query_id_col=query_id_col,
         query_vec_col=query_vec_col,
+        rotation=rotation,
     ).select(query_id_col, id_col)
     v = (
         vectors.withColumn("_nrm", l2_norm(F.col(vec_col)))
