@@ -395,6 +395,69 @@ def embedding_near_dups_clustered(
     )
 
 
+def embedding_near_dups_multiprobe(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    threshold: float = 0.9,
+    nprobe: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    round_to: int = 6,
+) -> DataFrame:
+    """Cluster blocking with top-`nprobe` multi-assignment — recovers
+    the near-dup pairs single-probe blocking misses at cluster
+    boundaries (a straddling pair almost always shares its 2nd-nearest
+    cluster). `centroids` is the `ivf_build`/`ivf_build_sampled`
+    (cluster_id, centroid) table; assignment is a broadcast join +
+    per-id rank window (distributed, round-9 cosine, tie → lower
+    cluster — the same deterministic contract as the IVF probe path).
+
+    Candidate generation stays Σ|c|²-shaped; multi-assignment
+    duplicates each vector `nprobe`× in the blocking shuffle and
+    duplicate pairs (sharing >1 probe cluster) are deduped on ids
+    BEFORE the cosine is computed."""
+    from pyspark.sql.window import Window
+
+    from mcp_vector_search_spark.functions.vectors import dot, l2_norm, unit_expr
+
+    eu = vectors.withColumn("_nrm", l2_norm(F.col(vec_col))).select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_v"),
+        unit_expr(F.col(vec_col), F.col("_nrm")).alias("_u"),
+    )
+    cents = centroids.select(
+        "cluster_id", F.col("centroid").alias("_cu")
+    )
+    aw = Window.partitionBy("_id").orderBy(F.desc("_cs"), F.asc("cluster_id"))
+    probes = (
+        eu.join(F.broadcast(cents))
+        .withColumn("_cs", F.round(dot(F.col("_u"), F.col("_cu")), 9))
+        .withColumn("_rn", F.row_number().over(aw))
+        .filter(F.col("_rn") <= nprobe)
+        .select("_id", "cluster_id")
+    )
+    a, b = probes.alias("a"), probes.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.cluster_id") == F.col("b.cluster_id"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .distinct()
+    )
+    va = eu.select(F.col("_id").alias("id_a"), F.col("_v").alias("_va"))
+    vb = eu.select(F.col("_id").alias("id_b"), F.col("_v").alias("_vb"))
+    sim = F.round(cosine_sim(F.col("_va"), F.col("_vb")), round_to)
+    return (
+        pairs.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn("cos_sim", sim)
+        .filter(F.col("cos_sim") >= threshold)
+        .select("id_a", "id_b", "cos_sim")
+    )
+
+
 def contaminated_docs(
     docs: DataFrame,
     benchmark: DataFrame,

@@ -341,6 +341,31 @@ def q_embedding_near_dups_clustered(spark: SparkSession, sf_dir: str) -> DataFra
     return embedding_near_dups(emb, threshold=EMB_DUP_T, assigned=assigned)
 
 
+def q_embedding_near_dups_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J11 boundary recovery: top-2 multi-probe cluster blocking —
+    pairs straddling a single-probe cluster boundary share their
+    2nd-nearest cluster. Deterministic first-16 UNIT-vector centroids
+    so assignment ranks, pair dedup, and the cosine threshold all
+    hash-check in SQL."""
+    from mcp_vector_search_spark.functions.vectors import l2_norm, unit_expr
+    from mcp_vector_search_spark.operators.dedup import (
+        embedding_near_dups_multiprobe,
+    )
+
+    emb = _emb(spark, sf_dir)
+    cents = (
+        emb.filter(F.col("vec_id") < IVF_FIXED_CENTS)
+        .withColumn("_nrm", l2_norm(F.col("embedding")))
+        .select(
+            F.col("vec_id").cast("int").alias("cluster_id"),
+            unit_expr(F.col("embedding"), F.col("_nrm")).alias("centroid"),
+        )
+    )
+    return embedding_near_dups_multiprobe(
+        emb, cents, threshold=EMB_DUP_T, nprobe=2
+    )
+
+
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text metrics (S4/F1/LLM-pipeline) + the F15 quality score + the
     Gopher repetition/quality filter signals (Rae et al. 2021 Table
@@ -2767,6 +2792,29 @@ p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
         ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id)
 SELECT id_a, id_b, {_COS_AB} AS cos_sim FROM p WHERE {_COS_AB} >= {EMB_DUP_T}"""
 
+    # multi-probe variant: top-2 probe assignments per vector, pairs
+    # sharing ANY probe cluster, deduped before the cosine
+    o["embedding_near_dups_multiprobe"] = f"""
+WITH cen AS (SELECT vec_id, embedding, sqrt({_NORMSQ}) AS nrm FROM embeddings),
+ceu AS (SELECT vec_id, embedding,
+               list_transform(embedding, x -> x::DOUBLE / nrm) AS u FROM cen),
+cfc AS (SELECT vec_id::INT AS cluster_id, u AS cu FROM ceu
+        WHERE vec_id < {IVF_FIXED_CENTS}),
+cfa AS (SELECT vec_id, cluster_id, row_number() OVER (
+          PARTITION BY vec_id ORDER BY cs DESC, cluster_id) AS rn
+        FROM (SELECT e.vec_id, c.cluster_id,
+                     round(list_sum(list_transform(list_zip(e.u, c.cu),
+                           p -> p[1]::DOUBLE * p[2]::DOUBLE)), 9) AS cs
+              FROM ceu e, cfc c)),
+probes AS (SELECT vec_id, cluster_id FROM cfa WHERE rn <= 2),
+prs AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM probes a JOIN probes b
+          ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id),
+p AS (SELECT id_a, id_b, ea.embedding AS va, eb.embedding AS vb
+      FROM prs JOIN ceu ea ON prs.id_a = ea.vec_id
+               JOIN ceu eb ON prs.id_b = eb.vec_id)
+SELECT id_a, id_b, {_COS_AB} AS cos_sim FROM p WHERE {_COS_AB} >= {EMB_DUP_T}"""
+
     q_full = " ".join(QUERY_TERMS)
 
     def _cm(col: str) -> str:
@@ -3333,6 +3381,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # tools/verify_local.py runs them on every round ---
     "neighbor_jaccard": q_neighbor_jaccard,
     "embedding_near_dups": q_embedding_near_dups,
+    "embedding_near_dups_multiprobe": q_embedding_near_dups_multiprobe,
     "hotspots": q_hotspots,
     "events_lag_delta": q_events_lag_delta,
     "kg_views": q_kg_views,

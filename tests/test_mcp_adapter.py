@@ -108,3 +108,23 @@ def test_contract_errors_are_structured(spark):
 
     r = ad.call_tool("search_similar", {"file_path": "no/such/file.py"})
     assert not r["ok"]
+
+
+def test_cli_front_end(spark, capsys):
+    """argv → call_tool → JSON: the CLI shares the adapter dispatch."""
+    import json
+
+    from mcp_vector_search_spark.cli import main
+
+    ad = _adapter(spark)
+    rc = main(["search_code", "--query", "data query", "--limit", "3"], adapter=ad)
+    out = json.loads(capsys.readouterr().out)
+    assert rc == 0 and out["ok"] and len(out["rows"]) <= 3
+
+    rc = main(["list-tools"], adapter=ad)
+    tools = json.loads(capsys.readouterr().out)
+    assert rc == 0 and len(tools) == 27
+
+    rc = main(["search_code"], adapter=ad)  # missing required arg
+    err = json.loads(capsys.readouterr().out)
+    assert rc == 1 and not err["ok"]
