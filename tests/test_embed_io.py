@@ -52,3 +52,49 @@ def test_export_results(spark, tmp_path):
     p2 = str(tmp_path / "out_csv")
     export_results(df, p2, "csv")
     assert spark.read.option("header", True).csv(p2).count() == 1
+
+
+def test_versioned_upsert_time_travel_and_conflict(spark, tmp_path):
+    """Delta-lite manifest table (VERDICT r3 Missing #4): atomic
+    optimistic commits, copy-on-write upsert, time travel, conflict
+    retry, vacuum."""
+    from mcp_vector_search_spark.io import (
+        _commit_manifest,
+        latest_version,
+        read_versioned,
+        upsert_versioned,
+        vacuum_versioned,
+    )
+
+    path = str(tmp_path / "vt")
+    df1 = spark.createDataFrame([(1, "a"), (2, "b")], "id long, val string")
+    assert upsert_versioned(spark, df1, path, ["id"]) == 1
+    df2 = spark.createDataFrame([(2, "B"), (3, "c")], "id long, val string")
+    assert upsert_versioned(spark, df2, path, ["id"]) == 2
+
+    now = {(r.id, r.val) for r in read_versioned(spark, path).collect()}
+    assert now == {(1, "a"), (2, "B"), (3, "c")}
+    # time travel: version 1 still readable, pre-upsert values intact
+    v1 = {(r.id, r.val) for r in read_versioned(spark, path, version=1).collect()}
+    assert v1 == {(1, "a"), (2, "b")}
+
+    # conflict: another writer claims version 3 between our read and
+    # commit — simulate by pre-committing v3 pointing at v2's files
+    import json, os
+    with open(os.path.join(path, "_manifests", "v2.json")) as f:
+        v2_files = json.load(f)["files"]
+    _commit_manifest(path, 3, v2_files)
+    df3 = spark.createDataFrame([(1, "A2")], "id long, val string")
+    # the retry loop must land on version 4 and merge against v3
+    assert upsert_versioned(spark, df3, path, ["id"]) == 4
+    final = {(r.id, r.val) for r in read_versioned(spark, path).collect()}
+    assert final == {(1, "A2"), (2, "B"), (3, "c")}
+
+    # vacuum keeps the last 2 versions readable, drops older data
+    removed = vacuum_versioned(path, keep_last=2)
+    assert latest_version(path) == 4
+    assert {(r.id, r.val) for r in read_versioned(spark, path).collect()} == final
+    assert removed  # v1's data dir went away
+    import pytest
+    with pytest.raises(FileNotFoundError):
+        read_versioned(spark, path, version=1)
