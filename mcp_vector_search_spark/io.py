@@ -248,7 +248,9 @@ def read_versioned(spark: SparkSession, path: str, version: int | None = None) -
     return spark.read.parquet(*[os.path.join(path, p) for p in manifest["files"]])
 
 
-def _commit_manifest(path: str, version: int, files: list[str]) -> None:
+def _commit_manifest(
+    path: str, version: int, files: list[str], meta: dict | None = None
+) -> None:
     """Atomically claim `version`: stage the manifest, hard-link it to
     its final name (fails iff the version is already taken), unlink
     the stage. Same-filesystem link() is the atomic create-if-absent
@@ -260,7 +262,7 @@ def _commit_manifest(path: str, version: int, files: list[str]) -> None:
     os.makedirs(d, exist_ok=True)
     stage = os.path.join(d, f".stage-{_uuid.uuid4().hex}.json")
     with open(stage, "w") as f:
-        json.dump({"version": version, "files": files}, f)
+        json.dump({"version": version, "files": files, "meta": meta or {}}, f)
     try:
         os.link(stage, os.path.join(d, f"v{version}.json"))
     except FileExistsError as e:
@@ -275,10 +277,13 @@ def upsert_versioned(
     path: str,
     key_cols: list[str],
     max_retries: int = 5,
+    meta: dict | None = None,
 ) -> int:
     """Concurrent-safe K1/K2 upsert: copy-on-write merge against the
     latest snapshot, optimistic commit, retry-on-conflict against the
-    winner's snapshot. Returns the committed version."""
+    winner's snapshot. Returns the committed version. `meta` is
+    recorded in the committed manifest (e.g. a streaming batch id for
+    exactly-once replay detection — see `committed_metas`)."""
     import shutil
     import uuid as _uuid
 
@@ -294,11 +299,25 @@ def upsert_versioned(
         data_dir = os.path.join(path, rel)
         merged.write.mode("overwrite").parquet(data_dir)
         try:
-            _commit_manifest(path, base + 1, [rel])
+            _commit_manifest(path, base + 1, [rel], meta=meta)
             return base + 1
         except VersionConflict:
             shutil.rmtree(data_dir, ignore_errors=True)  # lost the race
     raise VersionConflict(f"gave up after {max_retries} conflicting writers")
+
+
+def committed_metas(path: str) -> list[dict]:
+    """Every committed manifest's `meta` dict, version order — the
+    replay-detection read for the exactly-once streaming sink."""
+    import json
+
+    out = []
+    for v in range(1, latest_version(path) + 1):
+        mf = os.path.join(_manifest_dir(path), f"v{v}.json")
+        if os.path.exists(mf):
+            with open(mf) as f:
+                out.append(json.load(f).get("meta", {}))
+    return out
 
 
 def vacuum_versioned(path: str, keep_last: int = 1) -> list[str]:

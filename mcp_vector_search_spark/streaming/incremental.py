@@ -147,6 +147,45 @@ def start_incremental_index(
     return writer.start()
 
 
+def versioned_upsert_sink(
+    spark: SparkSession, path: str, key_cols: list[str], scope: str = "default"
+):
+    """foreachBatch writer with EXACTLY-ONCE commits into the
+    versioned manifest table (io.upsert_versioned): every micro-batch
+    upserts copy-on-write and its (scope, batch id) is recorded in
+    the committed manifest; a REPLAYED batch (restart between sink
+    commit and checkpoint advance — the classic foreachBatch
+    at-least-once window) finds its id already committed and skips.
+    Transactional idempotency instead of partition-overwrite
+    bookkeeping; composes with any streaming source.
+
+    `scope` identifies the streaming query — batch ids restart from 0
+    per CHECKPOINT, so a table fed by multiple queries (or a query
+    whose checkpoint was reset) needs one scope per checkpoint to keep
+    replay detection from eating a different query's batch 0. Use the
+    checkpoint dir (or any stable per-query name):
+
+        stream.writeStream.foreachBatch(
+            versioned_upsert_sink(spark, table_path, ["doc_id"],
+                                  scope=checkpoint_dir))
+    """
+    from mcp_vector_search_spark import io as vio
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        bid = int(batch_id)
+        if any(
+            m.get("batch_id") == bid and m.get("scope") == scope
+            for m in vio.committed_metas(path)
+        ):
+            return  # replay of an already-committed batch
+        vio.upsert_versioned(
+            spark, batch_df, path, key_cols,
+            meta={"batch_id": bid, "scope": scope},
+        )
+
+    return write
+
+
 def streaming_dedup(changes: DataFrame, watermark_delay: str = "10 minutes") -> DataFrame:
     """Streaming exact-dedup: content fingerprints deduped within the
     watermark horizon (`dropDuplicatesWithinWatermark` — state is

@@ -146,3 +146,56 @@ def test_process_batch_replay_and_tie_coherence(spark, tmp_path):
         .fp
     )
     assert fp[1] == recomputed
+
+
+def test_versioned_sink_exactly_once_on_replay(spark, tmp_path):
+    """ST4/ST5 + the versioned table: a replayed foreachBatch id must
+    NOT produce a new version or duplicate rows; distinct batch ids
+    upsert normally; the whole run is readable via time travel."""
+    import json
+    import os
+
+    from mcp_vector_search_spark.io import latest_version, read_versioned
+    from mcp_vector_search_spark.streaming.incremental import (
+        versioned_upsert_sink,
+    )
+
+    table = str(tmp_path / "vtab")
+    sink = versioned_upsert_sink(spark, table, ["doc_id"], scope="manual")
+
+    b0 = spark.createDataFrame([(1, "a"), (2, "b")], "doc_id long, text string")
+    sink(b0, 0)
+    assert latest_version(table) == 1
+    sink(b0, 0)  # replay — must be a no-op
+    assert latest_version(table) == 1
+
+    b1 = spark.createDataFrame([(2, "B"), (3, "c")], "doc_id long, text string")
+    sink(b1, 1)
+    assert latest_version(table) == 2
+    rows = {(r.doc_id, r.text) for r in read_versioned(spark, table).collect()}
+    assert rows == {(1, "a"), (2, "B"), (3, "c")}
+
+    # drive it through a REAL stream too (availableNow drain)
+    src = tmp_path / "src"
+    src.mkdir()
+    with open(src / "docs.jsonl", "w") as f:
+        f.write(json.dumps({"doc_id": 4, "text": "d"}) + "\n")
+    # a fresh checkpoint restarts batch ids at 0 — a distinct scope
+    # keeps replay detection from eating the new query's batch 0
+    stream_sink = versioned_upsert_sink(spark, table, ["doc_id"], scope="ckpt-a")
+    stream = spark.readStream.schema("doc_id long, text string").json(str(src))
+    q = (
+        stream.writeStream.foreachBatch(stream_sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    rows = {(r.doc_id, r.text) for r in read_versioned(spark, table).collect()}
+    assert (4, "d") in rows and len(rows) == 4
+    # manifest metadata carries every committed (scope, batch id)
+    from mcp_vector_search_spark.io import committed_metas
+
+    assert [(m.get("scope"), m.get("batch_id")) for m in committed_metas(table)] == [
+        ("manual", 0), ("manual", 1), ("ckpt-a", 0),
+    ]
