@@ -356,6 +356,7 @@ class SparkProject:
         max_tokens: int = 512,
         benchmark: DataFrame | None = None,
         lang_fractions: dict[str, float] | None = None,
+        lang_allow: list[str] | None = None,
         near_dup_jaccard: float = 0.8,
         semantic_threshold: float | None = None,
         n_shards: int = 32,
@@ -377,6 +378,9 @@ class SparkProject:
         3. decontamination — drop docs sharing 5-grams with
            `benchmark` (skipped when None);
         3b. PII masking of the surviving text (`redact=True`);
+        3c. content language filter (`lang_allow` set) — keep docs
+           whose CONTENT-detected language (stopword-profile
+           `lang_id`, not the metadata column) is in the allowlist;
         4. stratified rebalance by language (skipped when None);
         5. reproducible hash split; the train split then
         6. greedy-packs into `max_tokens` bins assembled as training
@@ -486,6 +490,15 @@ class SparkProject:
             from mcp_vector_search_spark.functions.text import redact_pii
 
             docs = docs.withColumn("text", redact_pii("text"))
+
+        # 3c. content-language filter (per-row exprs; no shuffle)
+        if lang_allow:
+            from mcp_vector_search_spark.functions.text import lang_id
+
+            docs = checkpoint(
+                "lang_filtered",
+                docs.filter(lang_id("text")["lang"].isin(*lang_allow)),
+            )
 
         # 4. rebalance
         if lang_fractions:

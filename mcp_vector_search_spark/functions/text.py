@@ -273,6 +273,70 @@ def redact_pii(text: Column | str) -> Column:
     return col
 
 
+# Content-based language identification — the classic stopword-profile
+# heuristic (Cavnar & Trenkle-style rank profiles collapsed to the
+# cheapest useful form: per-language function-word hit fractions).
+# Profiles are the highest-frequency function words of each language,
+# restricted to forms the shared tokenizer preserves (ASCII after
+# lower(); accented forms like "está"/"für" split on the non-[a-z0-9]
+# boundary, so profiles avoid them — the unaccented cores carry plenty
+# of signal). zh is detected by CJK codepoint fraction instead (Chinese
+# has no spaces, so token profiles are the wrong tool).
+LANG_STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "of", "and", "to", "in", "is", "that", "it", "for",
+           "on", "with", "as", "was", "at", "this"],
+    "es": ["que", "el", "los", "las", "del", "una", "por", "con",
+           "para", "es", "al", "como", "pero", "sus", "ya"],
+    "fr": ["les", "des", "est", "dans", "pour", "une", "sur", "pas",
+           "avec", "sont", "aux", "ce", "ou", "mais", "nous"],
+    "de": ["der", "die", "und", "das", "den", "von", "mit", "ist",
+           "dem", "ein", "eine", "auf", "nicht", "auch", "sich"],
+}
+# Ambiguity note: "de"/"la"/"en"/"un" are shared Romance/English forms
+# and are deliberately absent; every word above is a top-30 function
+# word in exactly one of the four profiles.
+
+CJK_RANGE = r"\x{4e00}-\x{9fff}"  # same \x{...} syntax in Java regex and RE2
+
+LANG_ID_PRIORITY = ["en", "es", "fr", "de", "zh"]
+LANG_ID_MIN_SCORE = 0.05
+
+
+def lang_id(text: Column | str, min_score: float = LANG_ID_MIN_SCORE) -> Column:
+    """struct(lang, confidence): content-based language guess.
+
+    Score per language = stopword-hit fraction of the token stream
+    (zh: CJK-codepoint fraction of the raw text); the winner is the
+    FIRST language in `LANG_ID_PRIORITY` achieving the max score —
+    a deterministic tiebreak the SQL oracle mirrors as the same CASE
+    cascade. Below `min_score` → 'unknown' (too little signal).
+
+    Pure column expressions — per-row, zero shuffle, oracle-portable.
+    The reference scopes files by extension metadata
+    (`core/models.py` language field); this is the corpus-curation
+    analog for natural-language text where no metadata exists.
+    """
+    col = F.col(text) if isinstance(text, str) else text
+    toks = tokenize(col)
+    nt = F.size(toks)
+    scores: dict[str, Column] = {}
+    for lang, words in LANG_STOPWORDS.items():
+        hits = F.size(F.filter(toks, lambda t: t.isin(*words)))  # noqa: B023
+        scores[lang] = F.when(nt > 0, hits / nt).otherwise(F.lit(0.0))
+    cjk = F.length(F.regexp_replace(col, f"[^{CJK_RANGE}]", ""))
+    scores["zh"] = F.when(
+        F.length(col) > 0, cjk / F.length(col)
+    ).otherwise(F.lit(0.0))
+
+    m = F.greatest(*[scores[lang] for lang in LANG_ID_PRIORITY])
+    pred = F.when(m < F.lit(min_score), F.lit("unknown"))
+    for lang in LANG_ID_PRIORITY:
+        pred = pred.when(scores[lang] == m, F.lit(lang))
+    return F.struct(
+        pred.alias("lang"), F.round(m, 6).alias("confidence")
+    )
+
+
 def pii_counts(text: Column | str) -> Column:
     """struct(n_email, n_ip, n_phone): per-kind match counts on the
     ORIGINAL text (each pattern counted independently) — the audit

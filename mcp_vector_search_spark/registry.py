@@ -1887,6 +1887,28 @@ def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-based language ID (functions/text.py:lang_id) —
+    stopword-profile hit fractions + CJK codepoint fraction, fixed
+    priority argmax. Gate output is the metadata-lang × detected-lang
+    confusion matrix with mean confidence. On this corpus the text is
+    English-vocabulary word-salad in every metadata lang (TESTDATA is
+    synthetic), so the matrix collapses to en/unknown columns — the
+    semantic behavior on real multilingual text is pinned by
+    tests/test_text_functions.py fixtures instead."""
+    from mcp_vector_search_spark.functions.text import lang_id
+
+    d = _docs(spark, sf_dir).select(
+        "lang", lang_id("text").alias("lid")
+    )
+    return d.groupBy(
+        F.col("lang").alias("meta_lang"), F.col("lid.lang").alias("detected")
+    ).agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg("lid.confidence"), 6).alias("avg_confidence"),
+    )
+
+
 def q_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         _emb(spark, sf_dir)
@@ -2954,6 +2976,45 @@ SELECT doc_id, octet_length(encode(text))::BIGINT AS n_bytes,
        ascii(substr(text, 1, 1))::BIGINT AS first_byte
 FROM documents"""
 
+    # lang_id: the stopword profiles / threshold / priority order are
+    # rendered from the SAME constants the Spark expression uses, so
+    # the two sides cannot drift.
+    from mcp_vector_search_spark.functions.text import (
+        CJK_RANGE,
+        LANG_ID_MIN_SCORE,
+        LANG_ID_PRIORITY,
+        LANG_STOPWORDS,
+    )
+
+    def _sw_list(lang: str) -> str:
+        return "[" + ", ".join(f"'{w}'" for w in LANG_STOPWORDS[lang]) + "]"
+
+    _score_cols = ",\n  ".join(
+        f"CASE WHEN len(toks) > 0 THEN len(list_filter(toks, x -> "
+        f"list_contains({_sw_list(lang)}, x)))::DOUBLE / len(toks) "
+        f"ELSE 0.0 END AS s_{lang}"
+        for lang in LANG_STOPWORDS
+    )
+    _pred_cascade = " ".join(
+        f"WHEN s_{lang} = m THEN '{lang}'" for lang in LANG_ID_PRIORITY
+    )
+    o["lang_id"] = f"""
+WITH t AS (SELECT lang, text, {_TOKS} AS toks FROM documents),
+s AS (SELECT lang,
+  {_score_cols},
+  CASE WHEN length(text) > 0 THEN
+    length(regexp_replace(text, '[^{CJK_RANGE}]', '', 'g'))::DOUBLE
+      / length(text) ELSE 0.0 END AS s_zh
+ FROM t),
+p AS (SELECT lang,
+  greatest(s_en, s_es, s_fr, s_de, s_zh) AS m,
+  CASE WHEN greatest(s_en, s_es, s_fr, s_de, s_zh) < {LANG_ID_MIN_SCORE}
+       THEN 'unknown' {_pred_cascade} END AS detected
+ FROM s)
+SELECT lang AS meta_lang, detected, count(*) AS n_docs,
+       round(avg(round(m, 6)), 6) AS avg_confidence
+FROM p GROUP BY lang, detected"""
+
     o["embedding_stats"] = """
 SELECT label::BIGINT AS label, count(*) AS n_vecs,
        round(avg(sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE)))), 6)
@@ -3401,6 +3462,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "revenue_by_nation": q_revenue_by_nation,
     "debt": q_debt,
     "embedding_stats": q_embedding_stats,
+    "lang_id": q_lang_id,
 }
 
 ORACLE_SQL: dict[str, str] = _oracles()

@@ -216,3 +216,20 @@ def test_api_curate_semantic_dedup_stage(spark):
     )
     rep = {r["stage"]: r["n_docs"] for r in report.collect()}
     assert rep["semantic_dedup"] == rep["near_dedup"] - 1  # doc 1 dropped
+
+
+def test_api_curate_lang_filter_stage(spark):
+    """lang_allow keeps only docs whose CONTENT-detected language is
+    allowed, independent of the metadata lang column."""
+    from mcp_vector_search_spark.api import SparkProject
+
+    rows = [
+        (1, "the cat is on the mat and it is happy with this", "xx"),
+        (2, "el gato que corre por el parque con los perros es feliz", "xx"),
+        (3, "zzz qqq xyzzy glorp", "en"),  # unknown content
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    p = SparkProject(spark, docs, docs.limit(0))
+    _, report = p.curate_corpus(max_tokens=64, lang_allow=["en"], n_shards=1)
+    rep = {r["stage"]: r["n_docs"] for r in report.collect()}
+    assert rep["lang_filtered"] == 1  # only doc 1 survives

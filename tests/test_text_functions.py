@@ -158,3 +158,41 @@ def test_redact_pii_masks_and_counts(spark):
     assert out[1]["c"]["n_phone"] == 1
     assert out[2]["red"] == "no pii here at all"
     assert sum(out[2]["c"]) == 0
+
+
+def test_lang_id_real_text(spark):
+    from mcp_vector_search_spark.functions.text import lang_id
+
+    samples = [
+        ("en", "The quick brown fox jumps over the lazy dog and it is fast."),
+        ("es", "El gato es negro y los perros corren por el parque para jugar "
+               "con sus amigos, pero ya es tarde."),
+        ("fr", "Les enfants sont dans le jardin pour jouer avec nous, "
+               "mais pas sur la route aux voitures."),
+        ("de", "Der Hund und die Katze sind auf dem Tisch, aber das ist "
+               "nicht ein Problem mit dem Haus."),
+        ("zh", "今天天气很好我们一起去公园散步吧这里风景非常漂亮"),
+        ("unknown", "zzz qqq xyzzy 12345"),
+        ("unknown", ""),
+    ]
+    df = spark.createDataFrame(
+        [(lbl, txt) for lbl, txt in samples], "expected string, text string"
+    )
+    rows = df.select("expected", lang_id("text").alias("lid")).collect()
+    for r in rows:
+        assert r["lid"]["lang"] == r["expected"], (
+            r["expected"], r["lid"]["lang"], r["lid"]["confidence"])
+    # confidence bounded and monotone-sane
+    for r in rows:
+        assert 0.0 <= r["lid"]["confidence"] <= 1.0
+
+
+def test_lang_id_priority_tiebreak(spark):
+    from mcp_vector_search_spark.functions.text import lang_id
+
+    # one en stopword + one de stopword in a 2-token doc: equal 0.5
+    # scores; priority order says en wins
+    df = spark.createDataFrame([("the der",)], "text string")
+    r = df.select(lang_id("text").alias("lid")).first()
+    assert r["lid"]["lang"] == "en"
+    assert abs(r["lid"]["confidence"] - 0.5) < 1e-12
