@@ -81,6 +81,7 @@ def pq_train(
     iters: int = 15,
     seed: int = 42,
     normalize: bool = True,
+    aniso_eta: float | None = None,
 ) -> DataFrame:
     """Fit per-subspace codebooks with numpy Lloyd's iterations on a
     bounded driver-side sample → (sub_idx int, code int,
@@ -97,7 +98,9 @@ def pq_train(
     on the unit sphere with inner-product ADC. `normalize=False`
     trains on the raw column — the IVF-PQ residual path
     (`operators/ivfpq.py`), where the input is already a residual that
-    must not be re-scaled.
+    must not be re-scaled. `aniso_eta` switches the fit to the
+    score-aware anisotropic loss (`_fit_codebooks_aniso`) — see
+    ISSUES.md #1.
     """
     import numpy as np
 
@@ -115,9 +118,13 @@ def pq_train(
         X = _unit_rows(sample[vec_col])
     else:
         X = np.stack(sample[vec_col].to_numpy()).astype(np.float64)
+    fit = (
+        _fit_codebooks(X, m, k, iters, seed)
+        if aniso_eta is None
+        else _fit_codebooks_aniso(X, m, k, iters, seed, aniso_eta)
+    )
     return vectors.sparkSession.createDataFrame(
-        _fit_codebooks(X, m, k, iters, seed),
-        "sub_idx int, code int, centroid array<double>",
+        fit, "sub_idx int, code int, centroid array<double>"
     )
 
 
@@ -149,6 +156,63 @@ def _fit_codebooks(X, m: int, k: int, iters: int, seed: int) -> list:
             np.add.at(sums, assign, Xs)
             nz = counts > 0
             cents[nz] = sums[nz] / counts[nz, None]
+        rows.extend(
+            (s, c, [float(x) for x in cents[c]]) for c in range(k)
+        )
+    return rows
+
+
+def _fit_codebooks_aniso(
+    X, m: int, k: int, iters: int, seed: int, eta: float
+) -> list:
+    """Score-aware (anisotropic) per-subspace Lloyd's — the published
+    fix for exactly the isotropic regime of ISSUES.md #1 (Guo et al.
+    2020, "Accelerating Large-Scale Inference with Anisotropic Vector
+    Quantization", ICML — ScaNN's loss, applied per PQ subspace).
+
+    Residual r = x_s − c is penalized `eta`× harder along the
+    datapoint direction x̂_s than orthogonally: errors parallel to x
+    are the ones that corrupt inner-product (cosine) ranking near the
+    top of the list, which is all ADC is used for.
+
+    - assignment: argmin ‖r‖² + (η−1)(x̂_s·r)², computed BLAS-form
+      as d2 + (η−1)(‖x_s‖ − X̂Cᵀ)²;
+    - update: the closed-form weighted-least-squares centroid
+      c_j = (n_j·I + (η−1)·Σ x̂x̂ᵀ)⁻¹ · η·Σx  — using
+      (x̂x̂ᵀ)x = ‖x‖·x̂ = x so b_j collapses to η·Σx. One dsub×dsub
+      solve per cluster per iteration.
+
+    η=1 is plain Lloyd's (the k-means objective); larger η trades
+    mean squared error for top-rank fidelity."""
+    import numpy as np
+
+    n, d = X.shape
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    dsub = d // m
+    k = min(k, n)
+    rng = np.random.default_rng(seed)
+    rows = []
+    for s in range(m):
+        Xs = X[:, s * dsub : (s + 1) * dsub]
+        norms = np.sqrt((Xs * Xs).sum(axis=1))
+        safe = np.maximum(norms, 1e-12)
+        Xhat = Xs / safe[:, None]
+        xs_sq = norms * norms
+        cents = Xs[rng.choice(n, size=k, replace=False)].copy()
+        for _ in range(iters):
+            d2 = xs_sq[:, None] + (cents * cents).sum(axis=1)[None, :]
+            d2 -= 2.0 * (Xs @ cents.T)
+            par = norms[:, None] - (Xhat @ cents.T)  # x̂·(x−c)
+            assign = np.argmin(d2 + (eta - 1.0) * par * par, axis=1)
+            counts = np.bincount(assign, minlength=k)
+            bsum = np.zeros((k, dsub))
+            np.add.at(bsum, assign, Xs)
+            for j in np.nonzero(counts)[0]:
+                idx = assign == j
+                S = Xhat[idx].T @ Xhat[idx]
+                A = counts[j] * np.eye(dsub) + (eta - 1.0) * S
+                cents[j] = np.linalg.solve(A, eta * bsum[j])
         rows.extend(
             (s, c, [float(x) for x in cents[c]]) for c in range(k)
         )

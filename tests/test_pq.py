@@ -190,3 +190,61 @@ def test_opq_refined_recall_not_worse_than_plain(spark, emb):
     cb_r, R = pq_train_rotated(emb, m=16, k=32)
     rotated = recall(cb_r, R)
     assert rotated >= plain - 1e-9
+
+
+def test_aniso_fit_eta1_equals_plain_lloyds():
+    """η=1 collapses the anisotropic objective to the k-means one:
+    assignment adds a zero penalty and the closed-form update solves
+    (n·I)c = Σx — the plain centroid mean. Same seed ⇒ same init ⇒
+    the two fits must agree to solver precision."""
+    import numpy as np
+
+    from mcp_vector_search_spark.operators.pq import (
+        _fit_codebooks,
+        _fit_codebooks_aniso,
+    )
+
+    rng = np.random.default_rng(3)
+    X = rng.normal(size=(400, 16))
+    X /= np.linalg.norm(X, axis=1, keepdims=True)
+    plain = _fit_codebooks(X, m=4, k=8, iters=6, seed=11)
+    aniso = _fit_codebooks_aniso(X, m=4, k=8, iters=6, seed=11, eta=1.0)
+    assert len(plain) == len(aniso)
+    for (s1, c1, v1), (s2, c2, v2) in zip(plain, aniso):
+        assert (s1, c1) == (s2, c2)
+        np.testing.assert_allclose(v1, v2, rtol=1e-9, atol=1e-12)
+
+
+def test_aniso_fit_penalizes_parallel_error():
+    """With η≫1 the fitted centroids sacrifice orthogonal error to cut
+    the parallel (score-corrupting) component: measured parallel MSE
+    under the anisotropic fit must not exceed the plain fit's."""
+    import numpy as np
+
+    from mcp_vector_search_spark.operators.pq import (
+        _fit_codebooks,
+        _fit_codebooks_aniso,
+    )
+
+    rng = np.random.default_rng(5)
+    X = rng.normal(size=(600, 8))
+    X /= np.linalg.norm(X, axis=1, keepdims=True)
+
+    def par_mse(fit, m):
+        dsub = X.shape[1] // m
+        C = np.zeros((m, 16, dsub))
+        for s, c, v in fit:
+            C[s, c] = v
+        tot = 0.0
+        for s in range(m):
+            Xs = X[:, s * dsub : (s + 1) * dsub]
+            nrm = np.maximum(np.linalg.norm(Xs, axis=1), 1e-12)
+            d2 = ((Xs[:, None, :] - C[s][None, :, :]) ** 2).sum(axis=2)
+            a = np.argmin(d2, axis=1)
+            r = Xs - C[s][a]
+            tot += float(((r * Xs).sum(axis=1) / nrm) ** 2 @ np.ones(len(X)))
+        return tot
+
+    plain = _fit_codebooks(X, m=2, k=16, iters=10, seed=21)
+    aniso = _fit_codebooks_aniso(X, m=2, k=16, iters=10, seed=21, eta=8.0)
+    assert par_mse(aniso, 2) <= par_mse(plain, 2) * 1.001
