@@ -358,6 +358,7 @@ class SparkProject:
         lang_fractions: dict[str, float] | None = None,
         lang_allow: list[str] | None = None,
         near_dup_jaccard: float = 0.8,
+        strip_dup_spans_k: int | None = None,
         semantic_threshold: float | None = None,
         n_shards: int = 32,
         collect_report: bool = True,
@@ -375,6 +376,11 @@ class SparkProject:
            present) — embedding-cosine pairs blocked by IVF cluster
            (Σ|c|² candidate pairs, never N²; vec_id must align with
            doc_id); the higher id drops;
+        2c. exact-substring span stripping (`strip_dup_spans_k` set) —
+           detect cross-doc duplicated ≥k-token spans (Lee et al.
+           style) among the SURVIVING docs and rewrite their text
+           with the spans removed (boilerplate removal; doc count
+           unchanged, so no report row);
         3. decontamination — drop docs sharing 5-grams with
            `benchmark` (skipped when None);
         3b. PII masking of the surviving text (`redact=True`);
@@ -476,6 +482,18 @@ class SparkProject:
             docs = checkpoint(
                 "semantic_dedup", docs.join(sem_drop, "doc_id", "left_anti")
             )
+
+        # 2c. boilerplate span stripping (rewrites text, drops no docs)
+        if strip_dup_spans_k is not None:
+            from mcp_vector_search_spark.operators.dedup import (
+                duplicate_spans,
+                strip_duplicate_spans,
+            )
+
+            spans = duplicate_spans(
+                docs, k=strip_dup_spans_k, hash_fn="xxhash64"
+            )
+            docs = strip_duplicate_spans(docs, spans, k=strip_dup_spans_k)
 
         # 3. decontaminate
         if benchmark is not None:

@@ -504,3 +504,118 @@ def contaminated_docs(
             (F.coalesce("n_hits", F.lit(0)) > 0).alias("contaminated"),
         )
     )
+
+
+def duplicate_spans(
+    docs: DataFrame,
+    k: int = 50,
+    min_count: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """Cross-document duplicate SPANS — the Spark form of
+    exact-substring training-data dedup (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better": any
+    ≥k-token substring occurring more than once in the corpus is
+    duplicated text). The reference's whole-doc similarity join (J11)
+    can't see a boilerplate header shared by a million otherwise-
+    distinct pages; this operator marks the span itself.
+
+    The paper builds a corpus suffix array — inherently sequential.
+    The distributed equivalent: hash every k-token window, keep window
+    hashes occurring ≥ `min_count` times corpus-wide, then merge each
+    doc's surviving (overlapping or touching) windows into maximal
+    islands:
+
+        (doc_id, span_start, span_end, n_windows)   — 1-based token
+        positions, inclusive; every maximal duplicated region ≥ k
+        tokens appears as exactly one row.
+
+    100 TB shape: two shuffles, both on the window-hash key — the
+    HAVING-count aggregate (map-side combined) and the semi-join back;
+    the island merge is a doc-partitioned window, never global. The
+    shuffle carries (hash, doc_id, pos), never text. md5-of-window
+    (default) is the oracle-portable gate form; `hash_fn="xxhash64"`
+    is the production form (8-byte long keys halve the exchange) —
+    span-for-span equivalence of the two is pinned by a pytest.
+    """
+    from pyspark.sql.window import Window
+
+    hasher = {"md5": F.md5, "xxhash64": F.xxhash64}[hash_fn]
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"), tokenize(text_col).alias("toks")
+    )
+    # one hash per window start (1-based); docs shorter than k emit none
+    wins = toks.filter(F.size("toks") >= k).select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("toks") - k + 1),
+                lambda i: F.struct(
+                    i.alias("pos"),
+                    hasher(F.concat_ws(" ", F.slice("toks", i, k))).alias("wh"),
+                ),
+            )
+        ).alias("w"),
+    ).select("doc_id", F.col("w.pos").alias("pos"), F.col("w.wh").alias("wh"))
+
+    dup_hashes = (
+        wins.groupBy("wh").agg(F.count("*").alias("c")).filter(F.col("c") >= min_count)
+    )
+    dup_pos = wins.join(dup_hashes.select("wh"), "wh", "left_semi")
+
+    w_ord = Window.partitionBy("doc_id").orderBy("pos")
+    prev_end = F.max(F.col("pos") + (k - 1)).over(
+        w_ord.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = dup_pos.withColumn(
+        "new_island",
+        F.when(prev_end.isNull() | (F.col("pos") > prev_end), 1).otherwise(0),
+    ).withColumn(
+        "island",
+        F.sum("new_island").over(w_ord.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        flagged.groupBy("doc_id", "island")
+        .agg(
+            F.min("pos").cast("long").alias("span_start"),
+            (F.max("pos") + (k - 1)).cast("long").alias("span_end"),
+            F.count("*").cast("long").alias("n_windows"),
+        )
+        .drop("island")
+    )
+
+
+def strip_duplicate_spans(
+    docs: DataFrame,
+    spans: DataFrame,
+    k: int = 50,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Rebuild each doc's text with its duplicated spans removed —
+    the destructive half of exact-substring dedup (Lee et al. drop
+    the repeated occurrence; here every occurrence in a flagged span
+    is dropped, the conservative choice for boilerplate).
+
+    Output keeps the input schema with `text_col` rewritten from the
+    tokens OUTSIDE every flagged span (single-space joined — the
+    same canonicalization `normalized_text` applies). Docs with no
+    flagged span pass through with their text untouched.
+    """
+    agg = spans.groupBy(F.col(id_col).alias("_sid")).agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("_spans")
+    )
+    joined = docs.join(agg, docs[id_col] == agg["_sid"], "left")
+    toks = tokenize(text_col)
+    kept = F.filter(
+        F.transform(toks, lambda t, i: F.struct((i + 1).alias("p"), t.alias("t"))),
+        lambda s: ~F.exists(
+            F.col("_spans"),
+            lambda sp: (s["p"] >= sp["span_start"]) & (s["p"] <= sp["span_end"]),
+        ),
+    )
+    rebuilt = F.concat_ws(" ", F.transform(kept, lambda s: s["t"]))
+    out_text = F.when(F.col("_spans").isNull(), F.col(text_col)).otherwise(rebuilt)
+    return joined.withColumn(text_col, out_text).drop("_sid", "_spans")

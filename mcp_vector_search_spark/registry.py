@@ -1887,6 +1887,19 @@ def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+DUP_SPAN_K = 20  # window length for the dup-span gate (paper default
+# is 50; the synthetic docs median 56 tokens, so 20 keeps signal)
+
+
+def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplicate spans (operators/dedup.py:
+    duplicate_spans — Lee et al. 2022 style): maximal per-doc token
+    ranges whose every k-window hash repeats corpus-wide."""
+    from mcp_vector_search_spark.operators.dedup import duplicate_spans
+
+    return duplicate_spans(_docs(spark, sf_dir), k=DUP_SPAN_K)
+
+
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content-based language ID (functions/text.py:lang_id) —
     stopword-profile hit fractions + CJK codepoint fraction, fixed
@@ -2976,6 +2989,35 @@ SELECT doc_id, octet_length(encode(text))::BIGINT AS n_bytes,
        ascii(substr(text, 1, 1))::BIGINT AS first_byte
 FROM documents"""
 
+    _dk = DUP_SPAN_K
+    o["dup_spans"] = f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+w AS (SELECT doc_id, unnest(range(1, len(toks) - {_dk} + 2)) AS pos, toks
+      FROM t WHERE len(toks) >= {_dk}),
+h AS (SELECT doc_id, pos,
+             md5(array_to_string(toks[pos:pos + {_dk - 1}], ' ')) AS wh
+      FROM w),
+p AS (SELECT doc_id, pos FROM h
+      WHERE wh IN (SELECT wh FROM h GROUP BY wh HAVING count(*) >= 2)),
+i AS (SELECT doc_id, pos,
+        CASE WHEN max(pos + {_dk - 1}) OVER
+               (PARTITION BY doc_id ORDER BY pos
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+             OR pos > max(pos + {_dk - 1}) OVER
+               (PARTITION BY doc_id ORDER BY pos
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        THEN 1 ELSE 0 END AS ni
+      FROM p),
+s AS (SELECT doc_id, pos,
+        sum(ni) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          AS island
+      FROM i)
+SELECT doc_id, min(pos)::BIGINT AS span_start,
+       (max(pos) + {_dk - 1})::BIGINT AS span_end,
+       count(*)::BIGINT AS n_windows
+FROM s GROUP BY doc_id, island"""
+
     # lang_id: the stopword profiles / threshold / priority order are
     # rendered from the SAME constants the Spark expression uses, so
     # the two sides cannot drift.
@@ -3463,6 +3505,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "debt": q_debt,
     "embedding_stats": q_embedding_stats,
     "lang_id": q_lang_id,
+    "dup_spans": q_dup_spans,
 }
 
 ORACLE_SQL: dict[str, str] = _oracles()

@@ -233,3 +233,27 @@ def test_api_curate_lang_filter_stage(spark):
     _, report = p.curate_corpus(max_tokens=64, lang_allow=["en"], n_shards=1)
     rep = {r["stage"]: r["n_docs"] for r in report.collect()}
     assert rep["lang_filtered"] == 1  # only doc 1 survives
+
+
+def test_api_curate_strip_dup_spans_stage(spark):
+    """strip_dup_spans_k rewrites survivors' text with cross-doc
+    duplicated spans removed before packing."""
+    from mcp_vector_search_spark.api import SparkProject
+
+    shared = " ".join(f"boiler{i}" for i in range(25))
+    rows = [
+        (1, shared + " " + " ".join(f"aa{i}" for i in range(10)), "en"),
+        (2, shared + " " + " ".join(f"bb{i}" for i in range(10)), "en"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    p = SparkProject(spark, docs, docs.limit(0))
+    bins, report = p.curate_corpus(
+        max_tokens=64, strip_dup_spans_k=20, n_shards=1
+    )
+    rep = {r["stage"]: r["n_docs"] for r in report.collect()}
+    assert rep["near_dedup"] == 2  # nothing dropped, text rewritten
+    # whichever docs reach the train split carry only their unique
+    # tail — the shared boilerplate span is gone from every text
+    text = " ".join(r["text"] for r in bins.collect())
+    assert text and "boiler0" not in text
+    assert all(t.startswith(("aa", "bb")) for t in text.split())

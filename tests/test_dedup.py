@@ -82,3 +82,61 @@ def test_contaminated_docs_flags_exact_and_partial_overlap(spark):
     assert out[1]["contaminated"] and out[1]["n_hits"] >= 1
     assert out[3]["contaminated"]  # shares 'the quick brown fox jumps'
     assert not out[2]["contaminated"] and out[2]["n_hits"] == 0
+
+
+def _span_docs(spark):
+    shared = " ".join(f"boiler{i}" for i in range(25))
+    rows = [
+        (1, shared + " " + " ".join(f"aa{i}" for i in range(10))),
+        (2, shared + " " + " ".join(f"bb{i}" for i in range(10))),
+        (3, " ".join(f"cc{i}" for i in range(30))),  # unique, no spans
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_duplicate_spans_marks_shared_boilerplate(spark):
+    from mcp_vector_search_spark.operators.dedup import duplicate_spans
+
+    out = duplicate_spans(_span_docs(spark), k=20).collect()
+    spans = {(r.doc_id, r.span_start, r.span_end, r.n_windows) for r in out}
+    # shared 25-token prefix: windows 1..6 survive in BOTH docs and
+    # merge into one island [1, 25]; doc 3 emits nothing
+    assert spans == {(1, 1, 25, 6), (2, 1, 25, 6)}
+
+
+def test_duplicate_spans_within_doc_repeat(spark):
+    from mcp_vector_search_spark.operators.dedup import duplicate_spans
+
+    block = " ".join(f"rep{i}" for i in range(20))
+    mid = " ".join(f"mid{i}" for i in range(15))
+    df = spark.createDataFrame(
+        [(7, block + " " + mid + " " + block)], "doc_id long, text string"
+    )
+    out = duplicate_spans(df, k=20).collect()
+    # the two copies of the 20-token block are each exactly one
+    # window (positions 1 and 36); the separator keeps them apart
+    assert {(r.span_start, r.span_end) for r in out} == {(1, 20), (36, 55)}
+
+
+def test_duplicate_spans_xxhash64_equals_md5(spark):
+    from mcp_vector_search_spark.operators.dedup import duplicate_spans
+
+    docs = _span_docs(spark)
+    a = sorted(map(tuple, duplicate_spans(docs, k=20).collect()))
+    b = sorted(map(tuple, duplicate_spans(docs, k=20, hash_fn="xxhash64").collect()))
+    assert a == b
+
+
+def test_strip_duplicate_spans_removes_flagged_tokens(spark):
+    from mcp_vector_search_spark.operators.dedup import (
+        duplicate_spans,
+        strip_duplicate_spans,
+    )
+
+    docs = _span_docs(spark)
+    spans = duplicate_spans(docs, k=20)
+    out = {r.doc_id: r.text for r in strip_duplicate_spans(docs, spans).collect()}
+    assert out[1] == " ".join(f"aa{i}" for i in range(10))
+    assert out[2] == " ".join(f"bb{i}" for i in range(10))
+    # untouched doc keeps its ORIGINAL text verbatim
+    assert out[3] == " ".join(f"cc{i}" for i in range(30))
