@@ -88,9 +88,11 @@ def code_chunks_hierarchical(
     - decorators: the '@' lines immediately preceding a boundary are
       reported on the decorated chunk (they sit in the previous
       chunk's text — one chunk-level lag attaches them).
-    - params/return_type parse from single-line signatures;
-      signatures spanning lines yield empty params (documented
-      fallback-model limitation).
+    - params/return_type parse from the chunk's signature, folded
+      across lines until the paren balance closes — multi-line
+      signatures and nested-paren/bracket defaults parse to the same
+      param list the AST gives (round-4 envelope shrink; see
+      tests/test_ast_divergence.py for what still diverges).
     One shuffle (the per-doc groupBy), same as `code_chunks`.
     """
     lines = sources.select(
@@ -144,16 +146,86 @@ def code_chunks_hierarchical(
             ),
         ).getField("dec")
     )
-    sig = F.regexp_extract(first_stripped, r"\(([^)]*)\)", 1)
-    has_closed_sig = first_stripped.rlike(r"\)")
+    # Collapse the (possibly multi-line) signature into one line: fold
+    # the chunk's lines, accumulating until the paren balance closes on
+    # a header that saw a '(' (or a ':' line for paren-less `class A:`).
+    # Recovers full params/return_type for signatures spanning lines —
+    # the largest divergence from real AST parsing in rounds ≤3.
+    def _sig_step(acc, x):
+        stripped_x = F.trim(x)
+        opens = F.length(x) - F.length(F.regexp_replace(x, r"\(", ""))
+        closes = F.length(x) - F.length(F.regexp_replace(x, r"\)", ""))
+        take = acc.getField("act")
+        bal2 = acc.getField("bal") + opens - closes
+        seen2 = acc.getField("seen") | (opens > 0)
+        sig2 = F.when(
+            take,
+            F.when(acc.getField("sig") == "", stripped_x).otherwise(
+                F.concat(acc.getField("sig"), F.lit(" "), stripped_x)
+            ),
+        ).otherwise(acc.getField("sig"))
+        done = (bal2 <= 0) & (seen2 | stripped_x.endswith(":"))
+        return F.struct(
+            (take & ~done).alias("act"),
+            F.when(take, bal2).otherwise(acc.getField("bal")).alias("bal"),
+            F.when(take, seen2).otherwise(acc.getField("seen")).alias("seen"),
+            sig2.alias("sig"),
+        )
+
+    sig_line = F.aggregate(
+        "_lines",
+        F.struct(
+            F.lit(True).alias("act"),
+            F.lit(0).alias("bal"),
+            F.lit(False).alias("seen"),
+            F.lit("").alias("sig"),
+        ),
+        _sig_step,
+    ).getField("sig")
+    # params substring: greedy up to the ')' that precedes '->' (when a
+    # return annotation exists) or the final '):' — nested parens in
+    # defaults stay inside the capture
+    has_ret = sig_line.rlike(r"->\s*[^:]+:")
+    params_raw = F.when(
+        has_ret, F.regexp_extract(sig_line, r"\((.*)\)\s*->\s*[^:]+:", 1)
+    ).otherwise(F.regexp_extract(sig_line, r"\((.*)\)\s*:", 1))
+
+    # balance-aware comma split: `x=(1, 2)` / `y=[1, 2]` stay single
+    # params (a naive split(',') breaks them — AST-parity fixture)
+    def _split_step(acc, t):
+        opens = F.length(t) - F.length(F.regexp_replace(t, r"[(\[{]", ""))
+        closes = F.length(t) - F.length(F.regexp_replace(t, r"[)\]}]", ""))
+        cur2 = F.when(acc.getField("cur") == "", t).otherwise(
+            F.concat(acc.getField("cur"), F.lit(","), t)
+        )
+        bal2 = acc.getField("bal") + opens - closes
+        flush = bal2 <= 0
+        return F.struct(
+            F.when(flush, F.concat(acc.getField("parts"), F.array(F.trim(cur2))))
+            .otherwise(acc.getField("parts"))
+            .alias("parts"),
+            F.when(flush, F.lit("")).otherwise(cur2).alias("cur"),
+            F.when(flush, F.lit(0)).otherwise(bal2).alias("bal"),
+        )
+
     params = F.when(
-        is_def & has_closed_sig,
-        F.filter(
-            F.transform(F.split(sig, ","), lambda p: F.trim(p)), lambda p: p != ""
+        is_def,
+        F.aggregate(
+            F.split(params_raw, ","),
+            F.struct(
+                F.array().cast("array<string>").alias("parts"),
+                F.lit("").alias("cur"),
+                F.lit(0).alias("bal"),
+            ),
+            _split_step,
+            lambda acc: F.filter(
+                F.concat(acc.getField("parts"), F.array(F.trim(acc.getField("cur")))),
+                lambda p: p != "",
+            ),
         ),
     ).otherwise(F.array().cast("array<string>"))
     return_type = F.when(
-        is_def, F.trim(F.regexp_extract(first_stripped, r"->\s*([^:]+):", 1))
+        is_def, F.trim(F.regexp_extract(sig_line, r"->\s*([^:]+):", 1))
     ).otherwise(F.lit(""))
 
     typed = grouped.select(

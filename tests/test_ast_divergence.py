@@ -6,7 +6,8 @@ executable documentation, not folklore. Summary (also in COVERAGE.md):
 
 | case                              | tree-sitter          | this repo             |
 |-----------------------------------|----------------------|-----------------------|
-| multiline signature params        | full param list      | name yes, params []   |
+| multiline signature params        | full param list      | full param list (r4:  |
+|                                   |                      | balance-fold — parity)|
 | `def` at col 0 inside docstring   | no chunk             | FALSE chunk boundary  |
 | decorated nested (depth≥2) def    | own node             | merged into parent    |
 | conditional C macro function      | ifdef-aware          | both branches chunked |
@@ -27,10 +28,12 @@ def _chunks(spark, src: str):
     return code_chunks_hierarchical(df).orderBy("chunk_no").collect()
 
 
-def test_multiline_signature_params_are_empty(spark):
-    """Tree-sitter reads the full AST param list; the line-regex model
-    only parses single-line signatures. Boundary + name survive,
-    params do not — the documented fallback envelope."""
+def test_multiline_signature_params_recovered(spark):
+    """Round ≤3 divergence, CLOSED in round 4: the signature is folded
+    across lines until its paren balance closes, so multi-line
+    signatures now parse to the same param list / return type the AST
+    gives. Kept here (not in test_ast_parity) as the record of the
+    envelope shrinking."""
     src = (
         "def long_sig(\n"
         "    first: int,\n"
@@ -43,10 +46,24 @@ def test_multiline_signature_params_are_empty(spark):
     )
     rows = {r.name: r for r in _chunks(spark, src) if r.name}
     assert set(rows) == {"long_sig", "short_sig"}  # boundaries: parity
-    assert rows["long_sig"].params == []  # DIVERGES from AST
-    assert rows["long_sig"].return_type == ""  # '->' on a later line
+    assert rows["long_sig"].params == ["first: int", "second: str = 'x'"]
+    assert rows["long_sig"].return_type == "bool"
     assert rows["short_sig"].params == ["a: int"]  # single-line: parity
     assert rows["short_sig"].return_type == "int"
+
+
+def test_nested_paren_defaults_stay_one_param(spark):
+    """`x=(1, 2)` / `y=[1, 2]` must not split at their inner commas —
+    the balance-aware split matches the AST param boundaries."""
+    src = (
+        "def f(x=(1, 2), y=[3, 4], z={'a': 1}, w: int = 5) -> dict:\n"
+        "    return {}\n"
+    )
+    rows = {r.name: r for r in _chunks(spark, src) if r.name}
+    assert rows["f"].params == [
+        "x=(1, 2)", "y=[3, 4]", "z={'a': 1}", "w: int = 5"
+    ]
+    assert rows["f"].return_type == "dict"
 
 
 def test_docstring_def_is_a_false_boundary(spark):

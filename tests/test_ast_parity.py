@@ -96,18 +96,23 @@ def test_python_fixture_decorators(spark):
 
 
 def test_python_fixture_signatures(spark):
-    """Param + return-type parity for single-line signatures; the
-    regex model's documented gap (multi-line signatures → empty
-    params, name still extracted) is asserted explicitly."""
+    """Param + return-type parity for single-line AND multi-line
+    signatures (the latter recovered by the round-4 balance fold)."""
     chunks = _py_chunks(spark)
     assert chunks["simple_function"].params == ["name: str"]
     assert chunks["simple_function"].return_type == "str"
     assert chunks["calculate_grade"].params == ["score: int", "bonus: int = 0"]
     assert chunks["is_adult"].return_type == "bool"
     assert chunks["validate_email"].params == ["email: str"]
-    # documented limitation: signature spans lines → no params, but
-    # the chunk itself (name/type/parent) is still correct
-    assert chunks["update_profile"].params == []
+    # multi-line signature: folded across lines (round 4) — full
+    # param/return parity with the AST view of the same fixture
+    assert chunks["update_profile"].params == [
+        "self",
+        "name: str | None = None",
+        "age: int | None = None",
+        "email: str | None = None",
+    ]
+    assert chunks["update_profile"].return_type == "None"
     assert chunks["update_profile"].chunk_type == "method"
 
 
