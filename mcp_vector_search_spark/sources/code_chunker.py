@@ -101,9 +101,27 @@ def code_chunks_hierarchical(
     )
     stripped = F.regexp_replace("line", r"^[ \t]+", "")
     w = Window.partitionBy("doc_id").orderBy("pos")
+    # triple-quote parity: a `def `/`class ` line is NOT a boundary
+    # while an odd number of ''' / \"\"\" markers precede it (it's
+    # docstring TEXT, the round-≤3 phantom-chunk divergence). A
+    # prefix-sum of per-line marker counts is exact for the dominant
+    # docstring shape; a line mixing both quote styles to open one
+    # string inside the other remains out of envelope (pinned in
+    # tests/test_ast_divergence.py).
+    trip_marks = F.size(F.split(F.col("line"), "'''|\"\"\"")) - 1
+    in_string = (
+        F.coalesce(
+            F.sum(trip_marks).over(w.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        )
+        % 2
+        == 1
+    )
     flagged = lines.withColumn(
         "chunk_no",
-        F.sum(F.when(F.col("line").rlike(HIER_BOUNDARY_RE), 1).otherwise(0)).over(w),
+        F.sum(
+            F.when(F.col("line").rlike(HIER_BOUNDARY_RE) & ~in_string, 1).otherwise(0)
+        ).over(w),
     )
     sorted_lines = F.transform(
         F.array_sort(F.collect_list(F.struct("pos", "line"))),

@@ -8,7 +8,10 @@ executable documentation, not folklore. Summary (also in COVERAGE.md):
 |-----------------------------------|----------------------|-----------------------|
 | multiline signature params        | full param list      | full param list (r4:  |
 |                                   |                      | balance-fold — parity)|
-| `def` at col 0 inside docstring   | no chunk             | FALSE chunk boundary  |
+| `def` at col 0 inside docstring   | no chunk             | no chunk (r4: quote-  |
+|                                   |                      | parity — parity)      |
+| mixed ''' / \"\"\" on one line    | tracks real nesting  | marker-count parity   |
+|                                   |                      | can mis-suppress      |
 | decorated nested (depth≥2) def    | own node             | merged into parent    |
 | conditional C macro function      | ifdef-aware          | both branches chunked |
 | one-line `def f(): return x`      | body captured        | same chunk, works     |
@@ -66,10 +69,10 @@ def test_nested_paren_defaults_stay_one_param(spark):
     assert rows["f"].return_type == "dict"
 
 
-def test_docstring_def_is_a_false_boundary(spark):
-    """A column-0 'def ' line inside a triple-quoted string is source
-    TEXT to tree-sitter but a boundary to the regex model. Pinned as a
-    known false positive: the phantom chunk exists."""
+def test_docstring_def_suppressed_by_quote_parity(spark):
+    """Round ≤3 divergence, CLOSED in round 4: a 'def ' line inside a
+    triple-quoted string is suppressed by the quote-parity prefix sum
+    — no phantom chunk, matching the AST view."""
     src = (
         "DOC = '''usage:\n"
         "def not_code(x):\n"
@@ -79,8 +82,23 @@ def test_docstring_def_is_a_false_boundary(spark):
         "    return x\n"
     )
     names = [r.name for r in _chunks(spark, src) if r.name]
-    # tree-sitter would produce ['real'] only
-    assert names == ["not_code", "real"]  # DIVERGES: phantom chunk
+    assert names == ["real"]  # parity: the docstring def is text
+
+
+def test_mixed_quote_styles_remain_out_of_envelope(spark):
+    """Still-open divergence, pinned: a line opening a '''-string
+    whose body contains an unmatched \"\"\" flips the parity counter,
+    so the def AFTER the string is wrongly suppressed. Tree-sitter
+    tracks real string nesting; the prefix-sum model counts markers."""
+    src = (
+        "DOC = '''one \"\"\" inside'''\n"
+        "def after(x):\n"
+        "    return x\n"
+    )
+    names = [r.name for r in _chunks(spark, src) if r.name]
+    # tree-sitter: ['after']; marker parity sees 3 marks → odd → the
+    # def is swallowed into the module chunk
+    assert names == []  # DIVERGES: suppressed by mixed-style count
 
 
 def test_decorated_deeply_nested_def_stays_in_parent(spark):
