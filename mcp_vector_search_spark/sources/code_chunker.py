@@ -83,8 +83,10 @@ def code_chunks_hierarchical(
     → (doc_id, chunk_no, depth, chunk_type, name, parent, decorators,
        params, return_type, n_lines, chunk_text)
 
-    - depth 0 = top level, 1 = indented (class members); deeper
-      nesting stays inside its parent chunk.
+    - depth = TRUE nesting depth from a monotonic indent stack over
+      the preceding chunks (round 4); parent = the real enclosing
+      scope (class OR function), and method/function classification
+      follows the enclosing scope's kind, matching the AST view.
     - decorators: the '@' lines immediately preceding a boundary are
       reported on the decorated chunk (they sit in the previous
       chunk's text — one chunk-level lag attaches them).
@@ -134,13 +136,14 @@ def code_chunks_hierarchical(
     )
     first_stripped = F.regexp_replace("_first", r"^[ \t]+", "")
     indent = F.length("_first") - F.length(first_stripped)
-    depth = F.when(F.col("chunk_no") == 0, 0).when(indent == 0, 0).otherwise(1)
     is_def = first_stripped.rlike(r"^(async )?def ")
-    chunk_type = (
+    # opener kind straight from the boundary line; the final
+    # method-vs-function decision needs the nearest-ancestor kind and
+    # happens after the indent-stack fold below
+    pre_type = (
         F.when(F.col("chunk_no") == 0, "module")
         .when(first_stripped.startswith("class "), "class")
-        .when(is_def & (depth > 0), "method")
-        .when(is_def, "function")
+        .when(is_def, "def")
         .otherwise("module")
     )
     # longest suffix of this chunk's lines that are decorator lines —
@@ -249,8 +252,8 @@ def code_chunks_hierarchical(
     typed = grouped.select(
         "doc_id",
         "chunk_no",
-        depth.alias("depth"),
-        chunk_type.alias("chunk_type"),
+        indent.alias("_indent"),
+        pre_type.alias("_pre_type"),
         F.regexp_extract(first_stripped, HIER_NAME_RE, 1).alias("name"),
         trail_dec.alias("_trail_dec"),
         params.alias("params"),
@@ -259,17 +262,55 @@ def code_chunks_hierarchical(
         F.array_join("_lines", "\n").alias("chunk_text"),
     )
     wc = Window.partitionBy("doc_id").orderBy("chunk_no")
-    prev = wc.rowsBetween(Window.unboundedPreceding, -1)
-    last_top = F.last(
-        F.when(F.col("depth") == 0, F.col("name")), ignorenulls=True
-    ).over(prev)
+    # True nesting (round 4 — tree-sitter emits full depth + the REAL
+    # enclosing scope as parent): walk the preceding chunks nearest-
+    # first keeping a monotonic indent stack — each strictly-smaller
+    # indent is one enclosing scope. depth = stack size, parent = the
+    # nearest scope, parent kind decides method (class scope) vs
+    # function (def scope / nested closure). The collected prefix is
+    # O(chunks-per-file) per row — bounded by file size, never global.
+    prevs = F.collect_list(
+        F.struct("chunk_no", "_indent", "name", "_pre_type")
+    ).over(wc.rowsBetween(Window.unboundedPreceding, -1))
+
+    def _stack_step(acc, s):
+        is_anc = (s.getField("_pre_type") != "module") & (
+            s.getField("_indent") < acc.getField("min")
+        )
+        return F.struct(
+            F.when(is_anc, s.getField("_indent")).otherwise(acc.getField("min")).alias("min"),
+            F.when(is_anc, acc.getField("depth") + 1).otherwise(acc.getField("depth")).alias("depth"),
+            F.coalesce(
+                acc.getField("parent"), F.when(is_anc, s.getField("name"))
+            ).alias("parent"),
+            F.coalesce(
+                acc.getField("ptype"), F.when(is_anc, s.getField("_pre_type"))
+            ).alias("ptype"),
+        )
+
+    anc = F.aggregate(
+        F.reverse(prevs),
+        F.struct(
+            F.col("_indent").alias("min"),
+            F.lit(0).alias("depth"),
+            F.lit(None).cast("string").alias("parent"),
+            F.lit(None).cast("string").alias("ptype"),
+        ),
+        _stack_step,
+    )
+    chunk_type = (
+        F.when(F.col("_pre_type") == "module", "module")
+        .when(F.col("_pre_type") == "class", "class")
+        .when(anc.getField("ptype") == "class", "method")
+        .otherwise("function")
+    )
     return typed.select(
         "doc_id",
         "chunk_no",
-        "depth",
-        "chunk_type",
+        anc.getField("depth").alias("depth"),
+        chunk_type.alias("chunk_type"),
         "name",
-        F.when(F.col("depth") > 0, last_top).alias("parent"),
+        anc.getField("parent").alias("parent"),
         F.coalesce(F.lag("_trail_dec").over(wc), F.array().cast("array<string>")).alias(
             "decorators"
         ),

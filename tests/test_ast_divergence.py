@@ -12,7 +12,8 @@ executable documentation, not folklore. Summary (also in COVERAGE.md):
 |                                   |                      | parity — parity)      |
 | mixed ''' / \"\"\" on one line    | tracks real nesting  | marker-count parity   |
 |                                   |                      | can mis-suppress      |
-| decorated nested (depth≥2) def    | own node             | merged into parent    |
+| decorated nested (depth≥2) def    | own node, true depth | own node, true depth  |
+|                                   |                      | (r4: indent stack)    |
 | conditional C macro function      | ifdef-aware          | both branches chunked |
 | one-line `def f(): return x`      | body captured        | same chunk, works     |
 """
@@ -101,11 +102,11 @@ def test_mixed_quote_styles_remain_out_of_envelope(spark):
     assert names == []  # DIVERGES: suppressed by mixed-style count
 
 
-def test_decorated_deeply_nested_def_stays_in_parent(spark):
-    """Depth ≥ 2 defs (a decorated method of a class nested inside a
-    class) do not open their own chunk — they stay inside the
-    depth-1 parent's text. Tree-sitter would emit a node with its own
-    decorator; here the decorator stays embedded in the parent text."""
+def test_decorated_deeply_nested_def_true_nesting(spark):
+    """Round ≤3 divergence, CLOSED in round 4: the monotonic indent
+    stack recovers TRUE depth and the real enclosing scope, so a
+    decorated method of a nested class reports depth 2 with parent
+    Inner — the AST view."""
     src = (
         "class Outer:\n"
         "    class Inner:\n"
@@ -116,16 +117,30 @@ def test_decorated_deeply_nested_def_stays_in_parent(spark):
         "        return 2\n"
     )
     rows = _chunks(spark, src)
-    names = [r.name for r in rows if r.name]
-    # Inner IS a boundary (depth clamps to 1) and `deep` too — the
-    # regex model flattens nesting rather than dropping chunks; what
-    # diverges is the DEPTH (tree-sitter: 2) and the parent link
-    # (tree-sitter: Inner; here: the last depth-0 chunk, Outer)
-    assert "deep" in names and "shallow" in names
     deep = next(r for r in rows if r.name == "deep")
-    assert deep.depth == 1  # DIVERGES: real depth is 2
-    assert deep.parent == "Outer"  # DIVERGES: real parent is Inner
+    assert deep.depth == 2 and deep.parent == "Inner"  # parity
+    assert deep.chunk_type == "method"
     assert deep.decorators == ["@cached"]  # decorator attach: parity
+    shallow = next(r for r in rows if r.name == "shallow")
+    assert shallow.depth == 1 and shallow.parent == "Outer"
+    inner = next(r for r in rows if r.name == "Inner")
+    assert inner.depth == 1 and inner.parent == "Outer"
+
+
+def test_nested_closure_is_function_not_method(spark):
+    """A def nested inside a def is a FUNCTION (closure) with the
+    enclosing function as parent — the enclosing-scope-kind rule,
+    matching tree-sitter's node types."""
+    src = (
+        "def outer():\n"
+        "    def inner():\n"
+        "        return 1\n"
+        "    return inner\n"
+    )
+    rows = _chunks(spark, src)
+    inner = next(r for r in rows if r.name == "inner")
+    assert inner.chunk_type == "function"  # NOT method
+    assert inner.parent == "outer" and inner.depth == 1
 
 
 def test_c_macro_conditional_functions_both_chunked(spark):
