@@ -86,6 +86,57 @@ def stratified_sample(
     return docs.filter(_uniform(F.col(id_col), salt) < frac)
 
 
+def token_mixture_sample(
+    docs: DataFrame,
+    weights: dict[str, float],
+    token_budget: int,
+    strata_col: str = "lang",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    salt: str = "mix",
+) -> DataFrame:
+    """Domain-mixture sampling to a TOKEN budget (the data-mixing step
+    of LLM corpus assembly — DoReMi/The-Pile-style domain weights, but
+    deterministic): downsample each domain so its share of the kept
+    TOKENS matches `weights`, summing to ≈ `token_budget`.
+
+    Per-domain keep fraction f_d = min(1, budget·w_d / Σw / T_d) where
+    T_d is the domain's current token total (one tiny aggregate — rows
+    = |domains|, the only driver pull); membership is the same
+    md5-uniform rule every sampler here uses, so the kept SET is a
+    pure function of (corpus, weights, budget, salt) and the SQL
+    oracle replays it exactly. Kept tokens per domain equal the target
+    in expectation (per-doc token counts vary around the mean); an
+    exact-cut variant would range-sort each domain by hash and take a
+    running-sum prefix — one extra shuffle, same determinism — worth
+    it only when the budget must bind hard.
+
+    A domain absent from `weights` is dropped (weight 0). Returns the
+    filtered docs unchanged in schema.
+    """
+    from mcp_vector_search_spark.functions.text import token_count
+
+    tot = {
+        r["d"]: float(r["t"])
+        for r in docs.groupBy(F.col(strata_col).alias("d"))
+        .agg(F.sum(token_count(text_col)).alias("t"))
+        .collect()
+    }
+    wsum = sum(weights.values())
+    fractions = {}
+    for d, w in weights.items():
+        target = token_budget * w / wsum
+        fractions[d] = min(1.0, target / tot[d]) if tot.get(d) else 0.0
+    return stratified_sample(
+        docs,
+        fractions,
+        strata_col=strata_col,
+        id_col=id_col,
+        default_fraction=0.0,
+        salt=salt,
+    )
+
+
 def weighted_downsample(
     docs: DataFrame,
     weight_col: Column | str,

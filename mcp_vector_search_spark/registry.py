@@ -1887,6 +1887,27 @@ def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MIX_WEIGHTS = {"en": 0.5, "es": 0.2, "de": 0.2, "fr": 0.1}  # zh: weight 0
+MIX_BUDGET = 10_000  # tokens
+
+
+def q_token_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget domain mixing (operators/sampling.py:
+    token_mixture_sample): downsample each lang so kept tokens match
+    the target mixture. The keep fractions derive from per-domain
+    token totals with the SAME float op order on both engines, so the
+    md5-uniform membership — and therefore these per-lang counts —
+    replay exactly."""
+    from mcp_vector_search_spark.functions.text import token_count
+    from mcp_vector_search_spark.operators.sampling import token_mixture_sample
+
+    kept = token_mixture_sample(_docs(spark, sf_dir), MIX_WEIGHTS, MIX_BUDGET)
+    return kept.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(token_count("text")).cast("long").alias("sum_tokens"),
+    )
+
+
 DUP_SPAN_K = 20  # window length for the dup-span gate (paper default
 # is 50; the synthetic docs median 56 tokens, so 20 keeps signal)
 
@@ -3360,6 +3381,21 @@ WITH s AS (
   FROM documents)
 SELECT * FROM s"""
 
+    _mix_vals = ", ".join(
+        f"('{k}', {v!r})" for k, v in MIX_WEIGHTS.items()
+    )
+    _mix_wsum = repr(sum(MIX_WEIGHTS.values()))
+    o["token_mixture"] = f"""
+WITH tot AS (SELECT lang, sum(len({_TOKS}))::DOUBLE AS t
+             FROM documents GROUP BY lang),
+f AS (SELECT lang, least(1.0, ({MIX_BUDGET} * w / {_mix_wsum}) / t) AS frac
+      FROM tot JOIN (VALUES {_mix_vals}) AS wt(lang, w) USING (lang)),
+k AS (SELECT d.doc_id, d.lang, len({_TOKS}) AS ntok
+      FROM documents d JOIN f USING (lang)
+      WHERE {_u('mix')} < frac)
+SELECT lang, count(*)::BIGINT AS n_docs, sum(ntok)::BIGINT AS sum_tokens
+FROM k GROUP BY lang"""
+
     _pack_ctes = f"""WITH RECURSIVE
 pt AS (SELECT doc_id, len({_TOKS})::BIGINT AS tok,
               (('0x' || substr(md5(doc_id::VARCHAR || '#pack'), 1, 6))::BIGINT
@@ -3506,6 +3542,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_stats": q_embedding_stats,
     "lang_id": q_lang_id,
     "dup_spans": q_dup_spans,
+    "token_mixture": q_token_mixture,
 }
 
 ORACLE_SQL: dict[str, str] = _oracles()

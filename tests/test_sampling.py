@@ -143,3 +143,43 @@ def test_shuffle_corpus_is_reproducible_global_permutation(spark):
     a = [r["doc_id"] for r in shuffle_corpus(docs, 4).collect()]
     b = [r["doc_id"] for r in shuffle_corpus(docs, 4, salt="epoch2").collect()]
     assert sorted(a) == sorted(b) and a != b
+
+
+def test_token_mixture_sample_hits_budget_shares(spark):
+    """Kept tokens per domain track weight·budget in expectation, a
+    weight-0 domain drops entirely, and an under-budget domain is
+    kept whole (fraction clamps at 1)."""
+    from pyspark.sql import functions as F
+
+    from mcp_vector_search_spark.functions.text import token_count
+    from mcp_vector_search_spark.operators.sampling import token_mixture_sample
+
+    rows = []
+    did = 0
+    for dom, n_docs in (("a", 400), ("b", 400), ("c", 50), ("drop", 100)):
+        for _ in range(n_docs):
+            rows.append((did, " ".join(f"w{did}x{j}" for j in range(10)), dom))
+            did += 1
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    # totals: a=4000, b=4000, c=500, drop=1000 tokens
+    kept = token_mixture_sample(
+        docs, {"a": 0.5, "b": 0.25, "c": 0.25}, token_budget=2000
+    )
+    by = {
+        r["lang"]: r["t"]
+        for r in kept.groupBy("lang")
+        .agg(F.sum(token_count("text")).alias("t"))
+        .collect()
+    }
+    assert "drop" not in by
+    # targets: a=1000, b=500, c=500→clamped to its 500 total (all kept)
+    assert by["c"] == 500
+    assert abs(by["a"] - 1000) < 250  # md5-uniform sampling noise
+    assert abs(by["b"] - 500) < 200
+    # deterministic: same inputs → identical kept set
+    again = token_mixture_sample(
+        docs, {"a": 0.5, "b": 0.25, "c": 0.25}, token_budget=2000
+    )
+    assert sorted(r.doc_id for r in kept.collect()) == sorted(
+        r.doc_id for r in again.collect()
+    )
