@@ -493,7 +493,7 @@ class SparkProject:
             spans = duplicate_spans(
                 docs, k=strip_dup_spans_k, hash_fn="xxhash64"
             )
-            docs = strip_duplicate_spans(docs, spans, k=strip_dup_spans_k)
+            docs = strip_duplicate_spans(docs, spans)
 
         # 3. decontaminate
         if benchmark is not None:

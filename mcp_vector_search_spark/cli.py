@@ -8,7 +8,10 @@ surface the MCP adapter exposes and prints one JSON document.
     python -m mcp_vector_search_spark.cli list-tools
 
 Unknown --args are passed through as strings (each tool validates its
-own contract); ints parse when they look like ints.
+own contract); values that look like ints or floats are coerced.
+Prefix a value with ``str:`` to force it through as a string — the
+escape hatch for numeric-looking strings (all-digit commit shas,
+numeric search queries): ``--commit-sha str:4213458``.
 """
 
 from __future__ import annotations
@@ -19,6 +22,8 @@ import sys
 
 
 def _coerce(v: str):
+    if v.startswith("str:"):  # forced string, e.g. an all-digit sha
+        return v[4:]
     if v.lstrip("-").isdigit():
         return int(v)
     try:

@@ -40,10 +40,18 @@ def normalized_text(text: Column | str) -> Column:
     return F.array_join(tokenize(text), " ")
 
 
+def fingerprint_from_tokens(tokens: Column) -> Column:
+    """The token-array core of `doc_fingerprint`, for callers that
+    already hold the tokenized array (single-scan plans must not
+    re-tokenize — and must not re-implement this inline, or the gate
+    and the operator can drift)."""
+    return F.md5(F.array_join(tokens, " "))
+
+
 def doc_fingerprint(text: Column | str) -> Column:
     """Deterministic content fingerprint (reference: sha256 chunk ids,
     ``core/models.py:292-303``). md5 here: portable to every SQL oracle."""
-    return F.md5(normalized_text(text))
+    return fingerprint_from_tokens(tokenize(text))
 
 
 def word_ngrams(tokens: Column, n: int) -> Column:

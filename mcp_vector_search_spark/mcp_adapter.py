@@ -179,6 +179,13 @@ class McpAdapter:
     # ----------------------------------------------------- dispatch
 
     def call_tool(self, name: str, arguments: dict | None = None) -> dict:
+        # a hostile/malformed frame must produce a structured error,
+        # never an exception that could kill a serving loop
+        if arguments is not None and not isinstance(arguments, dict):
+            return {
+                "ok": False,
+                "error": f"arguments must be an object, got {type(arguments).__name__}",
+            }
         args = dict(arguments or {})
         if name not in TOOL_SCHEMAS:
             return {"ok": False, "error": f"unknown tool: {name}"}

@@ -76,11 +76,10 @@ def handle_message(adapter: McpAdapter, msg: dict) -> dict | None:
         return _error(None, INVALID_REQUEST, "not a JSON-RPC 2.0 message")
     method = msg.get("method")
     msg_id = msg.get("id")
-    is_notification = "id" not in msg
 
-    if method == "notifications/initialized" or (
-        isinstance(method, str) and method.startswith("notifications/")
-    ):
+    # a message without an id is a notification: per JSON-RPC 2.0 it
+    # MUST NOT be answered, whatever its method — drop before dispatch
+    if "id" not in msg:
         return None
 
     if method == "initialize":
@@ -101,7 +100,10 @@ def handle_message(adapter: McpAdapter, msg: dict) -> dict | None:
         name = params.get("name")
         if not isinstance(name, str):
             return _error(msg_id, INVALID_PARAMS, "params.name (string) required")
-        payload = adapter.call_tool(name, params.get("arguments"))
+        try:
+            payload = adapter.call_tool(name, params.get("arguments"))
+        except Exception as e:  # last resort: one bad call ≠ dead server
+            payload = {"ok": False, "error": f"{type(e).__name__}: {e}"}
         return _result(
             msg_id,
             {
@@ -109,8 +111,6 @@ def handle_message(adapter: McpAdapter, msg: dict) -> dict | None:
                 "isError": not payload.get("ok", False),
             },
         )
-    if is_notification:
-        return None  # unknown notifications are dropped, not errored
     return _error(msg_id, METHOD_NOT_FOUND, f"unknown method: {method}")
 
 

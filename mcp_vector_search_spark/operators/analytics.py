@@ -100,13 +100,20 @@ def quality_score(
                           + 0.2·min(n_tokens, 100))
     """
     toks = tokenize(text_col)
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        quality_expr(toks, text_col).alias("quality"),
+    )
+
+
+def quality_expr(toks, text_col) -> "F.Column":
+    """The ONE definition of the F15 quality formula as a column over
+    a pre-tokenized array — shared by `quality_score` and the
+    single-scan `text_quality` gate so the two cannot drift."""
     raw = (
         F.lit(50.0)
         + F.lit(30.0) * distinct_token_ratio(toks)
         - F.lit(100.0) * punct_ratio(text_col)
         + F.lit(0.2) * F.least(F.size(toks), F.lit(100)).cast("double")
     )
-    return docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.round(F.greatest(F.lit(0.0), F.least(F.lit(100.0), raw)), 4).alias("quality"),
-    )
+    return F.round(F.greatest(F.lit(0.0), F.least(F.lit(100.0), raw)), 4)

@@ -418,7 +418,7 @@ def embedding_near_dups_multiprobe(
     BEFORE the cosine is computed."""
     from pyspark.sql.window import Window
 
-    from mcp_vector_search_spark.functions.vectors import dot, l2_norm, unit_expr
+    from mcp_vector_search_spark.functions.vectors import l2_norm, unit_expr
 
     eu = vectors.withColumn("_nrm", l2_norm(F.col(vec_col))).select(
         F.col(id_col).alias("_id"),
@@ -431,7 +431,11 @@ def embedding_near_dups_multiprobe(
     aw = Window.partitionBy("_id").orderBy(F.desc("_cs"), F.asc("cluster_id"))
     probes = (
         eu.join(F.broadcast(cents))
-        .withColumn("_cs", F.round(dot(F.col("_u"), F.col("_cu")), 9))
+        # cosine (NOT raw dot): ivf_build centroids are cluster MEANS
+        # with varying norms — a raw dot would rank tight clusters
+        # over genuinely-nearer diffuse ones. cosine_sim normalizes
+        # both sides, the same round-9 rule as ivf_topk_batch's probes.
+        .withColumn("_cs", F.round(cosine_sim(F.col("_u"), F.col("_cu")), 9))
         .withColumn("_rn", F.row_number().over(aw))
         .filter(F.col("_rn") <= nprobe)
         .select("_id", "cluster_id")
@@ -569,9 +573,12 @@ def duplicate_spans(
     prev_end = F.max(F.col("pos") + (k - 1)).over(
         w_ord.rowsBetween(Window.unboundedPreceding, -1)
     )
+    # an island continues while spans overlap OR touch: a window at
+    # prev_end+1 starts exactly where the previous span stopped, so
+    # the duplicated region is contiguous and must stay one row
     flagged = dup_pos.withColumn(
         "new_island",
-        F.when(prev_end.isNull() | (F.col("pos") > prev_end), 1).otherwise(0),
+        F.when(prev_end.isNull() | (F.col("pos") > prev_end + 1), 1).otherwise(0),
     ).withColumn(
         "island",
         F.sum("new_island").over(w_ord.rowsBetween(Window.unboundedPreceding, 0)),
@@ -590,7 +597,6 @@ def duplicate_spans(
 def strip_duplicate_spans(
     docs: DataFrame,
     spans: DataFrame,
-    k: int = 50,
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
@@ -603,8 +609,12 @@ def strip_duplicate_spans(
     tokens OUTSIDE every flagged span (single-space joined — the
     same canonicalization `normalized_text` applies). Docs with no
     flagged span pass through with their text untouched.
+
+    `spans` is `duplicate_spans` output, whose id column is always
+    named ``doc_id`` (whatever `id_col` the detector was given);
+    `id_col` here names the column in `docs`.
     """
-    agg = spans.groupBy(F.col(id_col).alias("_sid")).agg(
+    agg = spans.groupBy(F.col("doc_id").alias("_sid")).agg(
         F.collect_list(F.struct("span_start", "span_end")).alias("_spans")
     )
     joined = docs.join(agg, docs[id_col] == agg["_sid"], "left")

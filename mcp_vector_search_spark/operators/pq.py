@@ -234,6 +234,8 @@ def opq_rotation(X, m: int):
     import numpy as np
 
     n, d = X.shape
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
     dsub = d // m
     lam, U = np.linalg.eigh(np.cov(X, rowvar=False))
     order = np.argsort(lam)[::-1]

@@ -381,9 +381,11 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         doc_lines,
         dup_line_fraction,
         ellipsis_line_fraction,
+        fingerprint_from_tokens,
         mean_word_length,
         symbol_word_ratio,
     )
+    from mcp_vector_search_spark.operators.analytics import quality_expr
 
     docs = _docs(spark, sf_dir)
     # stage the tokenize / line-split / sorted-bigram arrays as
@@ -425,7 +427,7 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(tk).cast("long").alias("n_tokens"),
         F.round(punct_ratio("text"), 6).alias("punct_ratio"),
         F.round(distinct_token_ratio(tk), 6).alias("distinct_ratio"),
-        F.md5(F.array_join(tk, " ")).alias("fingerprint"),
+        fingerprint_from_tokens(tk).alias("fingerprint"),
         F.round(dup_line_fraction(ln), 6).alias("dup_line_frac"),
         F.round(bullet_line_fraction(ln), 6).alias("bullet_line_frac"),
         F.round(ellipsis_line_fraction(ln), 6).alias("ellipsis_line_frac"),
@@ -433,21 +435,10 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(alpha_word_fraction(tk), 6).alias("alpha_word_frac"),
         F.round(symbol_word_ratio("text", tk), 6).alias("symbol_word_ratio"),
         top_2gram.alias("top_2gram_frac"),
-        # F15 quality inlined (pure per-row — a join with
-        # quality_score(docs) would shuffle two scans of the same table)
-        F.round(
-            F.greatest(
-                F.lit(0.0),
-                F.least(
-                    F.lit(100.0),
-                    F.lit(50.0)
-                    + F.lit(30.0) * distinct_token_ratio(tk)
-                    - F.lit(100.0) * punct_ratio("text")
-                    + F.lit(0.2) * F.least(F.size(tk), F.lit(100)).cast("double"),
-                ),
-            ),
-            4,
-        ).alias("quality"),
+        # F15 quality over the already-tokenized array (a join with
+        # quality_score(docs) would shuffle two scans of the same
+        # table); the formula itself lives in ONE place
+        quality_expr(tk, "text").alias("quality"),
     )
     return metrics.withColumn(
         "passes_gopher",
@@ -3026,7 +3017,7 @@ i AS (SELECT doc_id, pos,
                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
              OR pos > max(pos + {_dk - 1}) OVER
                (PARTITION BY doc_id ORDER BY pos
-                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + 1
         THEN 1 ELSE 0 END AS ni
       FROM p),
 s AS (SELECT doc_id, pos,
@@ -3388,7 +3379,10 @@ SELECT * FROM s"""
     o["token_mixture"] = f"""
 WITH tot AS (SELECT lang, sum(len({_TOKS}))::DOUBLE AS t
              FROM documents GROUP BY lang),
-f AS (SELECT lang, least(1.0, ({MIX_BUDGET} * w / {_mix_wsum}) / t) AS frac
+f AS (SELECT lang,
+        CASE WHEN t > 0
+             THEN least(1.0, ({MIX_BUDGET} * w / {_mix_wsum}) / t)
+             ELSE 0.0 END AS frac
       FROM tot JOIN (VALUES {_mix_vals}) AS wt(lang, w) USING (lang)),
 k AS (SELECT d.doc_id, d.lang, len({_TOKS}) AS ntok
       FROM documents d JOIN f USING (lang)

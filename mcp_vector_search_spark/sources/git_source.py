@@ -39,7 +39,7 @@ def git_log_df(spark: SparkSession, repo_path: str) -> DataFrame:
     the complete parent list ancestry derives from."""
     out = subprocess.run(
         [
-            "git", "-C", repo_path, "log",
+            "git", "-C", repo_path, "log", "--all",
             "--format=%H%x1f%P%x1f%an%x1f%ae%x1f%at%x1f%s",
         ],
         capture_output=True,
@@ -93,8 +93,14 @@ def ancestors_of(commits: DataFrame, commit_sha: str) -> list[str]:
     """All ancestors of `commit_sha` (itself included — merge-base
     semantics treat a commit as its own ancestor): ONE driver-side BFS
     over the parent map, O(history). This is the per-target scale
-    path — no closure table is materialized."""
+    path — no closure table is materialized.
+
+    An unknown sha raises instead of silently answering with the
+    singleton set: a typo'd or out-of-table sha would otherwise turn
+    every downstream at-commit query into a confident empty result."""
     parents = _parent_map(commits)
+    if commit_sha not in parents:
+        raise ValueError(f"unknown commit: {commit_sha}")
     seen = {commit_sha}
     frontier = [commit_sha]
     while frontier:

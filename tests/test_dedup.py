@@ -140,3 +140,27 @@ def test_strip_duplicate_spans_removes_flagged_tokens(spark):
     assert out[2] == " ".join(f"bb{i}" for i in range(10))
     # untouched doc keeps its ORIGINAL text verbatim
     assert out[3] == " ".join(f"cc{i}" for i in range(30))
+
+
+def test_duplicate_spans_touching_windows_merge(spark):
+    """A duplicated block immediately followed by ANOTHER duplicated
+    block (windows at pos 1 and pos k+1, nothing between) is ONE
+    contiguous region — the island merge treats touching spans as one
+    row, per the documented contract."""
+    from mcp_vector_search_spark.operators.dedup import duplicate_spans
+
+    x = " ".join(f"x{i}" for i in range(20))  # block X, dup'd via doc 2
+    y = " ".join(f"y{i}" for i in range(20))  # block Y, dup'd via doc 3
+    docs = spark.createDataFrame(
+        [
+            (1, x + " " + y),
+            (2, x + " " + " ".join(f"p{i}" for i in range(21))),
+            (3, " ".join(f"q{i}" for i in range(21)) + " " + y),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: (r.span_start, r.span_end) for r in
+           duplicate_spans(docs, k=20).collect()}
+    # doc 1: X at [1,20], Y at [21,40] — touching → one island [1,40]
+    assert out[1] == (1, 40)
+    assert out[2] == (1, 20) and out[3] == (22, 41)

@@ -144,3 +144,48 @@ def test_repo_nodes_full_graph(spark, tmp_path):
     ids = {r["id"] for r in nodes.collect()}
     for r in edges.collect():
         assert r["src"] in ids and r["dst"] in ids
+
+
+def test_unmerged_branch_visible_and_unknown_sha_raises(spark, tmp_path):
+    """`git log --all` walks every ref, so a commit on a branch NOT
+    merged into HEAD still answers ancestry queries; a sha absent from
+    the table raises instead of returning a confident singleton."""
+    import subprocess
+
+    import pytest as _pytest
+
+    from mcp_vector_search_spark.sources.git_source import ancestors_of
+
+    path = tmp_path / "unmerged"
+    path.mkdir()
+
+    def g(*args):
+        subprocess.run(
+            ["git", "-C", str(path), *args], check=True, capture_output=True
+        )
+
+    subprocess.run(["git", "init", "-q", str(path)], check=True)
+    g("config", "user.email", "t@example.com")
+    g("config", "user.name", "t")
+
+    def commit(name):
+        (path / f"{name}.txt").write_text(name)
+        g("add", ".")
+        g("commit", "-q", "-m", name)
+        return subprocess.run(
+            ["git", "-C", str(path), "rev-parse", "HEAD"],
+            check=True, capture_output=True, text=True,
+        ).stdout.strip()
+
+    c0 = commit("c0")
+    g("checkout", "-q", "-b", "feature")
+    f1 = commit("f1")  # never merged back
+    g("checkout", "-q", "-")
+
+    commits = git_log_df(spark, str(path))
+    shas = {r.commit_sha for r in commits.collect()}
+    assert f1 in shas  # --all: unmerged ref walked
+    assert set(ancestors_of(commits, f1)) == {f1, c0}
+
+    with _pytest.raises(ValueError, match="unknown commit"):
+        ancestors_of(commits, "deadbeef")

@@ -104,3 +104,26 @@ def test_serve_pumps_stdio_frames(spark):
     assert resps[1]["error"]["code"] == PARSE_ERROR
     hits = json.loads(resps[2]["result"]["content"][0]["text"])
     assert hits["ok"] and len(hits["rows"]) <= 5 and hits["rows"]
+
+
+def test_malformed_arguments_and_idless_call_do_not_kill_server(spark):
+    """A non-object `arguments` yields a structured tool error (never
+    an exception through the pump), and a tools/call NOTIFICATION
+    (no id) is dropped without a response — JSON-RPC forbids
+    answering notifications."""
+    from mcp_vector_search_spark.mcp_server import handle_message
+
+    ad = _adapter(spark)
+    resp = handle_message(
+        ad, _rpc("tools/call", 9, {"name": "get_project_status", "arguments": [1]})
+    )
+    assert resp["result"]["isError"] is True
+    payload = json.loads(resp["result"]["content"][0]["text"])
+    assert "arguments must be an object" in payload["error"]
+
+    assert (
+        handle_message(
+            ad, _rpc("tools/call", None, {"name": "get_project_status"})
+        )
+        is None
+    )
