@@ -257,9 +257,23 @@ def main():
         256
     ).select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")).cache()
     n_big_q = big_q.count()
-    t0 = time.time()
-    topk_per_query_np(big, big_q, 10).write.format("noop").mode("overwrite").save()
-    per_query["ann_big_brute_sec"] = round(time.time() - t0, 3)
+
+    def _best_of(n_runs, fn):
+        # steady-state for the in-memory 512K points: the first run of
+        # an Arrow kernel pays codegen/JIT and whatever GC the cache
+        # build left behind — r3→r4 showed 2.4x run-to-run swings on
+        # these entries with zero code change (BENCH_NOTES). min of 2
+        # measures the plan, not the session's mood.
+        best = float("inf")
+        for _ in range(n_runs):
+            t0 = time.time()
+            fn()
+            best = min(best, time.time() - t0)
+        return best
+
+    per_query["ann_big_brute_sec"] = round(
+        _best_of(2, lambda: topk_per_query_np(big, big_q, 10).write.format(
+            "noop").mode("overwrite").save()), 3)
     per_query["ann_big_brute_ms_per_query"] = round(
         per_query["ann_big_brute_sec"] * 1000 / n_big_q, 2
     )
@@ -272,11 +286,10 @@ def main():
     big_assigned = big_assigned.repartition("cluster_id").cache()
     big_assigned.count()
     per_query["ann_big_ivf_build_sec"] = round(time.time() - t0, 3)
-    t0 = time.time()
-    ivf_topk_batch_np(big_assigned, big_cents, big_q, 10, nprobes=20).write.format(
-        "noop"
-    ).mode("overwrite").save()
-    per_query["ann_big_ivf_sec"] = round(time.time() - t0, 3)
+    per_query["ann_big_ivf_sec"] = round(
+        _best_of(2, lambda: ivf_topk_batch_np(
+            big_assigned, big_cents, big_q, 10, nprobes=20
+        ).write.format("noop").mode("overwrite").save()), 3)
     per_query["ann_big_ivf_ms_per_query"] = round(
         per_query["ann_big_ivf_sec"] * 1000 / n_big_q, 2
     )
@@ -358,11 +371,11 @@ def main():
     big_enc = big_enc.repartition("cluster_id").cache()
     big_enc.count()
     per_query["ann_big_ivfpq_encode_sec"] = round(time.time() - t0, 3)
-    t0 = time.time()
-    ivfpq_topk_refined(
-        big, big_enc, big_pq_cents, big_cbs, big_q, 10, nprobes=20, rerank_factor=30
-    ).write.format("noop").mode("overwrite").save()
-    per_query["ann_big_ivfpq_sec"] = round(time.time() - t0, 3)
+    per_query["ann_big_ivfpq_sec"] = round(
+        _best_of(2, lambda: ivfpq_topk_refined(
+            big, big_enc, big_pq_cents, big_cbs, big_q, 10,
+            nprobes=20, rerank_factor=30,
+        ).write.format("noop").mode("overwrite").save()), 3)
     per_query["ann_big_ivfpq_ms_per_query"] = round(
         per_query["ann_big_ivfpq_sec"] * 1000 / n_big_q, 2
     )
