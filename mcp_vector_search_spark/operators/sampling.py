@@ -137,6 +137,49 @@ def token_mixture_sample(
     )
 
 
+def token_mixture_sample_exact(
+    docs: DataFrame,
+    weights: dict[str, float],
+    token_budget: int,
+    strata_col: str = "lang",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    salt: str = "mix",
+) -> DataFrame:
+    """Hard-budget variant of `token_mixture_sample`: within each
+    weighted domain, keep docs in md5-uniform order while the running
+    token total stays ≤ the domain's target — the kept tokens never
+    exceed budget·w_d/Σw (the fractional variant only hits it in
+    expectation). No corpus statistics needed: the per-domain targets
+    are pure literals, so this is ONE windowed pass.
+
+    The domain-partitioned running sum streams each domain through one
+    task; at 100 TB with few giant domains, range-partition on
+    (domain, uniform) and add per-partition offsets (the
+    `global_positions` construction) — same result, distributed.
+    Domains absent from `weights` drop (target −1)."""
+    from mcp_vector_search_spark.functions.text import token_count
+    from pyspark.sql.window import Window
+
+    wsum = sum(weights.values())
+    target: Column = F.lit(-1.0)
+    for value, wt in sorted(weights.items()):
+        target = F.when(
+            F.col(strata_col) == F.lit(value),
+            F.lit(token_budget * wt / wsum),
+        ).otherwise(target)
+    u = _uniform(F.col(id_col), salt)
+    w = Window.partitionBy(strata_col).orderBy(u, F.col(id_col))
+    cum = F.sum(token_count(text_col)).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        docs.withColumn("_cum", cum)
+        .filter(F.col("_cum") <= target)
+        .drop("_cum")
+    )
+
+
 def weighted_downsample(
     docs: DataFrame,
     weight_col: Column | str,

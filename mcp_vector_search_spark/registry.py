@@ -1899,6 +1899,23 @@ def q_token_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_token_mixture_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-budget mixing (token_mixture_sample_exact): per-domain
+    uniform-ordered prefix under a running token sum — kept tokens
+    never exceed the domain target (the fractional gate above only
+    hits it in expectation)."""
+    from mcp_vector_search_spark.functions.text import token_count
+    from mcp_vector_search_spark.operators.sampling import (
+        token_mixture_sample_exact,
+    )
+
+    kept = token_mixture_sample_exact(_docs(spark, sf_dir), MIX_WEIGHTS, MIX_BUDGET)
+    return kept.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(token_count("text")).cast("long").alias("sum_tokens"),
+    )
+
+
 DUP_SPAN_K = 20  # window length for the dup-span gate (paper default
 # is 50; the synthetic docs median 56 tokens, so 20 keeps signal)
 
@@ -3390,6 +3407,24 @@ k AS (SELECT d.doc_id, d.lang, len({_TOKS}) AS ntok
 SELECT lang, count(*)::BIGINT AS n_docs, sum(ntok)::BIGINT AS sum_tokens
 FROM k GROUP BY lang"""
 
+    _mix_wsum_f = sum(MIX_WEIGHTS.values())
+    _mix_tcases = " ".join(
+        f"WHEN '{k}' THEN {MIX_BUDGET * v / _mix_wsum_f!r}"
+        for k, v in sorted(MIX_WEIGHTS.items())
+    )
+    o["token_mixture_exact"] = f"""
+WITH d AS (SELECT doc_id, lang, len({_TOKS}) AS ntok, {_u('mix')} AS u
+           FROM documents),
+c AS (SELECT doc_id, lang, ntok,
+        sum(ntok) OVER (PARTITION BY lang ORDER BY u, doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          AS cum
+      FROM d)
+SELECT lang, count(*)::BIGINT AS n_docs, sum(ntok)::BIGINT AS sum_tokens
+FROM c
+WHERE cum <= CASE lang {_mix_tcases} ELSE -1.0 END
+GROUP BY lang"""
+
     _pack_ctes = f"""WITH RECURSIVE
 pt AS (SELECT doc_id, len({_TOKS})::BIGINT AS tok,
               (('0x' || substr(md5(doc_id::VARCHAR || '#pack'), 1, 6))::BIGINT
@@ -3537,6 +3572,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lang_id": q_lang_id,
     "dup_spans": q_dup_spans,
     "token_mixture": q_token_mixture,
+    "token_mixture_exact": q_token_mixture_exact,
 }
 
 ORACLE_SQL: dict[str, str] = _oracles()

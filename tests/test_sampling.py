@@ -183,3 +183,42 @@ def test_token_mixture_sample_hits_budget_shares(spark):
     assert sorted(r.doc_id for r in kept.collect()) == sorted(
         r.doc_id for r in again.collect()
     )
+
+
+def test_token_mixture_exact_budget_binds_hard(spark):
+    """The exact-cut variant never exceeds a domain's token target,
+    keeps the under-budget domain whole, and is deterministic."""
+    from pyspark.sql import functions as F
+
+    from mcp_vector_search_spark.functions.text import token_count
+    from mcp_vector_search_spark.operators.sampling import (
+        token_mixture_sample_exact,
+    )
+
+    rows = []
+    did = 0
+    for dom, n_docs in (("a", 300), ("b", 300), ("c", 40), ("drop", 50)):
+        for _ in range(n_docs):
+            rows.append((did, " ".join(f"w{did}x{j}" for j in range(10)), dom))
+            did += 1
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    # totals: a=3000, b=3000, c=400 tokens; targets: a=1000, b=500, c=500
+    kept = token_mixture_sample_exact(
+        docs, {"a": 0.5, "b": 0.25, "c": 0.25}, token_budget=2000
+    )
+    by = {
+        r["lang"]: r["t"]
+        for r in kept.groupBy("lang")
+        .agg(F.sum(token_count("text")).alias("t"))
+        .collect()
+    }
+    assert "drop" not in by
+    assert by["a"] <= 1000 and by["a"] > 1000 - 10  # binds within one doc
+    assert by["b"] <= 500 and by["b"] > 500 - 10
+    assert by["c"] == 400  # whole domain under target
+    again = token_mixture_sample_exact(
+        docs, {"a": 0.5, "b": 0.25, "c": 0.25}, token_budget=2000
+    )
+    assert sorted(r.doc_id for r in kept.collect()) == sorted(
+        r.doc_id for r in again.collect()
+    )
