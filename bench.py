@@ -55,6 +55,24 @@ def main():
     warm = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
     warm.groupBy("l_returnflag").count().write.format("noop").mode("overwrite").save()
 
+    # codegen warmup: execute every headline plan once at the smallest
+    # SF so the timed runs below measure EXECUTION at SF_DIR, not the
+    # one-time whole-stage-codegen/JIT compile of the widest expression
+    # trees (first-run vs steady-state gaps of 2-6x on minhash /
+    # text_quality / bm25 — BENCH_NOTES). Same expressions → same
+    # generated code → the sf0.1 run hits the compiled cache.
+    tiny = os.path.join(os.path.dirname(SF_DIR.rstrip("/")), "sf0.001")
+    if os.path.isdir(tiny):
+        from mcp_vector_search_spark.registry import SPARK_QUERIES as _SQ
+
+        for name in HEADLINE:
+            try:
+                _SQ[name](spark, tiny).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+            except Exception:
+                pass  # warmup is best-effort; the timed run will tell
+
     per_query: dict[str, float] = {}
     total = 0.0
     for name in HEADLINE:
