@@ -1085,6 +1085,59 @@ def q_file_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     return discover(files)
 
 
+def q_subprojects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monorepo subproject detection + nearest-root assignment
+    (sources/discovery.py — reference utils/monorepo.py:46-150,
+    chunk_processor.py:269-273) over a synthesized workspace: one
+    package per lang under packages/<lang>/, a NESTED package
+    packages/en/sub/ exercising longest-prefix, and toplevel/ files
+    outside every root."""
+    from mcp_vector_search_spark.sources.discovery import (
+        assign_subprojects,
+        subproject_roots,
+    )
+
+    d = _docs(spark, sf_dir)
+    files = d.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(F.lit("toplevel/"), F.col("source"), F.lit(".txt")),
+        )
+        .when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.lit("packages/en/sub/"), F.col("source"), F.lit(".txt")
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("packages/"), F.col("lang"), F.lit("/src/"),
+                F.col("source"), F.lit(".txt"),
+            )
+        )
+        .alias("path"),
+    )
+    markers = (
+        d.select("lang")
+        .distinct()
+        .select(
+            F.concat(F.lit("packages/"), F.col("lang"), F.lit("/package.json")).alias(
+                "path"
+            )
+        )
+        .unionByName(
+            spark.createDataFrame([("packages/en/sub/package.json",)], "path string")
+        )
+    )
+    listing = files.select("path").unionByName(markers)
+    roots = subproject_roots(listing)
+    assigned = assign_subprojects(files, roots, key_cols=["doc_id", "path"])
+    return assigned.groupBy(
+        F.coalesce("subproject", F.lit("none")).alias("subproject")
+    ).agg(F.count("*").cast("long").alias("n_files"))
+
+
 def _code_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Documents rendered as synthetic python-ish source (every 3rd
     line from the 2nd is a `def `), so the S2 chunker has structured
@@ -3389,6 +3442,41 @@ WITH s AS (
   FROM documents)
 SELECT * FROM s"""
 
+    from mcp_vector_search_spark.sources.discovery import (
+        EXCLUDED_SUBPROJECT_DIRS,
+        SUBPROJECT_MARKERS,
+    )
+
+    _sp_markers = ", ".join(f"'{mk}'" for mk in SUBPROJECT_MARKERS)
+    _sp_excl = ", ".join(f"'{d}'" for d in EXCLUDED_SUBPROJECT_DIRS)
+    o["subprojects"] = f"""
+WITH files AS (SELECT doc_id,
+  CASE WHEN doc_id % 5 = 0 THEN 'toplevel/' || source || '.txt'
+       WHEN doc_id % 7 = 0 THEN 'packages/en/sub/' || source || '.txt'
+       ELSE 'packages/' || lang || '/src/' || source || '.txt' END AS path
+  FROM documents),
+markers AS (SELECT DISTINCT 'packages/' || lang || '/package.json' AS path
+            FROM documents
+            UNION ALL SELECT 'packages/en/sub/package.json'),
+listing AS (SELECT path FROM files UNION ALL SELECT path FROM markers),
+m AS (SELECT path, string_split(path, '/') AS sp FROM listing),
+roots AS (SELECT DISTINCT array_to_string(sp[1:len(sp)-1], '/') AS root_dir
+          FROM m
+          WHERE sp[-1] IN ({_sp_markers})
+            AND len(list_intersect(sp[1:len(sp)-1], [{_sp_excl}])) = 0
+            AND len(sp) > 1),
+r2 AS (SELECT root_dir, string_split(root_dir, '/')[-1] AS spname
+       FROM roots WHERE root_dir != ''),
+cand AS (SELECT f.doc_id, f.path, r2.root_dir, r2.spname
+         FROM files f LEFT JOIN r2 ON f.path LIKE r2.root_dir || '/%'),
+pick AS (SELECT doc_id, path, spname,
+                row_number() OVER (PARTITION BY doc_id, path
+                  ORDER BY length(coalesce(root_dir, '')) DESC, root_dir ASC)
+                  AS rn
+         FROM cand)
+SELECT coalesce(spname, 'none') AS subproject, count(*)::BIGINT AS n_files
+FROM pick WHERE rn = 1 GROUP BY 1"""
+
     _mix_vals = ", ".join(
         f"('{k}', {v!r})" for k, v in MIX_WEIGHTS.items()
     )
@@ -3573,6 +3661,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dup_spans": q_dup_spans,
     "token_mixture": q_token_mixture,
     "token_mixture_exact": q_token_mixture_exact,
+    "subprojects": q_subprojects,
 }
 
 ORACLE_SQL: dict[str, str] = _oracles()

@@ -52,3 +52,36 @@ def test_discovery_filters_and_language(spark):
     )
     got = {r.path: r.language for r in discover(files).collect()}
     assert got == {"src/app.py": "python", "README.md": "markdown", "src/lib.rs": "rust"}
+
+
+def test_subproject_detection_and_assignment(spark):
+    """Monorepo semantics: marker files open subproject roots (not at
+    the repo top level, not under excluded dirs); every file maps to
+    its NEAREST enclosing root; files outside all roots get null."""
+    from mcp_vector_search_spark.sources.discovery import (
+        assign_subprojects,
+        subproject_roots,
+    )
+
+    listing = spark.createDataFrame(
+        [
+            ("package.json",),               # top level: NOT a subproject
+            ("pkgs/app/package.json",),
+            ("pkgs/app/native/Cargo.toml",), # nested root inside app
+            ("tests/fix/package.json",),     # excluded dir: ignored
+            ("pkgs/app/src/main.js",),
+            ("pkgs/app/native/lib.rs",),
+            ("README.md",),                  # outside every root
+        ],
+        "path string",
+    )
+    roots = {(r.root_dir, r.subproject) for r in subproject_roots(listing).collect()}
+    assert roots == {("pkgs/app", "app"), ("pkgs/app/native", "native")}
+
+    out = {
+        r.path: r.subproject
+        for r in assign_subprojects(listing, subproject_roots(listing)).collect()
+    }
+    assert out["pkgs/app/src/main.js"] == "app"
+    assert out["pkgs/app/native/lib.rs"] == "native"  # nearest root wins
+    assert out["README.md"] is None
