@@ -117,3 +117,79 @@ def quality_expr(toks, text_col) -> "F.Column":
         + F.lit(0.2) * F.least(F.size(toks), F.lit(100)).cast("double")
     )
     return F.round(F.greatest(F.lit(0.0), F.least(F.lit(100.0), raw)), 4)
+
+
+# Codebase profiling (reference ``core/codebase_profiler.py:17-338``):
+# size bands by file count, dominant-language type by extension mix,
+# and the indexing preset the size band selects. ONE aggregation over
+# the listing — the "profile scan" the reference does file-by-file.
+SIZE_BANDS = [(1000, "small"), (10000, "medium"), (50000, "large")]
+SIZE_TOP = "enterprise"
+DOC_EXTS = ["md", "txt", "rst", "adoc", "org"]
+JS_EXTS = ["js", "ts", "tsx", "jsx"]
+# preset per size band: (batch_size, parallel, max_cache, code_only)
+PRESETS = {
+    "small": (16, False, 500, False),
+    "medium": (32, True, 2000, False),
+    "large": (64, True, 10000, True),
+    "enterprise": (128, True, 50000, True),
+}
+DOC_PCT, DOMINANT_PCT = 30.0, 60.0
+
+
+def codebase_profile(files: DataFrame, path_col: str = "path") -> DataFrame:
+    """One-row codebase profile → optimization preset
+    (size_category, codebase_type, batch_size, parallel_embeddings,
+    max_cache_size, code_only). Type ladder in the reference's
+    priority order: documentation (>30% doc exts) → python →
+    javascript → java (each >60%) → mixed."""
+    has_ext = F.col(path_col).rlike(r"\.[A-Za-z0-9]+$")
+    ext = F.when(
+        has_ext, F.lower(F.element_at(F.split(F.col(path_col), r"\."), -1))
+    ).otherwise(F.lit(""))
+
+    def pct(cond):
+        return (
+            F.sum(F.when(cond, 1).otherwise(0)).cast("double")
+            * 100.0
+            / F.count("*")
+        )
+
+    agg = files.select(ext.alias("_ext")).agg(
+        F.count("*").cast("long").alias("n_files"),
+        F.round(pct(F.col("_ext").isin(DOC_EXTS)), 6).alias("doc_pct"),
+        F.round(pct(F.col("_ext") == "py"), 6).alias("py_pct"),
+        F.round(pct(F.col("_ext").isin(JS_EXTS)), 6).alias("js_pct"),
+        F.round(pct(F.col("_ext") == "java"), 6).alias("java_pct"),
+    )
+    size = F.lit(SIZE_TOP)
+    for bound, name in reversed(SIZE_BANDS):
+        size = F.when(F.col("n_files") < bound, name).otherwise(size)
+    ctype = (
+        F.when(F.col("doc_pct") > DOC_PCT, "documentation")
+        .when(F.col("py_pct") > DOMINANT_PCT, "python")
+        .when(F.col("js_pct") > DOMINANT_PCT, "javascript")
+        .when(F.col("java_pct") > DOMINANT_PCT, "java")
+        .otherwise("mixed")
+    )
+    out = agg.select(
+        "n_files", "doc_pct", "py_pct", "js_pct", "java_pct",
+        size.alias("size_category"), ctype.alias("codebase_type"),
+    )
+    batch = F.lit(None).cast("long")
+    par = F.lit(None).cast("boolean")
+    cache = F.lit(None).cast("long")
+    code_only = F.lit(None).cast("boolean")
+    for name, (b, p, c, co) in PRESETS.items():
+        cond = F.col("size_category") == name
+        batch = F.when(cond, b).otherwise(batch)
+        par = F.when(cond, p).otherwise(par)
+        cache = F.when(cond, c).otherwise(cache)
+        code_only = F.when(cond, co).otherwise(code_only)
+    return out.select(
+        "*",
+        batch.alias("batch_size"),
+        par.alias("parallel_embeddings"),
+        cache.alias("max_cache_size"),
+        code_only.alias("code_only"),
+    )

@@ -1066,12 +1066,10 @@ def q_embed_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_file_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S1 discovery scan over a synthesized listing: ignore-pattern
-    predicate + extension→language map."""
-    from mcp_vector_search_spark.sources.discovery import discover
-
-    files = _docs(spark, sf_dir).select(
+def _synth_listing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The synthesized file listing shared by the S1 discovery and
+    codebase-profile gates (one path shape per doc_id residue)."""
+    return _docs(spark, sf_dir).select(
         "doc_id",
         F.when(F.col("doc_id") % 7 == 0, F.concat(F.lit("node_modules/"), F.col("source"), F.lit("/x.js")))
         .when(F.col("doc_id") % 7 == 1, F.concat(F.lit("src/"), F.col("source"), F.lit(".py")))
@@ -1082,7 +1080,24 @@ def q_file_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.concat(F.lit("data/"), F.col("source"), F.lit(".txt")))
         .alias("path"),
     )
-    return discover(files)
+
+
+def q_file_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1 discovery scan over a synthesized listing: ignore-pattern
+    predicate + extension→language map."""
+    from mcp_vector_search_spark.sources.discovery import discover
+
+    return discover(_synth_listing(spark, sf_dir))
+
+
+def q_codebase_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Codebase profiling → optimization preset
+    (operators/analytics.py:codebase_profile — reference
+    codebase_profiler.py:17-338): size band by file count, dominant
+    language by extension mix, preset columns from the band."""
+    from mcp_vector_search_spark.operators.analytics import codebase_profile
+
+    return codebase_profile(_synth_listing(spark, sf_dir))
 
 
 def q_subprojects(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3442,6 +3457,73 @@ WITH s AS (
   FROM documents)
 SELECT * FROM s"""
 
+    from mcp_vector_search_spark.operators.analytics import (
+        DOC_EXTS,
+        DOC_PCT,
+        DOMINANT_PCT,
+        JS_EXTS,
+        PRESETS,
+        SIZE_BANDS,
+        SIZE_TOP,
+    )
+
+    _pf_docs = ", ".join(f"'{e}'" for e in DOC_EXTS)
+    _pf_js = ", ".join(f"'{e}'" for e in JS_EXTS)
+    _pf_size = (
+        "CASE "
+        + " ".join(
+            f"WHEN n_files < {bound} THEN '{name}'" for bound, name in SIZE_BANDS
+        )
+        + f" ELSE '{SIZE_TOP}' END"
+    )
+
+    def _preset_case(idx: int, cast: str) -> str:
+        return (
+            "CASE size_category "
+            + " ".join(
+                f"WHEN '{name}' THEN {vals[idx]}" for name, vals in PRESETS.items()
+            )
+            + f" END::{cast}"
+        ).replace("True", "true").replace("False", "false")
+
+    o["codebase_profile"] = f"""
+WITH f AS (SELECT CASE doc_id % 7
+    WHEN 0 THEN 'node_modules/' || source || '/x.js'
+    WHEN 1 THEN 'src/' || source || '.py'
+    WHEN 2 THEN 'src/' || source || '.min.js'
+    WHEN 3 THEN '.git/' || source
+    WHEN 4 THEN 'docs/' || source || '.md'
+    WHEN 5 THEN 'src/' || source || '.rs'
+    ELSE 'data/' || source || '.txt' END AS path
+  FROM documents),
+e AS (SELECT CASE WHEN regexp_matches(path, '\\.[A-Za-z0-9]+$')
+                  THEN lower(string_split(path, '.')[-1]) ELSE '' END AS ext
+      FROM f),
+a AS (SELECT count(*)::BIGINT AS n_files,
+        round(sum(CASE WHEN ext IN ({_pf_docs}) THEN 1 ELSE 0 END)::DOUBLE
+              * 100.0 / count(*), 6) AS doc_pct,
+        round(sum(CASE WHEN ext = 'py' THEN 1 ELSE 0 END)::DOUBLE
+              * 100.0 / count(*), 6) AS py_pct,
+        round(sum(CASE WHEN ext IN ({_pf_js}) THEN 1 ELSE 0 END)::DOUBLE
+              * 100.0 / count(*), 6) AS js_pct,
+        round(sum(CASE WHEN ext = 'java' THEN 1 ELSE 0 END)::DOUBLE
+              * 100.0 / count(*), 6) AS java_pct
+      FROM e),
+b AS (SELECT *, {_pf_size} AS size_category,
+        CASE WHEN doc_pct > {DOC_PCT!r} THEN 'documentation'
+             WHEN py_pct > {DOMINANT_PCT!r} THEN 'python'
+             WHEN js_pct > {DOMINANT_PCT!r} THEN 'javascript'
+             WHEN java_pct > {DOMINANT_PCT!r} THEN 'java'
+             ELSE 'mixed' END AS codebase_type
+      FROM a)
+SELECT n_files, doc_pct, py_pct, js_pct, java_pct, size_category,
+       codebase_type,
+       {_preset_case(0, "BIGINT")} AS batch_size,
+       {_preset_case(1, "BOOLEAN")} AS parallel_embeddings,
+       {_preset_case(2, "BIGINT")} AS max_cache_size,
+       {_preset_case(3, "BOOLEAN")} AS code_only
+FROM b"""
+
     from mcp_vector_search_spark.sources.discovery import (
         EXCLUDED_SUBPROJECT_DIRS,
         SUBPROJECT_MARKERS,
@@ -3662,6 +3744,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "token_mixture": q_token_mixture,
     "token_mixture_exact": q_token_mixture_exact,
     "subprojects": q_subprojects,
+    "codebase_profile": q_codebase_profile,
 }
 
 ORACLE_SQL: dict[str, str] = _oracles()

@@ -60,3 +60,29 @@ def test_sessionize_gap(spark):
 def test_lag_delta(spark):
     got = {r.event_id: r.delta for r in lag_delta(_events(spark)).collect()}
     assert got[1] is None and got[2] == 2.0 and got[3] == 7.0 and got[4] is None
+
+
+def test_codebase_profile_bands_and_type(spark):
+    """Size bands and the type ladder follow the reference's
+    thresholds: a doc-heavy listing classifies documentation; a
+    py-dominant one python; preset columns follow the size band."""
+    from mcp_vector_search_spark.operators.analytics import codebase_profile
+
+    docs_heavy = spark.createDataFrame(
+        [(f"docs/d{i}.md",) for i in range(40)]
+        + [(f"src/s{i}.py",) for i in range(60)],
+        "path string",
+    )
+    r = codebase_profile(docs_heavy).first()
+    assert r.size_category == "small" and r.codebase_type == "documentation"
+    assert r.batch_size == 16 and r.parallel_embeddings is False
+    assert r.code_only is False
+
+    py_heavy = spark.createDataFrame(
+        [(f"src/s{i}.py",) for i in range(70)]
+        + [(f"web/w{i}.js",) for i in range(20)]
+        + [("README.md",), ("Makefile",)],  # no-ext file counts in total
+        "path string",
+    )
+    r2 = codebase_profile(py_heavy).first()
+    assert r2.codebase_type == "python" and r2.n_files == 92
