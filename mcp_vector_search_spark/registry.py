@@ -1174,6 +1174,18 @@ def _code_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_halstead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Halstead complexity suite (sources/code_chunker.py:
+    halstead_metrics — reference analysis/collectors/halstead.py)
+    per synthesized code doc: lexical operator/operand counts and the
+    full derived set (volume, difficulty, effort, time, bugs)."""
+    from mcp_vector_search_spark.sources.code_chunker import halstead_metrics
+
+    return halstead_metrics(
+        _code_docs(spark, sf_dir), id_cols=["doc_id"], text_col="text"
+    )
+
+
 def q_code_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S2 structure-aware chunker over synthesized source."""
     from mcp_vector_search_spark.sources.code_chunker import code_chunks
@@ -2481,6 +2493,46 @@ SELECT doc_id, chunk_no::BIGINT AS chunk_no,
        n_lines
 FROM cg"""
 
+    from mcp_vector_search_spark.sources.code_chunker import (
+        HALSTEAD_KEYWORDS,
+        IDENT_RE,
+        NUMBER_RE,
+        SYMBOL_OP_RE,
+    )
+
+    _hkw = ", ".join(f"'{k}'" for k in HALSTEAD_KEYWORDS)
+    o["halstead"] = (
+        "WITH " + _CODE_CTES + """,
+h AS (SELECT doc_id,
+  regexp_extract_all(text, '""" + IDENT_RE + """') AS idents,
+  regexp_extract_all(text, '""" + NUMBER_RE + """') AS nums,
+  regexp_extract_all(text, '""" + SYMBOL_OP_RE + """') AS syms
+  FROM cd),
+c AS (SELECT doc_id,
+  list_concat(list_filter(idents, t -> list_contains([""" + _hkw + """], t)), syms)
+    AS ops,
+  list_concat(list_filter(idents, t -> NOT list_contains([""" + _hkw + """], t)), nums)
+    AS opnds
+  FROM h),
+m AS (SELECT doc_id,
+  len(list_distinct(ops))::BIGINT AS n1, len(list_distinct(opnds))::BIGINT AS n2,
+  len(ops)::BIGINT AS t1, len(opnds)::BIGINT AS t2
+  FROM c),
+d AS (SELECT *, (n1 + n2) AS vocabulary, (t1 + t2) AS length,
+  CASE WHEN (n1 + n2) > 0 AND (t1 + t2) > 0
+       THEN (t1 + t2)::DOUBLE * log2((n1 + n2)::DOUBLE) ELSE 0.0 END AS _vol,
+  CASE WHEN (n1 + n2) > 0 AND (t1 + t2) > 0 AND n2 > 0
+       THEN n1::DOUBLE / 2.0 * (t2::DOUBLE / n2::DOUBLE) ELSE 0.0 END AS _diff
+  FROM m)
+SELECT doc_id, n1, n2, t1 AS total_operators, t2 AS total_operands,
+       vocabulary, length,
+       round(_vol, 6) AS volume, round(_diff, 6) AS difficulty,
+       round(_diff * _vol, 6) AS effort,
+       round(_diff * _vol / 18.0, 6) AS time_seconds,
+       round(_vol / 3000.0, 6) AS estimated_bugs
+FROM d"""
+    )
+
     kw_in = ", ".join(f"'{k}'" for k in COMPLEXITY_KEYWORDS)
     # F13 MMR: the greedy selection unrolled into k chained CTE steps —
     # step i picks argmax of round(λ·rel − (1−λ)·max-sim-to-selected, 9)
@@ -3745,6 +3797,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "token_mixture_exact": q_token_mixture_exact,
     "subprojects": q_subprojects,
     "codebase_profile": q_codebase_profile,
+    "halstead": q_halstead,
 }
 
 ORACLE_SQL: dict[str, str] = _oracles()

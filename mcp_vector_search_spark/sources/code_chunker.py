@@ -393,3 +393,70 @@ def code_chunks_multilang(
             "\n",
         ).alias("chunk_text"),
     )
+
+
+# Halstead metrics (reference ``analysis/collectors/halstead.py:37-140``
+# + the halstead_* columns of ``analysis/metrics.py:36-40``). The
+# reference counts AST operator/operand nodes; the text analog counts
+# the same lexical classes — keyword + symbol operators, identifier +
+# number operands — with one regex pass each, so the whole metric set
+# stays per-row column math (oracle-portable, zero shuffle).
+HALSTEAD_KEYWORDS = [
+    "def", "return", "if", "else", "elif", "for", "while", "in",
+    "and", "or", "not", "class", "import", "from", "try", "except",
+    "lambda", "yield", "with", "as", "pass", "break", "continue",
+    "raise", "assert", "is",
+]
+IDENT_RE = "[A-Za-z_][A-Za-z0-9_]*"
+NUMBER_RE = r"\b[0-9]+(?:\.[0-9]+)?\b"
+SYMBOL_OP_RE = r"[+\-*/%=<>!&|^~]+|[()\[\]{}:,;.]"
+
+
+def halstead_metrics(
+    chunks: DataFrame,
+    id_cols: list[str],
+    text_col: str = "chunk_text",
+) -> DataFrame:
+    """Per-chunk Halstead suite: n1/n2/N1/N2 and the derived
+    vocabulary, length, volume = N·log2(n), difficulty =
+    (n1/2)·(N2/n2), effort = D·V, time = E/18 s, bugs = V/3000 —
+    the exact formula set of ``HalsteadMetrics.from_counts``.
+    Zero-vocabulary (or zero-operand) chunks report 0 for every
+    derived metric, mirroring the reference's guard."""
+    col = F.col(text_col)
+    idents = F.regexp_extract_all(col, F.lit(IDENT_RE), 0)
+    kw = F.array(*[F.lit(k) for k in HALSTEAD_KEYWORDS])
+    kw_ops = F.filter(idents, lambda t: F.array_contains(kw, t))
+    operands_id = F.filter(idents, lambda t: ~F.array_contains(kw, t))
+    numbers = F.regexp_extract_all(col, F.lit(NUMBER_RE), 0)
+    sym_ops = F.regexp_extract_all(col, F.lit(SYMBOL_OP_RE), 0)
+
+    operators = F.concat(kw_ops, sym_ops)
+    operands = F.concat(operands_id, numbers)
+    n1 = F.size(F.array_distinct(operators)).cast("long")
+    n2 = F.size(F.array_distinct(operands)).cast("long")
+    N1 = F.size(operators).cast("long")
+    N2 = F.size(operands).cast("long")
+    vocab = n1 + n2
+    length = N1 + N2
+    ok = (vocab > 0) & (length > 0)
+    volume = F.when(ok, length.cast("double") * F.log2(vocab.cast("double"))).otherwise(0.0)
+    difficulty = F.when(
+        ok & (n2 > 0),
+        n1.cast("double") / 2.0 * (N2.cast("double") / n2.cast("double")),
+    ).otherwise(0.0)
+    effort = difficulty * volume
+    return chunks.select(
+        *id_cols,
+        n1.alias("n1"),
+        n2.alias("n2"),
+        N1.alias("total_operators"),
+        N2.alias("total_operands"),
+        vocab.alias("vocabulary"),
+        length.alias("length"),
+        F.round(volume, 6).alias("volume"),
+        F.round(difficulty, 6).alias("difficulty"),
+        F.round(effort, 6).alias("effort"),
+        F.round(effort / 18.0, 6).alias("time_seconds"),
+        F.round(volume / 3000.0, 6).alias("estimated_bugs"),
+    )

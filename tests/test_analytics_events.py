@@ -86,3 +86,35 @@ def test_codebase_profile_bands_and_type(spark):
     )
     r2 = codebase_profile(py_heavy).first()
     assert r2.codebase_type == "python" and r2.n_files == 92
+
+
+def test_halstead_metrics_small_function(spark):
+    """Halstead counts on a concrete snippet: derived metrics follow
+    HalsteadMetrics.from_counts exactly (V = N·log2(n),
+    D = n1/2 · N2/n2, E = D·V)."""
+    import math
+
+    from mcp_vector_search_spark.sources.code_chunker import halstead_metrics
+
+    df = spark.createDataFrame(
+        [(1, "def add(a, b):\n  return a + b")], "doc_id long, chunk_text string"
+    )
+    r = halstead_metrics(df, id_cols=["doc_id"]).first()
+    # operators: def, return (keywords) + ( ) : , + symbols
+    # operands: add, a, b (a and b appear twice each)
+    assert r.n2 == 3 and r.total_operands == 5
+    assert r.n1 >= 4 and r.total_operators >= r.n1
+    n, N = r.vocabulary, r.length
+    assert abs(r.volume - N * math.log2(n)) < 1e-6
+    assert abs(r.difficulty - (r.n1 / 2) * (r.total_operands / r.n2)) < 1e-6
+    # effort is rounded from UNROUNDED D·V, so compare loosely
+    assert abs(r.effort - r.difficulty * r.volume) < 1e-3
+    assert r.estimated_bugs == round(r.volume / 3000.0, 6)
+
+
+def test_halstead_empty_text_guards(spark):
+    from mcp_vector_search_spark.sources.code_chunker import halstead_metrics
+
+    df = spark.createDataFrame([(1, "")], "doc_id long, chunk_text string")
+    r = halstead_metrics(df, id_cols=["doc_id"]).first()
+    assert r.volume == 0.0 and r.difficulty == 0.0 and r.effort == 0.0
