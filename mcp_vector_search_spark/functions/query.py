@@ -166,3 +166,50 @@ def adaptive_threshold(query: str, base_threshold: float = 0.3) -> float:
     if any(p in query for p in ["()", ".", "->", "=>", "::"]):
         return max(0.25, base_threshold - 0.1)
     return base_threshold
+
+
+def result_quality(
+    results,
+    query: str,
+    score_col: str = "score",
+    file_col: str = "source",
+    text_col: str = "text",
+):
+    """One-row search-quality rollup (reference
+    ``core/query_analyzer.py:165-216`` calculate_result_quality):
+    average 0-1 score, the ≥0.8 / 0.6-0.8 / <0.6 band counts, file
+    diversity (distinct files / results), and query-word coverage
+    (share of the query's whitespace words appearing in ANY result's
+    text — the same lower().split() word model the reference uses).
+
+    `results` must carry a 0-1 score column (normalize BM25-style
+    scores upstream). One aggregation; the coverage set union is an
+    array fold, not a shuffle per word."""
+    from pyspark.sql import functions as F
+
+    qw = sorted({w for w in query.lower().split() if w})
+    qarr = F.array(*[F.lit(w) for w in qw])
+    covered = F.array_intersect(qarr, F.split(F.lower(F.col(text_col)), r"\s+"))
+    agg = results.agg(
+        F.round(F.avg(score_col), 3).alias("average_score"),
+        F.sum(F.when(F.col(score_col) >= 0.8, 1).otherwise(0))
+        .cast("long")
+        .alias("high_quality"),
+        F.sum(
+            F.when((F.col(score_col) >= 0.6) & (F.col(score_col) < 0.8), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("medium_quality"),
+        F.sum(F.when(F.col(score_col) < 0.6, 1).otherwise(0))
+        .cast("long")
+        .alias("low_quality"),
+        F.round(
+            F.count_distinct(F.col(file_col)).cast("double") / F.count("*"), 3
+        ).alias("diversity"),
+        F.round(
+            F.size(F.array_distinct(F.flatten(F.collect_list(covered)))).cast("double")
+            / F.lit(float(len(qw) or 1)),
+            3,
+        ).alias("coverage"),
+    )
+    return agg

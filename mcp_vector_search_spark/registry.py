@@ -1174,6 +1174,25 @@ def _code_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_result_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Search-result quality rollup (functions/query.py:result_quality
+    — reference query_analyzer.py:165-216) over the BM25 top-k
+    max-normalized to 0-1 and joined back to the documents for file
+    diversity and word coverage."""
+    from pyspark.sql.window import Window
+
+    from mcp_vector_search_spark.functions.query import result_quality
+
+    hits = bm25_topk(_docs(spark, sf_dir), QUERY_TERMS, KNN_K)
+    norm = hits.withColumn(
+        "score", F.col("score") / F.max("score").over(Window.partitionBy())
+    )
+    joined = norm.join(
+        _docs(spark, sf_dir).select("doc_id", "source", "text"), "doc_id"
+    )
+    return result_quality(joined, " ".join(QUERY_TERMS))
+
+
 def q_halstead(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Halstead complexity suite (sources/code_chunker.py:
     halstead_metrics — reference analysis/collectors/halstead.py)
@@ -2052,6 +2071,30 @@ def _oracles() -> dict[str, str]:
     o: dict[str, str] = {}
 
     o["bm25_topk"] = f"WITH {_bm25_ctes(KNN_K)} SELECT doc_id, score FROM bm"
+
+    # result_quality: the reference's calculate_result_quality rollup
+    # composed over the bm25 oracle (max-normalized to 0-1, joined back
+    # for file diversity + word coverage); the query-word set renders
+    # from the same QUERY_TERMS constant the Spark gate uses
+    _rq_words = ", ".join(
+        f"'{w}'" for w in sorted({w for w in " ".join(QUERY_TERMS).lower().split()})
+    )
+    _rq_nq = len({w for w in " ".join(QUERY_TERMS).lower().split()})
+    o["result_quality"] = f"""
+WITH {_bm25_ctes(KNN_K)},
+norm AS (SELECT doc_id, score / max(score) OVER () AS s FROM bm),
+j AS (SELECT n.s, d.source, d.text FROM norm n JOIN documents d USING (doc_id))
+SELECT round(avg(s), 3) AS average_score,
+       sum(CASE WHEN s >= 0.8 THEN 1 ELSE 0 END)::BIGINT AS high_quality,
+       sum(CASE WHEN s >= 0.6 AND s < 0.8 THEN 1 ELSE 0 END)::BIGINT
+         AS medium_quality,
+       sum(CASE WHEN s < 0.6 THEN 1 ELSE 0 END)::BIGINT AS low_quality,
+       round(count(DISTINCT source)::DOUBLE / count(*), 3) AS diversity,
+       round(len(list_distinct(flatten(list(
+         list_intersect(regexp_split_to_array(lower(text), '\\s+'),
+                        [{_rq_words}])))))::DOUBLE / {_rq_nq}.0, 3)
+         AS coverage
+FROM j"""
 
     # unit-normalize then dot — the same expression shape (and float-op
     # order) as the Spark top-k paths, so round-6 values bit-match
@@ -3798,6 +3841,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "subprojects": q_subprojects,
     "codebase_profile": q_codebase_profile,
     "halstead": q_halstead,
+    "result_quality": q_result_quality,
 }
 
 ORACLE_SQL: dict[str, str] = _oracles()

@@ -51,3 +51,23 @@ def test_adaptive_threshold_ladder():
     # fires before the CamelCase branch, exactly like the reference
     assert adaptive_threshold("find MyClass usage here now") == approx(0.01)
     assert adaptive_threshold("weird snake_case things here") == approx(0.05)
+
+
+def test_result_quality_rollup(spark):
+    """Bands, diversity, and word coverage follow the reference's
+    calculate_result_quality exactly on a hand-built result set."""
+    from mcp_vector_search_spark.functions.query import result_quality
+
+    rows = [
+        (1, 0.9, "a.py", "alpha beta other"),
+        (2, 0.7, "a.py", "gamma junk"),
+        (3, 0.5, "b.py", "nothing relevant"),
+        (4, 0.65, "c.py", "beta again"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, score double, source string, text string")
+    r = result_quality(df, "alpha beta gamma delta").first()
+    assert r.high_quality == 1 and r.medium_quality == 2 and r.low_quality == 1
+    assert r.average_score == round((0.9 + 0.7 + 0.5 + 0.65) / 4, 3)
+    assert r.diversity == round(3 / 4, 3)
+    # covered: alpha, beta, gamma (delta appears nowhere) -> 3/4
+    assert r.coverage == 0.75
