@@ -238,6 +238,20 @@ def main():
         spark.sql(f"DROP TABLE IF EXISTS {rt}")
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_bc)
 
+    # --- round-4 curation ops: duplicate spans + language ID ------------
+    # same steady-state methodology as the headline set (one untimed
+    # sf0.001 execution compiles the codegen, then time sf0.1)
+    for name in ("dup_spans", "lang_id", "token_mixture_exact"):
+        fn = SPARK_QUERIES[name]
+        if os.path.isdir(tiny):
+            try:
+                fn(spark, tiny).write.format("noop").mode("overwrite").save()
+            except Exception:
+                pass
+        t0 = time.time()
+        fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        per_query[name] = round(time.time() - t0, 3)
+
     # --- ANN above the IVF activation threshold -------------------------
     # sf0.1's 2,000 vectors sit below ANN_ACTIVATION_MIN_ROWS (4,096),
     # so the small-corpus numbers above are overhead-dominated and brute
