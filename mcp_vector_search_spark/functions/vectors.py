@@ -46,6 +46,20 @@ def unit_expr(vec: Column, norm: Column) -> Column:
     )
 
 
+def normalized(df, vec_col: str, out_col: str, drop_norm: bool = True):
+    """Attach a unit-vector column in two projections: the norm is
+    materialized FIRST so the transform divides by a column reference,
+    not a re-evaluated expression (the `unit_expr` contract). The ONE
+    definition every ANN/dedup path uses — the same three-step pattern
+    was hand-spelled at ~10 call sites before round 4, where any drift
+    (zero-norm semantics, the reference-vs-expression rule) would have
+    silently changed ranking determinism."""
+    out = df.withColumn("_nrm", l2_norm(F.col(vec_col))).withColumn(
+        out_col, unit_expr(F.col(vec_col), F.col("_nrm"))
+    )
+    return out.drop("_nrm") if drop_norm else out
+
+
 def distance_to_similarity(d: Column) -> Column:
     """Reference score mapping `sim = max(0, 1 - d/2)` for cosine
     distance in [0,2] (``core/search.py:1033-1036``)."""

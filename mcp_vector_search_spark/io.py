@@ -66,12 +66,31 @@ def register_temp_views(spark: SparkSession, sf_dir: str) -> None:
         table(spark, sf_dir, name).createOrReplaceTempView(name)
 
 
+def recover_swap(path: str) -> bool:
+    """Crash recovery for `atomic_swap_dir`: if `path` is missing but
+    `<path>.old` survives (a crash landed between the two renames),
+    rename the old table back into place. Returns True when a
+    recovery happened. Every reader/writer entry point calls this
+    before touching the table, so the rename-aside copy is never
+    mistaken for 'no table yet' — which would silently restart the
+    table from just the current batch."""
+    old = path + ".old"
+    if not os.path.exists(path) and os.path.exists(old):
+        os.rename(old, path)
+        return True
+    return False
+
+
 def atomic_swap_dir(tmp: str, path: str) -> None:
     """Crash-safe directory swap (ST5 atomic rebuild): the previous
-    table is renamed aside before the staged one moves in, so a reader
-    (or a restart) at any intermediate point finds either the old or
-    the new table — never an empty path. rmtree-then-rename had a
-    window where a crash left only `<path>.tmp` on disk."""
+    table is renamed aside before the staged one moves in. POSIX has
+    no two-directory exchange, so there IS a window between the two
+    renames where `path` is briefly absent — crash safety (never losing
+    a committed table) comes from `recover_swap`, which every caller
+    runs first; a concurrent reader hitting the window gets a
+    retryable missing-path error, never an empty or partial table.
+    (rmtree-then-rename was strictly worse: a crash left only
+    `<path>.tmp` and no recovery marker.)"""
     import shutil
 
     old = path + ".old"
@@ -93,6 +112,7 @@ def upsert_parquet(
     everything else kept, staged to `<path>.tmp` and swapped (the
     reference's atomic-rebuild pattern, ST5). On Delta this whole
     function is one MERGE."""
+    recover_swap(path)
     if os.path.exists(path):
         existing = spark.read.parquet(path)
         kept = existing.join(updates.select(*key_cols), key_cols, "left_anti")
@@ -168,27 +188,31 @@ def upsert_delta(
     """K1/K2 upsert as a real Delta MERGE when delta-spark is
     importable (one `MERGE INTO ... WHEN MATCHED UPDATE WHEN NOT
     MATCHED INSERT` — ACID, no staged swap needed); falls back to
-    `upsert_parquet` otherwise. Returns which path ran ('delta' |
-    'parquet') so callers/tests can see the dispatch."""
+    `upsert_parquet` ONLY when delta-spark is absent. A real MERGE
+    failure (duplicate source keys, transient executor loss) must
+    PROPAGATE: swallowing it and rewriting the directory as plain
+    parquet would read past the transaction log — resurrecting
+    deleted rows — and destroy _delta_log. Returns which path ran
+    ('delta' | 'parquet') so callers/tests can see the dispatch."""
     try:
-        from delta.tables import DeltaTable  # noqa: F401
-
-        if DeltaTable.isDeltaTable(spark, path):
-            cond = " AND ".join(f"t.{k} = s.{k}" for k in key_cols)
-            (
-                DeltaTable.forPath(spark, path)
-                .alias("t")
-                .merge(updates.alias("s"), cond)
-                .whenMatchedUpdateAll()
-                .whenNotMatchedInsertAll()
-                .execute()
-            )
-        else:
-            updates.write.format("delta").mode("overwrite").save(path)
-        return "delta"
-    except Exception:
+        from delta.tables import DeltaTable
+    except ImportError:
         upsert_parquet(spark, updates, path, key_cols)
         return "parquet"
+
+    if DeltaTable.isDeltaTable(spark, path):
+        cond = " AND ".join(f"t.{k} = s.{k}" for k in key_cols)
+        (
+            DeltaTable.forPath(spark, path)
+            .alias("t")
+            .merge(updates.alias("s"), cond)
+            .whenMatchedUpdateAll()
+            .whenNotMatchedInsertAll()
+            .execute()
+        )
+    else:
+        updates.write.format("delta").mode("overwrite").save(path)
+    return "delta"
 
 
 # --------------------------------------------- versioned manifest table
@@ -238,18 +262,51 @@ def latest_version(path: str) -> int:
 
 def read_versioned(spark: SparkSession, path: str, version: int | None = None) -> DataFrame:
     """Snapshot read — latest by default, any retained version for
-    time travel."""
-    import json
-
+    time travel. A table with no commits raises ValueError (clearer
+    than the raw v0.json FileNotFoundError the ordinary
+    query-before-first-write case used to surface)."""
     v = latest_version(path) if version is None else version
-    mf = os.path.join(_manifest_dir(path), f"v{v}.json")
-    with open(mf) as f:
-        manifest = json.load(f)
+    if v == 0:
+        raise ValueError(f"versioned table has no commits: {path}")
+    manifest = _read_manifest(path, v)
     return spark.read.parquet(*[os.path.join(path, p) for p in manifest["files"]])
 
 
+def _read_manifest(path: str, version: int) -> dict:
+    import json
+
+    with open(os.path.join(_manifest_dir(path), f"v{version}.json")) as f:
+        return json.load(f)
+
+
+def latest_txn(path: str) -> dict[str, int]:
+    """The scope → latest-committed-batch-id map, read from the LATEST
+    manifest only (each commit carries the full map forward, the Delta
+    `txn` appId/version mechanism) — O(1) per micro-batch and immune
+    to `vacuum_versioned` pruning old manifests, since the newest
+    manifest is always retained. Falls back to folding the surviving
+    per-version metas for tables written before the txn field
+    existed."""
+    v = latest_version(path)
+    if v == 0:
+        return {}
+    m = _read_manifest(path, v)
+    if "txn" in m:
+        return {k: int(b) for k, b in m["txn"].items()}
+    out: dict[str, int] = {}
+    for meta in committed_metas(path):
+        if meta.get("scope") is not None and meta.get("batch_id") is not None:
+            s = str(meta["scope"])
+            out[s] = max(out.get(s, -1), int(meta["batch_id"]))
+    return out
+
+
 def _commit_manifest(
-    path: str, version: int, files: list[str], meta: dict | None = None
+    path: str,
+    version: int,
+    files: list[str],
+    meta: dict | None = None,
+    txn: dict[str, int] | None = None,
 ) -> None:
     """Atomically claim `version`: stage the manifest, hard-link it to
     its final name (fails iff the version is already taken), unlink
@@ -262,7 +319,15 @@ def _commit_manifest(
     os.makedirs(d, exist_ok=True)
     stage = os.path.join(d, f".stage-{_uuid.uuid4().hex}.json")
     with open(stage, "w") as f:
-        json.dump({"version": version, "files": files, "meta": meta or {}}, f)
+        json.dump(
+            {
+                "version": version,
+                "files": files,
+                "meta": meta or {},
+                "txn": txn or {},
+            },
+            f,
+        )
     try:
         os.link(stage, os.path.join(d, f"v{version}.json"))
     except FileExistsError as e:
@@ -295,11 +360,17 @@ def upsert_versioned(
             merged = kept.unionByName(updates)
         else:
             merged = updates
+        # carry the full scope→batch txn map forward (read from the
+        # SAME base snapshot the merge used; a lost race recomputes
+        # both from the winner's snapshot on retry)
+        txn = latest_txn(path)
+        if meta and meta.get("scope") is not None and meta.get("batch_id") is not None:
+            txn = {**txn, str(meta["scope"]): int(meta["batch_id"])}
         rel = os.path.join("data", f"{base + 1}-{_uuid.uuid4().hex[:8]}")
         data_dir = os.path.join(path, rel)
         merged.write.mode("overwrite").parquet(data_dir)
         try:
-            _commit_manifest(path, base + 1, [rel], meta=meta)
+            _commit_manifest(path, base + 1, [rel], meta=meta, txn=txn)
             return base + 1
         except VersionConflict:
             shutil.rmtree(data_dir, ignore_errors=True)  # lost the race
@@ -367,14 +438,22 @@ def export_results(df: DataFrame, path: str, fmt: str = "json", max_rows: int = 
     elif fmt == "md":
         rows = df.limit(max_rows).collect()
         cols = df.columns
+
+        def mdesc(v) -> str:
+            # '|' splits the cell, a newline breaks the row — escape
+            # both (the html branch already escapes; md must too)
+            return (
+                ""
+                if v is None
+                else str(v).replace("|", "\\|").replace("\n", "<br>")
+            )
+
         lines = [
-            "| " + " | ".join(cols) + " |",
+            "| " + " | ".join(mdesc(c) for c in cols) + " |",
             "| " + " | ".join("---" for _ in cols) + " |",
         ]
         for r in rows:
-            lines.append(
-                "| " + " | ".join("" if v is None else str(v) for v in r) + " |"
-            )
+            lines.append("| " + " | ".join(mdesc(v) for v in r) + " |")
         with open(path, "w") as f:
             f.write("\n".join(lines) + "\n")
     elif fmt == "html":

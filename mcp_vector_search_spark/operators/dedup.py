@@ -418,12 +418,10 @@ def embedding_near_dups_multiprobe(
     BEFORE the cosine is computed."""
     from pyspark.sql.window import Window
 
-    from mcp_vector_search_spark.functions.vectors import l2_norm, unit_expr
+    from mcp_vector_search_spark.functions.vectors import normalized
 
-    eu = vectors.withColumn("_nrm", l2_norm(F.col(vec_col))).select(
-        F.col(id_col).alias("_id"),
-        F.col(vec_col).alias("_v"),
-        unit_expr(F.col(vec_col), F.col("_nrm")).alias("_u"),
+    eu = normalized(vectors, vec_col, "_u").select(
+        F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"), "_u"
     )
     cents = centroids.select(
         "cluster_id", F.col("centroid").alias("_cu")

@@ -67,7 +67,7 @@ def ivf_build(
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
-    from mcp_vector_search_spark.functions.vectors import unit_expr
+    from mcp_vector_search_spark.functions.vectors import normalized
 
     if num_clusters is None:
         num_clusters = clamp_clusters(vectors.count())
@@ -75,9 +75,7 @@ def ivf_build(
     # unit vectors are MATERIALIZED into the layout: cosine at query
     # time degenerates to a single dot product (like any real ANN
     # engine, normalization is an index-build cost)
-    normed = vectors.withColumn("_nrm", l2_norm(F.col(vec_col))).withColumn(
-        "unit", unit_expr(F.col(vec_col), F.col("_nrm"))
-    ).drop("_nrm")
+    normed = normalized(vectors, vec_col, "unit")
     ml = normed.withColumn("_fv", array_to_vector(F.col("unit")))
     model = KMeans(
         k=num_clusters, seed=seed, featuresCol="_fv", predictionCol="cluster_id"
@@ -188,11 +186,9 @@ def ivf_topk_batch(
     shuffles total (probe join, rank window), both keyed so AQE can
     coalesce/skew-split.
     """
-    from mcp_vector_search_spark.functions.vectors import dot, unit_expr
+    from mcp_vector_search_spark.functions.vectors import dot, normalized
 
-    q = queries.withColumn("_qnrm", l2_norm(F.col(query_vec_col))).withColumn(
-        "_uq", unit_expr(F.col(query_vec_col), F.col("_qnrm"))
-    ).drop("_qnrm")
+    q = normalized(queries, query_vec_col, "_uq")
     probe_rank = Window.partitionBy(query_id_col).orderBy(
         F.desc("_csim"), F.asc("cluster_id")
     )
@@ -209,9 +205,7 @@ def ivf_topk_batch(
     if "unit" in assigned.columns:
         side = assigned
     else:  # un-built input: normalize on the fly
-        side = assigned.withColumn("_nrm", l2_norm(F.col(vec_col))).withColumn(
-            "unit", unit_expr(F.col(vec_col), F.col("_nrm"))
-        ).drop("_nrm")
+        side = normalized(assigned, vec_col, "unit")
     sim = dot(F.col("unit"), F.col("_uq"))
     if round_to is not None:
         sim = F.round(sim, round_to)

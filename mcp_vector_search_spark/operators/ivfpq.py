@@ -45,7 +45,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from mcp_vector_search_spark.functions.vectors import l2_norm, unit_expr
+from mcp_vector_search_spark.functions.vectors import l2_norm, normalized, unit_expr
 from mcp_vector_search_spark.operators.ivf import NPROBES, ivf_build
 from mcp_vector_search_spark.operators.pq import _collect_codebooks
 
@@ -105,11 +105,12 @@ def ivfpq_build(
         seed=seed,
         normalize=False,
     )
-    codes = pq_encode(
-        resid, codebooks, vec_col="_resid", id_col=id_col, normalize=False
-    )
-    encoded = codes.join(
-        resid.select(id_col, "cluster_id"), id_col
+    # cluster_id rides through the encode kernel: a join-back would
+    # execute the assignment/residual lineage twice and add an id
+    # shuffle just to re-attach a column the kernel's input already had
+    encoded = pq_encode(
+        resid, codebooks, vec_col="_resid", id_col=id_col, normalize=False,
+        passthrough_cols=["cluster_id"],
     ).select(id_col, "cluster_id", "codes")
     return encoded, centroids, codebooks
 
@@ -274,14 +275,9 @@ def ivfpq_topk_refined(
         query_id_col=query_id_col,
         query_vec_col=query_vec_col,
     ).select(query_id_col, id_col)
-    v = (
-        vectors.withColumn("_nrm", l2_norm(F.col(vec_col)))
-        .withColumn("_u", unit_expr(F.col(vec_col), F.col("_nrm")))
-        .select(id_col, "_u")
-    )
+    v = normalized(vectors, vec_col, "_u").select(id_col, "_u")
     q = (
-        queries.withColumn("_qnrm", l2_norm(F.col(query_vec_col)))
-        .withColumn("_uq", unit_expr(F.col(query_vec_col), F.col("_qnrm")))
+        normalized(queries, query_vec_col, "_uq")
         .select(query_id_col, "_uq")
     )
     sim = F.round(dot(F.col("_u"), F.col("_uq")), round_to)

@@ -40,7 +40,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from mcp_vector_search_spark.functions.vectors import l2_norm, unit_expr
+from mcp_vector_search_spark.functions.vectors import l2_norm, normalized, unit_expr
 
 PQ_M = 8  # subspaces
 PQ_CODES = 256  # codes per subspace (one byte)
@@ -301,15 +301,20 @@ def pq_encode(
     round_to: int = 9,
     normalize: bool = True,
     rotation=None,
+    passthrough_cols: list[str] | None = None,
 ) -> DataFrame:
-    """Compress the corpus → (id, codes array<int>): per subspace the
+    """Compress the corpus → (id[, passthrough...], codes array<int>):
+    per subspace the
     nearest codebook entry by round-9 squared L2 on the unit sphere
     (ties → lower code; `normalize=False` encodes the raw column —
     the IVF-PQ residual path). One Arrow batch = m argmin passes over
     a numpy distance matrix; no shuffle — the output inherits the
     input partitioning, so an IVF-partitioned corpus stays
     IVF-partitioned. `rotation` (from `pq_train_rotated`) applies the
-    OPQ basis change before the subspace split.
+    OPQ basis change before the subspace split. `passthrough_cols`
+    ride through the kernel unchanged — the IVF-PQ build carries
+    cluster_id this way instead of re-joining (which would execute the
+    assignment lineage twice plus an id shuffle).
     """
     import numpy as np
     import pandas as pd
@@ -338,12 +343,17 @@ def pq_encode(
                 d2 = (Vs * Vs).sum(axis=1)[:, None] + (cb[s] * cb[s]).sum(axis=1)[None, :]
                 d2 -= 2.0 * (Vs @ cb[s].T)
                 codes[:, s] = np.argmin(np.round(d2, round_to), axis=1)
-            yield pd.DataFrame(
-                {id_col: pdf[id_col].to_numpy(), "codes": list(codes)}
-            )
+            out = {id_col: pdf[id_col].to_numpy()}
+            for c in passthrough_cols or []:
+                out[c] = pdf[c].to_numpy()
+            out["codes"] = list(codes)
+            yield pd.DataFrame(out)
 
-    return vectors.select(id_col, vec_col).mapInPandas(
-        encode, f"{id_col} {id_type(vectors, id_col)}, codes array<int>"
+    extra = "".join(
+        f", {c} {id_type(vectors, c)}" for c in passthrough_cols or []
+    )
+    return vectors.select(id_col, *(passthrough_cols or []), vec_col).mapInPandas(
+        encode, f"{id_col} {id_type(vectors, id_col)}{extra}, codes array<int>"
     )
 
 
@@ -463,14 +473,9 @@ def pq_topk_refined(
         query_vec_col=query_vec_col,
         rotation=rotation,
     ).select(query_id_col, id_col)
-    v = (
-        vectors.withColumn("_nrm", l2_norm(F.col(vec_col)))
-        .withColumn("_u", unit_expr(F.col(vec_col), F.col("_nrm")))
-        .select(id_col, "_u")
-    )
+    v = normalized(vectors, vec_col, "_u").select(id_col, "_u")
     q = (
-        queries.withColumn("_qnrm", l2_norm(F.col(query_vec_col)))
-        .withColumn("_uq", unit_expr(F.col(query_vec_col), F.col("_qnrm")))
+        normalized(queries, query_vec_col, "_uq")
         .select(query_id_col, "_uq")
     )
     from mcp_vector_search_spark.functions.vectors import dot

@@ -36,7 +36,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from mcp_vector_search_spark.functions.vectors import l2_norm, unit_expr
+from mcp_vector_search_spark.functions.vectors import l2_norm, normalized, unit_expr
 
 SQ_LEVELS = 255  # code range [0, 255] — int8-equivalent
 
@@ -53,9 +53,7 @@ def sq_train(
     this is d rows out."""
     v = vectors
     if normalize:
-        v = v.withColumn("_nrm", l2_norm(F.col(vec_col))).withColumn(
-            "_u", unit_expr(F.col(vec_col), F.col("_nrm"))
-        )
+        v = normalized(v, vec_col, "_u", drop_norm=False)
         src = F.col("_u")
     else:
         src = F.col(vec_col)
@@ -214,14 +212,9 @@ def sq_topk_refined(
         query_id_col=query_id_col,
         query_vec_col=query_vec_col,
     ).select(query_id_col, id_col)
-    v = (
-        vectors.withColumn("_nrm", l2_norm(F.col(vec_col)))
-        .withColumn("_u", unit_expr(F.col(vec_col), F.col("_nrm")))
-        .select(id_col, "_u")
-    )
+    v = normalized(vectors, vec_col, "_u").select(id_col, "_u")
     q = (
-        queries.withColumn("_qnrm", l2_norm(F.col(query_vec_col)))
-        .withColumn("_uq", unit_expr(F.col(query_vec_col), F.col("_qnrm")))
+        normalized(queries, query_vec_col, "_uq")
         .select(query_id_col, "_uq")
     )
     sim = F.round(dot(F.col("_u"), F.col("_uq")), round_to)

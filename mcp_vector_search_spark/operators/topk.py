@@ -21,14 +21,11 @@ from mcp_vector_search_spark.functions.vectors import dot, l2_norm, unit_expr
 
 
 def _normalized(df: DataFrame, vec_col: str, out_col: str) -> DataFrame:
-    """Attach a unit-vector column in two projections (norm first, so
-    the transform divides by a column reference, not a re-evaluated
-    expression)."""
-    return (
-        df.withColumn("_nrm", l2_norm(F.col(vec_col)))
-        .withColumn(out_col, unit_expr(F.col(vec_col), F.col("_nrm")))
-        .drop("_nrm")
-    )
+    """Alias of functions.vectors.normalized — kept for the existing
+    operator-module call sites."""
+    from mcp_vector_search_spark.functions.vectors import normalized
+
+    return normalized(df, vec_col, out_col)
 
 
 def knn_brute_force(

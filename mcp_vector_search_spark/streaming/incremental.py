@@ -43,7 +43,12 @@ def _chunks_path(state_dir: str) -> str:
 
 
 def read_state(spark: SparkSession, state_dir: str) -> DataFrame:
+    from mcp_vector_search_spark.io import recover_swap
+
     path = _state_path(state_dir)
+    # a crash inside the upsert swap leaves only <path>.old — restore
+    # it rather than treating the whole corpus as brand new
+    recover_swap(path)
     if os.path.exists(path):
         return spark.read.parquet(path)
     return spark.createDataFrame([], "doc_id long, fingerprint string")
@@ -173,10 +178,12 @@ def versioned_upsert_sink(
 
     def write(batch_df: DataFrame, batch_id: int) -> None:
         bid = int(batch_id)
-        if any(
-            m.get("batch_id") == bid and m.get("scope") == scope
-            for m in vio.committed_metas(path)
-        ):
+        # O(1) replay check against the latest manifest's txn map
+        # (batch ids are monotone per checkpoint, so ≤ latest-committed
+        # means replay). Reading EVERY manifest here was O(versions)
+        # per batch and broke once vacuum pruned old manifests.
+        last = vio.latest_txn(path).get(str(scope))
+        if last is not None and bid <= last:
             return  # replay of an already-committed batch
         vio.upsert_versioned(
             spark, batch_df, path, key_cols,

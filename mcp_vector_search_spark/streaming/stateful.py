@@ -48,7 +48,13 @@ def debounce_fn(gap: int, timeout_ms: int | None = None):
         for r in rows.itertuples():
             if pending is not None and r.ts >= pending[0] + gap:
                 emitted.append(pending)
-            pending = (int(r.ts), r.text)
+                pending = (int(r.ts), r.text)
+            elif pending is None or int(r.ts) >= pending[0]:
+                # within the gap: keep the burst's LATEST payload —
+                # a late cross-batch event with an older ts must not
+                # overwrite newer pending state (rows are only sorted
+                # within one batch)
+                pending = (int(r.ts), r.text)
         if pending is not None:
             state.update(pending)
             state.setTimeoutDuration(timeout_ms if timeout_ms is not None else gap * 1000)

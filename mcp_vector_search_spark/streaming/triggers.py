@@ -54,12 +54,15 @@ def trigger_policy_fn(cooldown: int, min_stale: int = 1):
         last = state.get[0] if state.exists else None
         out: list[tuple[int, str, int]] = []
         for r in rows.itertuples():
+            # forced kinds carry no meaningful stale_count — a NULL
+            # arrives as NaN, which int() would crash the micro-batch on
+            stale = 0 if pd.isna(r.stale_count) else int(r.stale_count)
             qualifies = r.kind in FORCED_KINDS or (
-                r.kind == "search" and int(r.stale_count) >= min_stale
+                r.kind == "search" and stale >= min_stale
             )
             in_cooldown = last is not None and int(r.ts) < last + cooldown
             if qualifies and not in_cooldown:
-                out.append((int(r.ts), str(r.kind), int(r.stale_count)))
+                out.append((int(r.ts), str(r.kind), stale))
                 last = int(r.ts)
         if last is not None:
             state.update((last,))

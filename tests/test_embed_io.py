@@ -98,3 +98,68 @@ def test_versioned_upsert_time_travel_and_conflict(spark, tmp_path):
     import pytest
     with pytest.raises(FileNotFoundError):
         read_versioned(spark, path, version=1)
+
+
+def test_recover_swap_restores_renamed_aside_table(spark, tmp_path):
+    """A crash between atomic_swap_dir's two renames leaves only
+    <path>.old; the next reader/writer restores it instead of
+    restarting the table from the current batch."""
+    import os
+
+    from mcp_vector_search_spark.io import recover_swap, upsert_parquet
+
+    path = str(tmp_path / "t.parquet")
+    df = spark.createDataFrame([(1, "a")], "id long, v string")
+    upsert_parquet(spark, df, path, ["id"])
+    # simulate the crash window: table renamed aside, new one not yet in
+    os.rename(path, path + ".old")
+    assert recover_swap(path) is True
+    assert spark.read.parquet(path).count() == 1
+    # upsert after a simulated crash merges with the RECOVERED data
+    os.rename(path, path + ".old")
+    upsert_parquet(
+        spark, spark.createDataFrame([(2, "b")], "id long, v string"), path, ["id"]
+    )
+    assert spark.read.parquet(path).count() == 2
+
+
+def test_read_versioned_no_commits_raises(spark, tmp_path):
+    import pytest
+
+    from mcp_vector_search_spark.io import read_versioned
+
+    with pytest.raises(ValueError, match="no commits"):
+        read_versioned(spark, str(tmp_path / "never_written"))
+
+
+def test_txn_map_survives_vacuum(spark, tmp_path):
+    """The scope→batch txn map rides the latest manifest, so replay
+    detection keeps working after vacuum prunes the manifest that
+    originally recorded a batch."""
+    from mcp_vector_search_spark.io import (
+        latest_txn,
+        upsert_versioned,
+        vacuum_versioned,
+    )
+
+    path = str(tmp_path / "vt")
+    d = lambda i: spark.createDataFrame([(i, i)], "id long, v long")  # noqa: E731
+    upsert_versioned(spark, d(1), path, ["id"], meta={"scope": "A", "batch_id": 0})
+    upsert_versioned(spark, d(2), path, ["id"], meta={"scope": "B", "batch_id": 0})
+    upsert_versioned(spark, d(3), path, ["id"], meta={"scope": "B", "batch_id": 1})
+    vacuum_versioned(path, keep_last=1)  # prunes v1/v2 manifests
+    assert latest_txn(path) == {"A": 0, "B": 1}
+
+
+def test_md_export_escapes_pipes_and_newlines(spark, tmp_path):
+    from mcp_vector_search_spark.io import export_results
+
+    df = spark.createDataFrame(
+        [("a|b", "line1\nline2")], "x string, y string"
+    )
+    out = str(tmp_path / "r.md")
+    export_results(df, out, fmt="md")
+    text = open(out).read()
+    lines = text.strip().splitlines()
+    assert len(lines) == 3  # header, separator, ONE data row
+    assert "a\\|b" in lines[2] and "line1<br>line2" in lines[2]

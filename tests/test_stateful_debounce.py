@@ -76,3 +76,43 @@ def test_debounce_coalesce_release_resume(spark, tmp_path):
     }
     assert ("a.py", 20, "v2") in got
     assert ("b.py", 5, "w0") in got
+
+
+def test_debounce_late_older_event_does_not_overwrite(spark):
+    """A cross-batch late event with an OLDER ts must not replace
+    newer pending state — the burst's latest payload wins."""
+    import pandas as pd
+
+    from mcp_vector_search_spark.streaming.stateful import debounce_fn
+
+    fn = debounce_fn(gap=10)
+
+    class FakeState:
+        exists = False
+        hasTimedOut = False
+        _v = None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+            self.exists = True
+
+        def setTimeoutDuration(self, ms):
+            pass
+
+        def remove(self):
+            self._v, self.exists = None, False
+
+    st = FakeState()
+    # batch 1: ts=100 'new'
+    list(fn(("f.py",), [pd.DataFrame({"ts": [100], "text": ["new"]})], st))
+    assert st.get == (100, "new")
+    # batch 2: late ts=50 'old' — inside the gap, older: ignored
+    list(fn(("f.py",), [pd.DataFrame({"ts": [50], "text": ["old"]})], st))
+    assert st.get == (100, "new")
+    # batch 3: ts=105 'newer' — inside gap, newer: replaces
+    list(fn(("f.py",), [pd.DataFrame({"ts": [105], "text": ["newer"]})], st))
+    assert st.get == (105, "newer")

@@ -89,3 +89,38 @@ def test_trigger_policy_cooldown_and_resume(spark, tmp_path):
     }
     assert ("p1", 60, "schedule") not in got
     assert ("p1", 75, "git_hook") in got
+
+
+def test_trigger_null_stale_count_on_forced_kind(spark):
+    """git_hook/schedule rows naturally carry NULL stale_count; the
+    policy must emit them (stale 0) instead of crashing on NaN."""
+    import numpy as np
+    import pandas as pd
+
+    from mcp_vector_search_spark.streaming.triggers import trigger_policy_fn
+
+    fn = trigger_policy_fn(cooldown=10)
+
+    class FakeState:
+        exists = False
+        hasTimedOut = False
+        _v = None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+            self.exists = True
+
+        def remove(self):
+            pass
+
+    pdf = pd.DataFrame(
+        {"ts": [100], "kind": ["git_hook"], "stale_count": [np.nan]}
+    )
+    out = list(fn(("proj",), [pdf], FakeState()))
+    assert len(out) == 1
+    row = out[0].iloc[0]
+    assert row["kind"] == "git_hook" and row["stale_count"] == 0
