@@ -36,6 +36,19 @@ class SparkProject:
         self._ivf_layout: tuple[DataFrame, DataFrame] | None = None
         self._ivfpq_layout: tuple[DataFrame, DataFrame, DataFrame] | None = None
         self._sq_layout: tuple[DataFrame, DataFrame] | None = None
+        self._deferred_caches: list[DataFrame] = []
+
+    def _release_later(self, df: DataFrame) -> None:
+        """Register a cached frame whose consumer is a RETURNED lazy
+        DataFrame: it cannot be unpersisted here (the caller hasn't
+        materialized yet), so it is released at the start of the next
+        cache-creating call — rolling release, no accumulation across
+        repeated calls in a long session."""
+        self._deferred_caches.append(df)
+
+    def _drain_deferred(self) -> None:
+        while self._deferred_caches:
+            self._deferred_caches.pop().unpersist()
 
     # ---------------------------------------------------------- search
 
@@ -78,6 +91,10 @@ class SparkProject:
         qv = self.vectors.filter(F.col("vec_id") == doc_id).select(
             F.col("embedding").alias("query_vec")
         )
+        if qv.isEmpty():
+            # an unknown/unindexed id would otherwise return an empty
+            # frame — a confident 'no similar documents' for a typo
+            raise ValueError(f"doc_id not in the vector index: {doc_id}")
         # over-retrieve by one, drop self, re-cap: with tied duplicate
         # vectors the target may not be inside the top limit+1, in
         # which case the filter removes nothing and the cap matters
@@ -103,12 +120,37 @@ class SparkProject:
                        (operators/ivfpq.py): probed clusters scan m
                        code bytes per vector instead of d floats, then
                        exact-rerank — the 100 TB memory/I-O path.
-        kind="ivfsq" — the reference's own IVF_SQ shape
-                       (``vectors_backend.py:1264-1341``): scalar-
-                       quantize to one byte per dimension on top of
-                       the IVF layout; queries decode-and-GEMM the SQ
-                       codes then exact-rerank (operators/sq.py).
+        kind="ivfsq" — scalar-quantize to one byte per dimension
+                       (operators/sq.py, the reference's IVF_SQ codec,
+                       ``vectors_backend.py:1264-1341``); queries
+                       decode-and-GEMM the SQ codes then exact-rerank.
+                       `sq_topk_refined` scans all codes (no cluster
+                       pruning), so no IVF build is paid for this kind.
+
+        Rebuilding with a DIFFERENT kind clears the superseded layout
+        and unpersists its cached frames — `search_batch` routes by
+        whichever layout exists, so a stale one would silently keep
+        answering with the old index.
         """
+        self._drain_deferred()
+        if kind not in ("ivf", "ivfpq", "ivfsq"):
+            raise ValueError(f"unknown ANN index kind: {kind!r}")
+        for attr, cached_pos in (
+            ("_ivf_layout", 0), ("_ivfpq_layout", 0), ("_sq_layout", 0)
+        ):
+            layout = getattr(self, attr)
+            if layout is not None:
+                layout[cached_pos].unpersist()
+                setattr(self, attr, None)
+
+        if kind == "ivfsq":
+            from mcp_vector_search_spark.operators.sq import sq_encode, sq_train
+
+            bounds = sq_train(self.vectors)
+            codes = sq_encode(self.vectors, bounds)
+            self._sq_layout = (codes.cache(), bounds)
+            return
+
         from mcp_vector_search_spark.operators.ivf import ivf_build
 
         kwargs = {} if num_clusters is None else {"num_clusters": num_clusters}
@@ -121,14 +163,6 @@ class SparkProject:
                 self.vectors, m=m, k_codes=k_codes, coarse=(assigned, centroids)
             )
             self._ivfpq_layout = (encoded.cache(), cents, codebooks)
-        elif kind == "ivfsq":
-            from mcp_vector_search_spark.operators.sq import sq_encode, sq_train
-
-            bounds = sq_train(self.vectors)
-            codes = sq_encode(self.vectors, bounds)
-            self._sq_layout = (codes.cache(), bounds)
-        elif kind != "ivf":
-            raise ValueError(f"unknown ANN index kind: {kind!r}")
 
     def search_batch(self, queries: DataFrame, limit: int = 10) -> DataFrame:
         """Batch ANN (tool batch search): always the Arrow-vectorized
@@ -190,23 +224,46 @@ class SparkProject:
 
     # ----------------------------------------------------------- dedup
 
-    def find_duplicates(self, method: str = "minhash", **kw) -> DataFrame:
-        """Candidate duplicate pairs by detector:
-        'exact' (fingerprint groups), 'minhash' (LSH + Jaccard
-        verify), 'simhash' (pigeonhole-banded hamming), 'embedding'
-        (cosine near-dups). Pairs feed `dedup_clusters`."""
+    def find_duplicates(
+        self, method: str = "minhash", threshold: float | None = None, **kw
+    ) -> DataFrame:
+        """Duplicate pairs (doc_a, doc_b, ...) by detector — 'minhash'
+        (LSH candidates, exact-Jaccard verified ≥ `threshold`, default
+        0.8), 'simhash' (pigeonhole-banded hamming), 'embedding'
+        (cosine ≥ `threshold`, default 0.9). Every pair method emits
+        doc_a/doc_b so the output feeds `dedup_clusters` directly.
+        'exact' is the odd one out: it returns fingerprint GROUPS
+        (fingerprint, dup_count, keep_id) — already resolved, no
+        clustering needed."""
+        self._drain_deferred()
         from mcp_vector_search_spark.operators import dedup as D
 
         if method == "exact":
             return D.exact_duplicates(self.docs, **kw)
         if method == "minhash":
-            sh = D.shingle_index(self.docs)
-            cand = D.minhash_candidates(self.docs, shingles=sh, **kw)
-            return D.jaccard_verify(cand, sh)
+            sh = D.shingle_index(self.docs).cache()
+            try:
+                cand = D.minhash_candidates(self.docs, shingles=sh, **kw)
+                # without a verify threshold every band collision —
+                # Jaccard ~0.2 pairs included — would count as a dup
+                return D.jaccard_verify(
+                    cand, sh, threshold=0.8 if threshold is None else threshold
+                )
+            finally:
+                self._release_later(sh)
         if method == "simhash":
             return D.simhash_near_dups(self.docs, **kw)
         if method == "embedding":
-            return D.embedding_near_dups(self.vectors, **kw)
+            out = D.embedding_near_dups(
+                self.vectors,
+                **({} if threshold is None else {"threshold": threshold}),
+                **kw,
+            )
+            return out.select(
+                F.col("id_a").alias("doc_a"),
+                F.col("id_b").alias("doc_b"),
+                "cos_sim",
+            )
         raise ValueError(f"unknown dedup method: {method!r}")
 
     def dedup_clusters(self, pairs: DataFrame) -> DataFrame:
@@ -420,6 +477,7 @@ class SparkProject:
         )
 
         spark = self.spark
+        self._drain_deferred()  # release the previous run's boundary
         stages: list[tuple[str, int]] = []
         prev_cached: list[DataFrame] = []
 
@@ -534,4 +592,9 @@ class SparkProject:
             if collect_report
             else None
         )
+        # the FINAL boundary cache is still needed by the lazy `bins`
+        # the caller will materialize — release it on the NEXT
+        # curation/dedup call instead of leaking one frame per run
+        while prev_cached:
+            self._release_later(prev_cached.pop())
         return bins, report

@@ -266,7 +266,10 @@ def bpe_token_estimate(text: Column | str) -> Column:
 PII_PATTERNS: list[tuple[str, str, str]] = [
     ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
     ("ip", r"\b\d{1,3}(\.\d{1,3}){3}\b", "<IP>"),
-    ("phone", r"\+?\d[\d\- ]{7,}\d", "<PHONE>"),
+    # international (+-prefixed digit run) OR NANP 3-3-4 shape; the
+    # earlier \+?\d[\d\- ]{7,}\d also matched ISO dates (2026-08-14)
+    # and dash-separated ids, corrupting every date in a redacted corpus
+    ("phone", r"(?:\+\d[\d\- ]{7,}\d)|(?:\b\d{3}[\- ]\d{3}[\- ]\d{4}\b)", "<PHONE>"),
 ]
 
 

@@ -36,12 +36,15 @@ def hybrid_search(
     vec_col: str = "embedding",
     vec_id_col: str = "vec_id",
     bm25_cache_index: bool = False,
+    bm25_stats: dict | None = None,
 ) -> DataFrame:
     """(doc_id, rrf_score) — top-k fused results.
 
     `query` is a 1-row (query_vec) DataFrame; `docs[id_col]` and
     `vectors[vec_id_col]` share an id universe (the reference's
     denormalized vectors table guarantees this by construction).
+    `bm25_stats` (from `bm25_oneshot_stats` over the UNION of variant
+    terms) lets multi-variant callers pay the corpus stats scan once.
     """
     n_leg = k * over_retrieve
 
@@ -53,6 +56,7 @@ def hybrid_search(
             id_col=id_col,
             text_col=text_col,
             cache_index=bm25_cache_index,
+            stats=bm25_stats,
         ),
         "score",
         "doc_id",

@@ -68,7 +68,14 @@ def cross_encoder_rescore(
         import pandas as pd
         from pyspark.sql.types import DoubleType
 
-        out_schema = candidates.schema.add("ce_score", DoubleType())
+        # COPY the schema: StructType.add mutates in place, and
+        # candidates.schema is the input frame's cached object — the
+        # phantom column would corrupt later collects on the input
+        from pyspark.sql.types import StructType
+
+        out_schema = StructType(list(candidates.schema.fields)).add(
+            "ce_score", DoubleType()
+        )
 
         def rerank(batches):
             import numpy as np
@@ -115,10 +122,21 @@ def full_search(
         alpha = IDENTIFIER_ALPHA
     threshold = adaptive_threshold(q, base_threshold)
 
+    # ONE corpus stats scan for every variant leg: the idf/avgdl
+    # constants come from the union of variant terms, so each
+    # bm25_topk leg is pure per-row scoring (the reference's
+    # query-expansion path re-uses its in-memory BM25 object the same
+    # way; rebuilding stats per variant re-tokenized the corpus
+    # max_variants times per call).
+    from mcp_vector_search_spark.operators.bm25 import bm25_oneshot_stats
+
+    union_terms = list(dict.fromkeys(t for v in variants for t in v.split()))
+    stats = bm25_oneshot_stats(docs, union_terms)
     legs = None
     for v in variants:
         leg = hybrid_search(
-            docs, vectors, v.split(), query_vec, k=k * 3, alpha=alpha
+            docs, vectors, v.split(), query_vec, k=k * 3, alpha=alpha,
+            bm25_stats=stats,
         )
         legs = leg if legs is None else legs.unionByName(leg)
     merged = max_score_merge(legs, "doc_id", "rrf_score")

@@ -257,3 +257,59 @@ def test_api_curate_strip_dup_spans_stage(spark):
     text = " ".join(r["text"] for r in bins.collect())
     assert text and "boiler0" not in text
     assert all(t.startswith(("aa", "bb")) for t in text.split())
+
+
+def test_api_rebuild_ann_index_clears_previous_kind(spark):
+    """Rebuilding with a different kind must route search_batch to the
+    NEW index, not whatever layout happened to be built first."""
+    import numpy as np
+
+    from mcp_vector_search_spark.api import SparkProject
+
+    rng = np.random.default_rng(11)
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in rng.normal(size=8)]) for i in range(64)],
+        "vec_id long, embedding array<double>",
+    )
+    p = SparkProject(spark, emb.selectExpr("vec_id as doc_id", "'t' as text"), emb)
+    p.build_ann_index(kind="ivfpq", m=4, k_codes=16)
+    assert p._ivfpq_layout is not None
+    p.build_ann_index(kind="ivf")
+    assert p._ivfpq_layout is None and p._sq_layout is None
+    assert p._ivf_layout is not None
+    q = emb.limit(2).selectExpr("vec_id as query_id", "embedding as query_vec")
+    out = p.search_batch(q, limit=3)
+    assert "cos_sim" in out.columns  # IVF path, not ADC scores
+
+
+def test_api_find_duplicates_threshold_and_columns(spark):
+    """minhash pairs are Jaccard-verified at the threshold; embedding
+    pairs come back as doc_a/doc_b so dedup_clusters consumes them."""
+    import numpy as np
+
+    from mcp_vector_search_spark.api import SparkProject
+
+    text = " ".join(f"w{i}" for i in range(30))
+    docs = spark.createDataFrame(
+        [(1, text), (2, text + " tail"), (3, "completely different words here")],
+        "doc_id long, text string",
+    )
+    rng = np.random.default_rng(3)
+    base = rng.normal(size=8)
+    emb = spark.createDataFrame(
+        [
+            (1, [float(x) for x in base]),
+            (2, [float(x) for x in base + 1e-6]),
+            (3, [float(x) for x in rng.normal(size=8)]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    p = SparkProject(spark, docs, emb)
+    pairs = p.find_duplicates("minhash", threshold=0.8)
+    got = {(r.doc_a, r.doc_b) for r in pairs.collect()}
+    assert got == {(1, 2)}  # 3 never passes the verify threshold
+
+    epairs = p.find_duplicates("embedding", threshold=0.999)
+    assert {"doc_a", "doc_b"} <= set(epairs.columns)
+    clusters = p.dedup_clusters(epairs)  # must not raise on columns
+    assert clusters.count() >= 1

@@ -196,3 +196,18 @@ def test_lang_id_priority_tiebreak(spark):
     r = df.select(lang_id("text").alias("lid")).first()
     assert r["lid"]["lang"] == "en"
     assert abs(r["lid"]["confidence"] - 0.5) < 1e-12
+
+
+def test_redact_pii_leaves_dates_and_ids_alone(spark):
+    """ISO dates and dash-separated ids are NOT phone numbers — the
+    earlier permissive pattern rewrote '2026-08-14' to <PHONE>."""
+    from mcp_vector_search_spark.functions.text import redact_pii
+
+    rows = [
+        (1, "released 2026-08-14 build 1234-5678-9012 ok"),
+        (2, "call 555-123-4567 or +44 20 7946 0958 now"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r.red for r in df.select("doc_id", redact_pii("text").alias("red")).collect()}
+    assert out[1] == "released 2026-08-14 build 1234-5678-9012 ok"
+    assert out[2] == "call <PHONE> or <PHONE> now"
