@@ -24,6 +24,8 @@ import sys
 def _coerce(v: str):
     if v.startswith("str:"):  # forced string, e.g. an all-digit sha
         return v[4:]
+    if v.lower() in ("true", "false"):  # '--force false' must DISABLE
+        return v.lower() == "true"
     if v.lstrip("-").isdigit():
         return int(v)
     try:

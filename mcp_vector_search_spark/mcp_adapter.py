@@ -125,12 +125,20 @@ class McpAdapter:
     (`index_project` / `kg_build` force it explicitly, like the
     reference's index/build tools)."""
 
-    def __init__(self, project, repo_path: str | None = None, max_rows: int = 200):
+    def __init__(
+        self,
+        project,
+        repo_path: str | None = None,
+        max_rows: int = 200,
+        reports_dir: str = "reports",
+    ):
         self.project = project
         self.repo_path = repo_path
         self.max_rows = max_rows
+        self.reports_dir = reports_dir  # save_report containment root
         self._chunks: DataFrame | None = None
         self._commits: DataFrame | None = None
+        self._dim: int | None = None  # corpus embedding dim, one probe
 
     # ------------------------------------------------------- state
 
@@ -169,9 +177,12 @@ class McpAdapter:
         fake) encoder the corpus embedding uses, at the corpus dim."""
         from mcp_vector_search_spark.functions.embed import fake_embed_expr
 
-        dim = len(
-            self.project.vectors.select("embedding").first()["embedding"]
-        )
+        if self._dim is None:
+            row = self.project.vectors.select("embedding").first()
+            if row is None:
+                raise ValueError("vector index is empty — embed_chunks first")
+            self._dim = len(row["embedding"])
+        dim = self._dim
         return self.project.spark.createDataFrame(
             [(text,)], "q string"
         ).select(fake_embed_expr("q", dim=dim).alias("query_vec"))
@@ -244,9 +255,13 @@ class McpAdapter:
             roll = p.analyze_project().filter(F.col("source") == a["file_path"])
             return df_payload(roll, cap)
         if name == "find_smells":
-            sm = p.find_smells(self._chunk_frame())
+            # detect_smells reads text/n_chars — the DOC corpus, not
+            # the slim chunk frame (which lacks both; round-4 review)
+            sm = p.find_smells(p.docs)
             if a.get("smell_type"):
                 sm = sm.filter(F.col("smell") == a["smell_type"])
+            if a.get("severity"):
+                sm = sm.filter(F.col("severity") == a["severity"])
             return df_payload(sm, cap)
         if name == "get_complexity_hotspots":
             # the engine op is top-N per group (W3); the MCP tool
@@ -258,7 +273,22 @@ class McpAdapter:
         if name == "check_circular_dependencies":
             return df_payload(p.check_circular_dependencies(self._edges()), cap)
         if name == "save_report":
-            path = a.get("output_path") or "/tmp/mcp_report.md"
+            import os as _os
+
+            # containment: reports land under the adapter's reports
+            # dir; an MCP surface must not hand callers arbitrary
+            # filesystem writes via an absolute/traversal output_path
+            rel = a.get("output_path") or (
+                f"{a.get('filename_prefix', a.get('report_type', 'report'))}.md"
+            )
+            base = _os.path.abspath(self.reports_dir)
+            path = _os.path.abspath(_os.path.join(base, rel))
+            if not path.startswith(base + _os.sep):
+                return {
+                    "ok": False,
+                    "error": f"output_path escapes the reports dir: {rel!r}",
+                }
+            _os.makedirs(_os.path.dirname(path), exist_ok=True)
             with open(path, "w") as fh:
                 fh.write(a["content"])
             return {"ok": True, "path": path, "bytes": len(a["content"])}
@@ -270,7 +300,10 @@ class McpAdapter:
             return df_payload(p.kg_stats(), cap)
         if name == "kg_query":
             self._edges()
-            return df_payload(p.find_related(a["entity"], max_hops=2), cap)
+            rel = p.find_related(a["entity"], max_hops=2)
+            if a.get("limit"):
+                rel = rel.limit(int(a["limit"]))
+            return df_payload(rel, cap)
         if name == "kg_ontology":
             from mcp_vector_search_spark.functions.classify import categorize_path
 
@@ -309,26 +342,44 @@ class McpAdapter:
                 ).select("commit_sha", "author", "ts", "subject")
                 return df_payload(hist.orderBy(F.desc("ts")), cap)
             # kg_callers_at_commit: callers restricted to the commit's
-            # ancestor set (true DAG ancestry, sources/git_source.py)
+            # ancestor set (true DAG ancestry, sources/git_source.py).
+            # Commit scoping REQUIRES chunks indexed with commit_sha —
+            # without it the ancestry filter cannot apply, and
+            # answering with all-history callers while claiming
+            # commit-scoped results would be silently wrong.
+            chunks = self._chunk_frame()
+            if "commit_sha" not in chunks.columns:
+                return {
+                    "ok": False,
+                    "error": "commit-scoped callers need chunks indexed "
+                    "with a commit_sha column (git blame metadata); "
+                    "this index has none — use kg_query for "
+                    "history-wide callers",
+                }
             from mcp_vector_search_spark.sources.git_source import ancestors_of
 
             anc = ancestors_of(commits, a["commit_sha"])
             edges = self._edges().filter(F.col("dst") == a["entity_name"])
-            chunks = self._chunk_frame()
-            if "commit_sha" in chunks.columns:
-                anc_df = p.spark.createDataFrame(
-                    [(s,) for s in anc], "commit_sha string"
-                )
-                live = chunks.join(F.broadcast(anc_df), "commit_sha", "left_semi")
-                edges = edges.join(
-                    live.select(F.col("name").alias("src")).distinct(), "src", "left_semi"
-                )
+            anc_df = p.spark.createDataFrame(
+                [(s,) for s in anc], "commit_sha string"
+            )
+            live = chunks.join(F.broadcast(anc_df), "commit_sha", "left_semi")
+            edges = edges.join(
+                live.select(F.col("name").alias("src")).distinct(), "src", "left_semi"
+            )
             return df_payload(edges, cap)
         raise ValueError(f"unhandled tool {name}")  # pragma: no cover
 
 
 def call_tool_json(adapter: McpAdapter, request: str) -> str:
     """One stdio-frame worth of plumbing: JSON request
-    {"name": ..., "arguments": {...}} → JSON response."""
-    req = json.loads(request)
+    {"name": ..., "arguments": {...}} → JSON response. Malformed
+    frames come back as structured errors — the same
+    never-kill-the-loop contract `call_tool` keeps."""
+    try:
+        req = json.loads(request)
+    except json.JSONDecodeError as e:
+        return json.dumps({"ok": False, "error": f"bad JSON: {e}"})
+    if not isinstance(req, dict) or not isinstance(req.get("name"), str):
+        return json.dumps({"ok": False, "error": "request needs a string 'name'"})
     return json.dumps(adapter.call_tool(req["name"], req.get("arguments")))

@@ -238,13 +238,29 @@ def q_exact_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_duplicates(_docs(spark, sf_dir))
 
 
+# Gate-local caches (shingle frames shared by signature+verify) are
+# consumed by the RETURNED lazy plan, so they can't unpersist inside
+# the gate. Rolling release: each registration frees the previous
+# frame, bounding a long session (verify_local runs all 80 gates in
+# one session) to ONE live gate cache instead of one per invocation.
+_GATE_CACHE: list[DataFrame] = []
+
+
+def _rolling_cache(df: DataFrame) -> DataFrame:
+    while _GATE_CACHE:
+        _GATE_CACHE.pop().unpersist()
+    df = df.cache()
+    _GATE_CACHE.append(df)
+    return df
+
+
 def q_minhash_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mcp_vector_search_spark.operators.dedup import shingle_index
 
     docs = _docs(spark, sf_dir)
     # ONE shingle+md5 computation shared by signature and verify, in
     # the compact hash-pair form (the cache holds longs, not strings)
-    hp = shingle_index(docs, MINHASH["shingle_n"]).cache()
+    hp = _rolling_cache(shingle_index(docs, MINHASH["shingle_n"]))
     cand = minhash_candidates(docs, max_bucket_size=MINHASH_CAP, shingles=hp, **MINHASH)
     return jaccard_verify(cand, hp, threshold=JACCARD_T)
 
@@ -261,7 +277,7 @@ def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mcp_vector_search_spark.operators.dedup import shingle_index
 
     docs = _docs(spark, sf_dir)
-    hp = shingle_index(docs, MINHASH["shingle_n"]).cache()
+    hp = _rolling_cache(shingle_index(docs, MINHASH["shingle_n"]))
     cand = minhash_candidates(docs, max_bucket_size=MINHASH_CAP, shingles=hp, **MINHASH)
     mh = jaccard_verify(cand, hp, threshold=JACCARD_T).select("doc_a", "doc_b")
     fp = docs.select("doc_id", doc_fingerprint("text").alias("fingerprint"))

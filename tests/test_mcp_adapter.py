@@ -128,3 +128,33 @@ def test_cli_front_end(spark, capsys):
     rc = main(["search_code"], adapter=ad)  # missing required arg
     err = json.loads(capsys.readouterr().out)
     assert rc == 1 and not err["ok"]
+
+
+def test_find_smells_tool_returns_rows(spark):
+    """Regression: the tool ran over the slim chunk frame (no
+    text/n_chars) and failed on every invocation."""
+    ad = _adapter(spark)
+    r = ad.call_tool("find_smells", {})
+    assert r["ok"] is True and "smell" in r["columns"]
+    sev = ad.call_tool("find_smells", {"severity": "warning"})
+    assert sev["ok"] is True
+    idx = sev["columns"].index("severity")
+    assert all(row[idx] == "warning" for row in sev["rows"])
+
+
+def test_save_report_contained_and_hostile_json(spark, tmp_path):
+    ad = _adapter(spark)
+    ad.reports_dir = str(tmp_path / "reports")
+    ok = ad.call_tool("save_report", {"content": "hello", "output_path": "r/sub.md"})
+    assert ok["ok"] and ok["path"].startswith(str(tmp_path))
+    bad = ad.call_tool(
+        "save_report", {"content": "x", "output_path": "../../escape.md"}
+    )
+    assert bad["ok"] is False and "escapes" in bad["error"]
+
+    import json as _json
+
+    from mcp_vector_search_spark.mcp_adapter import call_tool_json
+
+    assert _json.loads(call_tool_json(ad, "not json"))["ok"] is False
+    assert _json.loads(call_tool_json(ad, '{"arguments": {}}'))["ok"] is False
