@@ -686,21 +686,7 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id", "vec_id"
     )
     brute = topk_per_query(emb, queries, BATCH_K).select("query_id", "vec_id")
-    hits = ivf.join(brute, ["query_id", "vec_id"]).agg(
-        F.count("*").alias("n_hits")
-    )
-    totals = brute.agg(
-        F.countDistinct("query_id").alias("n_queries"),
-        F.count("*").alias("n_results"),
-    )
-    return totals.crossJoin(hits).select(
-        F.col("n_queries").cast("long").alias("n_queries"),
-        F.col("n_results").cast("long").alias("n_results"),
-        (
-            F.col("n_hits")
-            >= F.ceil(F.lit(IVF_RECALL_FLOOR) * F.col("n_results"))
-        ).alias("recall_ok"),
-    )
+    return _recall_row(ivf, brute, IVF_RECALL_FLOOR)
 
 
 PQ_FIXED_M = 4  # subspaces (dim 64 → dsub 16)
@@ -785,11 +771,14 @@ def q_sq_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _recall_row(approx: DataFrame, brute: DataFrame, floor: float, tag: str) -> DataFrame:
-    """1-row (path, n_queries, n_results, recall_ok) agreement summary
-    of an ANN result against the exact brute-force top-k — recall_ok
-    flips false (hash mismatch → red row) if recall@k drops below the
-    reference band floor."""
+def _recall_row(
+    approx: DataFrame, brute: DataFrame, floor: float, tag: str | None = None
+) -> DataFrame:
+    """1-row ([path,] n_queries, n_results, recall_ok) agreement
+    summary of an ANN result against the exact brute-force top-k —
+    recall_ok flips false (hash mismatch → red row) if recall@k drops
+    below the reference band floor. `tag=None` omits the path column
+    (the single-path q_ivf_topk shape)."""
     hits = approx.join(brute, ["query_id", "vec_id"]).agg(
         F.count("*").alias("n_hits")
     )
@@ -797,8 +786,9 @@ def _recall_row(approx: DataFrame, brute: DataFrame, floor: float, tag: str) -> 
         F.countDistinct("query_id").alias("n_queries"),
         F.count("*").alias("n_results"),
     )
+    cols = [] if tag is None else [F.lit(tag).alias("path")]
     return totals.crossJoin(hits).select(
-        F.lit(tag).alias("path"),
+        *cols,
         F.col("n_queries").cast("long").alias("n_queries"),
         F.col("n_results").cast("long").alias("n_results"),
         (
