@@ -267,6 +267,7 @@ def pq_train_rotated(
     sample_rows: int = 16384,
     iters: int = 15,
     seed: int = 42,
+    aniso_eta: float | None = None,
 ):
     """OPQ fit → (codebooks DataFrame, rotation d×d numpy). Same
     deterministic md5-ordered sample as `pq_train`; the rotation is
@@ -286,9 +287,14 @@ def pq_train_rotated(
     )
     X = _unit_rows(sample[vec_col])
     R = opq_rotation(X, m)
+    Xr = X @ R.T
+    fit = (
+        _fit_codebooks(Xr, m, k, iters, seed)
+        if aniso_eta is None
+        else _fit_codebooks_aniso(Xr, m, k, iters, seed, aniso_eta)
+    )
     cb = vectors.sparkSession.createDataFrame(
-        _fit_codebooks(X @ R.T, m, k, iters, seed),
-        "sub_idx int, code int, centroid array<double>",
+        fit, "sub_idx int, code int, centroid array<double>"
     )
     return cb, R
 
