@@ -163,3 +163,25 @@ def test_md_export_escapes_pipes_and_newlines(spark, tmp_path):
     lines = text.strip().splitlines()
     assert len(lines) == 3  # header, separator, ONE data row
     assert "a\\|b" in lines[2] and "line1<br>line2" in lines[2]
+
+
+def test_latest_txn_fallback_for_pre_txn_manifests(spark, tmp_path):
+    """Tables written before the txn field existed: latest_txn folds
+    the surviving per-version metas instead of finding a txn map."""
+    import json
+    import os
+
+    from mcp_vector_search_spark.io import latest_txn, upsert_versioned
+
+    path = str(tmp_path / "legacy")
+    upsert_versioned(
+        spark,
+        spark.createDataFrame([(1, 1)], "id long, v long"),
+        path, ["id"], meta={"scope": "S", "batch_id": 3},
+    )
+    # strip the txn field, simulating a pre-upgrade manifest
+    mf = os.path.join(path, "_manifests", "v1.json")
+    m = json.load(open(mf))
+    del m["txn"]
+    json.dump(m, open(mf, "w"))
+    assert latest_txn(path) == {"S": 3}
