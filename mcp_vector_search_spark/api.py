@@ -433,15 +433,19 @@ class SparkProject:
            present) — embedding-cosine pairs blocked by IVF cluster
            (Σ|c|² candidate pairs, never N²; vec_id must align with
            doc_id); the higher id drops;
-        2c. exact-substring span stripping (`strip_dup_spans_k` set) —
+        2c. PII masking of the surviving text (`redact=True`) — runs
+           BEFORE span stripping because the stripper rewrites flagged
+           docs from the tokenize() stream (lowercased, punctuation
+           gone), which would destroy the email/IP shapes the
+           redaction patterns match (ADVICE r4);
+        2d. exact-substring span stripping (`strip_dup_spans_k` set) —
            detect cross-doc duplicated ≥k-token spans (Lee et al.
            style) among the SURVIVING docs and rewrite their text
            with the spans removed (boilerplate removal; doc count
            unchanged, so no report row);
         3. decontamination — drop docs sharing 5-grams with
            `benchmark` (skipped when None);
-        3b. PII masking of the surviving text (`redact=True`);
-        3c. content language filter (`lang_allow` set) — keep docs
+        3b. content language filter (`lang_allow` set) — keep docs
            whose CONTENT-detected language (stopword-profile
            `lang_id`, not the metadata column) is in the allowlist;
         4. stratified rebalance by language (skipped when None);
@@ -541,7 +545,17 @@ class SparkProject:
                 "semantic_dedup", docs.join(sem_drop, "doc_id", "left_anti")
             )
 
-        # 2c. boilerplate span stripping (rewrites text, drops no docs)
+        # 2c. PII masking (map-side; not a filter, so no stage count).
+        # MUST precede span stripping: the stripper rebuilds flagged
+        # docs from the tokenize() stream, which lowercases and drops
+        # punctuation — 'user@example.com' would become
+        # 'user example com' and slip past every PII pattern.
+        if redact:
+            from mcp_vector_search_spark.functions.text import redact_pii
+
+            docs = docs.withColumn("text", redact_pii("text"))
+
+        # 2d. boilerplate span stripping (rewrites text, drops no docs)
         if strip_dup_spans_k is not None:
             from mcp_vector_search_spark.operators.dedup import (
                 duplicate_spans,
@@ -561,13 +575,7 @@ class SparkProject:
                 docs.join(flagged.select("doc_id"), "doc_id", "left_anti"),
             )
 
-        # 3b. PII masking (map-side; not a filter, so no stage count)
-        if redact:
-            from mcp_vector_search_spark.functions.text import redact_pii
-
-            docs = docs.withColumn("text", redact_pii("text"))
-
-        # 3c. content-language filter (per-row exprs; no shuffle)
+        # 3b. content-language filter (per-row exprs; no shuffle)
         if lang_allow:
             from mcp_vector_search_spark.functions.text import lang_id
 

@@ -22,16 +22,21 @@ import sys
 
 
 def _coerce(v: str):
+    import re
+
     if v.startswith("str:"):  # forced string, e.g. an all-digit sha
         return v[4:]
     if v.lower() in ("true", "false"):  # '--force false' must DISABLE
         return v.lower() == "true"
-    if v.lstrip("-").isdigit():
+    if re.fullmatch(r"-?\d+", v):
         return int(v)
-    try:
+    # strict decimal shape only: Python's float() also accepts 'nan',
+    # 'inf', 'infinity' and underscore forms ('1_000'), which would
+    # turn e.g. '--query infinity' into float('inf') and break the
+    # tool's string contract (ADVICE r4)
+    if re.fullmatch(r"-?\d+\.\d+", v):
         return float(v)
-    except ValueError:
-        return v
+    return v
 
 
 def main(argv: list[str] | None = None, adapter=None) -> int:

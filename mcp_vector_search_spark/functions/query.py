@@ -190,21 +190,41 @@ def result_quality(
     qw = sorted({w for w in query.lower().split() if w})
     qarr = F.array(*[F.lit(w) for w in qw])
     covered = F.array_intersect(qarr, F.split(F.lower(F.col(text_col)), r"\s+"))
+    # F.coalesce(..., 0): aggregates over ZERO rows yield NULL, but the
+    # reference returns an all-zeros dict for empty results
+    # (``core/query_analyzer.py`` calculate_result_quality) — ADVICE r4
     agg = results.agg(
-        F.round(F.avg(score_col), 3).alias("average_score"),
-        F.sum(F.when(F.col(score_col) >= 0.8, 1).otherwise(0))
+        F.coalesce(F.round(F.avg(score_col), 3), F.lit(0.0)).alias("average_score"),
+        F.coalesce(
+            F.sum(F.when(F.col(score_col) >= 0.8, 1).otherwise(0)), F.lit(0)
+        )
         .cast("long")
         .alias("high_quality"),
-        F.sum(
-            F.when((F.col(score_col) >= 0.6) & (F.col(score_col) < 0.8), 1).otherwise(0)
+        F.coalesce(
+            F.sum(
+                F.when(
+                    (F.col(score_col) >= 0.6) & (F.col(score_col) < 0.8), 1
+                ).otherwise(0)
+            ),
+            F.lit(0),
         )
         .cast("long")
         .alias("medium_quality"),
-        F.sum(F.when(F.col(score_col) < 0.6, 1).otherwise(0))
+        F.coalesce(
+            F.sum(F.when(F.col(score_col) < 0.6, 1).otherwise(0)), F.lit(0)
+        )
         .cast("long")
         .alias("low_quality"),
-        F.round(
-            F.count_distinct(F.col(file_col)).cast("double") / F.count("*"), 3
+        F.coalesce(
+            # try_divide: under ANSI mode a zero-row input makes this
+            # 0/0, which must become NULL→0.0, not an exception
+            F.round(
+                F.try_divide(
+                    F.count_distinct(F.col(file_col)).cast("double"), F.count("*")
+                ),
+                3,
+            ),
+            F.lit(0.0),
         ).alias("diversity"),
         F.round(
             F.size(F.array_distinct(F.flatten(F.collect_list(covered)))).cast("double")

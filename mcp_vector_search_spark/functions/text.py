@@ -266,10 +266,21 @@ def bpe_token_estimate(text: Column | str) -> Column:
 PII_PATTERNS: list[tuple[str, str, str]] = [
     ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
     ("ip", r"\b\d{1,3}(\.\d{1,3}){3}\b", "<IP>"),
-    # international (+-prefixed digit run) OR NANP 3-3-4 shape; the
-    # earlier \+?\d[\d\- ]{7,}\d also matched ISO dates (2026-08-14)
-    # and dash-separated ids, corrupting every date in a redacted corpus
-    ("phone", r"(?:\+\d[\d\- ]{7,}\d)|(?:\b\d{3}[\- ]\d{3}[\- ]\d{4}\b)", "<PHONE>"),
+    # international (+-prefixed digit run) OR NANP 3-3-4 shape OR a
+    # bare 10-11 digit run; the earlier \+?\d[\d\- ]{7,}\d also matched
+    # ISO dates (2026-08-14) and dash-separated ids, corrupting every
+    # date in a redacted corpus. The bare-run branch (ADVICE r4)
+    # restores recall on unformatted domestic numbers ('5551234567')
+    # at a stated cost: any 10-11 digit integer — including a Unix
+    # epoch-seconds timestamp — is also masked. Separator-grouped
+    # non-'+' international forms ('06 12 34 56 78') remain unmatched
+    # by design: that shape is indistinguishable from columns of
+    # 2-digit numbers.
+    (
+        "phone",
+        r"(?:\+\d[\d\- ]{7,}\d)|(?:\b\d{3}[\- ]\d{3}[\- ]\d{4}\b)|(?:\b\d{10,11}\b)",
+        "<PHONE>",
+    ),
 ]
 
 

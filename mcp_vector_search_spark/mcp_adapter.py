@@ -135,7 +135,12 @@ class McpAdapter:
         self.project = project
         self.repo_path = repo_path
         self.max_rows = max_rows
-        self.reports_dir = reports_dir  # save_report containment root
+        # save_report containment root. Pinned to an ABSOLUTE real
+        # path at construction time so a later os.chdir() in the
+        # serving process cannot silently move where reports land.
+        import os as _os
+
+        self.reports_dir = _os.path.realpath(_os.path.abspath(reports_dir))
         self._chunks: DataFrame | None = None
         self._commits: DataFrame | None = None
         self._dim: int | None = None  # corpus embedding dim, one probe
@@ -281,8 +286,12 @@ class McpAdapter:
             rel = a.get("output_path") or (
                 f"{a.get('filename_prefix', a.get('report_type', 'report'))}.md"
             )
-            base = _os.path.abspath(self.reports_dir)
-            path = _os.path.abspath(_os.path.join(base, rel))
+            # realpath, not abspath: a symlink planted under the
+            # reports dir must not redirect the write outside the
+            # containment root, and a relative reports_dir resolves
+            # against the serving CWD exactly once, here (ADVICE r4)
+            base = _os.path.realpath(_os.path.abspath(self.reports_dir))
+            path = _os.path.realpath(_os.path.join(base, rel))
             if not path.startswith(base + _os.sep):
                 return {
                     "ok": False,

@@ -259,6 +259,31 @@ def test_api_curate_strip_dup_spans_stage(spark):
     assert all(t.startswith(("aa", "bb")) for t in text.split())
 
 
+def test_api_curate_redacts_before_span_strip(spark):
+    """ADVICE r4 (medium): redaction must run BEFORE span stripping —
+    the stripper rewrites flagged docs from the tokenize() stream
+    (punctuation gone), so a later redact pass could no longer match
+    'user@example.com' in any doc that had a duplicated span."""
+    from mcp_vector_search_spark.api import SparkProject
+
+    shared = " ".join(f"boiler{i}" for i in range(25))
+    rows = [
+        (1, shared + " mail user1@example.com " + " ".join(f"aa{i}" for i in range(8)), "en"),
+        (2, shared + " mail user2@example.com " + " ".join(f"bb{i}" for i in range(8)), "en"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    p = SparkProject(spark, docs, docs.limit(0))
+    bins, _ = p.curate_corpus(
+        max_tokens=64, strip_dup_spans_k=20, redact=True, n_shards=1
+    )
+    text = " ".join(r["text"] for r in bins.collect())
+    # every doc carried an address in its unique tail; with the old
+    # strip-then-redact order the stripped doc's 'user1 example com'
+    # tokens survived redaction verbatim
+    assert text
+    assert "example" not in text and "user1" not in text and "user2" not in text
+
+
 def test_api_rebuild_ann_index_clears_previous_kind(spark):
     """Rebuilding with a different kind must route search_batch to the
     NEW index, not whatever layout happened to be built first."""

@@ -130,6 +130,20 @@ def test_cli_front_end(spark, capsys):
     assert rc == 1 and not err["ok"]
 
 
+def test_cli_coerce_strict_numeric_shapes():
+    """ADVICE r4: Python float() literals that are NOT decimal shapes
+    ('nan', 'inf', 'infinity', '1_000') must stay strings — '--query
+    infinity' is a search string, not float('inf')."""
+    from mcp_vector_search_spark.cli import _coerce
+
+    assert _coerce("3") == 3 and _coerce("-7") == -7
+    assert _coerce("0.5") == 0.5 and _coerce("-1.25") == -1.25
+    for s in ("nan", "inf", "infinity", "Infinity", "1_000", "1e3", ".5", "5."):
+        assert _coerce(s) == s, s
+    assert _coerce("str:123") == "123"
+    assert _coerce("true") is True and _coerce("False") is False
+
+
 def test_find_smells_tool_returns_rows(spark):
     """Regression: the tool ran over the slim chunk frame (no
     text/n_chars) and failed on every invocation."""

@@ -73,6 +73,21 @@ def test_result_quality_rollup(spark):
     assert r.coverage == 0.75
 
 
+def test_result_quality_empty_results_all_zeros(spark):
+    """Zero-row input → the reference's all-zeros dict, not NULLs
+    (ADVICE r4: aggregates over zero rows yield NULL by default)."""
+    from mcp_vector_search_spark.functions.query import result_quality
+
+    df = spark.createDataFrame(
+        [], "doc_id long, score double, source string, text string"
+    )
+    r = result_quality(df, "alpha beta").first()
+    assert r.average_score == 0.0
+    assert r.high_quality == 0 and r.medium_quality == 0 and r.low_quality == 0
+    assert r.diversity == 0.0
+    assert r.coverage == 0.0
+
+
 def test_analyze_query_types_and_confidence():
     from mcp_vector_search_spark.functions.query import analyze_query
 

@@ -211,3 +211,24 @@ def test_redact_pii_leaves_dates_and_ids_alone(spark):
     out = {r.doc_id: r.red for r in df.select("doc_id", redact_pii("text").alias("red")).collect()}
     assert out[1] == "released 2026-08-14 build 1234-5678-9012 ok"
     assert out[2] == "call <PHONE> or <PHONE> now"
+
+
+def test_redact_pii_bare_digit_runs(spark):
+    """Unformatted 10-11 digit numbers ARE redacted (ADVICE r4: the
+    tightened pattern had dropped them), while shorter runs — years,
+    zip+4 digits, 9-digit ids — and longer runs pass through."""
+    from mcp_vector_search_spark.functions.text import redact_pii
+
+    rows = [
+        (1, "call 5551234567 today"),
+        (2, "or 15551234567 with country code"),
+        (3, "order 123456789 shipped 2026 count 123456789012"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.doc_id: r.red
+        for r in df.select("doc_id", redact_pii("text").alias("red")).collect()
+    }
+    assert out[1] == "call <PHONE> today"
+    assert out[2] == "or <PHONE> with country code"
+    assert out[3] == "order 123456789 shipped 2026 count 123456789012"
