@@ -290,41 +290,69 @@ def main():
     ).select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")).cache()
     n_big_q = big_q.count()
 
-    def _best_of(n_runs, fn):
+    def _runs_of(n_runs, fn):
         # steady-state for the in-memory 512K points: the first run of
         # an Arrow kernel pays codegen/JIT and whatever GC the cache
         # build left behind — r3→r4 showed 2.4x run-to-run swings on
-        # these entries with zero code change (BENCH_NOTES). min of 2
-        # measures the plan, not the session's mood.
-        best = float("inf")
+        # these entries with zero code change (BENCH_NOTES). ALL runs
+        # are recorded (VERDICT r4 #1's gate is "faster on BOTH runs");
+        # the headline value stays the min, which measures the plan,
+        # not the session's mood.
+        runs = []
         for _ in range(n_runs):
             t0 = time.time()
             fn()
-            best = min(best, time.time() - t0)
-        return best
+            runs.append(round(time.time() - t0, 3))
+        return runs
 
-    per_query["ann_big_brute_sec"] = round(
-        _best_of(2, lambda: topk_per_query_np(big, big_q, 10).write.format(
-            "noop").mode("overwrite").save()), 3)
+    def _best_of(n_runs, fn):
+        return min(_runs_of(n_runs, fn))
+
+    per_query["ann_big_brute_runs"] = _runs_of(
+        2, lambda: topk_per_query_np(big, big_q, 10).write.format(
+            "noop").mode("overwrite").save())
+    per_query["ann_big_brute_sec"] = min(per_query["ann_big_brute_runs"])
     per_query["ann_big_brute_ms_per_query"] = round(
         per_query["ann_big_brute_sec"] * 1000 / n_big_q, 2
     )
     t0 = time.time()
     big_assigned, big_cents = ivf_build_sampled(big, num_clusters=256)
-    # serving layout: hash-partitioned by cluster_id (on disk this is
-    # the partitioned-parquet layout ivf_build is designed for), so the
-    # per-batch grouped scoring needs NO exchange — the plan reuses the
-    # existing partitioning
+    # per-row layout, hash-partitioned by cluster_id: still built (the
+    # IVF-PQ encode and the on-disk partitioned-parquet section below
+    # consume it), and cached because both consumers scan it twice
     big_assigned = big_assigned.repartition("cluster_id").cache()
     big_assigned.count()
     per_query["ann_big_ivf_build_sec"] = round(time.time() - t0, 3)
-    per_query["ann_big_ivf_sec"] = round(
-        _best_of(2, lambda: ivf_topk_batch_np(
-            big_assigned, big_cents, big_q, 10, nprobes=20
-        ).write.format("noop").mode("overwrite").save()), 3)
+    # in-memory serving layout (VERDICT r4 #1): per-cluster PACKED
+    # blocks — probing deserializes ~256 binary cells, not 512K
+    # array<double> rows, so the probe filter physically prunes
+    # in memory the way partitioned parquet prunes on disk
+    from mcp_vector_search_spark.operators.ivf import (
+        ivf_pack,
+        ivf_topk_batch_packed,
+    )
+
+    t0 = time.time()
+    big_packed = ivf_pack(big_assigned).cache()
+    n_blocks = big_packed.count()
+    per_query["ann_big_ivf_pack_sec"] = round(time.time() - t0, 3)
+    per_query["ann_big_ivf_n_blocks"] = n_blocks
+    per_query["ann_big_ivf_runs"] = _runs_of(
+        2, lambda: ivf_topk_batch_packed(
+            big_packed, big_cents, big_q, 10, nprobes=20
+        ).write.format("noop").mode("overwrite").save())
+    per_query["ann_big_ivf_sec"] = min(per_query["ann_big_ivf_runs"])
     per_query["ann_big_ivf_ms_per_query"] = round(
         per_query["ann_big_ivf_sec"] * 1000 / n_big_q, 2
     )
+    # honesty split — layout win vs algorithm win: the same packed
+    # layout probing ALL clusters is an exact brute-force scan, so
+    # (brute − brute_packed) is what packing buys and
+    # (brute_packed − ivf) is what probe pruning buys on top
+    per_query["ann_big_brute_packed_sec"] = round(
+        _best_of(2, lambda: ivf_topk_batch_packed(
+            big_packed, big_cents, big_q, 10, nprobes=256
+        ).write.format("noop").mode("overwrite").save()), 3)
     # --- the reproducible IVF win: I/O pruning on a persisted layout.
     # In memory both paths deserialize every cached row (64-dim flops
     # are trivial), so the in-memory timings above fluctuate with
@@ -372,8 +400,8 @@ def main():
     }
     big_approx = {
         (r.query_id, r.vec_id)
-        for r in ivf_topk_batch_np(
-            big_assigned, big_cents, big_sample, 10, nprobes=20
+        for r in ivf_topk_batch_packed(
+            big_packed, big_cents, big_sample, 10, nprobes=20
         ).collect()
     }
     per_query["ann_big_recall_at_10"] = round(
@@ -448,6 +476,7 @@ def main():
     big_enc.unpersist()
     big.unpersist()
     big_assigned.unpersist()
+    big_packed.unpersist()
 
     # amortized per-query serving latency for the BASELINE comparison
     # (single-query online latency is out of Spark's scope; batch

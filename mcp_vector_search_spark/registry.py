@@ -657,6 +657,52 @@ def q_ivf_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ivf_packed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packed-block IVF serving layout (operators/ivf.py:ivf_pack +
+    ivf_topk_batch_packed — VERDICT r4 #1), hash-gated end-to-end with
+    the same deterministic first-16 centroids as `ivf_fixed`: the
+    assignment window, probe ranking, and round-6 rerank are the same
+    contract, so the SAME oracle SQL gates both — proving the layout
+    change (per-cluster binary blocks instead of per-row Arrow cells)
+    does not change a single answer row. The pack receives the
+    SQL-normalized unit vectors, so the packed matrix is bit-identical
+    to the `ivf_fixed` candidate side."""
+    from pyspark.sql.window import Window as W
+
+    from mcp_vector_search_spark.functions.vectors import dot as _dot
+    from mcp_vector_search_spark.functions.vectors import l2_norm, unit_expr
+    from mcp_vector_search_spark.operators.ivf import (
+        ivf_pack,
+        ivf_topk_batch_packed,
+    )
+
+    emb = _emb(spark, sf_dir)
+    eu = (
+        emb.withColumn("_nrm", l2_norm(F.col("embedding")))
+        .select("vec_id", unit_expr(F.col("embedding"), F.col("_nrm")).alias("u"))
+    )
+    cents = (
+        eu.filter(F.col("vec_id") < IVF_FIXED_CENTS)
+        .select(F.col("vec_id").cast("int").alias("cluster_id"), F.col("u").alias("cu"))
+    )
+    aw = W.partitionBy("vec_id").orderBy(F.desc("_cs"), F.asc("cluster_id"))
+    assigned = (
+        eu.join(F.broadcast(cents))
+        .withColumn("_cs", F.round(_dot(F.col("u"), F.col("cu")), 9))
+        .withColumn("_rn", F.row_number().over(aw))
+        .filter(F.col("_rn") == 1)
+        .select("vec_id", F.col("u").alias("unit"), "cluster_id")
+    )
+    packed = ivf_pack(assigned)
+    centroids = cents.select("cluster_id", F.col("cu").alias("centroid"))
+    queries = eu.filter(F.col("vec_id") < BATCH_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("u").alias("query_vec")
+    )
+    return ivf_topk_batch_packed(
+        packed, centroids, queries, BATCH_K, nprobes=IVF_FIXED_PROBES
+    ).select("query_id", "vec_id", "cos_sim", F.col("rn").cast("long").alias("rn"))
+
+
 IVF_RECALL_FLOOR = 0.975  # reference recall@10 band floor (97.5-100%)
 
 
@@ -2664,6 +2710,10 @@ fr AS (SELECT *, row_number() OVER (PARTITION BY query_id
                                     ORDER BY cos_sim DESC, vec_id) AS rn FROM fcand)
 SELECT query_id, vec_id, cos_sim, rn::BIGINT AS rn FROM fr WHERE rn <= {BATCH_K}"""
 
+    # the packed-block layout must be answer-identical to the per-row
+    # plan — one oracle gates both physical strategies
+    o["ivf_packed"] = o["ivf_fixed"]
+
     # §3.1 flagship pipeline end-to-end: every stage of full_search
     # replayed in SQL. Driver-side scalars (preprocess, variant
     # expansion, α routing, adaptive threshold) are CALLED here at
@@ -3755,17 +3805,17 @@ GROUP BY shard, bin_id"""
 # never the only gate for any operator.
 SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- §2 primary gates (driver window, first 50) ---
-    # r4 rotation (VERDICT r3 #10 + ADVICE): the newest LLM-pipeline
-    # gates (decontaminate / lm_perplexity / packed_shards), pq_fixed
-    # (back in the scored window per ADVICE), and doc_categories take
-    # the slots of five mechanism-twins whose coverage is retained by
-    # in-window siblings — neighbor_jaccard (minhash_jaccard verifies
-    # Jaccard; global_positions is exercised by the window-dedup
-    # overflow gate), embedding_near_dups window variant (the
-    # clustered default stays in), hotspots (rank-window mechanics in
-    # knn/search gates), events_lag_delta (sessionize/events_hourly
-    # cover richer window funcs), kg_views (kg_edges/stats/tag_query
-    # cover KG). All five stay oracle-checked as overflow.
+    # r5 rotation (VERDICT r4 #8): the round-4 curation operators
+    # (dup_spans / token_mixture_exact / lang_id) and the new packed
+    # IVF layout gate (ivf_packed, VERDICT r4 #1) enter the scored
+    # window; four gates whose mechanisms are covered by in-window
+    # siblings rotate to overflow — sq_fixed (SQ recall row stays in
+    # ann_recall; pq_fixed keeps the codec-gate shape in-window),
+    # pack_sequences (packed_shards composes the same packer),
+    # trace_paths (bfs + cycles + call_graph cover the bounded-BFS
+    # kernel), kg_stats (kg_edges + tag_query cover KG SQL). All four
+    # stay oracle-checked every round via tools/verify_local.py.
+    # (r4 rotation notes preserved in git history.)
     "bm25_topk": q_bm25_topk,
     "knn_topk": q_knn_topk,
     "hybrid_rrf": q_hybrid_rrf,
@@ -3782,13 +3832,15 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "chunk_windows": q_chunk_windows,
     "events_hourly": q_events_hourly,
     "pq_fixed": q_pq_fixed,
+    "ivf_packed": q_ivf_packed,
     "sessionize": q_sessionize,
     "incremental_delta": q_incremental_delta,
     "ann_recall": q_ann_recall,
     "ivf_fixed": q_ivf_fixed,
-    "sq_fixed": q_sq_fixed,
+    "dup_spans": q_dup_spans,
+    "token_mixture_exact": q_token_mixture_exact,
+    "lang_id": q_lang_id,
     "sampling_splits": q_sampling_splits,
-    "pack_sequences": q_pack_sequences,
     "bm25_expanded": q_bm25_expanded,
     "kg_edges": q_kg_edges,
     "tag_query": q_tag_query,
@@ -3797,8 +3849,6 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "call_graph": q_call_graph,
     "cycles": q_cycles,
     "dead_code": q_dead_code,
-    "trace_paths": q_trace_paths,
-    "kg_stats": q_kg_stats,
     "embed_text": q_embed_text,
     "file_discovery": q_file_discovery,
     "search_pipeline": q_search_pipeline,
@@ -3819,6 +3869,10 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- overflow: oracle-checked past the driver's 50-query window;
     # tools/verify_local.py runs them on every round ---
     "neighbor_jaccard": q_neighbor_jaccard,
+    "sq_fixed": q_sq_fixed,
+    "pack_sequences": q_pack_sequences,
+    "trace_paths": q_trace_paths,
+    "kg_stats": q_kg_stats,
     "embedding_near_dups": q_embedding_near_dups,
     "embedding_near_dups_multiprobe": q_embedding_near_dups_multiprobe,
     "hotspots": q_hotspots,
@@ -3840,10 +3894,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "revenue_by_nation": q_revenue_by_nation,
     "debt": q_debt,
     "embedding_stats": q_embedding_stats,
-    "lang_id": q_lang_id,
-    "dup_spans": q_dup_spans,
     "token_mixture": q_token_mixture,
-    "token_mixture_exact": q_token_mixture_exact,
     "subprojects": q_subprojects,
     "codebase_profile": q_codebase_profile,
     "halstead": q_halstead,
