@@ -70,6 +70,14 @@ CHUNK_SIZE = 50
 ALPHA = 0.7
 SIMHASH_MAX_HAMMING = 20
 EMB_DUP_T = 0.3
+# batch-hybrid gate (VERDICT r4 #6): (query_id, terms, query vec_id) —
+# BOTH the Spark gate and its oracle render from this one constant
+HYBRID_BATCH_SPECS: list[tuple[int, list[str], int]] = [
+    (0, QUERY_TERMS, KNN_QUERY_ID),
+    (1, ["window", "merge", "sort"], 11),
+    (2, ["stream", "filter", "data"], 42),
+    (3, ["index", "hash", "join"], 7),
+]
 
 # ---------------------------------------------------------------- oracle SQL fragments
 
@@ -231,6 +239,38 @@ def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         _query_vec(spark, sf_dir),
         k=HYBRID_K,
         alpha=ALPHA,
+    )
+
+
+def q_hybrid_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A 4-query hybrid batch through ONE DataFrame program
+    (plans/hybrid.py:hybrid_search_batch — VERDICT r4 #6): per query,
+    semantics identical to `hybrid_rrf` (one-shot BM25 + kNN legs,
+    over-retrieve ×2, RRF α/(60+rank), per-query max-norm); the batch
+    shares one stats scan and one scoring scan across every query."""
+    from mcp_vector_search_spark.plans.hybrid import hybrid_search_batch
+
+    emb = _emb(spark, sf_dir)
+    vec_ids = [v for _, _, v in HYBRID_BATCH_SPECS]
+    qid = None
+    for q, _, v in HYBRID_BATCH_SPECS:
+        qid = (
+            F.when(F.col("vec_id") == v, F.lit(q))
+            if qid is None
+            else qid.when(F.col("vec_id") == v, F.lit(q))
+        )
+    qvecs = emb.filter(F.col("vec_id").isin(vec_ids)).select(
+        qid.cast("long").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return hybrid_search_batch(
+        _docs(spark, sf_dir),
+        emb,
+        [(q, ts) for q, ts, _ in HYBRID_BATCH_SPECS],
+        qvecs,
+        k=HYBRID_K,
+        alpha=ALPHA,
+    ).select(
+        "query_id", "doc_id", "rrf_score", F.col("rn").cast("long").alias("rn")
     )
 
 
@@ -2205,6 +2245,40 @@ mx AS (SELECT max(raw) AS m FROM fused)
 SELECT doc_id, round(raw / m, 6) AS rrf_score FROM fused, mx
 ORDER BY rrf_score DESC, doc_id LIMIT {HYBRID_K}"""
 
+    # hybrid_batch: four hybrid_rrf pipelines sharing the corpus CTEs,
+    # per-query max-norm + rank — rendered from HYBRID_BATCH_SPECS so
+    # the Spark gate and the oracle can never drift
+    _hb_parts, _hb_unions = [], []
+    for _qid, _terms, _vid in HYBRID_BATCH_SPECS:
+        _hb_parts.append(_bm25_scored(_terms, n_leg, f"hb{_qid}"))
+        _hb_parts.append(f"""
+hb{_qid}r AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rnk
+              FROM hb{_qid}),
+q{_qid}n AS (SELECT embedding AS qv, sqrt({_NORMSQ}) AS nrm FROM embeddings
+             WHERE vec_id = {_vid}),
+q{_qid}u AS (SELECT list_transform(qv, x -> x::DOUBLE / nrm) AS uq FROM q{_qid}n),
+kn{_qid} AS (SELECT vec_id AS doc_id, {_UDOT} AS cos_sim FROM hu, q{_qid}u
+             ORDER BY cos_sim DESC, doc_id LIMIT {n_leg}),
+kn{_qid}r AS (SELECT doc_id, row_number() OVER (ORDER BY cos_sim DESC, doc_id) AS rnk
+              FROM kn{_qid}),
+f{_qid} AS (SELECT {_qid} AS query_id, coalesce(a.doc_id, b.doc_id) AS doc_id,
+                   coalesce({alpha!r} / (60 + a.rnk), 0.0)
+                 + coalesce({beta!r} / (60 + b.rnk), 0.0) AS raw
+            FROM kn{_qid}r a FULL JOIN hb{_qid}r b ON a.doc_id = b.doc_id)""")
+        _hb_unions.append(f"SELECT * FROM f{_qid}")
+    o["hybrid_batch"] = f"""
+WITH {_BM25_SHARED},
+hn AS (SELECT vec_id, embedding, sqrt({_NORMSQ}) AS nrm FROM embeddings),
+hu AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE / nrm) AS u FROM hn),
+{",".join(_hb_parts)},
+allf AS ({" UNION ALL ".join(_hb_unions)}),
+mx AS (SELECT query_id, max(raw) AS m FROM allf GROUP BY query_id),
+r AS (SELECT a.query_id, a.doc_id, round(a.raw / mx.m, 6) AS rrf_score,
+             row_number() OVER (PARTITION BY a.query_id
+                                ORDER BY round(a.raw / mx.m, 6) DESC, a.doc_id) AS rn
+      FROM allf a JOIN mx USING (query_id))
+SELECT query_id, doc_id, rrf_score, rn::BIGINT AS rn FROM r WHERE rn <= {HYBRID_K}"""
+
     o["exact_dups"] = f"""
 WITH fp AS (SELECT doc_id, {_FP} AS fingerprint FROM documents)
 SELECT fingerprint, count(*) AS dup_count, min(doc_id) AS keep_id
@@ -3881,6 +3955,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "token_estimate": q_token_estimate,
     "redact_pii": q_redact_pii,
     "knn_batch_np": q_knn_batch_np,
+    "hybrid_batch": q_hybrid_batch,
     "ngram_top50": q_ngram_top50,
     "exact_dups": q_exact_dups,
     "ontology": q_ontology,

@@ -70,3 +70,45 @@ def test_rank_by_deterministic(spark):
     )
     got = {r.doc_id: r.rank for r in rank_by(df, "score", "doc_id").collect()}
     assert got == {3: 1, 1: 2, 2: 3}
+
+
+def test_hybrid_batch_matches_single_query_pipeline(spark):
+    """A 1-query batch through hybrid_search_batch returns the same
+    fused top-k as hybrid_search (VERDICT r4 #6: the batch program is
+    an amortization, not a semantics change); a 2-query batch keeps
+    per-query max-normalization independent (each query's top row
+    scores 1.0)."""
+    from pyspark.sql import functions as F
+
+    from mcp_vector_search_spark import io
+    from mcp_vector_search_spark.plans.hybrid import (
+        hybrid_search,
+        hybrid_search_batch,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    docs = io.table(spark, sf, "documents")
+    emb = io.table(spark, sf, "embeddings")
+    terms = ["data", "query", "fast", "vector"]
+    qv = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("query_vec")
+    )
+    single = {
+        (r.doc_id, r.rrf_score) for r in hybrid_search(docs, emb, terms, qv).collect()
+    }
+    qvb = emb.filter(F.col("vec_id") == 0).select(
+        F.lit(0).cast("long").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    batch = hybrid_search_batch(docs, emb, [(0, terms)], qvb).collect()
+    assert {(r.doc_id, r.rrf_score) for r in batch} == single
+
+    qvb2 = emb.filter(F.col("vec_id").isin([0, 11])).select(
+        F.col("vec_id").cast("long").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    two = hybrid_search_batch(
+        docs, emb, [(0, terms), (11, ["window", "merge", "sort"])], qvb2
+    ).collect()
+    tops = {r.query_id: r.rrf_score for r in two if r.rn == 1}
+    assert tops == {0: 1.0, 11: 1.0}
