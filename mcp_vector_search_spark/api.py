@@ -33,7 +33,7 @@ class SparkProject:
         self.chunk_meta = chunk_meta
         self._kg_edges: DataFrame | None = None
         self._bm25_index: tuple[DataFrame, DataFrame, DataFrame] | None = None
-        self._ivf_layout: tuple[DataFrame, DataFrame] | None = None
+        self._ivf_layout: tuple[DataFrame, DataFrame, str] | None = None
         self._ivfpq_layout: tuple[DataFrame, DataFrame, DataFrame] | None = None
         self._sq_layout: tuple[DataFrame, DataFrame] | None = None
         self._deferred_caches: list[DataFrame] = []
@@ -162,13 +162,15 @@ class SparkProject:
         if kind == "ivfpq":
             from mcp_vector_search_spark.operators.ivfpq import ivfpq_build
 
-            self._ivf_layout = (assigned.cache(), centroids)
+            # (frame, centroids, layout-kind): the kind tag is what
+            # search_batch dispatches on — never a schema sniff
+            self._ivf_layout = (assigned.cache(), centroids, "rows")
             encoded, cents, codebooks = ivfpq_build(
                 self.vectors, m=m, k_codes=k_codes, coarse=(assigned, centroids)
             )
             self._ivfpq_layout = (encoded.cache(), cents, codebooks)
         else:
-            self._ivf_layout = (ivf_pack(assigned).cache(), centroids)
+            self._ivf_layout = (ivf_pack(assigned).cache(), centroids, "packed")
 
     def search_batch(self, queries: DataFrame, limit: int = 10) -> DataFrame:
         """Batch ANN (tool batch search): always the Arrow-vectorized
@@ -193,8 +195,8 @@ class SparkProject:
             codes, bounds = self._sq_layout
             return sq_topk_refined(self.vectors, codes, bounds, queries, limit)
         if self._ivf_layout is not None:
-            layout, centroids = self._ivf_layout
-            if "mat" in layout.columns:  # packed serving layout
+            layout, centroids, lkind = self._ivf_layout
+            if lkind == "packed":
                 from mcp_vector_search_spark.operators.ivf import (
                     ivf_topk_batch_packed,
                 )
@@ -445,19 +447,23 @@ class SparkProject:
            present) — embedding-cosine pairs blocked by IVF cluster
            (Σ|c|² candidate pairs, never N²; vec_id must align with
            doc_id); the higher id drops;
-        2c. PII masking of the surviving text (`redact=True`) — runs
+        2c. decontamination — drop docs sharing 5-grams with
+           `benchmark` (skipped when None). Runs on the ORIGINAL
+           text, before any rewriting stage: redaction would break
+           the gram match against the unredacted benchmark side, and
+           span stripping could hide contamination inside removed
+           boilerplate;
+        2d. PII masking of the surviving text (`redact=True`) — runs
            BEFORE span stripping because the stripper rewrites flagged
            docs from the tokenize() stream (lowercased, punctuation
            gone), which would destroy the email/IP shapes the
            redaction patterns match (ADVICE r4);
-        2d. exact-substring span stripping (`strip_dup_spans_k` set) —
+        2e. exact-substring span stripping (`strip_dup_spans_k` set) —
            detect cross-doc duplicated ≥k-token spans (Lee et al.
            style) among the SURVIVING docs and rewrite their text
            with the spans removed (boilerplate removal; doc count
            unchanged, so no report row);
-        3. decontamination — drop docs sharing 5-grams with
-           `benchmark` (skipped when None);
-        3b. content language filter (`lang_allow` set) — keep docs
+        3. content language filter (`lang_allow` set) — keep docs
            whose CONTENT-detected language (stopword-profile
            `lang_id`, not the metadata column) is in the allowlist;
         4. stratified rebalance by language (skipped when None);
@@ -557,7 +563,21 @@ class SparkProject:
                 "semantic_dedup", docs.join(sem_drop, "doc_id", "left_anti")
             )
 
-        # 2c. PII masking (map-side; not a filter, so no stage count).
+        # 2c. decontaminate. Ordering constraints (both directions
+        # matter): decontamination must see the ORIGINAL text — a
+        # redacted doc side would no longer share grams with the
+        # unredacted benchmark side, letting contaminated docs slip
+        # through — and it runs before span stripping, so contamination
+        # hiding inside shared boilerplate still drops the doc (the
+        # conservative choice; the old strip-first order kept it).
+        if benchmark is not None:
+            flagged = contaminated_docs(docs, benchmark).filter("contaminated")
+            docs = checkpoint(
+                "decontaminated",
+                docs.join(flagged.select("doc_id"), "doc_id", "left_anti"),
+            )
+
+        # 2d. PII masking (map-side; not a filter, so no stage count).
         # MUST precede span stripping: the stripper rebuilds flagged
         # docs from the tokenize() stream, which lowercases and drops
         # punctuation — 'user@example.com' would become
@@ -567,7 +587,7 @@ class SparkProject:
 
             docs = docs.withColumn("text", redact_pii("text"))
 
-        # 2d. boilerplate span stripping (rewrites text, drops no docs)
+        # 2e. boilerplate span stripping (rewrites text, drops no docs)
         if strip_dup_spans_k is not None:
             from mcp_vector_search_spark.operators.dedup import (
                 duplicate_spans,
@@ -579,15 +599,7 @@ class SparkProject:
             )
             docs = strip_duplicate_spans(docs, spans)
 
-        # 3. decontaminate
-        if benchmark is not None:
-            flagged = contaminated_docs(docs, benchmark).filter("contaminated")
-            docs = checkpoint(
-                "decontaminated",
-                docs.join(flagged.select("doc_id"), "doc_id", "left_anti"),
-            )
-
-        # 3b. content-language filter (per-row exprs; no shuffle)
+        # 3. content-language filter (per-row exprs; no shuffle)
         if lang_allow:
             from mcp_vector_search_spark.functions.text import lang_id
 

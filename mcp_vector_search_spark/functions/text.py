@@ -271,11 +271,15 @@ PII_PATTERNS: list[tuple[str, str, str]] = [
     # ISO dates (2026-08-14) and dash-separated ids, corrupting every
     # date in a redacted corpus. The bare-run branch (ADVICE r4)
     # restores recall on unformatted domestic numbers ('5551234567')
-    # at a stated cost: any 10-11 digit integer — including a Unix
-    # epoch-seconds timestamp — is also masked. Separator-grouped
-    # non-'+' international forms ('06 12 34 56 78') remain unmatched
-    # by design: that shape is indistinguishable from columns of
-    # 2-digit numbers.
+    # at a stated cost: any 10-11 digit integer — a Unix epoch-seconds
+    # timestamp, AND (because '.' is a \b word boundary) the 10-11
+    # digit integer part of a decimal or dotted id ('1234567890.5' →
+    # '<PHONE>.5') — is also masked. A lookaround guard would exclude
+    # the decimal case but RE2 (the oracle engine) has no lookarounds,
+    # and these patterns must stay in the Java∩RE2 subset. Separator-
+    # grouped non-'+' international forms ('06 12 34 56 78') remain
+    # unmatched by design: that shape is indistinguishable from
+    # columns of 2-digit numbers.
     (
         "phone",
         r"(?:\+\d[\d\- ]{7,}\d)|(?:\b\d{3}[\- ]\d{3}[\- ]\d{4}\b)|(?:\b\d{10,11}\b)",

@@ -286,11 +286,11 @@ class McpAdapter:
             rel = a.get("output_path") or (
                 f"{a.get('filename_prefix', a.get('report_type', 'report'))}.md"
             )
-            # realpath, not abspath: a symlink planted under the
-            # reports dir must not redirect the write outside the
-            # containment root, and a relative reports_dir resolves
-            # against the serving CWD exactly once, here (ADVICE r4)
-            base = _os.path.realpath(_os.path.abspath(self.reports_dir))
+            # self.reports_dir is already an absolute realpath (pinned
+            # at construction); realpath the JOINED path too so a
+            # symlink planted under the reports dir cannot redirect
+            # the write outside the containment root (ADVICE r4)
+            base = self.reports_dir
             path = _os.path.realpath(_os.path.join(base, rel))
             if not path.startswith(base + _os.sep):
                 return {

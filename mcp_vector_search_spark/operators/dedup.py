@@ -325,20 +325,40 @@ def embedding_near_dups(
     threshold).
 
     Dispatch (VERDICT r4 #4): ``method="auto"`` (the default) ALWAYS
-    takes the clustered scale path — it reuses `assigned` when given
-    (the `ivf_build`/`ivf_build_sampled` output, which must carry
-    `vec_col`) and otherwise builds a sample-fit layout on the fly
-    (one bounded driver-side Lloyd's fit + one map-side assignment
-    scan — `ivf_build_sampled`'s cost contract). Candidates are then
-    blocked on cluster_id: Σ|c|² pairs, never N², and never the old
-    id-adjacency fallback, which silently missed any true near-dup
-    pair more than `window` positions apart in id order.
-    ``method="window"`` must now be requested EXPLICITLY — it is the
-    deterministic, oracle-checkable blocker (positions from the
-    distributed `global_positions`, never a single-partition window),
-    kept for hash-gating and for corpora where id order IS locality."""
+    takes the cluster-blocked scale path — never the old id-adjacency
+    fallback, which silently missed any true near-dup pair more than
+    `window` positions apart in id order. With no prebuilt layout it
+    builds a sample-fit one on the fly (one bounded driver-side
+    Lloyd's fit + one map-side assignment scan —
+    `ivf_build_sampled`'s cost contract) and blocks with
+    top-2 MULTIPROBE assignment, so pairs straddling a Voronoi
+    boundary of the sampled centroids are still compared (2× the
+    blocking shuffle of single-probe — the correctness-leaning
+    default). When the caller supplies `assigned` (or asks for
+    ``method="clustered"``), candidates block on that single
+    assignment: Σ|c|² pairs, boundary pairs knowingly skipped — the
+    lean explicit path (`embedding_near_dups_multiprobe` recovers
+    them when needed). ``method="window"`` must be requested
+    EXPLICITLY — the deterministic, oracle-checkable blocker
+    (positions from the distributed `global_positions`, never a
+    single-partition window), kept for hash-gating and for corpora
+    where id order IS locality. `window` only applies to that method
+    and is ignored by the clustered paths."""
     if method not in ("auto", "window", "clustered"):
         raise ValueError(f"unknown method {method!r}")
+    if method == "auto" and assigned is None:
+        from mcp_vector_search_spark.operators.ivf import ivf_build_sampled
+
+        _, centroids = ivf_build_sampled(vectors, vec_col=vec_col, id_col=id_col)
+        return embedding_near_dups_multiprobe(
+            vectors,
+            centroids,
+            threshold=threshold,
+            nprobe=2,
+            vec_col=vec_col,
+            id_col=id_col,
+            round_to=round_to,
+        )
     if method in ("auto", "clustered"):
         if assigned is None:
             from mcp_vector_search_spark.operators.ivf import ivf_build_sampled

@@ -168,8 +168,15 @@ def hybrid_search_batch(
             .select(query_id_col, "doc_id", "_rank_b")
         )
     else:
+        # inherit the real id types — a corpus with string chunk_ids
+        # must not get a hardcoded-long empty frame that poisons the
+        # fusion join
+        from mcp_vector_search_spark.operators.topk import id_type
+
         bm_leg = docs.sparkSession.createDataFrame(
-            [], f"{query_id_col} long, doc_id long, _rank_b int"
+            [],
+            f"{query_id_col} {id_type(query_vecs, query_id_col)}, "
+            f"doc_id {id_type(docs, id_col)}, _rank_b int",
         )
 
     # --- vector legs: the Arrow batch kernel, one scan --------------

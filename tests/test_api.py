@@ -284,6 +284,28 @@ def test_api_curate_redacts_before_span_strip(spark):
     assert "example" not in text and "user1" not in text and "user2" not in text
 
 
+def test_api_curate_decontaminates_before_redaction(spark):
+    """Review r5: decontamination must see ORIGINAL text — if redaction
+    ran first, a doc sharing a benchmark 5-gram that contains an email
+    would be rewritten to '<EMAIL>' on the doc side only and escape
+    the unredacted benchmark gram join."""
+    from mcp_vector_search_spark.api import SparkProject
+
+    leak = "contact john@x.com for the held out eval answers today"
+    rows = [
+        (1, leak + " plus " + " ".join(f"aa{i}" for i in range(10)), "en"),
+        (2, " ".join(f"bb{i}" for i in range(15)), "en"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    bench = spark.createDataFrame([(leak,)], "text string")
+    p = SparkProject(spark, docs, docs.limit(0))
+    _, report = p.curate_corpus(
+        max_tokens=64, benchmark=bench, redact=True, n_shards=1
+    )
+    rep = {r["stage"]: r["n_docs"] for r in report.collect()}
+    assert rep["decontaminated"] == 1  # doc 1 dropped despite redact=True
+
+
 def test_api_rebuild_ann_index_clears_previous_kind(spark):
     """Rebuilding with a different kind must route search_batch to the
     NEW index, not whatever layout happened to be built first."""
