@@ -13,8 +13,14 @@ extra shuffles per round.
 
 Scale shape per round: one equi-join (labels → neighbor candidates)
 + one min-groupBy — both keyed on the node id, so AQE coalesces and
-skew-splits them; `localCheckpoint` every few rounds truncates the
-growing lineage exactly like `operators/graph.bfs`. The all-pairs
+skew-splits them. The edge list is materialized ONCE up front
+(`localCheckpoint`): its lineage is the full LSH/exact candidate
+pipeline, and before r5 every round re-executed that pipeline — the
+iteration cost was dominated by detector recompute, not propagation
+(sf0.1 dup_clusters warm: 36.5 s → 4.5-5.1 s). Labels are likewise
+checkpointed EVERY round: each round's result feeds two consumers
+(the convergence check and the next round), so an unmaterialized
+frame would execute its plan twice and stack lineage. The all-pairs
 explosion never exists: work is O(|E|) per round, and |E| is the
 candidate-pair output of the banded LSH/exact detectors, not N².
 
@@ -27,9 +33,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
-
-CHECKPOINT_EVERY = 4
-
 
 def connected_components(
     pairs: DataFrame,
@@ -45,25 +48,31 @@ def connected_components(
     sym = pairs.select(
         F.col(src).alias("a"), F.col(dst).alias("b")
     ).unionByName(pairs.select(F.col(dst).alias("a"), F.col(src).alias("b")))
-    sym = sym.distinct()
+    # materialize the edges ONCE: their lineage is the whole upstream
+    # candidate detector, which every propagation round would
+    # otherwise re-execute
+    sym = sym.distinct().localCheckpoint(eager=True)
     labels = (
         sym.select(F.col("a").alias("node"))
         .distinct()
         .withColumn("component", F.col("node"))
+        .localCheckpoint(eager=True)
     )
-    for it in range(max_iters):
+    for _ in range(max_iters):
         # neighbor labels: node b receives a's current label
         prop = (
             sym.join(labels, sym["a"] == labels["node"])
             .select(F.col("b").alias("node"), "component")
         )
+        # checkpoint every round: the result feeds BOTH the
+        # convergence check and the next round — unmaterialized it
+        # would execute twice and stack lineage across rounds
         new_labels = (
             labels.unionByName(prop)
             .groupBy("node")
             .agg(F.min("component").alias("component"))
+            .localCheckpoint(eager=True)
         )
-        if (it + 1) % CHECKPOINT_EVERY == 0:
-            new_labels = new_labels.localCheckpoint(eager=True)
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "node")

@@ -96,14 +96,19 @@ def test_api_search_batch_uses_np_kernel(spark):
     assert "MapInPandas" in plan
     assert "Join" not in plan
 
-    # with an ANN index built, the kernel scans probed clusters with
-    # the SAME shuffle-free MapInPandas shape (within-batch cluster
-    # runs) — no grouped exchange, no scored-pair join
+    # with an ANN index built (r5: the PACKED block layout), serving
+    # scans the cached pack through the probe filter — the filter
+    # lands inside the InMemoryTableScan, scoring is one shuffle-free
+    # MapInPandas, and the pack's one-time FlatMapGroupsInPandas
+    # build exists only BELOW the cache boundary, never re-executed
+    # per query
     proj.build_ann_index(num_clusters=4)
     plan2 = _plan(proj.search_batch(q, 5))
     assert "MapInPandas" in plan2
-    assert "FlatMapGroupsInPandas" not in plan2
+    assert "InMemoryTableScan" in plan2
     assert "CartesianProduct" not in plan2
+    served = plan2.split("InMemoryRelation")[0]  # the executed portion
+    assert "FlatMapGroupsInPandas" not in served
 
 
 def test_ivf_np_kernel_is_shuffle_free_below_rank_window(spark):
