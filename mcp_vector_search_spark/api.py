@@ -444,9 +444,11 @@ class SparkProject:
            verified ≥ `near_dup_jaccard`; the higher id of each pair
            drops;
         2b. semantic dedup (`semantic_threshold` set and vectors
-           present) — embedding-cosine pairs blocked by IVF cluster
-           (Σ|c|² candidate pairs, never N²; vec_id must align with
-           doc_id); the higher id drops;
+           present) — embedding-cosine pairs blocked by sample-fit
+           IVF clusters with top-2 multiprobe assignment (Σ|c|²-shaped
+           candidate pairs, never N², and boundary-straddling pairs
+           still compared; vec_id must align with doc_id); the higher
+           id drops;
         2c. decontamination — drop docs sharing 5-grams with
            `benchmark` (skipped when None). Runs on the ORIGINAL
            text, before any rewriting stage: redaction would break
@@ -547,16 +549,18 @@ class SparkProject:
         # 2b. semantic near-dedup on the embedding column
         if semantic_threshold is not None and self.vectors is not None:
             from mcp_vector_search_spark.operators.dedup import (
-                embedding_near_dups_clustered,
+                embedding_near_dups,
             )
-            from mcp_vector_search_spark.operators.ivf import ivf_build_sampled
 
             surviving = self.vectors.join(
                 docs.select(F.col("doc_id").alias("vec_id")), "vec_id", "left_semi"
             )
-            assigned, _ = ivf_build_sampled(surviving)
-            sem_pairs = embedding_near_dups_clustered(
-                assigned, threshold=semantic_threshold
+            # method="auto" with no layout = sample-fit centroids +
+            # top-2 multiprobe blocking, so near-dup pairs straddling
+            # a cluster boundary are still dropped (r5: the single-
+            # probe clustered blocker knowingly skipped them)
+            sem_pairs = embedding_near_dups(
+                surviving, threshold=semantic_threshold
             )
             sem_drop = sem_pairs.select(F.col("id_b").alias("doc_id")).distinct()
             docs = checkpoint(
