@@ -429,6 +429,21 @@ def main():
             "noop"
         ).mode("overwrite").save()
         per_query["ann_big_disk_ivf_sec"] = round(time.time() - t0, 3)
+        # the durable serving artifact (r5): packed blocks partitioned
+        # by cluster_id — probe filter prunes whole partitions AND the
+        # per-row deserialize cost is gone (one binary cell per block)
+        from mcp_vector_search_spark.operators.ivf import (
+            read_ivf_layout,
+            write_ivf_layout,
+        )
+
+        write_ivf_layout(big_packed, big_cents, f"{layout_dir}/packed")
+        pk_df, pk_cents = read_ivf_layout(spark, f"{layout_dir}/packed")
+        t0 = time.time()
+        ivf_topk_batch_packed(pk_df, pk_cents, q8, 10, nprobes=20).write.format(
+            "noop"
+        ).mode("overwrite").save()
+        per_query["ann_big_disk_packed_sec"] = round(time.time() - t0, 3)
     finally:
         _sh.rmtree(layout_dir, ignore_errors=True)
 

@@ -566,3 +566,72 @@ def ivf_topk_batch_packed(
         .filter(F.col("rn") <= k)
         .select(query_id_col, id_col, "cos_sim", "rn")
     )
+
+
+def ivf_assign(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign vectors to an EXISTING coarse quantizer — one map-side
+    Arrow pass, no refit. This is the incremental-indexing half of the
+    IVF lifecycle: new documents' vectors join the layout of a
+    standing index (append `ivf_pack(ivf_assign(new, cents))` blocks,
+    or write into the matching cluster_id partitions) without touching
+    the already-indexed corpus. Same (passthrough + unit + cluster_id)
+    contract as `ivf_build_sampled`'s assignment, including the
+    argmin-on-the-unit-sphere tie rule (lower cluster id wins exact
+    distance ties through the BLAS half-norm form).
+
+    Reference behavior matched: incremental index maintenance,
+    ``vectors_backend.py`` add-to-existing-index path."""
+    import numpy as np
+
+    from mcp_vector_search_spark.operators.topk import _safe_norms
+
+    cpd = centroids.orderBy("cluster_id").toPandas()
+    C = np.stack(cpd["centroid"].to_numpy()).astype(np.float64)
+    cids = cpd["cluster_id"].to_numpy()
+    half_c2 = (C * C).sum(axis=1) / 2.0
+
+    passthrough = [f.simpleString().replace(":", " ", 1) for f in vectors.schema.fields]
+    out_schema = ", ".join(passthrough + ["unit array<double>", "cluster_id int"])
+
+    def assign_pass(batches):
+        for pdf in batches:
+            V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            U = V / _safe_norms(V)
+            nearest = np.argmin(half_c2[None, :] - U @ C.T, axis=1)
+            out = pdf.copy()
+            out["unit"] = list(U)
+            out["cluster_id"] = cids[nearest].astype(np.int32)
+            yield out
+
+    return vectors.mapInPandas(assign_pass, out_schema)
+
+
+def write_ivf_layout(
+    packed: DataFrame, centroids: DataFrame, path: str, mode: str = "overwrite"
+) -> None:
+    """Persist a packed IVF layout → `path/blocks` parquet partitioned
+    by cluster_id + `path/centroids` parquet. Partitioning the block
+    rows by cluster_id turns the probe filter into physical partition
+    pruning at scan time (non-probed clusters' files are never read) —
+    the durable serving artifact the in-memory cache is built from.
+    `mode="append"` adds incremental blocks (from
+    `ivf_pack(ivf_assign(new, centroids))`) next to the standing ones;
+    readers see old + new blocks of a cluster as independent
+    score-units, so no rewrite of existing files is ever needed."""
+    packed.write.mode(mode).partitionBy("cluster_id").parquet(f"{path}/blocks")
+    if mode == "overwrite":
+        centroids.write.mode(mode).parquet(f"{path}/centroids")
+
+
+def read_ivf_layout(spark, path: str) -> tuple[DataFrame, DataFrame]:
+    """Load a persisted packed layout → (packed, centroids), ready for
+    `ivf_topk_batch_packed` (optionally .cache() the packed side for
+    in-memory serving)."""
+    return (
+        spark.read.parquet(f"{path}/blocks"),
+        spark.read.parquet(f"{path}/centroids"),
+    )

@@ -194,3 +194,78 @@ def test_ivf_packed_probe_all_is_exact(spark):
         for r in ivf_topk_batch_packed(packed, centroids, queries, K, nprobes=16).collect()
     )
     assert exact == packed_all
+
+
+def test_ivf_assign_matches_build_assignment(spark):
+    """`ivf_assign` with the build's own centroids reproduces the
+    build's cluster assignment exactly (same half-norm argmin + tie
+    rule) — the incremental path never re-shuffles the standing
+    corpus."""
+    from mcp_vector_search_spark.operators.ivf import (
+        ivf_assign,
+        ivf_build_sampled,
+    )
+
+    emb = io.table(spark, SF_DIR, "embeddings")
+    assigned, centroids = ivf_build_sampled(emb, num_clusters=16)
+    re_assigned = ivf_assign(emb, centroids)
+    diff = (
+        assigned.select("vec_id", "cluster_id")
+        .exceptAll(re_assigned.select("vec_id", "cluster_id"))
+        .count()
+    )
+    assert diff == 0
+
+
+def test_ivf_layout_persist_and_incremental_append(spark, tmp_path):
+    """Full serving-artifact lifecycle: build → pack → write (blocks
+    partitioned by cluster_id) → read → search == in-memory search;
+    then APPEND a new batch of vectors (assign → pack → append blocks,
+    no rewrite of standing files) and verify the reloaded layout
+    serves them."""
+    from pyspark.sql import functions as F
+
+    from mcp_vector_search_spark.operators.ivf import (
+        ivf_assign,
+        ivf_build_sampled,
+        ivf_pack,
+        ivf_topk_batch_packed,
+        read_ivf_layout,
+        write_ivf_layout,
+    )
+
+    emb = io.table(spark, SF_DIR, "embeddings")
+    old = emb.filter(F.col("vec_id") < 400)
+    new = emb.filter(F.col("vec_id") >= 400).select("vec_id", "embedding")
+    assigned, centroids = ivf_build_sampled(old, num_clusters=16)
+    path = str(tmp_path / "layout")
+    write_ivf_layout(ivf_pack(assigned), centroids, path)
+
+    packed0, cents0 = read_ivf_layout(spark, path)
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    mem = sorted(
+        map(tuple, ivf_topk_batch_packed(
+            ivf_pack(assigned), centroids, queries, K, nprobes=16
+        ).collect())
+    )
+    disk = sorted(
+        map(tuple,
+            ivf_topk_batch_packed(packed0, cents0, queries, K, nprobes=16).collect())
+    )
+    assert mem == disk
+
+    # incremental append: new vectors assigned to the STANDING
+    # centroids, packed, appended — standing blocks untouched
+    write_ivf_layout(
+        ivf_pack(ivf_assign(new, centroids)), centroids, path, mode="append"
+    )
+    packed1, cents1 = read_ivf_layout(spark, path)
+    assert packed1.agg(F.sum("n")).first()[0] == emb.count()
+    # a query that IS one of the appended vectors must find itself
+    self_q = new.limit(1).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    hits = ivf_topk_batch_packed(packed1, cents1, self_q, 1, nprobes=16).collect()
+    assert hits[0].vec_id == hits[0].query_id and hits[0].cos_sim >= 0.999999
