@@ -224,6 +224,34 @@ class SparkProject:
             alpha=alpha,
         )
 
+    def search_hybrid_batch(
+        self,
+        queries: list[tuple[int, str]],
+        query_vecs: DataFrame,
+        limit: int = 10,
+        alpha: float = 0.7,
+    ) -> DataFrame:
+        """A hybrid query SET as ONE DataFrame program → (query_id,
+        doc_id, rrf_score, rn) — the batch-serving surface (r5):
+        per-query semantics identical to `search_hybrid`, but every
+        query shares one BM25-stats scan, one scoring scan, and one
+        vector scan, so per-query cost amortizes (~30× the warm
+        single-query rate at sf0.1 — BENCH hybrid_batch_qps).
+        `queries` = [(query_id, raw query string)] — preprocessed like
+        `search_code`; `query_vecs` = (query_id, query_vec)."""
+        from mcp_vector_search_spark.functions.query import preprocess_query
+        from mcp_vector_search_spark.plans.hybrid import hybrid_search_batch
+
+        term_sets = [(qid, preprocess_query(q).split()) for qid, q in queries]
+        return hybrid_search_batch(
+            self.docs,
+            self.vectors,
+            term_sets,
+            query_vecs,
+            k=limit,
+            alpha=alpha,
+        )
+
     def search_context(
         self, query: str, query_vec: DataFrame, limit: int = 10
     ) -> DataFrame:

@@ -504,7 +504,14 @@ def ivf_topk_batch_packed(
     (block, probing-queries) inside a shuffle-free mapInPandas → exact
     per-query rank window over the per-block partial top-k. Probing
     all clusters degenerates to a packed brute-force scan, which is
-    how the layout also serves exact search."""
+    how the layout also serves exact search.
+
+    Scale envelope: the query set and its probe map live on the
+    driver and ship inside the task closure — right for SERVING
+    batches (up to ~100K queries; the map is nq·nprobes ints). For a
+    corpus-×-corpus scale query set, use `ivf_topk_batch` — its probe
+    assignment is a distributed broadcast-join, no driver
+    materialization."""
     import numpy as np
     import pandas as pd
 

@@ -109,6 +109,14 @@ def hybrid_search_batch(
     (`topk_per_query_np`), one corpus scan for all queries. Fusion
     joins two ≤|Q|·n_leg-row sets on (query_id, doc_id): tiny at any
     corpus scale.
+
+    Scale envelope: per-query score expressions are compiled into the
+    scan (term_sets is a driver-side list), so the plan width grows
+    with |Q|·|terms| — right for serving batches up to a few hundred
+    queries per program. Larger sets split into chunks of ~100
+    (per-chunk stats reuse via `stats=`), or route the BM25 side
+    through the persisted postings index where the query set is a
+    TABLE, not a literal.
     """
     from pyspark.sql.window import Window
 

@@ -360,3 +360,37 @@ def test_api_find_duplicates_threshold_and_columns(spark):
     assert {"doc_a", "doc_b"} <= set(epairs.columns)
     clusters = p.dedup_clusters(epairs)  # must not raise on columns
     assert clusters.count() >= 1
+
+
+def test_api_search_hybrid_batch(spark):
+    """The batch-serving facade: per-query results equal the
+    single-query search_hybrid surface for the same (preprocessed)
+    query, with independent per-query normalization."""
+    from pyspark.sql import functions as F
+
+    from mcp_vector_search_spark import io
+    from mcp_vector_search_spark.api import SparkProject
+
+    sf = "/root/testdata/sf0.01"
+    docs = io.table(spark, sf, "documents")
+    emb = io.table(spark, sf, "embeddings")
+    p = SparkProject(spark, docs, emb)
+    qv = emb.filter(F.col("vec_id").isin([0, 11])).select(
+        F.col("vec_id").cast("long").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    out = p.search_hybrid_batch(
+        [(0, "Data Query Fast Vector"), (11, "Window Merge Sort")], qv, limit=5
+    ).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.query_id, []).append((r.doc_id, r.rrf_score))
+    assert set(by_q) == {0, 11} and all(len(v) == 5 for v in by_q.values())
+    single = p.search_hybrid(
+        "Data Query Fast Vector",
+        emb.filter(F.col("vec_id") == 0).select(
+            F.col("embedding").alias("query_vec")
+        ),
+        limit=5,
+    ).collect()
+    assert sorted(by_q[0]) == sorted((r.doc_id, r.rrf_score) for r in single)
