@@ -56,34 +56,49 @@ def connected_components(
         sym.select(F.col("a").alias("node"))
         .distinct()
         .withColumn("component", F.col("node"))
-        .localCheckpoint(eager=True)
+        .cache()
     )
-    for _ in range(max_iters):
+    for it in range(max_iters):
         # neighbor labels: node b receives a's current label
         prop = (
             sym.join(labels, sym["a"] == labels["node"])
             .select(F.col("b").alias("node"), "component")
         )
-        # checkpoint every round: the result feeds BOTH the
-        # convergence check and the next round — unmaterialized it
-        # would execute twice and stack lineage across rounds
+        # cache every round: the result feeds BOTH the convergence
+        # check and the next round — unmaterialized it would execute
+        # its plan twice. The convergence count (no limit) fills the
+        # whole cache, so the superseded round's cache can be
+        # released immediately — storage holds ≤2 label snapshots at
+        # any time instead of one per round. Every 8th round a
+        # localCheckpoint truncates the logical plan, which otherwise
+        # grows one cache-read layer per round.
         new_labels = (
             labels.unionByName(prop)
             .groupBy("node")
             .agg(F.min("component").alias("component"))
-            .localCheckpoint(eager=True)
+            .cache()
         )
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "node")
             .filter(F.col("n.component") != F.col("o.component"))
-            .limit(1)
             .count()
         )
+        if (it + 1) % 8 == 0:
+            ckpt = new_labels.localCheckpoint(eager=True)
+            new_labels.unpersist()
+            new_labels = ckpt
+        labels.unpersist()
         labels = new_labels
         if changed == 0:
             break
-    return labels
+    # hand back a checkpointed frame, not a cache()-frame: CacheManager
+    # entries live until explicit unpersist, while checkpoint blocks
+    # are reclaimed by the ContextCleaner once unreferenced — callers
+    # must not inherit a session-cache obligation
+    out = labels.localCheckpoint(eager=True)
+    labels.unpersist()  # no-op when the final round already checkpointed
+    return out
 
 
 def dup_clusters(

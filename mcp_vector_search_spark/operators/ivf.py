@@ -143,27 +143,14 @@ def ivf_build_sampled(
         np.add.at(sums, assign, X)
         nz = counts > 0
         cents[nz] = sums[nz] / counts[nz, None]
-    half_c2 = (cents * cents).sum(axis=1) / 2.0
-
-    passthrough = [f.simpleString().replace(":", " ", 1) for f in vectors.schema.fields]
-    out_schema = ", ".join(passthrough + ["unit array<double>", "cluster_id int"])
-
-    def assign_pass(batches):
-        for pdf in batches:
-            V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
-            U = V / _safe_norms(V)
-            cid = np.argmin(half_c2[None, :] - U @ cents.T, axis=1)
-            out = pdf.copy()
-            out["unit"] = list(U)
-            out["cluster_id"] = cid.astype(np.int32)
-            yield out
-
-    assigned = vectors.mapInPandas(assign_pass, out_schema)
     centroids = vectors.sparkSession.createDataFrame(
         [(i, [float(x) for x in c]) for i, c in enumerate(cents)],
         "cluster_id int, centroid array<double>",
     )
-    return assigned, centroids
+    # ONE shared assignment kernel: the corpus scan is exactly the
+    # incremental path's ivf_assign (same half-norm argmin tie rule),
+    # so build-time and append-time assignment can never drift
+    return ivf_assign(vectors, centroids, vec_col=vec_col), centroids
 
 
 def ivf_topk_batch(
@@ -596,6 +583,13 @@ def ivf_assign(
 
     from mcp_vector_search_spark.operators.topk import _safe_norms
 
+    clash = {"unit", "cluster_id"} & set(vectors.columns)
+    if clash:
+        raise ValueError(
+            f"input already carries layout columns {sorted(clash)} — drop them "
+            f"before re-assigning (e.g. after a centroid refit), or the output "
+            f"schema would carry duplicates and fail inside Arrow"
+        )
     cpd = centroids.orderBy("cluster_id").toPandas()
     C = np.stack(cpd["centroid"].to_numpy()).astype(np.float64)
     cids = cpd["cluster_id"].to_numpy()
@@ -628,10 +622,42 @@ def write_ivf_layout(
     `mode="append"` adds incremental blocks (from
     `ivf_pack(ivf_assign(new, centroids))`) next to the standing ones;
     readers see old + new blocks of a cluster as independent
-    score-units, so no rewrite of existing files is ever needed."""
+    score-units, so no rewrite of existing files is ever needed.
+
+    Append requires the SAME quantizer: blocks packed against refit
+    centroids mixed into a standing layout would silently corrupt
+    probe recall, so `mode="append"` verifies the given centroid
+    table matches the persisted one exactly (≤512 rows — a cheap
+    driver compare) and raises on any drift; a refit means a new
+    layout path (or an overwrite), never an append."""
+    if mode == "append":
+        import os as _os
+
+        cpath = f"{path}/centroids"
+        if not _os.path.isdir(cpath):
+            raise ValueError(
+                f"append to a layout with no centroid table at {cpath}: write "
+                f"the initial layout with mode='overwrite' first"
+            )
+        existing = sorted(
+            (r.cluster_id, tuple(r.centroid))
+            for r in packed.sparkSession.read.parquet(cpath).collect()
+        )
+        given = sorted(
+            (r.cluster_id, tuple(r.centroid)) for r in centroids.collect()
+        )
+        if existing != given:
+            raise ValueError(
+                "append centroids differ from the persisted quantizer — "
+                "blocks packed against refit centroids cannot be appended to "
+                "a standing layout (overwrite, or use a new path)"
+            )
+        packed.write.mode("append").partitionBy("cluster_id").parquet(
+            f"{path}/blocks"
+        )
+        return
     packed.write.mode(mode).partitionBy("cluster_id").parquet(f"{path}/blocks")
-    if mode == "overwrite":
-        centroids.write.mode(mode).parquet(f"{path}/centroids")
+    centroids.write.mode(mode).parquet(f"{path}/centroids")
 
 
 def read_ivf_layout(spark, path: str) -> tuple[DataFrame, DataFrame]:

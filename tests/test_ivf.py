@@ -269,3 +269,36 @@ def test_ivf_layout_persist_and_incremental_append(spark, tmp_path):
     )
     hits = ivf_topk_batch_packed(packed1, cents1, self_q, 1, nprobes=16).collect()
     assert hits[0].vec_id == hits[0].query_id and hits[0].cos_sim >= 0.999999
+
+
+def test_ivf_lifecycle_guards(spark, tmp_path):
+    """Fail-loud contracts: re-assigning an already-assigned frame and
+    appending against refit centroids both raise instead of silently
+    corrupting the layout."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from mcp_vector_search_spark.operators.ivf import (
+        ivf_assign,
+        ivf_build_sampled,
+        ivf_pack,
+        write_ivf_layout,
+    )
+
+    emb = io.table(spark, SF_DIR, "embeddings")
+    assigned, centroids = ivf_build_sampled(emb, num_clusters=16)
+    with pytest.raises(ValueError, match="layout columns"):
+        ivf_assign(assigned, centroids)
+
+    path = str(tmp_path / "layout")
+    packed = ivf_pack(assigned)
+    with pytest.raises(ValueError, match="no centroid table"):
+        write_ivf_layout(packed, centroids, path, mode="append")
+    write_ivf_layout(packed, centroids, path)
+    refit = centroids.withColumn(
+        "centroid", F.transform("centroid", lambda x: x * 1.5)
+    )
+    with pytest.raises(ValueError, match="refit centroids"):
+        write_ivf_layout(packed, refit, path, mode="append")
+    # same quantizer appends fine
+    write_ivf_layout(packed, centroids, path, mode="append")
