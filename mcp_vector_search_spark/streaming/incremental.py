@@ -213,3 +213,76 @@ def streaming_dedup(changes: DataFrame, watermark_delay: str = "10 minutes") -> 
         fp.withWatermark("ts", watermark_delay)
         .dropDuplicatesWithinWatermark(["fingerprint"])
     )
+
+
+# --- streaming ANN indexing (r5): the arrival-stream half of the ----
+# --- IVF layout lifecycle (operators/ivf.py ivf_assign/ivf_pack) ----
+
+
+def bootstrap_ann_layout(
+    spark: SparkSession,
+    vectors: DataFrame,
+    layout_path: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    num_clusters: int | None = None,
+) -> None:
+    """One-time base build for a STREAM-MAINTAINED packed IVF layout:
+    sample-fit quantizer → pack → write blocks partitioned by
+    (cluster_id, batch_id=-1) + the centroid table. The extra batch_id
+    partition level is what lets `ann_layout_sink` append micro-batches
+    idempotently (each batch owns its partitions); readers see it as
+    one more passthrough column the scoring kernel ignores."""
+    from mcp_vector_search_spark.operators.ivf import ivf_build_sampled, ivf_pack
+
+    kwargs = {} if num_clusters is None else {"num_clusters": num_clusters}
+    assigned, centroids = ivf_build_sampled(
+        vectors, vec_col=vec_col, id_col=id_col, **kwargs
+    )
+    (
+        ivf_pack(assigned, id_col=id_col)
+        .withColumn("batch_id", F.lit(-1))
+        .write.partitionBy("cluster_id", "batch_id")
+        .parquet(f"{layout_path}/blocks")
+    )
+    centroids.write.parquet(f"{layout_path}/centroids")
+
+
+def ann_layout_sink(
+    spark: SparkSession,
+    layout_path: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+):
+    """foreachBatch writer: incremental ANN indexing against a
+    standing quantizer. Each micro-batch of (id, vector) rows is
+    assigned map-side to the bootstrap centroids (`ivf_assign` — no
+    refit, no shuffle of the indexed corpus), packed into per-cluster
+    blocks, and written into its own (cluster_id, batch_id)
+    partitions with dynamic partition overwrite — a REPLAYED batch
+    (restart inside the classic foreachBatch at-least-once window)
+    deterministically reproduces the same assignment and overwrites
+    its own partitions instead of double-appending blocks.
+
+        stream.writeStream.foreachBatch(
+            ann_layout_sink(spark, layout_path))
+
+    Centroid drift: a stream that outgrows its bootstrap quantizer
+    (new content far from every centroid) needs an OFFLINE refit into
+    a fresh layout path — `write_ivf_layout` refuses cross-quantizer
+    appends for the same reason.
+    """
+    from mcp_vector_search_spark.operators.ivf import ivf_assign, ivf_pack
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        cents = spark.read.parquet(f"{layout_path}/centroids")
+        packed = ivf_pack(ivf_assign(batch_df, cents, vec_col=vec_col), id_col=id_col)
+        (
+            packed.withColumn("batch_id", F.lit(int(batch_id)))
+            .write.partitionBy("cluster_id", "batch_id")
+            .option("partitionOverwriteMode", "dynamic")
+            .mode("overwrite")
+            .parquet(f"{layout_path}/blocks")
+        )
+
+    return write

@@ -199,3 +199,46 @@ def test_versioned_sink_exactly_once_on_replay(spark, tmp_path):
     assert [(m.get("scope"), m.get("batch_id")) for m in committed_metas(table)] == [
         ("manual", 0), ("manual", 1), ("ckpt-a", 0),
     ]
+
+
+def test_ann_layout_sink_appends_and_replays_idempotently(spark, tmp_path):
+    """Streaming ANN indexing (r5): bootstrap a packed layout, append
+    two micro-batches through the foreachBatch sink, REPLAY one of
+    them, and verify the layout holds every vector exactly once and
+    serves the appended ones."""
+    from pyspark.sql import functions as F
+
+    from mcp_vector_search_spark import io
+    from mcp_vector_search_spark.operators.ivf import (
+        ivf_topk_batch_packed,
+        read_ivf_layout,
+    )
+    from mcp_vector_search_spark.streaming.incremental import (
+        ann_layout_sink,
+        bootstrap_ann_layout,
+    )
+
+    emb = io.table(spark, "/root/testdata/sf0.01", "embeddings").select(
+        "vec_id", "embedding"
+    )
+    base = emb.filter(F.col("vec_id") < 400)
+    b0 = emb.filter((F.col("vec_id") >= 400) & (F.col("vec_id") < 450))
+    b1 = emb.filter(F.col("vec_id") >= 450)
+
+    path = str(tmp_path / "ann_layout")
+    bootstrap_ann_layout(spark, base, path, num_clusters=16)
+    sink = ann_layout_sink(spark, path)
+    sink(b0, 0)
+    sink(b1, 1)
+    sink(b0, 0)  # replay: must overwrite its own partitions, not append
+
+    packed, cents = read_ivf_layout(spark, path)
+    assert packed.agg(F.sum("n")).first()[0] == emb.count()
+    ids = [v for r in packed.select("vec_ids").collect() for v in r.vec_ids]
+    assert len(ids) == len(set(ids)) == emb.count()
+
+    self_q = b1.limit(1).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    hit = ivf_topk_batch_packed(packed, cents, self_q, 1, nprobes=16).first()
+    assert hit.vec_id == hit.query_id and hit.cos_sim >= 0.999999
