@@ -407,6 +407,7 @@ def main():
     import shutil as _sh
     import tempfile as _tf
 
+    _gc_quiesce()
     layout_dir = _tf.mkdtemp(prefix="bench_ivf_layout_")
     try:
         flat_p = f"{layout_dir}/flat"
@@ -481,6 +482,7 @@ def main():
     # duplicate cluster (measured: rerank 10 -> recall 0.43, 30 -> 1.0).
     # Real corpora after dedup don't have 256-deep duplicate stacks;
     # this is the honest worst case.
+    _gc_quiesce()  # the encode runs last — same session-debris hygiene
     t0 = time.time()
     big_enc, big_pq_cents, big_cbs = ivfpq_build(
         big, m=16, k_codes=256, coarse=(big_assigned, big_cents)
