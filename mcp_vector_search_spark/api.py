@@ -160,7 +160,10 @@ class SparkProject:
         kwargs = {} if num_clusters is None else {"num_clusters": num_clusters}
         assigned, centroids = ivf_build(self.vectors, **kwargs)
         if kind == "ivfpq":
-            from mcp_vector_search_spark.operators.ivfpq import ivfpq_build
+            from mcp_vector_search_spark.operators.ivfpq import (
+                ivfpq_build,
+                ivfpq_pack,
+            )
 
             # (frame, centroids, layout-kind): the kind tag is what
             # search_batch dispatches on — never a schema sniff
@@ -168,7 +171,10 @@ class SparkProject:
             encoded, cents, codebooks = ivfpq_build(
                 self.vectors, m=m, k_codes=k_codes, coarse=(assigned, centroids)
             )
-            self._ivfpq_layout = (encoded.cache(), cents, codebooks)
+            # serve the ADC stage from PACKED code blocks (r5): the
+            # per-row code cache paid the same Arrow-cell deserialize
+            # tax the float layout did before ivf_pack
+            self._ivfpq_layout = (ivfpq_pack(encoded).cache(), cents, codebooks)
         else:
             self._ivf_layout = (ivf_pack(assigned).cache(), centroids, "packed")
 
@@ -185,9 +191,15 @@ class SparkProject:
         if self._ivfpq_layout is not None:
             from mcp_vector_search_spark.operators.ivfpq import ivfpq_topk_refined
 
-            encoded, cents, codebooks = self._ivfpq_layout
+            packed_codes, cents, codebooks = self._ivfpq_layout
             return ivfpq_topk_refined(
-                self.vectors, encoded, cents, codebooks, queries, limit
+                self.vectors,
+                None,  # per-row code table unused: the packed layout serves
+                cents,
+                codebooks,
+                queries,
+                limit,
+                packed_codes=packed_codes,
             )
         if self._sq_layout is not None:
             from mcp_vector_search_spark.operators.sq import sq_topk_refined

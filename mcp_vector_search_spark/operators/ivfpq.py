@@ -115,6 +115,56 @@ def ivfpq_build(
     return encoded, centroids, codebooks
 
 
+def _adc_query_prep(
+    codebooks: DataFrame,
+    centroids: DataFrame,
+    queries: DataFrame,
+    nprobes: int,
+    query_id_col: str,
+    query_vec_col: str,
+):
+    """Driver-side ADC prep shared by the per-row and packed scanners
+    (all tiny): probe assignment by round-9 query × NORMALIZED
+    centroid similarity (ties → lower cluster_id — identical to
+    ``ivf_topk_batch_np``), one (m × k) residual LUT per query, one
+    q·RAW-centroid offset per (query, probed cluster) — the residual
+    was computed against the un-normalized centroid, so the offset
+    must use it too. Returns
+    (m, qids, cluster_to_q, offset, cid_to_row, lut)."""
+    import numpy as np
+
+    from mcp_vector_search_spark.operators.topk import _safe_norms
+
+    cb = _collect_codebooks(codebooks)
+    m, _, dsub = cb.shape
+
+    qpd = queries.select(query_id_col, query_vec_col).toPandas()
+    Q = np.stack(qpd[query_vec_col].to_numpy()).astype(np.float64)
+    Q /= _safe_norms(Q)
+    qids = qpd[query_id_col].to_numpy()
+    nq = len(qids)
+
+    cpd = centroids.orderBy("cluster_id").toPandas()
+    C = np.stack(cpd["centroid"].to_numpy()).astype(np.float64)
+    cids = cpd["cluster_id"].to_numpy()
+    Cn = C / _safe_norms(C)
+
+    csim = np.round(Q @ Cn.T, 9)  # (nq, nc)
+    order = np.lexsort((np.broadcast_to(cids, csim.shape), -csim), axis=1)
+    probe_sets = order[:, :nprobes]
+    cluster_to_q: dict[int, list[int]] = {}
+    for qi in range(nq):
+        for ci in probe_sets[qi]:
+            cluster_to_q.setdefault(int(cids[ci]), []).append(qi)
+    cluster_to_q_np = {c: np.asarray(v) for c, v in cluster_to_q.items()}
+
+    offset = Q @ C.T  # (nq, nc) — q·centroid, cluster_id-indexed below
+    cid_to_row = {int(c): i for i, c in enumerate(cids)}
+    # lut[qi, s, c] = round(Q_sub · codebook[s, c], 9); cluster-free
+    lut = np.round(np.einsum("qsd,scd->qsc", Q.reshape(nq, m, dsub), cb), 9)
+    return m, qids, cluster_to_q_np, offset, cid_to_row, lut
+
+
 def ivfpq_topk(
     encoded: DataFrame,
     centroids: DataFrame,
@@ -142,44 +192,11 @@ def ivfpq_topk(
     import numpy as np
     import pandas as pd
 
-    from mcp_vector_search_spark.operators.topk import (
-        _partial_topk,
-        _safe_norms,
-        id_type,
+    from mcp_vector_search_spark.operators.topk import _partial_topk, id_type
+
+    m, qids, cluster_to_q_np, offset, cid_to_row, lut = _adc_query_prep(
+        codebooks, centroids, queries, nprobes, query_id_col, query_vec_col
     )
-
-    cb = _collect_codebooks(codebooks)
-    m, _, dsub = cb.shape
-
-    qpd = queries.select(query_id_col, query_vec_col).toPandas()
-    Q = np.stack(qpd[query_vec_col].to_numpy()).astype(np.float64)
-    Q /= _safe_norms(Q)
-    qids = qpd[query_id_col].to_numpy()
-    nq = len(qids)
-
-    cpd = centroids.orderBy("cluster_id").toPandas()
-    C = np.stack(cpd["centroid"].to_numpy()).astype(np.float64)
-    cids = cpd["cluster_id"].to_numpy()
-    Cn = C / _safe_norms(C)
-
-    # probe ranking mirrors ivf_topk_batch_np exactly (round-9 on the
-    # NORMALIZED centroid sim; ties → lower cluster_id)
-    csim = np.round(Q @ Cn.T, 9)  # (nq, nc)
-    order = np.lexsort((np.broadcast_to(cids, csim.shape), -csim), axis=1)
-    probe_sets = order[:, :nprobes]
-    cluster_to_q: dict[int, list[int]] = {}
-    for qi in range(nq):
-        for ci in probe_sets[qi]:
-            cluster_to_q.setdefault(int(cids[ci]), []).append(qi)
-    cluster_to_q_np = {c: np.asarray(v) for c, v in cluster_to_q.items()}
-
-    # offsets use the RAW centroid (unit + residual reconstructs the
-    # unit vector relative to the un-normalized centroid the residual
-    # was computed against)
-    offset = Q @ C.T  # (nq, nc) — q·centroid, cluster_id-indexed below
-    cid_to_row = {int(c): i for i, c in enumerate(cids)}
-    # lut[qi, s, c] = round(Q_sub · codebook[s, c], 9); cluster-free
-    lut = np.round(np.einsum("qsd,scd->qsc", Q.reshape(nq, m, dsub), cb), 9)
     keep = k * batch_buffer
 
     def _score_run(cid: int, sub: pd.DataFrame, qidx) -> pd.DataFrame:
@@ -227,13 +244,158 @@ def ivfpq_topk(
     # within-batch cluster runs (same rationale as ivf_topk_batch_np:
     # a groupBy here shuffled every probed code row for nothing)
     cand = (
-        encoded.filter(F.col("cluster_id").isin(sorted(cluster_to_q)))
+        encoded.filter(F.col("cluster_id").isin(sorted(cluster_to_q_np)))
         .select("cluster_id", id_col, "codes")
         .mapInPandas(
             score_batches,
             f"{query_id_col} {id_type(queries, query_id_col)}, "
             f"{id_col} {id_type(encoded, id_col)}, adc_score double",
         )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("adc_score"), F.asc(id_col))
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select(query_id_col, id_col, "adc_score", "rn")
+    )
+
+
+def ivfpq_pack(
+    encoded: DataFrame,
+    id_col: str = "vec_id",
+    rows_per_block: int = 1 << 20,
+    max_block_bytes: int = 32 << 20,
+) -> DataFrame:
+    """Collapse the per-row code table into per-cluster PACKED blocks
+    (r5 — the codes analogue of `operators/ivf.ivf_pack`):
+
+        (cluster_id, block_id, n, m, dtype, vec_ids, codes)
+
+    with `codes` = the block's (n × m) code matrix as uint8 bytes
+    (uint16 when any code ≥ 256). The ADC scan's cost at 512K rows was
+    dominated by per-row Arrow array cells, exactly like the float
+    layout before packing — the codes themselves are only m bytes per
+    vector, so one binary cell per cluster-block removes ~all of the
+    deserialize cost. The default block cap is larger than the float
+    pack's because blocks are ~dim·itemsize/m times smaller."""
+    import numpy as np
+    import pandas as pd
+
+    from mcp_vector_search_spark.operators.topk import id_type
+
+    idt = id_type(encoded, id_col)
+    out_schema = (
+        "cluster_id int, block_id int, n int, m int, dtype string, "
+        f"vec_ids array<{idt}>, codes binary"
+    )
+
+    def pack(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        cid = int(key[0])
+        pdf = pdf.sort_values(id_col)
+        Cm = np.stack(pdf["codes"].to_numpy())
+        dtype = "uint8" if Cm.max(initial=0) < 256 else "uint16"
+        M = np.ascontiguousarray(Cm.astype(np.dtype(dtype)))
+        m = M.shape[1]
+        step = max(1, min(rows_per_block, max_block_bytes // max(1, m * M.itemsize)))
+        rows = []
+        for b, s in enumerate(range(0, len(pdf), step)):
+            blk = M[s : s + step]
+            rows.append(
+                (
+                    cid, b, blk.shape[0], m, dtype,
+                    pdf[id_col].iloc[s : s + step].tolist(),
+                    blk.tobytes(),
+                )
+            )
+        return pd.DataFrame(
+            rows,
+            columns=["cluster_id", "block_id", "n", "m", "dtype", "vec_ids", "codes"],
+        )
+
+    return (
+        encoded.select("cluster_id", id_col, "codes")
+        .groupBy("cluster_id")
+        .applyInPandas(pack, out_schema)
+    )
+
+
+def ivfpq_topk_packed(
+    packed_codes: DataFrame,
+    centroids: DataFrame,
+    codebooks: DataFrame,
+    queries: DataFrame,
+    k: int,
+    nprobes: int = NPROBES,
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    round_to: int = 6,
+    batch_buffer: int = 4,
+) -> DataFrame:
+    """IVF-ADC batch top-k over an `ivfpq_pack` layout — identical
+    results to `ivfpq_topk` (same prep, same round-9 LUT + round-6
+    scores, same tie-breaks), with one `np.frombuffer` per probed
+    block instead of 512K per-row code arrays."""
+    import numpy as np
+    import pandas as pd
+
+    from mcp_vector_search_spark.operators.topk import _partial_topk, id_type
+
+    m_cb, qids, cluster_to_q_np, offset, cid_to_row, lut = _adc_query_prep(
+        codebooks, centroids, queries, nprobes, query_id_col, query_vec_col
+    )
+    keep = k * batch_buffer
+    out_id_t = packed_codes.schema["vec_ids"].dataType.elementType.simpleString()
+
+    def score_blocks(batches):
+        empty = pd.DataFrame(
+            {
+                query_id_col: qids[:0],
+                id_col: np.empty(0, dtype=object),
+                "adc_score": np.empty(0, dtype=np.float64),
+            }
+        )
+        for pdf in batches:
+            outs = []
+            for row in pdf.itertuples(index=False):
+                qidx = cluster_to_q_np.get(int(row.cluster_id))
+                if qidx is None:
+                    continue
+                Cm = np.frombuffer(row.codes, dtype=row.dtype).reshape(row.n, row.m)
+                b = Cm.shape[0]
+                S = np.broadcast_to(
+                    offset[qidx, cid_to_row[int(row.cluster_id)]][None, :],
+                    (b, len(qidx)),
+                ).copy()
+                lutq = lut[qidx]
+                for s in range(row.m):
+                    S += lutq[:, s, Cm[:, s]].T
+                S = np.round(S, round_to)
+                vids = np.asarray(row.vec_ids)
+                if b > keep:
+                    idx = _partial_topk(S, vids, keep)
+                else:
+                    idx = np.tile(np.arange(b)[:, None], (1, len(qidx)))
+                rows = idx.shape[0]
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            query_id_col: np.repeat(
+                                qids[qidx][None, :], rows, axis=0
+                            ).ravel(),
+                            id_col: vids[idx].ravel(),
+                            "adc_score": np.take_along_axis(S, idx, axis=0).ravel(),
+                        }
+                    )
+                )
+            yield pd.concat(outs) if outs else empty
+
+    cand = packed_codes.filter(
+        F.col("cluster_id").isin(sorted(cluster_to_q_np))
+    ).mapInPandas(
+        score_blocks,
+        f"{query_id_col} {id_type(queries, query_id_col)}, "
+        f"{id_col} {out_id_t}, adc_score double",
     )
     w = Window.partitionBy(query_id_col).orderBy(F.desc("adc_score"), F.asc(id_col))
     return (
@@ -257,32 +419,59 @@ def ivfpq_topk_refined(
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
     round_to: int = 6,
+    packed_codes: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-ADC shortlist → exact rerank (reference ``refine_factor=5``,
     ``vectors_backend.py:1336``) → (query_id, id, cos_sim, rn). Only
     O(nq·k·rerank_factor) rows rejoin the float corpus; the join is an
-    id equi-join with the (tiny) query side broadcast."""
+    id equi-join with the (tiny) query side broadcast. Pass
+    `packed_codes` (an `ivfpq_pack` layout) to run the ADC stage over
+    packed blocks — identical shortlist, ~none of the per-row
+    deserialize cost."""
     from mcp_vector_search_spark.functions.vectors import dot
 
-    shortlist = ivfpq_topk(
-        encoded,
-        centroids,
-        codebooks,
-        queries,
-        k * rerank_factor,
+    # batch_buffer=1 for the shortlist: per-block top-N with exact
+    # boundary-tie handling (_partial_topk) already yields a provable
+    # superset of the global top-N, so the ×4 safety margin only
+    # multiplied the rank-window shuffle (keep=N·4 per block per
+    # probing query was over half of each 2K-row block at the bench's
+    # rerank_factor=30 — the window input shrank 4× with identical
+    # results, pinned by the parity tests + ann_recall gate)
+    _short_kw = dict(
         nprobes=nprobes,
         id_col=id_col,
         query_id_col=query_id_col,
         query_vec_col=query_vec_col,
-    ).select(query_id_col, id_col)
-    v = normalized(vectors, vec_col, "_u").select(id_col, "_u")
+        batch_buffer=1,
+    )
+    if packed_codes is not None:
+        shortlist = ivfpq_topk_packed(
+            packed_codes, centroids, codebooks, queries, k * rerank_factor,
+            **_short_kw,
+        ).select(query_id_col, id_col)
+    else:
+        shortlist = ivfpq_topk(
+            encoded, centroids, codebooks, queries, k * rerank_factor,
+            **_short_kw,
+        ).select(query_id_col, id_col)
+    # join the RAW corpus first, normalize per candidate pair: the
+    # unit transform (64-element HOF + sqrt) is the expensive part of
+    # this stage, and only O(nq·k·rerank_factor) candidate pairs need
+    # it — normalizing the whole corpus before the join made the
+    # rerank, not the ADC scan, the dominant cost of the refined path
+    # (r5 bench: ~7.1 s of the 7.3 s total at 512K×256q×rerank30).
+    # Per-pair normalization re-derives the unit vector for an id
+    # shared by several queries, but pairs ≪ corpus rows and the plan
+    # stays single-pass and lazy (a distinct-ids semi-join would
+    # execute the ADC shortlist lineage twice).
+    v = vectors.select(id_col, vec_col)
     q = (
         normalized(queries, query_vec_col, "_uq")
         .select(query_id_col, "_uq")
     )
     sim = F.round(dot(F.col("_u"), F.col("_uq")), round_to)
     cand = (
-        shortlist.join(v, id_col)
+        normalized(shortlist.join(v, id_col), vec_col, "_u")
         .join(F.broadcast(q), query_id_col)
         .withColumn("cos_sim", sim)
     )

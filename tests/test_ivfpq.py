@@ -106,3 +106,54 @@ def test_string_ids(spark, emb):
     out = ivfpq_topk(encoded, centroids, codebooks, q, 5, nprobes=4).collect()
     assert len(out) == 10
     assert all(r.vec_id.startswith("doc-") and r.query_id.startswith("q-") for r in out)
+
+
+def test_ivfpq_packed_codes_parity(spark):
+    """`ivfpq_pack` + `ivfpq_topk_packed` return BIT-IDENTICAL rows to
+    the per-row ADC scan (r5: codes packing is a layout change, never
+    an answer change), and the refined path accepts the packed layout
+    for its shortlist."""
+    from pyspark.sql import functions as F
+
+    from mcp_vector_search_spark import io
+    from mcp_vector_search_spark.operators.ivfpq import (
+        ivfpq_build,
+        ivfpq_pack,
+        ivfpq_topk,
+        ivfpq_topk_packed,
+        ivfpq_topk_refined,
+    )
+
+    emb = io.table(spark, "/root/testdata/sf0.01", "embeddings")
+    enc, cents, cbs = ivfpq_build(emb, num_clusters=8, m=16, k_codes=64)
+    enc = enc.cache()
+    packed = ivfpq_pack(enc).cache()
+    import numpy as np
+
+    rows = packed.collect()
+    assert sum(r.n for r in rows) == emb.count()
+    assert all(r.dtype == "uint8" for r in rows)  # k_codes=64 < 256
+
+    queries = emb.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    a = sorted(map(tuple, ivfpq_topk(enc, cents, cbs, queries, 10, nprobes=6).collect()))
+    b = sorted(
+        map(tuple, ivfpq_topk_packed(packed, cents, cbs, queries, 10, nprobes=6).collect())
+    )
+    assert a == b
+
+    r1 = sorted(
+        map(tuple, ivfpq_topk_refined(
+            emb, enc, cents, cbs, queries, 10, nprobes=6, rerank_factor=3
+        ).collect())
+    )
+    r2 = sorted(
+        map(tuple, ivfpq_topk_refined(
+            emb, enc, cents, cbs, queries, 10, nprobes=6, rerank_factor=3,
+            packed_codes=packed,
+        ).collect())
+    )
+    assert r1 == r2
+    enc.unpersist()
+    packed.unpersist()
