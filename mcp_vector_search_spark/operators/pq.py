@@ -479,7 +479,11 @@ def pq_topk_refined(
         query_vec_col=query_vec_col,
         rotation=rotation,
     ).select(query_id_col, id_col)
-    v = normalized(vectors, vec_col, "_u").select(id_col, "_u")
+    # join the RAW corpus first, normalize per candidate pair — the
+    # unit transform is the expensive part and only the shortlist
+    # pairs need it (same r5 fix as ivfpq_topk_refined: normalizing
+    # the whole corpus before the join dominated the refined path)
+    v = vectors.select(id_col, vec_col)
     q = (
         normalized(queries, query_vec_col, "_uq")
         .select(query_id_col, "_uq")
@@ -488,7 +492,7 @@ def pq_topk_refined(
 
     sim = F.round(dot(F.col("_u"), F.col("_uq")), round_to)
     cand = (
-        shortlist.join(v, id_col)
+        normalized(shortlist.join(v, id_col), vec_col, "_u")
         .join(F.broadcast(q), query_id_col)
         .withColumn("cos_sim", sim)
     )
