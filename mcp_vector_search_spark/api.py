@@ -148,11 +148,17 @@ class SparkProject:
                 setattr(self, attr, None)
 
         if kind == "ivfsq":
-            from mcp_vector_search_spark.operators.sq import sq_encode, sq_train
+            from mcp_vector_search_spark.operators.sq import (
+                sq_encode,
+                sq_pack,
+                sq_train,
+            )
 
             bounds = sq_train(self.vectors)
             codes = sq_encode(self.vectors, bounds)
-            self._sq_layout = (codes.cache(), bounds)
+            # packed code blocks (r5): same per-row Arrow-cell tax as
+            # the other layouts before packing
+            self._sq_layout = (sq_pack(codes).cache(), bounds)
             return
 
         from mcp_vector_search_spark.operators.ivf import ivf_build, ivf_pack
@@ -204,8 +210,11 @@ class SparkProject:
         if self._sq_layout is not None:
             from mcp_vector_search_spark.operators.sq import sq_topk_refined
 
-            codes, bounds = self._sq_layout
-            return sq_topk_refined(self.vectors, codes, bounds, queries, limit)
+            packed_codes, bounds = self._sq_layout
+            return sq_topk_refined(
+                self.vectors, None, bounds, queries, limit,
+                packed_codes=packed_codes,
+            )
         if self._ivf_layout is not None:
             layout, centroids, lkind = self._ivf_layout
             if lkind == "packed":

@@ -196,22 +196,35 @@ def sq_topk_refined(
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
     round_to: int = 6,
+    packed_codes: DataFrame | None = None,
 ) -> DataFrame:
     """SQ shortlist → exact cosine rerank (the reference's
     ``refine_factor=5`` two-stage shape, ``vectors_backend.py:1336``)
     → (query_id, id, cos_sim, rn). Only the O(nq·k·rerank_factor)
-    shortlist joins back to the float corpus."""
+    shortlist joins back to the float corpus. Pass `packed_codes`
+    (an `sq_pack` layout) to scan packed blocks for the shortlist."""
     from mcp_vector_search_spark.functions.vectors import dot
 
-    shortlist = sq_topk(
-        codes,
-        bounds,
-        queries,
-        k * rerank_factor,
-        id_col=id_col,
-        query_id_col=query_id_col,
-        query_vec_col=query_vec_col,
-    ).select(query_id_col, id_col)
+    if packed_codes is not None:
+        shortlist = sq_topk_packed(
+            packed_codes,
+            bounds,
+            queries,
+            k * rerank_factor,
+            id_col=id_col,
+            query_id_col=query_id_col,
+            query_vec_col=query_vec_col,
+        ).select(query_id_col, id_col)
+    else:
+        shortlist = sq_topk(
+            codes,
+            bounds,
+            queries,
+            k * rerank_factor,
+            id_col=id_col,
+            query_id_col=query_id_col,
+            query_vec_col=query_vec_col,
+        ).select(query_id_col, id_col)
     # join the RAW corpus first, normalize per candidate pair (same
     # r5 fix as pq/ivfpq_topk_refined: unit-transforming the whole
     # corpus before the join dominated the refined path)
@@ -231,4 +244,139 @@ def sq_topk_refined(
         cand.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= k)
         .select(query_id_col, id_col, "cos_sim", "rn")
+    )
+
+
+def sq_pack(
+    codes: DataFrame,
+    id_col: str = "vec_id",
+    n_buckets: int = 64,
+    rows_per_block: int = 1 << 20,
+    max_block_bytes: int = 32 << 20,
+) -> DataFrame:
+    """Collapse the per-row SQ code table into PACKED blocks (r5 —
+    the SQ analogue of `ivf_pack`/`ivfpq_pack`):
+
+        (bucket, block_id, n, d, vec_ids, codes)
+
+    with `codes` = the block's (n × d) uint8 matrix as one binary
+    cell. SQ has no cluster structure (the scan is flat), so rows are
+    hash-bucketed on the id (xxhash64 mod `n_buckets` — deterministic
+    across runs and partitionings) purely to bound block size and
+    keep pack/score parallelism; the win is the same as the other
+    packs: one `np.frombuffer` per block instead of per-row Arrow
+    array cells."""
+    import numpy as np
+    import pandas as pd
+
+    from mcp_vector_search_spark.operators.topk import id_type
+
+    idt = id_type(codes, id_col)
+    out_schema = (
+        "bucket int, block_id int, n int, d int, "
+        f"vec_ids array<{idt}>, codes binary"
+    )
+
+    def pack(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        bkt = int(key[0])
+        pdf = pdf.sort_values(id_col)
+        Cm = np.ascontiguousarray(np.stack(pdf["codes"].to_numpy()).astype(np.uint8))
+        d = Cm.shape[1]
+        step = max(1, min(rows_per_block, max_block_bytes // max(1, d)))
+        rows = []
+        for b, s in enumerate(range(0, len(pdf), step)):
+            blk = Cm[s : s + step]
+            rows.append(
+                (
+                    bkt, b, blk.shape[0], d,
+                    pdf[id_col].iloc[s : s + step].tolist(),
+                    blk.tobytes(),
+                )
+            )
+        return pd.DataFrame(
+            rows, columns=["bucket", "block_id", "n", "d", "vec_ids", "codes"]
+        )
+
+    bucketed = codes.select(
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_buckets)).cast("int").alias("bucket"),
+        id_col,
+        "codes",
+    )
+    return bucketed.groupBy("bucket").applyInPandas(pack, out_schema)
+
+
+def sq_topk_packed(
+    packed_codes: DataFrame,
+    bounds: DataFrame,
+    queries: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    round_to: int = 6,
+    batch_buffer: int = 4,
+) -> DataFrame:
+    """Batch top-k over an `sq_pack` layout — identical results to
+    `sq_topk` (same decode, round-6 GEMM scores, tie-breaks)."""
+    import numpy as np
+    import pandas as pd
+
+    from mcp_vector_search_spark.operators.topk import (
+        _partial_topk,
+        _safe_norms,
+        id_type,
+    )
+
+    mn, step, _ = _collect_bounds(bounds)
+    qpd = queries.select(query_id_col, query_vec_col).toPandas()
+    Q = np.stack(qpd[query_vec_col].to_numpy()).astype(np.float64)
+    Q /= _safe_norms(Q)
+    qids = qpd[query_id_col].to_numpy()
+    keep = k * batch_buffer
+    out_id_t = packed_codes.schema["vec_ids"].dataType.elementType.simpleString()
+
+    def score_blocks(batches):
+        empty = pd.DataFrame(
+            {
+                query_id_col: qids[:0],
+                id_col: np.empty(0, dtype=object),
+                "sq_score": np.empty(0, dtype=np.float64),
+            }
+        )
+        for pdf in batches:
+            outs = []
+            for row in pdf.itertuples(index=False):
+                Cm = np.frombuffer(row.codes, dtype=np.uint8).reshape(row.n, row.d)
+                R = mn + Cm.astype(np.float64) * step
+                S = np.round(R @ Q.T, round_to)
+                vids = np.asarray(row.vec_ids)
+                b = Cm.shape[0]
+                if b > keep:
+                    idx = _partial_topk(S, vids, keep)
+                else:
+                    idx = np.tile(np.arange(b)[:, None], (1, len(qids)))
+                rows = idx.shape[0]
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            query_id_col: np.repeat(
+                                qids[None, :], rows, axis=0
+                            ).ravel(),
+                            id_col: vids[idx].ravel(),
+                            "sq_score": np.take_along_axis(S, idx, axis=0).ravel(),
+                        }
+                    )
+                )
+            yield pd.concat(outs) if outs else empty
+
+    cand = packed_codes.mapInPandas(
+        score_blocks,
+        f"{query_id_col} {id_type(queries, query_id_col)}, "
+        f"{id_col} {out_id_t}, sq_score double",
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("sq_score"), F.asc(id_col))
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select(query_id_col, id_col, "sq_score", "rn")
     )

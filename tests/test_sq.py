@@ -98,3 +98,46 @@ def test_sq_string_ids(spark):
     out = sq_topk(codes, bounds, q, 5)
     assert out.count() == 10
     assert dict(out.dtypes)["query_id"] == "string"
+
+
+def test_sq_packed_codes_parity(spark):
+    """`sq_pack` + `sq_topk_packed` return BIT-IDENTICAL rows to the
+    per-row SQ scan (r5: layout change, never an answer change), and
+    the refined path accepts the packed layout."""
+    from pyspark.sql import functions as F
+
+    from mcp_vector_search_spark import io
+    from mcp_vector_search_spark.operators.sq import (
+        sq_encode,
+        sq_pack,
+        sq_topk,
+        sq_topk_packed,
+        sq_topk_refined,
+        sq_train,
+    )
+
+    emb = io.table(spark, "/root/testdata/sf0.01", "embeddings")
+    bounds = sq_train(emb)
+    codes = sq_encode(emb, bounds).cache()
+    packed = sq_pack(codes, n_buckets=8).cache()
+    rows = packed.collect()
+    assert sum(r.n for r in rows) == emb.count()
+    ids = [v for r in rows for v in r.vec_ids]
+    assert len(ids) == len(set(ids)) == emb.count()
+
+    queries = emb.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    a = sorted(map(tuple, sq_topk(codes, bounds, queries, 10).collect()))
+    b = sorted(map(tuple, sq_topk_packed(packed, bounds, queries, 10).collect()))
+    assert a == b
+
+    r1 = sorted(map(tuple, sq_topk_refined(emb, codes, bounds, queries, 10).collect()))
+    r2 = sorted(
+        map(tuple, sq_topk_refined(
+            emb, codes, bounds, queries, 10, packed_codes=packed
+        ).collect())
+    )
+    assert r1 == r2
+    codes.unpersist()
+    packed.unpersist()
