@@ -156,9 +156,17 @@ class SparkProject:
 
             bounds = sq_train(self.vectors)
             codes = sq_encode(self.vectors, bounds)
+            # materialize the bounds NOW as a lineage-free local frame
+            # (d rows): storing the lazy aggregate would re-execute a
+            # full-corpus posexplode scan inside every search_batch,
+            # and a later self.vectors change would silently decode
+            # old codes against drifted bounds
+            bounds_local = self.spark.createDataFrame(
+                bounds.collect(), bounds.schema
+            )
             # packed code blocks (r5): same per-row Arrow-cell tax as
             # the other layouts before packing
-            self._sq_layout = (sq_pack(codes).cache(), bounds)
+            self._sq_layout = (sq_pack(codes).cache(), bounds_local)
             return
 
         from mcp_vector_search_spark.operators.ivf import ivf_build, ivf_pack

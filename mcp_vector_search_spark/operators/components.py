@@ -58,6 +58,7 @@ def connected_components(
         .withColumn("component", F.col("node"))
         .cache()
     )
+    is_ckpt = False
     for it in range(max_iters):
         # neighbor labels: node b receives a's current label
         prop = (
@@ -84,7 +85,8 @@ def connected_components(
             .filter(F.col("n.component") != F.col("o.component"))
             .count()
         )
-        if (it + 1) % 8 == 0:
+        is_ckpt = (it + 1) % 8 == 0
+        if is_ckpt:
             ckpt = new_labels.localCheckpoint(eager=True)
             new_labels.unpersist()
             new_labels = ckpt
@@ -95,9 +97,12 @@ def connected_components(
     # hand back a checkpointed frame, not a cache()-frame: CacheManager
     # entries live until explicit unpersist, while checkpoint blocks
     # are reclaimed by the ContextCleaner once unreferenced — callers
-    # must not inherit a session-cache obligation
+    # must not inherit a session-cache obligation. Skip the final
+    # materialization when the last round already checkpointed.
+    if is_ckpt:
+        return labels
     out = labels.localCheckpoint(eager=True)
-    labels.unpersist()  # no-op when the final round already checkpointed
+    labels.unpersist()
     return out
 
 

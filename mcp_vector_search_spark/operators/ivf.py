@@ -378,6 +378,14 @@ def ivf_topk_batch_np(
     )
 
 
+def block_step(row_bytes: int, rows_per_block: int, max_block_bytes: int) -> int:
+    """Shared block-sizing rule for every packed layout (`ivf_pack`,
+    `ivfpq_pack`, `sq_pack`): rows per block = min of the row cap and
+    the byte cap, never below 1 — one sizing rule, so the codecs
+    cannot drift."""
+    return max(1, min(rows_per_block, max_block_bytes // max(1, row_bytes)))
+
+
 def ivf_pack(
     assigned: DataFrame,
     vec_col: str = "embedding",
@@ -439,7 +447,7 @@ def ivf_pack(
             V /= _safe_norms(V)
         M = np.ascontiguousarray(V.astype(np_dtype))
         dim = M.shape[1]
-        step = max(1, min(rows_per_block, max_block_bytes // (dim * np_dtype.itemsize)))
+        step = block_step(dim * np_dtype.itemsize, rows_per_block, max_block_bytes)
         rows = []
         for b, s in enumerate(range(0, len(pdf), step)):
             blk = M[s : s + step]
@@ -631,17 +639,20 @@ def write_ivf_layout(
     driver compare) and raises on any drift; a refit means a new
     layout path (or an overwrite), never an append."""
     if mode == "append":
-        import os as _os
-
         cpath = f"{path}/centroids"
-        if not _os.path.isdir(cpath):
+        try:
+            # read-probe, not a local-FS isdir check: the layout may
+            # live on any Hadoop-compatible store (hdfs://, s3a://)
+            existing_df = packed.sparkSession.read.parquet(cpath)
+            existing_rows = existing_df.collect()
+        except Exception as e:
             raise ValueError(
-                f"append to a layout with no centroid table at {cpath}: write "
-                f"the initial layout with mode='overwrite' first"
-            )
+                f"append to a layout with no readable centroid table at "
+                f"{cpath}: write the initial layout with mode='overwrite' "
+                f"first ({e.__class__.__name__})"
+            ) from e
         existing = sorted(
-            (r.cluster_id, tuple(r.centroid))
-            for r in packed.sparkSession.read.parquet(cpath).collect()
+            (r.cluster_id, tuple(r.centroid)) for r in existing_rows
         )
         given = sorted(
             (r.cluster_id, tuple(r.centroid)) for r in centroids.collect()

@@ -46,7 +46,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from mcp_vector_search_spark.functions.vectors import l2_norm, normalized, unit_expr
-from mcp_vector_search_spark.operators.ivf import NPROBES, ivf_build
+from mcp_vector_search_spark.operators.ivf import NPROBES, block_step, ivf_build
 from mcp_vector_search_spark.operators.pq import _collect_codebooks
 
 
@@ -296,7 +296,7 @@ def ivfpq_pack(
         dtype = "uint8" if Cm.max(initial=0) < 256 else "uint16"
         M = np.ascontiguousarray(Cm.astype(np.dtype(dtype)))
         m = M.shape[1]
-        step = max(1, min(rows_per_block, max_block_bytes // max(1, m * M.itemsize)))
+        step = block_step(m * M.itemsize, rows_per_block, max_block_bytes)
         rows = []
         for b, s in enumerate(range(0, len(pdf), step)):
             blk = M[s : s + step]

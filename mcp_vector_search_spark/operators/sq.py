@@ -37,6 +37,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from mcp_vector_search_spark.functions.vectors import l2_norm, normalized, unit_expr
+from mcp_vector_search_spark.operators.ivf import block_step
 
 SQ_LEVELS = 255  # code range [0, 255] — int8-equivalent
 
@@ -282,7 +283,7 @@ def sq_pack(
         pdf = pdf.sort_values(id_col)
         Cm = np.ascontiguousarray(np.stack(pdf["codes"].to_numpy()).astype(np.uint8))
         d = Cm.shape[1]
-        step = max(1, min(rows_per_block, max_block_bytes // max(1, d)))
+        step = block_step(d, rows_per_block, max_block_bytes)
         rows = []
         for b, s in enumerate(range(0, len(pdf), step)):
             blk = Cm[s : s + step]

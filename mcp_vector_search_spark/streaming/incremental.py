@@ -220,7 +220,6 @@ def streaming_dedup(changes: DataFrame, watermark_delay: str = "10 minutes") -> 
 
 
 def bootstrap_ann_layout(
-    spark: SparkSession,
     vectors: DataFrame,
     layout_path: str,
     vec_col: str = "embedding",
@@ -274,8 +273,15 @@ def ann_layout_sink(
     """
     from mcp_vector_search_spark.operators.ivf import ivf_assign, ivf_pack
 
+    # load the quantizer ONCE at sink creation (the layout must be
+    # bootstrapped first): centroids are immutable for the layout's
+    # lifetime by contract, so a per-micro-batch re-read was a wasted
+    # Spark job + driver round-trip on every batch. Re-created as a
+    # lineage-free local frame so the closure holds no storage scan.
+    _cdf = spark.read.parquet(f"{layout_path}/centroids")
+    cents = spark.createDataFrame(_cdf.collect(), _cdf.schema)
+
     def write(batch_df: DataFrame, batch_id: int) -> None:
-        cents = spark.read.parquet(f"{layout_path}/centroids")
         packed = ivf_pack(ivf_assign(batch_df, cents, vec_col=vec_col), id_col=id_col)
         (
             packed.withColumn("batch_id", F.lit(int(batch_id)))

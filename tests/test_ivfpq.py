@@ -124,7 +124,7 @@ def test_ivfpq_packed_codes_parity(spark):
         ivfpq_topk_refined,
     )
 
-    emb = io.table(spark, "/root/testdata/sf0.01", "embeddings")
+    emb = io.table(spark, SF_DIR, "embeddings")
     enc, cents, cbs = ivfpq_build(emb, num_clusters=8, m=16, k_codes=64)
     enc = enc.cache()
     packed = ivfpq_pack(enc).cache()

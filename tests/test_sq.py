@@ -116,7 +116,7 @@ def test_sq_packed_codes_parity(spark):
         sq_train,
     )
 
-    emb = io.table(spark, "/root/testdata/sf0.01", "embeddings")
+    emb = io.table(spark, SF_DIR, "embeddings")
     bounds = sq_train(emb)
     codes = sq_encode(emb, bounds).cache()
     packed = sq_pack(codes, n_buckets=8).cache()

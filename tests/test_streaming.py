@@ -226,7 +226,7 @@ def test_ann_layout_sink_appends_and_replays_idempotently(spark, tmp_path):
     b1 = emb.filter(F.col("vec_id") >= 450)
 
     path = str(tmp_path / "ann_layout")
-    bootstrap_ann_layout(spark, base, path, num_clusters=16)
+    bootstrap_ann_layout(base, path, num_clusters=16)
     sink = ann_layout_sink(spark, path)
     sink(b0, 0)
     sink(b1, 1)
