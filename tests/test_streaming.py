@@ -242,3 +242,71 @@ def test_ann_layout_sink_appends_and_replays_idempotently(spark, tmp_path):
     )
     hit = ivf_topk_batch_packed(packed, cents, self_q, 1, nprobes=16).first()
     assert hit.vec_id == hit.query_id and hit.cos_sim >= 0.999999
+
+
+def test_ann_layout_sink_through_real_stream(spark, tmp_path):
+    """The ANN sink driven by an actual Structured Streaming query
+    (availableNow file source → foreachBatch), not a direct call:
+    vectors arriving as JSONL micro-batches land in the layout and a
+    restarted stream (same checkpoint) does not re-append them."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from mcp_vector_search_spark import io
+    from mcp_vector_search_spark.operators.ivf import (
+        ivf_topk_batch_packed,
+        read_ivf_layout,
+    )
+    from mcp_vector_search_spark.streaming.incremental import (
+        ann_layout_sink,
+        bootstrap_ann_layout,
+    )
+
+    emb = io.table(spark, "/root/testdata/sf0.01", "embeddings").select(
+        "vec_id", "embedding"
+    )
+    base = emb.filter(F.col("vec_id") < 450)
+    new_rows = emb.filter(F.col("vec_id") >= 450).collect()
+
+    layout = str(tmp_path / "layout")
+    in_dir = str(tmp_path / "in")
+    ckpt = str(tmp_path / "ckpt")
+    bootstrap_ann_layout(base, layout, num_clusters=16)
+    _write_batch(
+        in_dir,
+        "v1.jsonl",
+        [{"vec_id": r.vec_id, "embedding": list(r.embedding)} for r in new_rows],
+    )
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.DoubleType())),
+        ]
+    )
+
+    def _run_stream():
+        q = (
+            spark.readStream.schema(schema)
+            .json(in_dir)
+            .writeStream.foreachBatch(ann_layout_sink(spark, layout))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    _run_stream()
+    packed, cents = read_ivf_layout(spark, layout)
+    assert packed.agg(F.sum("n")).first()[0] == emb.count()
+
+    # restart with the SAME checkpoint: the already-processed file is
+    # not replayed, the layout stays exactly-once
+    _run_stream()
+    packed2, cents2 = read_ivf_layout(spark, layout)
+    assert packed2.agg(F.sum("n")).first()[0] == emb.count()
+    self_q = spark.createDataFrame(
+        [(new_rows[0].vec_id, list(new_rows[0].embedding))],
+        "query_id long, query_vec array<double>",
+    )
+    hit = ivf_topk_batch_packed(packed2, cents2, self_q, 1, nprobes=16).first()
+    assert hit.vec_id == hit.query_id
