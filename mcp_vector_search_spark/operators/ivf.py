@@ -637,7 +637,17 @@ def write_ivf_layout(
     probe recall, so `mode="append"` verifies the given centroid
     table matches the persisted one exactly (≤512 rows — a cheap
     driver compare) and raises on any drift; a refit means a new
-    layout path (or an overwrite), never an append."""
+    layout path (or an overwrite), never an append.
+
+    Partition scheme: ALWAYS (cluster_id, batch_id) — batch writes
+    stamp batch_id=-1 so the batch and streaming lifecycles
+    (`streaming.incremental.ann_layout_sink` writes per-micro-batch
+    batch_id partitions) share one scheme at one path; mixed-depth
+    partitioning under `blocks/` would break parquet partition
+    discovery at read time (ADVICE r5). Readers treat batch_id as a
+    passthrough column the scoring kernel ignores."""
+    if "batch_id" not in packed.columns:
+        packed = packed.withColumn("batch_id", F.lit(-1))
     if mode == "append":
         cpath = f"{path}/centroids"
         try:
@@ -663,11 +673,26 @@ def write_ivf_layout(
                 "blocks packed against refit centroids cannot be appended to "
                 "a standing layout (overwrite, or use a new path)"
             )
-        packed.write.mode("append").partitionBy("cluster_id").parquet(
+        # partition-scheme guard: a pre-r6 layout partitioned by
+        # cluster_id only would end up with two partition depths under
+        # blocks/ after this append — refuse instead of corrupting
+        # partition discovery
+        standing_cols = packed.sparkSession.read.parquet(
+            f"{path}/blocks"
+        ).columns
+        if "batch_id" not in standing_cols:
+            raise ValueError(
+                "standing layout's blocks are not partitioned by "
+                "(cluster_id, batch_id) — rewrite it with "
+                "mode='overwrite' before appending"
+            )
+        packed.write.mode("append").partitionBy("cluster_id", "batch_id").parquet(
             f"{path}/blocks"
         )
         return
-    packed.write.mode(mode).partitionBy("cluster_id").parquet(f"{path}/blocks")
+    packed.write.mode(mode).partitionBy("cluster_id", "batch_id").parquet(
+        f"{path}/blocks"
+    )
     centroids.write.mode(mode).parquet(f"{path}/centroids")
 
 

@@ -407,7 +407,7 @@ def ivfpq_topk_packed(
 
 def ivfpq_topk_refined(
     vectors: DataFrame,
-    encoded: DataFrame,
+    encoded: DataFrame | None,
     centroids: DataFrame,
     codebooks: DataFrame,
     queries: DataFrame,
@@ -444,6 +444,11 @@ def ivfpq_topk_refined(
         query_vec_col=query_vec_col,
         batch_buffer=1,
     )
+    if encoded is None and packed_codes is None:
+        raise ValueError(
+            "ivfpq_topk_refined needs a code layout: pass `encoded` "
+            "(per-row) or `packed_codes` (ivfpq_pack blocks)"
+        )
     if packed_codes is not None:
         shortlist = ivfpq_topk_packed(
             packed_codes, centroids, codebooks, queries, k * rerank_factor,

@@ -187,7 +187,7 @@ def sq_topk(
 
 def sq_topk_refined(
     vectors: DataFrame,
-    codes: DataFrame,
+    codes: DataFrame | None,
     bounds: DataFrame,
     queries: DataFrame,
     k: int,
@@ -206,6 +206,11 @@ def sq_topk_refined(
     (an `sq_pack` layout) to scan packed blocks for the shortlist."""
     from mcp_vector_search_spark.functions.vectors import dot
 
+    if codes is None and packed_codes is None:
+        raise ValueError(
+            "sq_topk_refined needs a code layout: pass `codes` "
+            "(per-row) or `packed_codes` (sq_pack blocks)"
+        )
     if packed_codes is not None:
         shortlist = sq_topk_packed(
             packed_codes,

@@ -128,6 +128,13 @@ def hybrid_search_batch(
     )
     from mcp_vector_search_spark.operators.topk import topk_per_query_np
 
+    qids = [qid for qid, _ in term_sets]
+    if len(set(qids)) != len(qids):
+        # a duplicate id emits two struct entries per doc: the BM25 leg
+        # doubles that query's rows and every downstream rank/fusion
+        # score is silently corrupted — fail loudly instead (ADVICE r5)
+        dupes = sorted({q for q in qids if qids.count(q) > 1})
+        raise ValueError(f"duplicate query_ids in term_sets: {dupes}")
     n_leg = k * over_retrieve
     all_terms = list(dict.fromkeys(t for _, ts in term_sets for t in ts))
     if stats is None:
@@ -187,7 +194,32 @@ def hybrid_search_batch(
             f"doc_id {id_type(docs, id_col)}, _rank_b int",
         )
 
-    # --- vector legs: the Arrow batch kernel, one scan --------------
+    return _batch_fuse(
+        bm_leg, vectors, query_vecs, k, n_leg, alpha,
+        vec_col, vec_id_col, query_id_col,
+    )
+
+
+def _batch_fuse(
+    bm_leg: DataFrame,
+    vectors: DataFrame,
+    query_vecs: DataFrame,
+    k: int,
+    n_leg: int,
+    alpha: float,
+    vec_col: str,
+    vec_id_col: str,
+    query_id_col: str,
+) -> DataFrame:
+    """Shared tail of the batch-hybrid pipelines: the Arrow-kernel
+    vector legs (one corpus scan for all queries) + per-query RRF
+    fusion with max-normalization. `bm_leg` = (query_id, doc_id,
+    _rank_b ≤ n_leg) from either the expression-compiled or the
+    table-driven BM25 stage."""
+    from pyspark.sql.window import Window
+
+    from mcp_vector_search_spark.operators.topk import topk_per_query_np
+
     vec_leg = (
         topk_per_query_np(
             vectors,
@@ -204,7 +236,6 @@ def hybrid_search_batch(
         )
     )
 
-    # --- per-query RRF fusion + max-norm -----------------------------
     fused = (
         vec_leg.join(bm_leg, [query_id_col, "doc_id"], "full_outer")
         .withColumn(
@@ -223,4 +254,82 @@ def hybrid_search_batch(
         .withColumn("rn", F.row_number().over(fw))
         .filter(F.col("rn") <= k)
         .select(query_id_col, "doc_id", "rrf_score", "rn")
+    )
+
+
+def hybrid_search_batch_indexed(
+    postings: DataFrame,
+    doc_stats: DataFrame,
+    term_stats: DataFrame,
+    vectors: DataFrame,
+    term_sets: list[tuple[int, list[str]]],
+    query_vecs: DataFrame,
+    k: int = 10,
+    over_retrieve: int = 2,
+    alpha: float = 0.7,
+    vec_col: str = "embedding",
+    vec_id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """`hybrid_search_batch` with the BM25 stage TABLE-DRIVEN
+    (VERDICT r5 #2): the query set joins the persisted postings index
+    (`operators/bm25.py:write_bm25_index` — postings/doc_stats/
+    term_stats, the K3 sink; or the same frames built in-memory) as a
+    broadcast (query_id, term) table instead of compiling one score
+    expression per query into the scan. Plan width is now independent
+    of |Q|·|terms| — the expression-compiled path's ~100-query
+    envelope disappears, and the BM25 stage touches only the postings
+    of the union of query terms (O(Σ df(q)), not O(corpus)).
+
+    Output is row-identical to `hybrid_search_batch` (same oracle):
+    per query, one-shot BM25 scoring round-6 → rank ≤ k·over_retrieve,
+    Arrow-kernel kNN leg, RRF α/(60+rank) + per-query max-norm,
+    round-6, top-k (ties → lower doc_id). The score algebra matches
+    because the index semantics are the one-shot semantics: dl = Σtf,
+    N = |docs with ≥1 token|, idf epsilon-floored over ALL corpus
+    terms (`build_term_stats`), docs reach a query only through a
+    matched posting (the `_m > 0` filter by construction).
+    """
+    from pyspark.sql.window import Window
+
+    from mcp_vector_search_spark.operators.bm25 import B, K1
+
+    qids = [qid for qid, _ in term_sets]
+    if len(set(qids)) != len(qids):
+        dupes = sorted({q for q in qids if qids.count(q) > 1})
+        raise ValueError(f"duplicate query_ids in term_sets: {dupes}")
+    n_leg = k * over_retrieve
+
+    spark = postings.sparkSession
+    qt_rows = [
+        (int(qid), t) for qid, ts in term_sets for t in dict.fromkeys(ts)
+    ]
+    qt = spark.createDataFrame(
+        qt_rows, f"{query_id_col} long, term string"
+    )
+
+    avg = doc_stats.agg(F.avg("dl").alias("avgdl"))
+    scored = (
+        postings.join(F.broadcast(qt), "term")
+        .join(doc_stats, "doc_id")
+        .join(F.broadcast(term_stats.select("term", "idf")), "term")
+        .join(F.broadcast(avg))
+        .withColumn(
+            "contrib",
+            F.col("idf")
+            * (F.col("tf") * (K1 + 1))
+            / (F.col("tf") + K1 * (1 - B + B * F.col("dl") / F.col("avgdl"))),
+        )
+        .groupBy(query_id_col, "doc_id")
+        .agg(F.round(F.sum("contrib"), 6).alias("score"))
+    )
+    bw = Window.partitionBy(query_id_col).orderBy(F.desc("score"), F.asc("doc_id"))
+    bm_leg = (
+        scored.withColumn("_rank_b", F.row_number().over(bw))
+        .filter(F.col("_rank_b") <= n_leg)
+        .select(query_id_col, "doc_id", "_rank_b")
+    )
+    return _batch_fuse(
+        bm_leg, vectors, query_vecs, k, n_leg, alpha,
+        vec_col, vec_id_col, query_id_col,
     )

@@ -274,6 +274,50 @@ def q_hybrid_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hybrid_batch_tbl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same 4-query batch as `hybrid_batch`, but with the BM25
+    stage TABLE-DRIVEN (plans/hybrid.py:hybrid_search_batch_indexed —
+    VERDICT r5 #2): the query set joins the postings index as a
+    broadcast (query_id, term) table instead of compiling per-query
+    score expressions into the scan, so |Q| scales to thousands.
+    Shares `hybrid_batch`'s oracle — the two paths are row-identical
+    by contract (pinned in tests/test_topk_fusion.py too)."""
+    from mcp_vector_search_spark.operators.bm25 import (
+        build_postings,
+        build_term_stats,
+        doc_stats_from_postings,
+    )
+    from mcp_vector_search_spark.plans.hybrid import hybrid_search_batch_indexed
+
+    emb = _emb(spark, sf_dir)
+    vec_ids = [v for _, _, v in HYBRID_BATCH_SPECS]
+    qid = None
+    for q, _, v in HYBRID_BATCH_SPECS:
+        qid = (
+            F.when(F.col("vec_id") == v, F.lit(q))
+            if qid is None
+            else qid.when(F.col("vec_id") == v, F.lit(q))
+        )
+    qvecs = emb.filter(F.col("vec_id").isin(vec_ids)).select(
+        qid.cast("long").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    postings = build_postings(_docs(spark, sf_dir))
+    doc_stats = doc_stats_from_postings(postings)
+    term_stats = build_term_stats(postings, doc_stats)
+    return hybrid_search_batch_indexed(
+        postings,
+        doc_stats,
+        term_stats,
+        emb,
+        [(q, ts) for q, ts, _ in HYBRID_BATCH_SPECS],
+        qvecs,
+        k=HYBRID_K,
+        alpha=ALPHA,
+    ).select(
+        "query_id", "doc_id", "rrf_score", F.col("rn").cast("long").alias("rn")
+    )
+
+
 def q_exact_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_duplicates(_docs(spark, sf_dir))
 
@@ -2278,6 +2322,10 @@ r AS (SELECT a.query_id, a.doc_id, round(a.raw / mx.m, 6) AS rrf_score,
                                 ORDER BY round(a.raw / mx.m, 6) DESC, a.doc_id) AS rn
       FROM allf a JOIN mx USING (query_id))
 SELECT query_id, doc_id, rrf_score, rn::BIGINT AS rn FROM r WHERE rn <= {HYBRID_K}"""
+    # the table-driven batch path is row-identical by contract
+    # (plans/hybrid.py:hybrid_search_batch_indexed) — one shared oracle
+    # pins both, the ivf_packed/ivf_fixed pattern
+    o["hybrid_batch_tbl"] = o["hybrid_batch"]
 
     o["exact_dups"] = f"""
 WITH fp AS (SELECT doc_id, {_FP} AS fingerprint FROM documents)
@@ -3879,20 +3927,26 @@ GROUP BY shard, bin_id"""
 # never the only gate for any operator.
 SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- §2 primary gates (driver window, first 50) ---
-    # r5 rotation (VERDICT r4 #8): the round-4 curation operators
-    # (dup_spans / token_mixture_exact / lang_id) and the new packed
-    # IVF layout gate (ivf_packed, VERDICT r4 #1) enter the scored
-    # window; four gates whose mechanisms are covered by in-window
-    # siblings rotate to overflow — sq_fixed (SQ recall row stays in
-    # ann_recall; pq_fixed keeps the codec-gate shape in-window),
-    # pack_sequences (packed_shards composes the same packer),
-    # trace_paths (bfs + cycles + call_graph cover the bounded-BFS
-    # kernel), kg_stats (kg_edges + tag_query cover KG SQL). All four
-    # stay oracle-checked every round via tools/verify_local.py.
-    # (r4 rotation notes preserved in git history.)
+    # r6 rotation (VERDICT r5 #5): the round-5/6 serving operators
+    # enter the scored window — hybrid_batch + hybrid_batch_tbl (the
+    # expression-compiled and table-driven batch pipelines),
+    # sq_fixed (the SQ codec gate, back in per verdict), and
+    # embedding_near_dups_multiprobe (the r5 auto-dedup path). Four
+    # redundant twins rotate to overflow: pq_fixed (twins ann_recall's
+    # PQ row and ivf_packed's codec-gate shape), events_hourly
+    # (overlaps sessionize's event windowing), ivf_fixed (same oracle
+    # rows as ivf_packed — o["ivf_packed"] = o["ivf_fixed"]), and
+    # lang_distribution (lang groupBy covered by lang_id +
+    # source_rollup). All rotated-out gates stay oracle-checked every
+    # round via tools/verify_local.py.
+    # (r4/r5 rotation notes preserved in git history.)
     "bm25_topk": q_bm25_topk,
     "knn_topk": q_knn_topk,
     "hybrid_rrf": q_hybrid_rrf,
+    "hybrid_batch": q_hybrid_batch,
+    "hybrid_batch_tbl": q_hybrid_batch_tbl,
+    "sq_fixed": q_sq_fixed,
+    "embedding_near_dups_multiprobe": q_embedding_near_dups_multiprobe,
     "dup_clusters": q_dup_clusters,
     "minhash_jaccard": q_minhash_jaccard,
     "decontaminate": q_decontaminate,
@@ -3900,17 +3954,13 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lm_perplexity": q_lm_perplexity,
     "embedding_near_dups_clustered": q_embedding_near_dups_clustered,
     "text_quality": q_text_quality,
-    "lang_distribution": q_lang_distribution,
     "source_rollup": q_source_rollup,
     "packed_shards": q_packed_shards,
     "chunk_windows": q_chunk_windows,
-    "events_hourly": q_events_hourly,
-    "pq_fixed": q_pq_fixed,
     "ivf_packed": q_ivf_packed,
     "sessionize": q_sessionize,
     "incremental_delta": q_incremental_delta,
     "ann_recall": q_ann_recall,
-    "ivf_fixed": q_ivf_fixed,
     "dup_spans": q_dup_spans,
     "token_mixture_exact": q_token_mixture_exact,
     "lang_id": q_lang_id,
@@ -3943,19 +3993,20 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- overflow: oracle-checked past the driver's 50-query window;
     # tools/verify_local.py runs them on every round ---
     "neighbor_jaccard": q_neighbor_jaccard,
-    "sq_fixed": q_sq_fixed,
+    "pq_fixed": q_pq_fixed,
+    "events_hourly": q_events_hourly,
+    "ivf_fixed": q_ivf_fixed,
+    "lang_distribution": q_lang_distribution,
     "pack_sequences": q_pack_sequences,
     "trace_paths": q_trace_paths,
     "kg_stats": q_kg_stats,
     "embedding_near_dups": q_embedding_near_dups,
-    "embedding_near_dups_multiprobe": q_embedding_near_dups_multiprobe,
     "hotspots": q_hotspots,
     "events_lag_delta": q_events_lag_delta,
     "kg_views": q_kg_views,
     "token_estimate": q_token_estimate,
     "redact_pii": q_redact_pii,
     "knn_batch_np": q_knn_batch_np,
-    "hybrid_batch": q_hybrid_batch,
     "ngram_top50": q_ngram_top50,
     "exact_dups": q_exact_dups,
     "ontology": q_ontology,

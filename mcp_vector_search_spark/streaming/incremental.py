@@ -227,24 +227,25 @@ def bootstrap_ann_layout(
     num_clusters: int | None = None,
 ) -> None:
     """One-time base build for a STREAM-MAINTAINED packed IVF layout:
-    sample-fit quantizer → pack → write blocks partitioned by
-    (cluster_id, batch_id=-1) + the centroid table. The extra batch_id
-    partition level is what lets `ann_layout_sink` append micro-batches
-    idempotently (each batch owns its partitions); readers see it as
-    one more passthrough column the scoring kernel ignores."""
-    from mcp_vector_search_spark.operators.ivf import ivf_build_sampled, ivf_pack
+    sample-fit quantizer → pack → `write_ivf_layout` (blocks
+    partitioned by (cluster_id, batch_id=-1) + the centroid table —
+    since r6 the batch writer shares this scheme, so the two
+    lifecycles can touch one layout path without mixing partition
+    depths, ADVICE r5). The batch_id partition level is what lets
+    `ann_layout_sink` append micro-batches idempotently (each batch
+    owns its partitions); readers see it as one more passthrough
+    column the scoring kernel ignores."""
+    from mcp_vector_search_spark.operators.ivf import (
+        ivf_build_sampled,
+        ivf_pack,
+        write_ivf_layout,
+    )
 
     kwargs = {} if num_clusters is None else {"num_clusters": num_clusters}
     assigned, centroids = ivf_build_sampled(
         vectors, vec_col=vec_col, id_col=id_col, **kwargs
     )
-    (
-        ivf_pack(assigned, id_col=id_col)
-        .withColumn("batch_id", F.lit(-1))
-        .write.partitionBy("cluster_id", "batch_id")
-        .parquet(f"{layout_path}/blocks")
-    )
-    centroids.write.parquet(f"{layout_path}/centroids")
+    write_ivf_layout(ivf_pack(assigned, id_col=id_col), centroids, layout_path)
 
 
 def ann_layout_sink(

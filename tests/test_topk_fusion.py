@@ -112,3 +112,66 @@ def test_hybrid_batch_matches_single_query_pipeline(spark):
     ).collect()
     tops = {r.query_id: r.rrf_score for r in two if r.rn == 1}
     assert tops == {0: 1.0, 11: 1.0}
+
+
+def test_hybrid_batch_indexed_matches_expression_path(spark):
+    """The table-driven batch (query set joined against the postings
+    index — plans/hybrid.py:hybrid_search_batch_indexed, VERDICT r5
+    #2) is row-identical to the expression-compiled batch at an N
+    where the two BM25 stages genuinely differ in plan shape (8
+    queries, overlapping term sets, one query with corpus-absent
+    terms). Also: duplicate query_ids raise."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from mcp_vector_search_spark import io
+    from mcp_vector_search_spark.operators.bm25 import (
+        build_postings,
+        build_term_stats,
+        doc_stats_from_postings,
+    )
+    from mcp_vector_search_spark.plans.hybrid import (
+        hybrid_search_batch,
+        hybrid_search_batch_indexed,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    docs = io.table(spark, sf, "documents")
+    emb = io.table(spark, sf, "embeddings")
+    pool = [
+        ["data", "query", "fast", "vector"],
+        ["window", "merge", "sort"],
+        ["stream", "filter", "data"],
+        ["index", "hash", "join"],
+        ["cache", "memory", "fast"],
+        ["search", "rank", "score"],
+        ["zzzznotaterm", "qqqqmissing"],  # absent everywhere: empty BM25 leg
+        ["graph", "node", "edge"],
+    ]
+    term_sets = list(enumerate(pool))
+    qvecs = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").cast("long").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    expr = {
+        (r.query_id, r.doc_id, r.rrf_score, r.rn)
+        for r in hybrid_search_batch(docs, emb, term_sets, qvecs).collect()
+    }
+    postings = build_postings(docs)
+    doc_stats = doc_stats_from_postings(postings)
+    term_stats = build_term_stats(postings, doc_stats)
+    idx = {
+        (r.query_id, r.doc_id, r.rrf_score, r.rn)
+        for r in hybrid_search_batch_indexed(
+            postings, doc_stats, term_stats, emb, term_sets, qvecs
+        ).collect()
+    }
+    assert idx == expr
+
+    with pytest.raises(ValueError, match="duplicate query_ids"):
+        hybrid_search_batch_indexed(
+            postings, doc_stats, term_stats, emb,
+            [(0, ["data"]), (0, ["query"])], qvecs,
+        )
+    with pytest.raises(ValueError, match="duplicate query_ids"):
+        hybrid_search_batch(docs, emb, [(0, ["data"]), (0, ["query"])], qvecs)
