@@ -476,6 +476,79 @@ def ivf_pack(
     )
 
 
+def repack_blocks(
+    packed: DataFrame,
+    rows_per_block: int = 65536,
+    max_block_bytes: int = 32 << 20,
+) -> DataFrame:
+    """Merge a cluster's fragmented packed blocks into full-size ones
+    (VERDICT r5 #3). A long-lived `ann_layout_sink` stream writes one
+    block-set per (cluster_id, batch_id): after N micro-batches a
+    cluster serves from N small blocks — N small matmuls and N files
+    where one would do. This rewrites each cluster as ONE id-sorted
+    concatenation re-split by the shared `block_step` rule, so the
+    output is bit-identical to `ivf_pack` run over the cluster's full
+    row set (blocks are id-sorted there too) — serving results are
+    unchanged by construction, pinned in tests/test_streaming.py.
+
+    One groupBy(cluster_id) shuffle over ~num_blocks rows (not corpus
+    rows — the blobs move, nothing is re-scored or re-assigned);
+    per-cluster state is bounded by the cluster's packed bytes.
+    Columns beyond the pack schema (batch_id) are dropped — the
+    caller re-stamps partition columns."""
+    import numpy as np
+    import pandas as pd
+
+    from mcp_vector_search_spark.operators.topk import id_type
+
+    idt = id_type(packed, "vec_ids")
+    # vec_ids is array<idt>: strip the array wrapper for the output DDL
+    elem = idt[len("array<"):-1] if idt.startswith("array<") else idt
+    out_schema = (
+        "cluster_id int, block_id int, n int, dim int, dtype string, "
+        f"vec_ids array<{elem}>, mat binary"
+    )
+
+    def repack(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        cid = int(key[0])
+        dtypes = set(pdf["dtype"])
+        if len(dtypes) != 1:
+            raise ValueError(
+                f"cluster {cid} mixes pack dtypes {sorted(dtypes)} — "
+                "a layout must be packed uniformly"
+            )
+        dt = dtypes.pop()
+        np_dtype = np.dtype(dt)
+        dim = int(pdf["dim"].iloc[0])
+        mats = [
+            np.frombuffer(r.mat, dtype=np_dtype).reshape(int(r.n), dim)
+            for r in pdf.itertuples()
+        ]
+        M = np.concatenate(mats) if len(mats) > 1 else mats[0]
+        ids = np.concatenate([np.asarray(v) for v in pdf["vec_ids"]])
+        order = np.argsort(ids, kind="stable")
+        M, ids = M[order], ids[order]
+        step = block_step(dim * np_dtype.itemsize, rows_per_block, max_block_bytes)
+        rows = []
+        for b, s in enumerate(range(0, len(ids), step)):
+            blk = np.ascontiguousarray(M[s : s + step])
+            rows.append(
+                (cid, b, blk.shape[0], dim, dt, ids[s : s + step].tolist(), blk.tobytes())
+            )
+        return pd.DataFrame(
+            rows,
+            columns=[
+                "cluster_id", "block_id", "n", "dim", "dtype", "vec_ids", "mat",
+            ],
+        )
+
+    return (
+        packed.select("cluster_id", "block_id", "n", "dim", "dtype", "vec_ids", "mat")
+        .groupBy("cluster_id")
+        .applyInPandas(repack, out_schema)
+    )
+
+
 def ivf_topk_batch_packed(
     packed: DataFrame,
     centroids: DataFrame,

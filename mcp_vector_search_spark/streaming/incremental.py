@@ -293,3 +293,59 @@ def ann_layout_sink(
         )
 
     return write
+
+
+def compact_ann_layout(
+    spark: SparkSession,
+    layout_path: str,
+    rows_per_block: int = 65536,
+    max_block_bytes: int = 32 << 20,
+) -> tuple[int, int]:
+    """Periodic maintenance for a stream-maintained packed IVF layout
+    (VERDICT r5 #3; reference behavior: LanceDB's periodic compaction,
+    ``vectors_backend.py:665-731``): a long-lived `ann_layout_sink`
+    stream fragments each cluster into one block-set per micro-batch —
+    many small matmuls and many small files. This rewrites every
+    cluster's blocks into full-size id-sorted blocks
+    (`operators/ivf.py:repack_blocks` — bit-identical serving results
+    by construction), stages them under `blocks.tmp`, and atomically
+    swaps via the rename-aside pattern the chunks sink uses (ST5;
+    crash between the two renames is recovered by `recover_swap`,
+    which this function runs first). Returns (blocks_before,
+    blocks_after).
+
+    The compacted blocks land in the batch_id=-1 partition — the same
+    scheme bootstrap/batch writes use — so a stream can keep appending
+    new batch_id partitions afterwards.
+
+    The layout must have a readable centroid table (it is not
+    otherwise a layout); centroids are untouched — compaction never
+    changes the quantizer, it only merges blobs within each cluster.
+
+    Storage note: the swap primitive is POSIX rename — right for the
+    local/NFS checkpoints this engine tests on. On an object store,
+    stage to a NEW layout path and flip the serving pointer (the
+    `upsert_versioned` manifest pattern) instead.
+    """
+    from mcp_vector_search_spark.io import atomic_swap_dir, recover_swap
+    from mcp_vector_search_spark.operators.ivf import repack_blocks
+
+    blocks_path = f"{layout_path}/blocks"
+    recover_swap(blocks_path)
+    try:
+        spark.read.parquet(f"{layout_path}/centroids").head(1)
+    except Exception as e:
+        raise ValueError(
+            f"{layout_path} has no readable centroid table — not a "
+            f"packed IVF layout ({e.__class__.__name__})"
+        ) from e
+    standing = spark.read.parquet(blocks_path)
+    n_before = standing.count()
+    compacted = repack_blocks(
+        standing, rows_per_block=rows_per_block, max_block_bytes=max_block_bytes
+    ).withColumn("batch_id", F.lit(-1))
+    tmp = blocks_path + ".tmp"
+    compacted.write.mode("overwrite").partitionBy("cluster_id", "batch_id").parquet(tmp)
+    n_after = spark.read.parquet(tmp).count()
+    atomic_swap_dir(tmp, blocks_path)
+    return n_before, n_after

@@ -310,3 +310,78 @@ def test_ann_layout_sink_through_real_stream(spark, tmp_path):
     )
     hit = ivf_topk_batch_packed(packed2, cents2, self_q, 1, nprobes=16).first()
     assert hit.vec_id == hit.query_id
+
+
+def test_compact_ann_layout_merges_blocks_identically(spark, tmp_path):
+    """Layout compaction (VERDICT r5 #3): after N streamed appends a
+    cluster serves from one block-set per batch; `compact_ann_layout`
+    rewrites each cluster into full-size id-sorted blocks. Serving
+    results are hash-identical before/after, the block count drops to
+    Σ_c ceil(rows_c/step) (= one block per cluster here), and a
+    stream can keep appending afterwards."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from mcp_vector_search_spark import io
+    from mcp_vector_search_spark.operators.ivf import (
+        ivf_topk_batch_packed,
+        read_ivf_layout,
+    )
+    from mcp_vector_search_spark.streaming.incremental import (
+        ann_layout_sink,
+        bootstrap_ann_layout,
+        compact_ann_layout,
+    )
+
+    emb = io.table(spark, "/root/testdata/sf0.01", "embeddings").select(
+        "vec_id", "embedding"
+    )
+    base = emb.filter(F.col("vec_id") < 300)
+    path = str(tmp_path / "layout")
+    bootstrap_ann_layout(base, path, num_clusters=8)
+    sink = ann_layout_sink(spark, path)
+    for i, lo in enumerate(range(300, 500, 50)):
+        sink(
+            emb.filter((F.col("vec_id") >= lo) & (F.col("vec_id") < lo + 50)), i
+        )
+
+    packed, cents = read_ivf_layout(spark, path)
+    n_before = packed.count()
+    queries = emb.filter(F.col("vec_id") % 9 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    before = {
+        (r.query_id, r.vec_id, r.cos_sim, r.rn)
+        for r in ivf_topk_batch_packed(packed, cents, queries, 5, nprobes=8).collect()
+    }
+
+    got_before, got_after = compact_ann_layout(spark, path)
+    assert got_before == n_before
+
+    packed2, cents2 = read_ivf_layout(spark, path)
+    # fragmented: ≥1 block per (cluster, batch) touched; compacted:
+    # exactly ceil(rows_c / step) per cluster (step ≫ rows here → 1)
+    per_cluster = {
+        r.cluster_id: r.rows
+        for r in packed2.groupBy("cluster_id").agg(F.sum("n").alias("rows")).collect()
+    }
+    expected_blocks = sum(math.ceil(n / 65536) for n in per_cluster.values())
+    assert got_after == packed2.count() == expected_blocks < n_before
+    assert sum(per_cluster.values()) == 500
+    after = {
+        (r.query_id, r.vec_id, r.cos_sim, r.rn)
+        for r in ivf_topk_batch_packed(packed2, cents2, queries, 5, nprobes=8).collect()
+    }
+    assert after == before
+
+    # the stream keeps appending into the compacted layout
+    sink(emb.filter(F.col("vec_id") >= 500), 99)
+    packed3, _ = read_ivf_layout(spark, path)
+    assert packed3.agg(F.sum("n")).first()[0] == emb.count()
+
+    # not-a-layout path refuses
+    import pytest
+
+    with pytest.raises(ValueError, match="centroid"):
+        compact_ann_layout(spark, str(tmp_path / "nope"))
