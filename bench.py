@@ -586,6 +586,81 @@ def main():
     big_assigned.unpersist()
     big_packed.unpersist()
 
+    # --- second ANN scale decade: ~4M vectors (VERDICT r5 #7) -----------
+    # Same deterministic inflation as the 512K section, ×2048 (≈2.1 GB
+    # of float64 — well inside the sandbox), 512 coarse clusters. The
+    # point: packed-IVF pruning and build cost one decade further —
+    # nprobes stays 20 while the cluster count doubles, so the probed
+    # fraction halves (20/512 = 3.9%) exactly as the 100 TB story
+    # requires. Brute force at this scale is the honest baseline the
+    # speedup is measured against (best-of-2 + quiesce methodology).
+    HUGE_INFLATE = 2048
+    hvariants = F.broadcast(
+        spark.range(HUGE_INFLATE).select(F.col("id").cast("int").alias("variant"))
+    )
+    huge = (
+        emb.select("vec_id", "embedding")
+        .crossJoin(hvariants)
+        .withColumn("pert", F.transform("embedding", _perturb))
+        .select(
+            (F.col("vec_id") * HUGE_INFLATE + F.col("variant")).cast("long").alias(
+                "vec_id"
+            ),
+            F.col("pert").alias("embedding"),
+        )
+        .cache()
+    )
+    n_huge = huge.count()
+    per_query["ann_huge_n_vectors"] = n_huge
+    huge_q = (
+        huge.filter(
+            (F.col("vec_id") % HUGE_INFLATE == 0) & (F.col("vec_id") % 7 == 0)
+        )
+        .limit(128)
+        .select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+        )
+        .cache()
+    )
+    n_huge_q = huge_q.count()
+    per_query["ann_huge_brute_runs"] = _runs_of(
+        2, lambda: topk_per_query_np(huge, huge_q, 10).write.format(
+            "noop").mode("overwrite").save())
+    per_query["ann_huge_brute_sec"] = min(per_query["ann_huge_brute_runs"])
+    per_query["ann_huge_brute_ms_per_query"] = round(
+        per_query["ann_huge_brute_sec"] * 1000 / n_huge_q, 2
+    )
+    t0 = time.time()
+    huge_assigned, huge_cents = ivf_build_sampled(huge, num_clusters=512)
+    huge_packed = ivf_pack(huge_assigned).cache()
+    per_query["ann_huge_ivf_n_blocks"] = huge_packed.count()
+    per_query["ann_huge_ivf_build_sec"] = round(time.time() - t0, 3)
+    per_query["ann_huge_ivf_runs"] = _runs_of(
+        2, lambda: ivf_topk_batch_packed(
+            huge_packed, huge_cents, huge_q, 10, nprobes=20
+        ).write.format("noop").mode("overwrite").save())
+    per_query["ann_huge_ivf_sec"] = min(per_query["ann_huge_ivf_runs"])
+    per_query["ann_huge_ivf_ms_per_query"] = round(
+        per_query["ann_huge_ivf_sec"] * 1000 / n_huge_q, 2
+    )
+    huge_sample = huge_q.limit(16)
+    huge_truth = {
+        (r.query_id, r.vec_id)
+        for r in topk_per_query_np(huge, huge_sample, 10).collect()
+    }
+    huge_approx = {
+        (r.query_id, r.vec_id)
+        for r in ivf_topk_batch_packed(
+            huge_packed, huge_cents, huge_sample, 10, nprobes=20
+        ).collect()
+    }
+    per_query["ann_huge_recall_at_10"] = round(
+        len(huge_truth & huge_approx) / max(len(huge_truth), 1), 4
+    )
+    huge.unpersist()
+    huge_q.unpersist()
+    huge_packed.unpersist()
+
     # amortized per-query serving latency for the BASELINE comparison
     # (single-query online latency is out of Spark's scope; batch
     # scoring throughput is the comparable metric). The 1024-query

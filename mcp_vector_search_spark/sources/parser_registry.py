@@ -1,6 +1,8 @@
 """§2.11 language parser plugin registry (reference
 ``parsers/registry.py``: a dict keyed by file extension mapping to a
-parser class; 13 languages).
+parser class). Every reference-registry language (python, javascript,
+typescript, java, c_sharp, go, rust, dart, php, ruby, html, text) is
+registered, plus c/cpp/swift/kotlin extras.
 
 Here a "parser" is a declarative chunking spec — the boundary regex
 and branch keywords the chunk/complexity operators consume. Because
@@ -73,11 +75,54 @@ for _spec in [
     ),
     LanguageSpec("go", ("go",), r"^(func |type \w+ (struct|interface))"),
     LanguageSpec("java", ("java",), r"^\s*(public |private |protected ).*[({]$"),
-    LanguageSpec("rust", ("rs",), r"^(pub )?(fn |struct |enum |impl |trait |mod )"),
+    # r6: `\s*`-anchored fn so impl/trait methods open their own chunks
+    # (reference extracts them as method chunks, tests/test_rust_parser.py)
+    LanguageSpec(
+        "rust", ("rs",), r"^\s*(pub(\([^)]*\))? )?(fn |struct |enum |impl |trait |mod )"
+    ),
     LanguageSpec("c", ("c", "h"), r"^\w[\w\s\*]*\([^;]*$"),
     LanguageSpec("cpp", ("cpp", "cc", "hpp", "cxx"), r"^[\w:<>~][\w\s\*:<>,&~]*\([^;]*$"),
     LanguageSpec("ruby", ("rb",), r"^\s*(def |class |module )"),
-    LanguageSpec("php", ("php",), r"^\s*(function |class |trait )"),
+    # r6: interface + visibility/static-prefixed methods (reference
+    # extracts both, tests/test_php_parser.py)
+    LanguageSpec(
+        "php",
+        ("php", "phtml"),
+        r"^\s*((abstract |final )?class |interface |trait "
+        r"|((public|private|protected|static|final|abstract) +)*function )",
+    ),
+    # r6: the three reference-registry languages previously missing
+    # (reference parsers/registry.py maps .cs/.dart/.html|.htm; files
+    # in these languages fell back to the text spec here). C# boundary
+    # covers Allman-style members: type declarations with optional
+    # modifiers, and modifier-prefixed member signatures ending in `)`
+    # (the `{` sits on the next line).
+    LanguageSpec(
+        "csharp",
+        ("cs",),
+        r"^\s*(namespace \w"
+        r"|((public|private|protected|internal|static|abstract|sealed|partial) +)*"
+        r"(class|interface|struct|enum|record) "
+        r"|((public|private|protected|internal) +).*\)\s*$)",
+    ),
+    # dart: class-ish declarations plus function/method signatures —
+    # a TYPE token (capitalized/generic or a builtin) followed by a
+    # name and an arg list; call sites fail the `type SP name(` shape
+    LanguageSpec(
+        "dart",
+        ("dart",),
+        r"^\s*(abstract +)?(class|mixin|enum|extension) "
+        r"|^\s*(static +)?([A-Z_$][\w<>, ?]*|void|int|double|bool|num|dynamic)"
+        r" +[_$a-zA-Z]\w*\(",
+    ),
+    # html: semantic sectioning tags (reference chunks headings/
+    # sections, tests/test_html_parser.py; script/style NOT excluded
+    # here — divergence pinned in tests/test_ast_parity.py)
+    LanguageSpec(
+        "html",
+        ("html", "htm"),
+        r"^\s*<(h[1-6]|section|article|header|footer|main|nav)\b",
+    ),
     LanguageSpec("swift", ("swift",), r"^\s*(func |class |struct |enum |extension )"),
     LanguageSpec("kotlin", ("kt", "kts"), r"^\s*(fun |class |object |interface )"),
     LanguageSpec("text", ("txt", "md", "rst"), r"^#{1,6} |^={3,}$"),

@@ -165,3 +165,287 @@ def test_typescript_fixture_multilang_boundaries(spark):
     assert expected, "fixture unexpectedly empty"
     for ln in expected:
         assert any(f == ln for f in firsts), ln
+
+
+# --- r6 (VERDICT r5 #4): golden parity for the remaining reference ---
+# --- registry languages. Fixture code is read AT RUNTIME from the ----
+# --- reference's own parser tests (test INPUTS only; expectations ----
+# --- below restate what those tests assert, translated to the --------
+# --- boundary-chunk model). ------------------------------------------
+
+REF_TESTS = "/root/reference/tests"
+
+
+def _ref_fixture(test_file: str, quote_anchor: str) -> str:
+    """The triple-quoted code sample following `quote_anchor` inside a
+    reference parser test (e.g. 'return \"\"\"' after sample_go_code).
+    Read-only test INPUT — the reference golden the parity rows below
+    are measured against."""
+    path = os.path.join(REF_TESTS, test_file)
+    if not os.path.exists(path):
+        pytest.skip(f"reference test {test_file} not available")
+    with open(path) as f:
+        text = f.read()
+    i = text.index(quote_anchor) + len(quote_anchor)
+    return text[i : text.index('"""', i)]
+
+
+def _ml_firsts(spark, lang: str, src: str) -> list[str]:
+    """First line of every boundary-opened chunk (chunk 0 is the
+    module prefix)."""
+    from mcp_vector_search_spark.sources.code_chunker import (
+        code_chunks_multilang,
+    )
+
+    df = spark.createDataFrame(
+        [(1, src, lang)], "doc_id long, text string, language string"
+    )
+    rows = sorted(code_chunks_multilang(df).collect(), key=lambda r: r.chunk_no)
+    return [r.chunk_text.split("\n")[0].strip() for r in rows if r.chunk_no > 0]
+
+
+def test_go_fixture_boundaries(spark):
+    """Reference test_go_parser.py: struct User + interface
+    UserRepository + method FindByID (receiver) + function NewUser
+    each extract as chunks. Parity: every one opens its own chunk.
+    Divergence (pinned): none for this inventory — `func (recv)` and
+    `type X struct|interface` are all line-anchored forms."""
+    src = _ref_fixture("test_go_parser.py", 'def sample_go_code():\n    """Sample Go code for testing."""\n    return """')
+    firsts = _ml_firsts(spark, "go", src)
+    for expected in [
+        "type User struct {",
+        "type UserRepository interface {",
+        "func (u *User) FindByID(id int) (*User, error) {",
+        "func NewUser(id int, name string) *User {",
+    ]:
+        assert expected in firsts, expected
+    assert len(firsts) == 4  # nothing else over-chunks
+
+
+def test_rust_fixture_boundaries(spark):
+    """Reference test_rust_parser.py: struct/trait/impl chunks plus
+    method chunks (new, validate) inside impl and the free function
+    create_user. r6: the rust boundary is `\\s*`-anchored so impl
+    methods open their own chunks (parity with the reference's method
+    extraction). Divergences (pinned): trait METHOD SIGNATURES also
+    open chunks (over-report, the fallback direction); #[derive]
+    attributes stay in the preceding chunk rather than attaching as
+    decorators."""
+    src = _ref_fixture("test_rust_parser.py", 'def sample_rust_code():\n    """Sample Rust code for testing."""\n    return """')
+    firsts = _ml_firsts(spark, "rust", src)
+    for expected in [
+        "pub struct User {",
+        "pub trait UserRepository {",
+        "impl User {",
+        "pub fn new(id: u32, name: String) -> Self {",
+        "pub fn validate(&self) -> Result<(), String> {",
+        "pub fn create_user(id: u32, name: String) -> Result<User, String> {",
+    ]:
+        assert expected in firsts, expected
+    # divergence: the two trait signatures chunk too (fn find_by_id /
+    # fn save) — enumerated, not silent
+    sigs = [f for f in firsts if f.startswith("fn ")]
+    assert len(sigs) == 2
+
+
+def test_java_fixture_boundaries(spark):
+    """Reference test_java_parser.py: class UserService + methods
+    findById/save; complex fixture: interface + class + enum +
+    constructor all chunk. Divergence (pinned): interface method
+    signatures do NOT chunk (no modifier prefix — under-report,
+    opposite direction from rust's over-report); annotations stay in
+    the preceding chunk."""
+    src = _ref_fixture("test_java_parser.py", 'def sample_java_code():\n    """Sample Java code for testing."""\n    return """')
+    firsts = _ml_firsts(spark, "java", src)
+    for expected in [
+        "public class UserService {",
+        "public User findById(Long id) {",
+        "public void save(User user) {",
+    ]:
+        assert expected in firsts, expected
+
+    complex_src = _ref_fixture("test_java_parser.py", 'complex_code = """')
+    firsts2 = _ml_firsts(spark, "java", complex_src)
+    for expected in [
+        "public interface UserRepository {",
+        "public class User {",
+        "public User(Long id, String name) {",  # constructor
+        "public Long getId() {",
+        "public enum Role {",
+    ]:
+        assert expected in firsts2, expected
+    # divergence: `Optional<User> findById(Long id);` (interface
+    # signature, no modifier) stays inside the interface chunk
+    assert not any(f.startswith("Optional<") for f in firsts2)
+
+
+def test_ruby_fixture_boundaries(spark):
+    """Reference test_ruby_parser.py: modules, classes, instance
+    methods, self. class-methods, and the `class << self` block all
+    extract. Parity: each opens a chunk (`class << self` matches the
+    class boundary — the reference types it class_method container).
+    Divergence (pinned): attr_accessor/reader/writer lines do NOT
+    chunk (the reference emits attribute chunks for them)."""
+    src = _ref_fixture("test_ruby_parser.py", 'ruby_content = """')
+    firsts = _ml_firsts(spark, "ruby", src)
+    for expected in [
+        "module MyApp",
+        "module Config",
+        "class Application",
+        "def self.get(key)",
+        "def self.set(key, value)",
+        "def initialize(name, version = '1.0.0')",
+        "def running?",
+        "def start!",
+        "def stop",
+        "def info",
+        "def self.default",
+        "class << self",
+        "def from_config(config)",
+        "def version",
+        "def perform_startup",
+    ]:
+        assert expected in firsts, expected
+    # divergence: no attribute chunks from attr_* macros
+    assert not any(f.startswith("attr_") for f in firsts)
+
+
+def test_php_fixture_boundaries(spark):
+    """Reference test_php_parser.py: ≥1 class + ≥1 interface + ≥1
+    trait + ≥5 methods (incl. static) + ≥2 free functions. r6: the
+    php boundary covers interface and visibility/static-prefixed
+    methods. Divergence (pinned): interface method SIGNATURES also
+    chunk (over-report); PHPDoc blocks stay in the preceding chunk."""
+    src = _ref_fixture("test_php_parser.py", 'php_content = """<?php')
+    firsts = _ml_firsts(spark, "php", src)
+    for expected in [
+        "class UserService",
+        "public function __construct(User $user)",
+        "public function getUserById(int $userId): ?User",
+        "public static function getActiveUsers(): array",
+        "private function calculateStats(): array",
+        "function formatUserName(string $firstName, string $lastName): string",
+        "function isValidEmail(string $email): bool",
+    ]:
+        assert expected in firsts, expected
+    assert any(f.startswith("interface ") for f in firsts)
+    assert any(f.startswith("trait ") for f in firsts)
+    n_methods = sum(
+        1 for f in firsts
+        if "function " in f and (f.startswith(("public", "private", "protected")))
+    )
+    assert n_methods >= 5
+
+
+def test_dart_fixture_boundaries(spark):
+    """Reference test_dart_parser.py: ≥2 widget classes, ≥1 plain
+    class, ≥3 functions (incl. async Future-returning), ≥1 mixin.
+    Parity: classes, the mixin, top-level functions AND class methods
+    (2-space indent) open chunks via the type-name(args) signature
+    shape. Divergences (pinned): dartdoc stays in the preceding
+    chunk; `extends/implements/with` clause metadata is not parsed
+    out (the line is the chunk header verbatim)."""
+    src = _ref_fixture("test_dart_parser.py", 'dart_content = """')
+    firsts = _ml_firsts(spark, "dart", src)
+    for expected in [
+        "class SimpleTextWidget extends StatelessWidget {",
+        "class CounterWidget extends StatefulWidget {",
+        "class _CounterWidgetState extends State<CounterWidget> {",
+        "class DataProcessor {",
+        "class UserService with LoggerMixin {",
+        "mixin LoggerMixin {",
+        "Widget build(BuildContext context) {",
+        "void _incrementCounter() {",
+        "void addItem(String item) {",
+        "List<String> processAll() {",
+        "Future<Map<String, dynamic>> fetchUserData(String userId) async {",
+        "void main() {",
+    ]:
+        assert expected in firsts, expected
+    # call sites must NOT chunk (setState(() {, Text(...), etc.)
+    assert not any(f.startswith(("setState", "Text(", "ElevatedButton")) for f in firsts)
+
+
+def test_html_fixture_boundaries(spark):
+    """Reference test_html_parser.py: semantic chunks from headings/
+    sections; section ids land in the chunk header. Divergences
+    (pinned): <script>/<style> content is NOT excluded (it stays in
+    whatever chunk encloses it — the reference strips it); <div> and
+    <p> do not open chunks (the reference merges paragraph text)."""
+    src = _ref_fixture("test_html_parser.py", 'html_content = """')
+    firsts = _ml_firsts(spark, "html", src)
+    assert any('<section id="introduction">' in f for f in firsts)
+    assert any('<section id="features">' in f for f in firsts)
+    assert sum(1 for f in firsts if f.startswith("<section")) >= 3
+    # divergence: no <div>/<p>/<script>/<style> chunk boundaries
+    assert not any(f.startswith(("<div", "<p", "<script", "<style")) for f in firsts)
+
+
+def test_csharp_boundaries(spark):
+    """C# is in the reference registry (.cs → CSharpParser) but has no
+    golden test there; this pins the r6 spec on the reference parser's
+    documented inventory (namespace, class/interface/enum, Allman-
+    style members where `{` sits on the next line)."""
+    src = (
+        "using System;\n"
+        "\n"
+        "namespace App.Services\n"
+        "{\n"
+        "    public class UserService\n"
+        "    {\n"
+        "        private long _id;\n"
+        "\n"
+        "        public User FindById(long id)\n"
+        "        {\n"
+        "            if (id <= 0) throw new ArgumentException();\n"
+        "            return _repo.Find(id);\n"
+        "        }\n"
+        "\n"
+        "        public void Save(User user)\n"
+        "        {\n"
+        "            _repo.Save(user);\n"
+        "        }\n"
+        "    }\n"
+        "\n"
+        "    public interface IUserRepository\n"
+        "    {\n"
+        "        User Find(long id);\n"
+        "    }\n"
+        "\n"
+        "    public enum Role\n"
+        "    {\n"
+        "        Admin,\n"
+        "        User\n"
+        "    }\n"
+        "}\n"
+    )
+    firsts = _ml_firsts(spark, "csharp", src)
+    for expected in [
+        "namespace App.Services",
+        "public class UserService",
+        "public User FindById(long id)",
+        "public void Save(User user)",
+        "public interface IUserRepository",
+        "public enum Role",
+    ]:
+        assert expected in firsts, expected
+    # fields / bare signatures inside the interface do not chunk
+    assert "private long _id;" not in firsts
+    assert "User Find(long id);" not in firsts
+
+
+def test_registry_covers_reference_languages():
+    """Every language the reference registry maps
+    (parsers/registry.py parser_map) resolves to a non-text spec here,
+    under the same extensions."""
+    from mcp_vector_search_spark.sources.parser_registry import for_extension
+
+    expect = {
+        ".py": "python", ".js": "javascript", ".jsx": "javascript",
+        ".mjs": "javascript", ".ts": "typescript", ".tsx": "typescript",
+        ".java": "java", ".cs": "csharp", ".go": "go", ".rs": "rust",
+        ".dart": "dart", ".php": "php", ".rb": "ruby",
+        ".html": "html", ".htm": "html", ".txt": "text", ".md": "text",
+    }
+    for ext, lang in expect.items():
+        assert for_extension(ext).language == lang, (ext, lang)
