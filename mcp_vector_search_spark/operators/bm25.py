@@ -252,6 +252,88 @@ def bm25_oneshot_stats(
         grouped.unpersist()
 
 
+class Bm25ServingStats:
+    """Warm-serving statistics state (VERDICT r5 #6): the vocabulary
+    table and corpus scalars of `bm25_oneshot_stats`, built ONCE and
+    kept in the session cache, so each subsequent query's stats cost
+    is one filtered lookup of ≤|terms| rows in the cached vocab
+    instead of a fresh corpus scan + two aggregates (~0.7-1.3 s of
+    the measured 2.1-2.4 s warm-hybrid floor at sf0.1).
+
+    `stats_for(terms)` returns the same dict shape (and the same
+    values — pinned in tests) as `bm25_oneshot_stats(docs, terms)`.
+    Also exposes `tokenized`: the cached (id, toks, _dl) frame the
+    serving scoring scan reuses instead of re-tokenizing the corpus
+    per query."""
+
+    SENTINEL = "#doc#"
+
+    def __init__(
+        self,
+        docs: DataFrame,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+        epsilon: float = EPSILON,
+    ):
+        self._epsilon = epsilon
+        self.tokenized = (
+            docs.select(F.col(id_col).alias("doc_id"), tokenize(text_col).alias("toks"))
+            .withColumn("_dl", F.size("toks").cast("double"))
+            .cache()
+        )
+        self._vocab = (
+            self.tokenized.filter(F.size("toks") > 0)
+            .select(
+                F.explode(
+                    F.concat(F.array(F.lit(self.SENTINEL)), F.array_distinct("toks"))
+                ).alias("term"),
+                F.col("_dl").alias("dl"),
+            )
+            .groupBy("term")
+            .agg(F.count("*").cast("double").alias("df"), F.avg("dl").alias("avgdl"))
+            .cache()
+        )
+        doc_row = self._vocab.filter(F.col("term") == self.SENTINEL).first()
+        if doc_row is None:
+            self.n_docs, self.avgdl, self.avg_idf = 0.0, 0.0, 0.0
+            return
+        self.n_docs = float(doc_row["df"])
+        self.avgdl = float(doc_row["avgdl"] or 0.0)
+        idf_raw = F.log(
+            (F.lit(self.n_docs) - F.col("df") + 0.5) / (F.col("df") + 0.5)
+        )
+        self.avg_idf = float(
+            self._vocab.filter(F.col("term") != self.SENTINEL)
+            .agg(F.avg(idf_raw))
+            .first()[0]
+            or 0.0
+        )
+
+    def stats_for(self, query_terms: list[str]) -> dict:
+        """The `bm25_oneshot_stats` dict for `query_terms`, from one
+        tiny job over the cached vocab."""
+        import math
+
+        q = list(dict.fromkeys(query_terms))
+        idf = {}
+        if self.n_docs:
+            for r in self._vocab.filter(F.col("term").isin(q)).collect():
+                if r.term == self.SENTINEL:
+                    continue
+                ir = math.log((self.n_docs - r.df + 0.5) / (r.df + 0.5))
+                idf[r.term] = self._epsilon * self.avg_idf if ir < 0 else ir
+        return {
+            "n_docs": self.n_docs,
+            "avgdl": self.avgdl,
+            "avg_idf": self.avg_idf,
+            "idf": idf,
+        }
+
+    def unpersist(self) -> None:
+        self.tokenized.unpersist()
+        self._vocab.unpersist()
+
+
 def bm25_topk(
     docs: DataFrame,
     query_terms: list[str],
@@ -263,6 +345,7 @@ def bm25_topk(
     stats: dict | None = None,
     k1: float = K1,
     b: float = B,
+    tokenized: DataFrame | None = None,
 ) -> DataFrame:
     """End-to-end BM25 top-k over a raw document table.
 
@@ -289,6 +372,11 @@ def bm25_topk(
     frame in-session (the warm-serving shape; `SparkProject._bm25`
     memoizes the same build). For a standing corpus the persisted K3
     index (`write_bm25_index` / `bm25_topk_indexed`) replaces both.
+
+    `tokenized` (r6 warm serving, VERDICT r5 #6): the cached
+    (doc_id, toks, _dl) frame from `Bm25ServingStats.tokenized` —
+    the one-shot scoring scan reads it instead of re-tokenizing
+    `docs`, identical results by construction (same tokenize expr).
     """
     if cache_index:
         postings = build_postings(docs, id_col, text_col).cache()
@@ -311,7 +399,12 @@ def bm25_topk(
             .limit(0)
         )
 
-    d = docs.select(F.col(id_col).alias("doc_id"), tokenize(text_col).alias("toks"))
+    if tokenized is not None:
+        d = tokenized.select("doc_id", "toks", "_dl")
+    else:
+        d = docs.select(
+            F.col(id_col).alias("doc_id"), tokenize(text_col).alias("toks")
+        ).withColumn("_dl", F.size("toks").cast("double"))
 
     def _tf(term: str):
         # 1-arg lambda in a fresh scope: a default-arg closure would make
@@ -319,7 +412,7 @@ def bm25_topk(
         return F.size(F.filter("toks", lambda x: x == F.lit(term))).cast("double")
 
     tf_cols = [_tf(t).alias(f"_tf{i}") for i, t in enumerate(terms)]
-    d = d.select("doc_id", F.size("toks").cast("double").alias("_dl"), *tf_cols)
+    d = d.select("doc_id", "_dl", *tf_cols)
     matched = sum((F.col(f"_tf{i}") for i in range(len(terms))), F.lit(0.0))
     d = d.filter(matched > 0)
     norm = k1 * (1 - b + b * F.col("_dl") / F.lit(avgdl))

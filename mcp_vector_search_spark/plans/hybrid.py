@@ -38,6 +38,7 @@ def hybrid_search(
     vec_id_col: str = "vec_id",
     bm25_cache_index: bool = False,
     bm25_stats: dict | None = None,
+    bm25_tokenized: DataFrame | None = None,
 ) -> DataFrame:
     """(doc_id, rrf_score) — top-k fused results.
 
@@ -45,7 +46,10 @@ def hybrid_search(
     `vectors[vec_id_col]` share an id universe (the reference's
     denormalized vectors table guarantees this by construction).
     `bm25_stats` (from `bm25_oneshot_stats` over the UNION of variant
-    terms) lets multi-variant callers pay the corpus stats scan once.
+    terms) lets multi-variant callers pay the corpus stats scan once;
+    `bm25_tokenized` (from `Bm25ServingStats.tokenized`) additionally
+    reuses a cached tokenized corpus — the warm-serving pieces
+    `HybridServer` wires together.
     """
     n_leg = k * over_retrieve
 
@@ -58,6 +62,7 @@ def hybrid_search(
             text_col=text_col,
             cache_index=bm25_cache_index,
             stats=bm25_stats,
+            tokenized=bm25_tokenized,
         ),
         "score",
         "doc_id",
@@ -333,3 +338,99 @@ def hybrid_search_batch_indexed(
         bm_leg, vectors, query_vecs, k, n_leg, alpha,
         vec_col, vec_id_col, query_id_col,
     )
+
+
+class HybridServer:
+    """Warm single-query hybrid serving (VERDICT r5 #6): the state +
+    session shape that makes the interactive `hybrid_search` path
+    sub-second at sf0.1, closing the one BASELINE row ("sub-second
+    search", reference README) previously met only as batch
+    throughput.
+
+    The measured 2.1-2.4 s warm floor decomposed as (BENCH_NOTES r6):
+    BM25 leg ~1.2 s (of which a per-query stats scan ~0.7-1.3 s),
+    vector leg ~0.45 s, fusion/rank ~0.5 s, job-launch floor ~0.05 s —
+    job-count overhead, not compute. Three fixes, applied here:
+
+    1. stats state: `Bm25ServingStats` — cached vocab + memoized
+       corpus scalars; per-query stats = one tiny lookup job;
+    2. shared scans: the scoring scan reads the cached tokenized
+       corpus (no per-query re-tokenize), the vector leg reads the
+       cached vectors frame;
+    3. serving session shape: AQE off + few shuffle partitions while
+       serving — per-stage adaptive re-planning and 32-partition
+       shuffles are pure scheduling overhead on 20-row leg frames
+       (measured: 1.3-1.5 s → 0.59-0.97 s). Original confs are
+       restored by `close()`.
+
+    Results are identical to `hybrid_search(...)` by construction —
+    the same code path runs, fed the precomputed pieces (pinned in
+    tests/test_topk_fusion.py). For query SETS use
+    `hybrid_search_batch`/`_indexed`; this class is the 1-query
+    interactive shape the reference serves from its in-memory index.
+    """
+
+    def __init__(
+        self,
+        docs: DataFrame,
+        vectors: DataFrame,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+        vec_col: str = "embedding",
+        vec_id_col: str = "vec_id",
+        tune_session: bool = True,
+    ):
+        from mcp_vector_search_spark.operators.bm25 import Bm25ServingStats
+
+        self._docs = docs
+        self._vectors = vectors.cache()
+        self._vectors.count()
+        self._cols = (id_col, text_col, vec_col, vec_id_col)
+        self._stats = Bm25ServingStats(docs, id_col=id_col, text_col=text_col)
+        self._spark = docs.sparkSession
+        self._saved_confs: dict[str, str] = {}
+        if tune_session:
+            for key, val in (
+                ("spark.sql.adaptive.enabled", "false"),
+                ("spark.sql.shuffle.partitions", "4"),
+            ):
+                self._saved_confs[key] = self._spark.conf.get(key)
+                self._spark.conf.set(key, val)
+
+    def search(
+        self,
+        query_terms: list[str],
+        query: DataFrame,
+        k: int = 10,
+        over_retrieve: int = 2,
+        alpha: float = 0.7,
+    ) -> DataFrame:
+        id_col, text_col, vec_col, vec_id_col = self._cols
+        return hybrid_search(
+            self._docs,
+            self._vectors,
+            query_terms,
+            query,
+            k=k,
+            over_retrieve=over_retrieve,
+            alpha=alpha,
+            id_col=id_col,
+            text_col=text_col,
+            vec_col=vec_col,
+            vec_id_col=vec_id_col,
+            bm25_stats=self._stats.stats_for(query_terms),
+            bm25_tokenized=self._stats.tokenized,
+        )
+
+    def close(self) -> None:
+        for key, val in self._saved_confs.items():
+            self._spark.conf.set(key, val)
+        self._saved_confs.clear()
+        self._stats.unpersist()
+        self._vectors.unpersist()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()

@@ -175,3 +175,51 @@ def test_hybrid_batch_indexed_matches_expression_path(spark):
         )
     with pytest.raises(ValueError, match="duplicate query_ids"):
         hybrid_search_batch(docs, emb, [(0, ["data"]), (0, ["query"])], qvecs)
+
+
+def test_hybrid_server_matches_hybrid_search(spark):
+    """HybridServer (warm single-query serving, VERDICT r5 #6) returns
+    exactly hybrid_search's rows — the same code path runs, fed the
+    cached tokenized corpus and memoized stats — and its serving-tuned
+    session confs are restored by close(). Bm25ServingStats.stats_for
+    matches bm25_oneshot_stats for the same terms."""
+    from pyspark.sql import functions as F
+
+    from mcp_vector_search_spark import io
+    from mcp_vector_search_spark.operators.bm25 import (
+        Bm25ServingStats,
+        bm25_oneshot_stats,
+    )
+    from mcp_vector_search_spark.plans.hybrid import HybridServer, hybrid_search
+
+    sf = "/root/testdata/sf0.01"
+    docs = io.table(spark, sf, "documents")
+    emb = io.table(spark, sf, "embeddings")
+
+    stats = Bm25ServingStats(docs)
+    for terms in (["data", "query"], ["window", "merge", "zzzznotaterm"]):
+        a = stats.stats_for(terms)
+        b = bm25_oneshot_stats(docs, terms)
+        assert a["n_docs"] == b["n_docs"] and a["avgdl"] == b["avgdl"]
+        assert abs(a["avg_idf"] - b["avg_idf"]) < 1e-12
+        assert set(a["idf"]) == set(b["idf"])
+        for t in a["idf"]:
+            assert abs(a["idf"][t] - b["idf"][t]) < 1e-12
+    stats.unpersist()
+
+    aqe0 = spark.conf.get("spark.sql.adaptive.enabled")
+    parts0 = spark.conf.get("spark.sql.shuffle.partitions")
+    with HybridServer(docs, emb) as srv:
+        assert spark.conf.get("spark.sql.adaptive.enabled") == "false"
+        for vid, terms in ((3, ["window", "merge"]), (7, ["stream", "filter"])):
+            qv = emb.filter(F.col("vec_id") == vid).select(
+                F.col("embedding").alias("query_vec")
+            )
+            served = {(r.doc_id, r.rrf_score) for r in srv.search(terms, qv).collect()}
+            plain = {
+                (r.doc_id, r.rrf_score)
+                for r in hybrid_search(docs, emb, terms, qv).collect()
+            }
+            assert served == plain
+    assert spark.conf.get("spark.sql.adaptive.enabled") == aqe0
+    assert spark.conf.get("spark.sql.shuffle.partitions") == parts0
