@@ -504,7 +504,8 @@ def main():
     # (no in-memory small-batch latency point: below ~32 queries that
     # measurement is fixed job-launch overhead divided by batch size —
     # it flips sign run to run.)
-    big_sample = big_q.limit(32)
+    big_sample = big_q.limit(32).cache()
+    big_sample.count()
     big_truth = {
         (r.query_id, r.vec_id)
         for r in topk_per_query_np(big, big_sample, 10).collect()
@@ -663,7 +664,11 @@ def main():
     per_query["ann_huge_ivf_ms_per_query"] = round(
         per_query["ann_huge_ivf_sec"] * 1000 / n_huge_q, 2
     )
-    huge_sample = huge_q.limit(16)
+    # cache+count the sample so the truth and approx collects see the
+    # SAME 16 queries (limit without ordering is not deterministic
+    # across actions — r6 review)
+    huge_sample = huge_q.limit(16).cache()
+    huge_sample.count()
     huge_truth = {
         (r.query_id, r.vec_id)
         for r in topk_per_query_np(huge, huge_sample, 10).collect()

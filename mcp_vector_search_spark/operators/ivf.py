@@ -749,11 +749,17 @@ def write_ivf_layout(
         # partition-scheme guard: a pre-r6 layout partitioned by
         # cluster_id only would end up with two partition depths under
         # blocks/ after this append — refuse instead of corrupting
-        # partition discovery
-        standing_cols = packed.sparkSession.read.parquet(
-            f"{path}/blocks"
-        ).columns
-        if "batch_id" not in standing_cols:
+        # partition discovery. An unreadable/absent blocks dir is NOT
+        # an error: the centroid check above already proved this is a
+        # layout, so this append simply writes the first blocks
+        # (r6 review — don't surface a raw AnalysisException here).
+        try:
+            standing_cols = packed.sparkSession.read.parquet(
+                f"{path}/blocks"
+            ).columns
+        except Exception:
+            standing_cols = None
+        if standing_cols is not None and "batch_id" not in standing_cols:
             raise ValueError(
                 "standing layout's blocks are not partitioned by "
                 "(cluster_id, batch_id) — rewrite it with "

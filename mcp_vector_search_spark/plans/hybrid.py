@@ -314,10 +314,16 @@ def hybrid_search_batch_indexed(
     )
 
     avg = doc_stats.agg(F.avg("dl").alias("avgdl"))
+    # broadcast only the union terms' idf rows, not the whole
+    # vocabulary — term_stats is O(corpus vocab) and broadcasting it
+    # would break this function's O(Σ df(q)) contract at scale
+    # (r6 review); the isin filter prunes at the term_stats scan
+    union_terms = list(dict.fromkeys(t for _, ts in term_sets for t in ts))
+    q_idf = term_stats.filter(F.col("term").isin(union_terms)).select("term", "idf")
     scored = (
         postings.join(F.broadcast(qt), "term")
         .join(doc_stats, "doc_id")
-        .join(F.broadcast(term_stats.select("term", "idf")), "term")
+        .join(F.broadcast(q_idf), "term")
         .join(F.broadcast(avg))
         .withColumn(
             "contrib",

@@ -241,6 +241,23 @@ def bootstrap_ann_layout(
         write_ivf_layout,
     )
 
+    # refuse to clobber a standing layout (r6 review: the pre-r6 direct
+    # write failed on an existing path via parquet's errorifexists —
+    # keep that guard rather than inheriting write_ivf_layout's
+    # overwrite default, which would silently destroy every streamed
+    # batch partition AND swap the quantizer under serving readers).
+    # Read-probe, not isdir: the path may be hdfs://, s3a://, etc.
+    try:
+        vectors.sparkSession.read.parquet(f"{layout_path}/centroids").head(1)
+        exists = True
+    except Exception:
+        exists = False
+    if exists:
+        raise ValueError(
+            f"{layout_path} already holds a layout — bootstrap refuses to "
+            "overwrite (delete it, or use write_ivf_layout(mode='overwrite') "
+            "deliberately)"
+        )
     kwargs = {} if num_clusters is None else {"num_clusters": num_clusters}
     assigned, centroids = ivf_build_sampled(
         vectors, vec_col=vec_col, id_col=id_col, **kwargs
@@ -318,6 +335,13 @@ def compact_ann_layout(
     scheme bootstrap/batch writes use — so a stream can keep appending
     new batch_id partitions afterwards.
 
+    CONTRACT: run with the appending stream QUIESCED (between
+    triggers, or stopped) — the swap replaces `blocks/` wholesale, so
+    a micro-batch committed mid-compaction would be lost. A pre-swap
+    recheck aborts (RuntimeError, nothing modified) if blocks changed
+    since the snapshot; the recheck-to-rename window is still racy in
+    principle, hence the contract.
+
     The layout must have a readable centroid table (it is not
     otherwise a layout); centroids are untouched — compaction never
     changes the quantizer, it only merges blobs within each cluster.
@@ -347,5 +371,20 @@ def compact_ann_layout(
     tmp = blocks_path + ".tmp"
     compacted.write.mode("overwrite").partitionBy("cluster_id", "batch_id").parquet(tmp)
     n_after = spark.read.parquet(tmp).count()
+    # concurrent-append guard (r6 review): the swap replaces blocks/
+    # wholesale, so a micro-batch committed after the snapshot read
+    # would silently vanish. Contract: run compaction with the stream
+    # quiesced (between triggers / stopped). This recheck catches a
+    # violated contract for everything committed up to here and aborts
+    # instead of losing data; the residual window between recheck and
+    # rename is milliseconds and still requires a quiesced stream.
+    if spark.read.parquet(blocks_path).count() != n_before:
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise RuntimeError(
+            "blocks changed during compaction (a live stream is appending) "
+            "— quiesce the stream and retry; nothing was modified"
+        )
     atomic_swap_dir(tmp, blocks_path)
     return n_before, n_after

@@ -385,3 +385,22 @@ def test_compact_ann_layout_merges_blocks_identically(spark, tmp_path):
 
     with pytest.raises(ValueError, match="centroid"):
         compact_ann_layout(spark, str(tmp_path / "nope"))
+
+
+def test_bootstrap_refuses_existing_layout(spark, tmp_path):
+    """bootstrap_ann_layout must never clobber a standing layout (r6
+    review: the write_ivf_layout delegation would otherwise inherit
+    overwrite and silently destroy streamed partitions + quantizer)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from mcp_vector_search_spark import io
+    from mcp_vector_search_spark.streaming.incremental import bootstrap_ann_layout
+
+    emb = io.table(spark, "/root/testdata/sf0.001", "embeddings").select(
+        "vec_id", "embedding"
+    )
+    path = str(tmp_path / "layout")
+    bootstrap_ann_layout(emb, path, num_clusters=4)
+    with pytest.raises(ValueError, match="already holds a layout"):
+        bootstrap_ann_layout(emb.filter(F.col("vec_id") < 10), path, num_clusters=4)
