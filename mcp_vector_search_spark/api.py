@@ -37,6 +37,7 @@ class SparkProject:
         self._ivfpq_layout: tuple[DataFrame, DataFrame, DataFrame] | None = None
         self._sq_layout: tuple[DataFrame, DataFrame] | None = None
         self._deferred_caches: list[DataFrame] = []
+        self._hybrid_server = None
 
     def _release_later(self, df: DataFrame) -> None:
         """Register a cached frame whose consumer is a RETURNED lazy
@@ -240,18 +241,55 @@ class SparkProject:
         """BM25 ⊕ vector RRF fusion (tool `search_hybrid`). The query
         is preprocessed like `search_code` — postings terms are
         lowercase tokens, so raw-cased input would silently empty the
-        BM25 leg."""
+        BM25 leg.
+
+        After `start_serving()`, queries route through the warm
+        `HybridServer` (cached tokenized corpus + memoized stats +
+        serving session shape — sub-second at sf0.1, identical
+        results)."""
         from mcp_vector_search_spark.functions.query import preprocess_query
+
+        terms = preprocess_query(query).split()
+        if self._hybrid_server is not None:
+            return self._hybrid_server.search(
+                terms, query_vec, k=limit, alpha=alpha
+            )
         from mcp_vector_search_spark.plans.hybrid import hybrid_search
 
         return hybrid_search(
             self.docs,
             self.vectors,
-            preprocess_query(query).split(),
+            terms,
             query_vec,
             k=limit,
             alpha=alpha,
         )
+
+    def start_serving(self, tune_session: bool = True) -> None:
+        """Enter warm single-query serving mode (r6, VERDICT r5 #6):
+        builds the `HybridServer` state once — cached tokenized corpus,
+        cached vectors, memoized BM25 corpus scalars — and (by
+        default) tunes the session for interactive queries (AQE off,
+        few shuffle partitions; restored by `stop_serving`). Subsequent
+        `search_hybrid` calls are sub-second at sf0.1 with unchanged
+        results."""
+        if self._hybrid_server is None:
+            from mcp_vector_search_spark.plans.hybrid import HybridServer
+
+            self._hybrid_server = HybridServer(
+                self.docs, self.vectors, tune_session=tune_session
+            )
+
+    def stop_serving(self) -> None:
+        """Leave serving mode: restore session confs, release caches."""
+        if self._hybrid_server is not None:
+            self._hybrid_server.close()
+            self._hybrid_server = None
+
+    # past this batch size the expression-compiled path's plan width
+    # (|Q|·|terms| compiled score expressions) stops being the right
+    # trade and the table-driven postings-index path takes over
+    EXPR_BATCH_MAX = 100
 
     def search_hybrid_batch(
         self,
@@ -259,6 +297,7 @@ class SparkProject:
         query_vecs: DataFrame,
         limit: int = 10,
         alpha: float = 0.7,
+        method: str = "auto",
     ) -> DataFrame:
         """A hybrid query SET as ONE DataFrame program → (query_id,
         doc_id, rrf_score, rn) — the batch-serving surface (r5):
@@ -267,11 +306,39 @@ class SparkProject:
         vector scan, so per-query cost amortizes (~30× the warm
         single-query rate at sf0.1 — BENCH hybrid_batch_qps).
         `queries` = [(query_id, raw query string)] — preprocessed like
-        `search_code`; `query_vecs` = (query_id, query_vec)."""
+        `search_code`; `query_vecs` = (query_id, query_vec).
+
+        `method`: "expr" compiles per-query score expressions into the
+        scan (fastest small batches); "indexed" (r6, VERDICT r5 #2)
+        joins the query set against the memoized postings index — plan
+        width independent of batch size, scales to thousands of
+        queries; "auto" picks by batch size (≤EXPR_BATCH_MAX → expr).
+        Both paths are row-identical (shared oracle + parity test)."""
         from mcp_vector_search_spark.functions.query import preprocess_query
+
+        if method not in ("auto", "expr", "indexed"):
+            raise ValueError(f"unknown method {method!r}")
+        term_sets = [(qid, preprocess_query(q).split()) for qid, q in queries]
+        if method == "auto":
+            method = "expr" if len(term_sets) <= self.EXPR_BATCH_MAX else "indexed"
+        if method == "indexed":
+            from mcp_vector_search_spark.plans.hybrid import (
+                hybrid_search_batch_indexed,
+            )
+
+            postings, dstats, tstats = self._bm25()
+            return hybrid_search_batch_indexed(
+                postings,
+                dstats,
+                tstats,
+                self.vectors,
+                term_sets,
+                query_vecs,
+                k=limit,
+                alpha=alpha,
+            )
         from mcp_vector_search_spark.plans.hybrid import hybrid_search_batch
 
-        term_sets = [(qid, preprocess_query(q).split()) for qid, q in queries]
         return hybrid_search_batch(
             self.docs,
             self.vectors,

@@ -394,3 +394,50 @@ def test_api_search_hybrid_batch(spark):
         limit=5,
     ).collect()
     assert sorted(by_q[0]) == sorted((r.doc_id, r.rrf_score) for r in single)
+
+
+def test_api_serving_mode_and_indexed_batch(spark):
+    """r6 facade surface: start_serving routes search_hybrid through
+    the warm HybridServer with identical results (and stop_serving
+    restores confs); search_hybrid_batch(method=...) dispatches to the
+    table-driven path with identical results, and auto picks indexed
+    past EXPR_BATCH_MAX."""
+    from pyspark.sql import functions as F
+
+    from mcp_vector_search_spark import io
+    from mcp_vector_search_spark.api import SparkProject
+
+    sf = "/root/testdata/sf0.01"
+    docs = io.table(spark, sf, "documents")
+    emb = io.table(spark, sf, "embeddings")
+    p = SparkProject(spark, docs, emb)
+    qv1 = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("query_vec")
+    )
+    cold = {(r.doc_id, r.rrf_score) for r in p.search_hybrid(
+        "Data Query Fast Vector", qv1, limit=5).collect()}
+    aqe0 = spark.conf.get("spark.sql.adaptive.enabled")
+    p.start_serving()
+    try:
+        warm = {(r.doc_id, r.rrf_score) for r in p.search_hybrid(
+            "Data Query Fast Vector", qv1, limit=5).collect()}
+        assert warm == cold
+    finally:
+        p.stop_serving()
+    assert spark.conf.get("spark.sql.adaptive.enabled") == aqe0
+
+    qvb = emb.filter(F.col("vec_id").isin([0, 11])).select(
+        F.col("vec_id").cast("long").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    qs = [(0, "Data Query Fast Vector"), (11, "Window Merge Sort")]
+    expr = {(r.query_id, r.doc_id, r.rrf_score, r.rn)
+            for r in p.search_hybrid_batch(qs, qvb, limit=5, method="expr").collect()}
+    idx = {(r.query_id, r.doc_id, r.rrf_score, r.rn)
+           for r in p.search_hybrid_batch(qs, qvb, limit=5, method="indexed").collect()}
+    assert idx == expr
+
+    import pytest
+
+    with pytest.raises(ValueError, match="unknown method"):
+        p.search_hybrid_batch(qs, qvb, method="nope")
