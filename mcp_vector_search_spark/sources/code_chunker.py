@@ -383,7 +383,7 @@ def code_chunks_multilang(
             F.when(boundary_flag(F.col("line"), F.col("_lang")), 1).otherwise(0)
         ).over(w),
     )
-    return flagged.groupBy("doc_id", "chunk_no").agg(
+    grouped = flagged.groupBy("doc_id", "_lang", "chunk_no").agg(
         F.count("*").alias("n_lines"),
         F.array_join(
             F.transform(
@@ -393,6 +393,78 @@ def code_chunks_multilang(
             "\n",
         ).alias("chunk_text"),
     )
+    first = F.substring_index("chunk_text", "\n", 1)
+    return grouped.select(
+        "doc_id",
+        "chunk_no",
+        "n_lines",
+        "chunk_text",
+        kind_flag(first, F.col("_lang")).alias("chunk_type"),
+        name_flag(first, F.col("_lang")).alias("name"),
+    )
+
+
+def kind_flag(first_line_col, language_col):
+    """Chunk TYPE from a chunk's first line (r6): each language's
+    ordered `kind_rules` as a first-match-wins when-chain — the
+    reference's chunk_type surface (struct/interface/method/... ,
+    ``parsers/base.py`` ChunkInfo) for the whole mixed-language corpus
+    in one column expression. Untyped boundaries → 'chunk'."""
+    from mcp_vector_search_spark.sources.parser_registry import (
+        for_language,
+        registered_languages,
+    )
+
+    expr = None
+    for lang in registered_languages():
+        rules = for_language(lang).kind_rules
+        if not rules:
+            continue
+        per_lang = None
+        for kind, pat in rules:
+            cond_rule = first_line_col.rlike(pat)
+            per_lang = (
+                F.when(cond_rule, F.lit(kind))
+                if per_lang is None
+                else per_lang.when(cond_rule, F.lit(kind))
+            )
+        per_lang = per_lang.otherwise(F.lit("chunk"))
+        cond = language_col == lang
+        expr = (
+            F.when(cond, per_lang) if expr is None else expr.when(cond, per_lang)
+        )
+    return expr.otherwise(F.lit("chunk"))
+
+
+def name_flag(first_line_col, language_col):
+    """Chunk NAME (group 1 of the first matching kind rule) — the
+    reference's function_name/class_name surface; null when no rule
+    matches."""
+    from mcp_vector_search_spark.sources.parser_registry import (
+        for_language,
+        registered_languages,
+    )
+
+    expr = None
+    for lang in registered_languages():
+        rules = for_language(lang).kind_rules
+        if not rules:
+            continue
+        per_lang = None
+        for _, pat in rules:
+            cond_rule = first_line_col.rlike(pat)
+            val = F.nullif(F.regexp_extract(first_line_col, pat, 1), F.lit(""))
+            per_lang = (
+                F.when(cond_rule, val)
+                if per_lang is None
+                else per_lang.when(cond_rule, val)
+            )
+        per_lang = per_lang.otherwise(F.lit(None).cast("string"))
+        cond = language_col == lang
+        expr = (
+            F.when(cond, per_lang) if expr is None else expr.when(cond, per_lang)
+        )
+    return expr.otherwise(F.lit(None).cast("string"))
 
 
 # Halstead metrics (reference ``analysis/collectors/halstead.py:37-140``

@@ -30,6 +30,12 @@ class LanguageSpec:
     branch_keywords: tuple[str, ...] = field(
         default=("if", "elif", "else", "for", "while", "case", "catch", "and", "or")
     )
+    # r6 chunk typing/naming (the reference's chunk_type/function_name/
+    # class_name surface, `parsers/base.py` ChunkInfo): ordered
+    # (chunk_type, regex-with-one-capture-group) rules matched against
+    # a chunk's FIRST line; the first matching rule types the chunk and
+    # group 1 is its name. Empty tuple → untyped ("chunk", null name).
+    kind_rules: tuple[tuple[str, str], ...] = ()
 
 
 _SPECS: dict[str, LanguageSpec] = {}
@@ -62,27 +68,101 @@ def spec_rows() -> list[tuple[str, str]]:
 
 
 for _spec in [
-    LanguageSpec("python", ("py", "pyi"), r"^(def |class |async def )"),
+    LanguageSpec(
+        "python",
+        ("py", "pyi"),
+        r"^(def |class |async def )",
+        kind_rules=(
+            ("class", r"^class (\w+)"),
+            ("function", r"^(?:async )?def (\w+)"),
+        ),
+    ),
     LanguageSpec(
         "javascript",
         ("js", "jsx", "mjs"),
         r"^(function |class |const \w+ = (async )?\(|export (default )?(function|class) )",
+        kind_rules=(
+            ("class", r"^(?:export )?(?:default )?class (\w+)"),
+            ("function", r"^(?:export )?(?:default )?function (\w+)"),
+            ("function", r"^const (\w+) = "),
+        ),
     ),
     LanguageSpec(
         "typescript",
         ("ts", "tsx"),
         r"^(function |class |interface |type \w+ =|const \w+ = (async )?\(|export )",
+        kind_rules=(
+            ("interface", r"^(?:export )?interface (\w+)"),
+            ("type", r"^(?:export )?type (\w+) ="),
+            ("class", r"^(?:export )?(?:default |abstract )*class (\w+)"),
+            ("function", r"^(?:export )?(?:default )?(?:async )?function (\w+)"),
+            ("function", r"^(?:export )?const (\w+) = "),
+        ),
     ),
-    LanguageSpec("go", ("go",), r"^(func |type \w+ (struct|interface))"),
-    LanguageSpec("java", ("java",), r"^\s*(public |private |protected ).*[({]$"),
+    LanguageSpec(
+        "go",
+        ("go",),
+        r"^(func |type \w+ (struct|interface))",
+        kind_rules=(
+            ("method", r"^func \([^)]*\) (\w+)"),
+            ("function", r"^func (\w+)"),
+            ("struct", r"^type (\w+) struct"),
+            ("interface", r"^type (\w+) interface"),
+        ),
+    ),
+    LanguageSpec(
+        "java",
+        ("java",),
+        r"^\s*(public |private |protected ).*[({]$",
+        kind_rules=(
+            ("interface", r"\binterface (\w+)"),
+            ("enum", r"\benum (\w+)"),
+            ("class", r"\bclass (\w+)"),
+            # constructor vs method needs the enclosing class name —
+            # typed "method" here, divergence pinned in parity tests
+            ("method", r"(\w+)\s*\("),
+        ),
+    ),
     # r6: `\s*`-anchored fn so impl/trait methods open their own chunks
     # (reference extracts them as method chunks, tests/test_rust_parser.py)
     LanguageSpec(
-        "rust", ("rs",), r"^\s*(pub(\([^)]*\))? )?(fn |struct |enum |impl |trait |mod )"
+        "rust",
+        ("rs",),
+        r"^\s*(pub(\([^)]*\))? )?(fn |struct |enum |impl |trait |mod )",
+        kind_rules=(
+            ("struct", r"^(?:pub(?:\([^)]*\))? )?struct (\w+)"),
+            ("trait", r"^(?:pub(?:\([^)]*\))? )?trait (\w+)"),
+            ("enum", r"^(?:pub(?:\([^)]*\))? )?enum (\w+)"),
+            ("mod", r"^(?:pub(?:\([^)]*\))? )?mod (\w+)"),
+            ("impl", r"^impl(?:<[^>]*>)? (\w+)"),
+            # indented fn = method (inside impl/trait), col-0 fn = free fn
+            ("method", r"^\s+(?:pub(?:\([^)]*\))? )?fn (\w+)"),
+            ("function", r"^(?:pub(?:\([^)]*\))? )?fn (\w+)"),
+        ),
     ),
-    LanguageSpec("c", ("c", "h"), r"^\w[\w\s\*]*\([^;]*$"),
-    LanguageSpec("cpp", ("cpp", "cc", "hpp", "cxx"), r"^[\w:<>~][\w\s\*:<>,&~]*\([^;]*$"),
-    LanguageSpec("ruby", ("rb",), r"^\s*(def |class |module )"),
+    LanguageSpec(
+        "c",
+        ("c", "h"),
+        r"^\w[\w\s\*]*\([^;]*$",
+        kind_rules=(("function", r"(\w+)\s*\("),),
+    ),
+    LanguageSpec(
+        "cpp",
+        ("cpp", "cc", "hpp", "cxx"),
+        r"^[\w:<>~][\w\s\*:<>,&~]*\([^;]*$",
+        kind_rules=(("function", r"([\w~]+)\s*\("),),
+    ),
+    LanguageSpec(
+        "ruby",
+        ("rb",),
+        r"^\s*(def |class |module )",
+        kind_rules=(
+            ("module", r"^\s*module (\w+)"),
+            ("class_method", r"^\s*def self\.([\w?!]+)"),
+            ("method", r"^\s*def ([\w?!]+)"),
+            ("class", r"^\s*class (\w+)"),
+        ),
+    ),
     # r6: interface + visibility/static-prefixed methods (reference
     # extracts both, tests/test_php_parser.py)
     LanguageSpec(
@@ -90,6 +170,13 @@ for _spec in [
         ("php", "phtml"),
         r"^\s*((abstract |final )?class |interface |trait "
         r"|((public|private|protected|static|final|abstract) +)*function )",
+        kind_rules=(
+            ("class", r"^(?:abstract |final )?class (\w+)"),
+            ("interface", r"^interface (\w+)"),
+            ("trait", r"^trait (\w+)"),
+            ("method", r"^\s+(?:(?:public|private|protected|static|final|abstract) +)*function (\w+)"),
+            ("function", r"^function (\w+)"),
+        ),
     ),
     # r6: the three reference-registry languages previously missing
     # (reference parsers/registry.py maps .cs/.dart/.html|.htm; files
@@ -104,6 +191,15 @@ for _spec in [
         r"|((public|private|protected|internal|static|abstract|sealed|partial) +)*"
         r"(class|interface|struct|enum|record) "
         r"|((public|private|protected|internal) +).*\)\s*$)",
+        kind_rules=(
+            ("namespace", r"^namespace ([\w.]+)"),
+            ("interface", r"\binterface (\w+)"),
+            ("struct", r"\bstruct (\w+)"),
+            ("enum", r"\benum (\w+)"),
+            ("record", r"\brecord (\w+)"),
+            ("class", r"\bclass (\w+)"),
+            ("method", r"(\w+)\s*\("),
+        ),
     ),
     # dart: class-ish declarations plus function/method signatures —
     # a TYPE token (capitalized/generic or a builtin) followed by a
@@ -114,6 +210,15 @@ for _spec in [
         r"^\s*(abstract +)?(class|mixin|enum|extension) "
         r"|^\s*(static +)?([A-Z_$][\w<>, ?]*|void|int|double|bool|num|dynamic)"
         r" +[_$a-zA-Z]\w*\(",
+        kind_rules=(
+            ("class", r"^(?:abstract +)?class (\w+)"),
+            ("mixin", r"^mixin (\w+)"),
+            ("enum", r"^enum (\w+)"),
+            ("extension", r"^extension (\w+)"),
+            # indented = method inside a class body, col-0 = function
+            ("method", r"^\s+(?:static +)?(?:[A-Z_$][\w<>, ?]*|void|int|double|bool|num|dynamic) +([_$a-zA-Z]\w*)\("),
+            ("function", r"^(?:static +)?(?:[A-Z_$][\w<>, ?]*|void|int|double|bool|num|dynamic) +([_$a-zA-Z]\w*)\("),
+        ),
     ),
     # html: semantic sectioning tags (reference chunks headings/
     # sections, tests/test_html_parser.py; script/style NOT excluded
@@ -122,9 +227,40 @@ for _spec in [
         "html",
         ("html", "htm"),
         r"^\s*<(h[1-6]|section|article|header|footer|main|nav)\b",
+        kind_rules=(
+            ("section", r"id=\"([^\"]+)\""),
+            ("heading", r"^\s*<h[1-6][^>]*>([^<]*)"),
+            ("section", r"^\s*<(section|article|header|footer|main|nav)"),
+        ),
     ),
-    LanguageSpec("swift", ("swift",), r"^\s*(func |class |struct |enum |extension )"),
-    LanguageSpec("kotlin", ("kt", "kts"), r"^\s*(fun |class |object |interface )"),
-    LanguageSpec("text", ("txt", "md", "rst"), r"^#{1,6} |^={3,}$"),
+    LanguageSpec(
+        "swift",
+        ("swift",),
+        r"^\s*(func |class |struct |enum |extension )",
+        kind_rules=(
+            ("function", r"^\s*func (\w+)"),
+            ("class", r"^\s*class (\w+)"),
+            ("struct", r"^\s*struct (\w+)"),
+            ("enum", r"^\s*enum (\w+)"),
+            ("extension", r"^\s*extension (\w+)"),
+        ),
+    ),
+    LanguageSpec(
+        "kotlin",
+        ("kt", "kts"),
+        r"^\s*(fun |class |object |interface )",
+        kind_rules=(
+            ("function", r"^\s*fun (\w+)"),
+            ("class", r"^\s*class (\w+)"),
+            ("object", r"^\s*object (\w+)"),
+            ("interface", r"^\s*interface (\w+)"),
+        ),
+    ),
+    LanguageSpec(
+        "text",
+        ("txt", "md", "rst"),
+        r"^#{1,6} |^={3,}$",
+        kind_rules=(("heading", r"^#{1,6} +(.*)$"),),
+    ),
 ]:
     register(_spec)

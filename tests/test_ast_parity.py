@@ -449,3 +449,84 @@ def test_registry_covers_reference_languages():
     }
     for ext, lang in expect.items():
         assert for_extension(ext).language == lang, (ext, lang)
+
+
+def _ml_typed(spark, lang: str, src: str) -> set[tuple[str, str]]:
+    """{(chunk_type, name)} of boundary-opened chunks (r6 typing)."""
+    from mcp_vector_search_spark.sources.code_chunker import (
+        code_chunks_multilang,
+    )
+
+    df = spark.createDataFrame(
+        [(1, src, lang)], "doc_id long, text string, language string"
+    )
+    return {
+        (r.chunk_type, r.name)
+        for r in code_chunks_multilang(df).collect()
+        if r.chunk_no > 0
+    }
+
+
+def test_chunk_typing_matches_reference_inventories(spark):
+    """r6: `code_chunks_multilang` types and names every chunk via the
+    registry's kind_rules — the reference's chunk_type/function_name/
+    class_name surface (``parsers/base.py`` ChunkInfo), asserted
+    against the same golden inventories the reference's parser tests
+    assert (struct/interface/method/function for go; method-vs-
+    function by indent for rust/dart; class_method for ruby's
+    `def self.`; constructor-as-method pinned for java)."""
+    go = _ml_typed(
+        spark, "go",
+        _ref_fixture("test_go_parser.py", 'def sample_go_code():\n    """Sample Go code for testing."""\n    return """'),
+    )
+    assert {("struct", "User"), ("interface", "UserRepository"),
+            ("method", "FindByID"), ("function", "NewUser")} <= go
+
+    rust = _ml_typed(
+        spark, "rust",
+        _ref_fixture("test_rust_parser.py", 'def sample_rust_code():\n    """Sample Rust code for testing."""\n    return """'),
+    )
+    assert {("struct", "User"), ("trait", "UserRepository"), ("impl", "User"),
+            ("method", "new"), ("method", "validate"),
+            ("function", "create_user")} <= rust
+
+    java = _ml_typed(
+        spark, "java",
+        _ref_fixture("test_java_parser.py", 'complex_code = """'),
+    )
+    assert {("interface", "UserRepository"), ("class", "User"),
+            ("enum", "Role"), ("method", "getId")} <= java
+    # divergence pinned: the constructor types as method (the line
+    # alone can't see the enclosing class name)
+    assert ("method", "User") in java
+
+    ruby = _ml_typed(
+        spark, "ruby",
+        _ref_fixture("test_ruby_parser.py", 'ruby_content = """'),
+    )
+    assert {("module", "MyApp"), ("module", "Config"),
+            ("class", "Application"), ("class_method", "get"),
+            ("class_method", "default"), ("method", "initialize"),
+            ("method", "running?"), ("method", "start!")} <= ruby
+
+    php = _ml_typed(
+        spark, "php",
+        _ref_fixture("test_php_parser.py", 'php_content = """<?php'),
+    )
+    assert {("class", "UserService"), ("method", "__construct"),
+            ("method", "getUserById"), ("method", "getActiveUsers"),
+            ("function", "formatUserName")} <= php
+
+    dart = _ml_typed(
+        spark, "dart",
+        _ref_fixture("test_dart_parser.py", 'dart_content = """'),
+    )
+    assert {("class", "SimpleTextWidget"), ("class", "_CounterWidgetState"),
+            ("mixin", "LoggerMixin"), ("method", "build"),
+            ("method", "_incrementCounter"),
+            ("function", "fetchUserData"), ("function", "main")} <= dart
+
+    # python through the SAME multilang surface (hierarchical parser
+    # remains the deep path)
+    py = _ml_typed(spark, "python", "class A:\n    pass\n\ndef f(x):\n    return x\n")
+    assert {("class", "A"), ("function", "f")} <= py
