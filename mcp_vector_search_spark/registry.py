@@ -1341,6 +1341,86 @@ def q_halstead(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# languages + decl templates for the multilang typed-chunk gate —
+# BOTH the Spark gate and its oracle render from these constants
+# (the HYBRID_BATCH_SPECS pattern), so the synthesized sources and
+# the regex rules can never drift between engines
+ML_GATE_LANGS = ("go", "ruby", "php")
+ML_GATE_DECLS = {
+    # lang: ((prefix_a, suffix_a), (prefix_b, suffix_b)) — decl lines
+    # alternate between an a-form (method-shaped) and b-form
+    # (function-shaped) so both typing rules are exercised
+    "go": (("func (r *T) ", "() {"), ("func ", "() {")),
+    "ruby": (("  def self.", ""), ("  def ", "")),
+    "php": (("  public function ", "() {"), ("function ", "() {")),
+}
+
+
+def _ml_code_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents rendered as synthetic go/ruby/php source (language by
+    doc_id mod 3; every 3rd line from the 2nd is a declaration whose
+    name is that line's first token, alternating method-shaped and
+    function-shaped forms) — structured multi-language input
+    reproducible in the oracle."""
+    t = _docs(spark, sf_dir).select("doc_id", tokenize("text").alias("_toks"))
+    n_lines = F.ceil(F.size("_toks") / 4).cast("int")
+    lang = F.element_at(
+        F.array(*[F.lit(x) for x in ML_GATE_LANGS]),
+        (F.col("doc_id") % len(ML_GATE_LANGS) + 1).cast("int"),
+    )
+
+    def line(i):
+        name = F.element_at(F.col("_toks"), (i * 4 + 1).cast("int"))
+        body = F.concat(
+            F.lit("  "), F.array_join(F.slice(F.col("_toks"), i * 4 + 1, 4), " ")
+        )
+        expr = None
+        for lg in ML_GATE_LANGS:
+            (pa, sa), (pb, sb) = ML_GATE_DECLS[lg]
+            decl = F.when(
+                i % 6 == 1, F.concat(F.lit(pa), name, F.lit(sa))
+            ).otherwise(F.concat(F.lit(pb), name, F.lit(sb)))
+            cond = F.col("_lang") == lg
+            expr = F.when(cond, decl) if expr is None else expr.when(cond, decl)
+        return F.when(i % 3 == 1, expr.otherwise(body)).otherwise(body)
+
+    return (
+        t.withColumn("_lang", lang)
+        .filter(F.size("_toks") > 0)
+        .select(
+            "doc_id",
+            F.col("_lang").alias("language"),
+            F.array_join(
+                F.transform(F.sequence(F.lit(0), n_lines - 1), line), "\n"
+            ).alias("text"),
+        )
+    )
+
+
+def q_ml_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2 multilang chunker with r6 typing/naming: boundary, chunk
+    type, and name all dispatched per-language from the registry's
+    kind_rules in one pass (`code_chunks_multilang`)."""
+    from mcp_vector_search_spark.sources.code_chunker import code_chunks_multilang
+
+    src = _ml_code_docs(spark, sf_dir)
+    lang = F.element_at(
+        F.array(*[F.lit(x) for x in ML_GATE_LANGS]),
+        (F.col("doc_id") % len(ML_GATE_LANGS) + 1).cast("int"),
+    )
+    return (
+        code_chunks_multilang(src)
+        .select(
+            "doc_id",
+            lang.alias("lang"),
+            F.col("chunk_no").cast("long").alias("chunk_no"),
+            "chunk_type",
+            F.coalesce("name", F.lit("")).alias("name"),
+            F.col("n_lines").cast("long").alias("n_lines"),
+        )
+    )
+
+
 def q_code_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S2 structure-aware chunker over synthesized source."""
     from mcp_vector_search_spark.sources.code_chunker import code_chunks
@@ -2710,6 +2790,76 @@ SELECT doc_id, chunk_no::BIGINT AS chunk_no,
        n_lines
 FROM cg"""
 
+    # multilang typed-chunk gate: synthesized go/ruby/php sources +
+    # boundary + kind/name typing, ALL rendered from the same
+    # constants the Spark gate uses (ML_GATE_LANGS/ML_GATE_DECLS and
+    # the registry's boundary_re/kind_rules — Java and RE2 agree on
+    # this regex subset: anchored alternations, non-capturing groups,
+    # \w classes, no lookarounds)
+    from mcp_vector_search_spark.sources.parser_registry import for_language
+
+    _ml_lang_sql = (
+        "['" + "', '".join(ML_GATE_LANGS) + f"'][(doc_id % {len(ML_GATE_LANGS)}) + 1]"
+    )
+    _ml_decl_cases = []
+    for _lg in ML_GATE_LANGS:
+        (_pa, _sa), (_pb, _sb) = ML_GATE_DECLS[_lg]
+        _ml_decl_cases.append(
+            f"WHEN lang = '{_lg}' THEN CASE WHEN i % 6 = 1 "
+            f"THEN '{_pa}' || toks[i*4+1] || '{_sa}' "
+            f"ELSE '{_pb}' || toks[i*4+1] || '{_sb}' END"
+        )
+    _ml_decl_sql = "CASE " + " ".join(_ml_decl_cases) + " END"
+    _ml_boundary_sql = " OR ".join(
+        f"(lang = '{lg}' AND regexp_matches(line, '{for_language(lg).boundary_re}'))"
+        for lg in ML_GATE_LANGS
+    )
+
+    def _ml_kind_case(value: str) -> str:
+        outer = []
+        for lg in ML_GATE_LANGS:
+            inner = []
+            for kind, pat in for_language(lg).kind_rules:
+                val = (
+                    f"'{kind}'"
+                    if value == "kind"
+                    else f"regexp_extract(first_line, '{pat}', 1)"
+                )
+                inner.append(
+                    f"WHEN regexp_matches(first_line, '{pat}') THEN {val}"
+                )
+            default = "'chunk'" if value == "kind" else "''"
+            outer.append(
+                f"WHEN lang = '{lg}' THEN CASE "
+                + " ".join(inner)
+                + f" ELSE {default} END"
+            )
+        return "CASE " + " ".join(outer) + " END"
+
+    o["ml_chunks"] = f"""
+WITH mt AS (SELECT doc_id, {_ml_lang_sql} AS lang, {_TOKS} AS toks FROM documents),
+md AS (SELECT doc_id, lang,
+  array_to_string(list_transform(range(0, cast(ceil(len(toks) / 4.0) AS INT)),
+    i -> CASE WHEN i % 3 = 1 THEN {_ml_decl_sql}
+         ELSE '  ' || array_to_string(toks[i*4+1 : i*4+4], ' ') END), chr(10)) AS text
+  FROM mt WHERE len(toks) > 0),
+ml AS (SELECT doc_id, lang, l['pos'] AS pos, l['line'] AS line
+       FROM (SELECT doc_id, lang,
+             unnest(list_transform(string_split(text, chr(10)),
+                    (x, i) -> {{'pos': i, 'line': x}})) AS l
+             FROM md)),
+mf AS (SELECT *, sum(CASE WHEN {_ml_boundary_sql} THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY doc_id ORDER BY pos) AS chunk_no
+       FROM ml),
+mg AS (SELECT doc_id, lang, chunk_no, min_by(line, pos) AS first_line,
+              count(*) AS n_lines
+       FROM mf GROUP BY doc_id, lang, chunk_no)
+SELECT doc_id, lang, chunk_no::BIGINT AS chunk_no,
+       {_ml_kind_case("kind")} AS chunk_type,
+       {_ml_kind_case("name")} AS name,
+       n_lines::BIGINT AS n_lines
+FROM mg"""
+
     from mcp_vector_search_spark.sources.code_chunker import (
         HALSTEAD_KEYWORDS,
         IDENT_RE,
@@ -4025,6 +4175,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "codebase_profile": q_codebase_profile,
     "halstead": q_halstead,
     "result_quality": q_result_quality,
+    "ml_chunks": q_ml_chunks,
 }
 
 ORACLE_SQL: dict[str, str] = _oracles()
