@@ -115,6 +115,37 @@ def ivfpq_build(
     return encoded, centroids, codebooks
 
 
+def ivfpq_encode(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    codebooks: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Encode NEW vectors against a STANDING quantizer pair (r6 — the
+    incremental half of the IVF-PQ lifecycle, mirroring `ivf_assign`
+    for the float layout): map-side coarse assignment to the given
+    centroids, residual against the assigned centroid, code lookup in
+    the given codebooks — no refit, no shuffle of the standing corpus.
+    Output (id, cluster_id, codes) packs with `ivfpq_pack` and appends
+    through `layout.write_ivfpq_layout(mode="append")`, whose metadata
+    guard enforces that THESE centroids/codebooks match the persisted
+    ones."""
+    from mcp_vector_search_spark.operators.ivf import ivf_assign
+    from mcp_vector_search_spark.operators.pq import pq_encode
+
+    assigned = ivf_assign(vectors, centroids, vec_col=vec_col)
+    resid = (
+        assigned.join(F.broadcast(centroids), "cluster_id")
+        .withColumn("_resid", F.zip_with("unit", "centroid", lambda u, c: u - c))
+        .select(id_col, "cluster_id", "_resid")
+    )
+    return pq_encode(
+        resid, codebooks, vec_col="_resid", id_col=id_col, normalize=False,
+        passthrough_cols=["cluster_id"],
+    ).select(id_col, "cluster_id", "codes")
+
+
 def _adc_query_prep(
     codebooks: DataFrame,
     centroids: DataFrame,

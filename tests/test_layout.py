@@ -1,0 +1,90 @@
+"""Durable codec-layout lifecycle (r6, operators/layout.py): the
+PQ/SQ packed layouts round-trip through disk with serve-result
+equality, appends are guarded by metadata equality, and mixed
+quantizer state is refused."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+def test_ivfpq_layout_roundtrip_append_and_guard(spark, tmp_path):
+    from mcp_vector_search_spark import io
+    from mcp_vector_search_spark.operators.ivfpq import (
+        ivfpq_build,
+        ivfpq_pack,
+        ivfpq_topk_packed,
+    )
+    from mcp_vector_search_spark.operators.layout import (
+        read_ivfpq_layout,
+        write_ivfpq_layout,
+    )
+
+    emb = io.table(spark, SF_DIR, "embeddings")
+    base = emb.filter(F.col("vec_id") < 400)
+    extra = emb.filter(F.col("vec_id") >= 400)
+    enc, cents, cbs = ivfpq_build(base, num_clusters=8, m=16, k_codes=64)
+    enc = enc.cache()
+    packed = ivfpq_pack(enc)
+
+    path = str(tmp_path / "ivfpq")
+    write_ivfpq_layout(packed, cents, cbs, path)
+    pk, c2, cb2 = read_ivfpq_layout(spark, path)
+    queries = emb.filter(F.col("vec_id") % 11 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    mem = sorted(
+        map(tuple, ivfpq_topk_packed(packed, cents, cbs, queries, 5, nprobes=8).collect())
+    )
+    disk = sorted(
+        map(tuple, ivfpq_topk_packed(pk, c2, cb2, queries, 5, nprobes=8).collect())
+    )
+    assert disk == mem
+
+    # append: encode NEW vectors against the SAME coarse+codebook state
+    from mcp_vector_search_spark.operators.ivfpq import ivfpq_encode
+
+    extra_enc = ivfpq_encode(extra, cents, cbs)
+    write_ivfpq_layout(ivfpq_pack(extra_enc), cents, cbs, path, mode="append")
+    pk3, _, _ = read_ivfpq_layout(spark, path)
+    ids = [v for r in pk3.select("vec_ids").collect() for v in r.vec_ids]
+    assert len(ids) == len(set(ids)) == emb.count()
+
+    # guard: refit state refuses to append
+    _, cents_b, cbs_b = ivfpq_build(extra, num_clusters=8, m=16, k_codes=64)
+    with pytest.raises(ValueError, match="differ from the persisted layout"):
+        write_ivfpq_layout(ivfpq_pack(extra_enc), cents_b, cbs_b, path, mode="append")
+    with pytest.raises(ValueError, match="no readable"):
+        write_ivfpq_layout(
+            ivfpq_pack(extra_enc), cents, cbs, str(tmp_path / "nope"), mode="append"
+        )
+
+
+def test_sq_layout_roundtrip(spark, tmp_path):
+    from mcp_vector_search_spark import io
+    from mcp_vector_search_spark.operators.layout import (
+        read_sq_layout,
+        write_sq_layout,
+    )
+    from mcp_vector_search_spark.operators.sq import (
+        sq_encode,
+        sq_pack,
+        sq_topk_packed,
+        sq_train,
+    )
+
+    emb = io.table(spark, SF_DIR, "embeddings")
+    bounds = sq_train(emb)
+    packed = sq_pack(sq_encode(emb, bounds))
+    path = str(tmp_path / "sq")
+    write_sq_layout(packed, bounds, path)
+    pk, b2 = read_sq_layout(spark, path)
+    queries = emb.filter(F.col("vec_id") % 13 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    mem = sorted(map(tuple, sq_topk_packed(packed, bounds, queries, 5).collect()))
+    disk = sorted(map(tuple, sq_topk_packed(pk, b2, queries, 5).collect()))
+    assert disk == mem
