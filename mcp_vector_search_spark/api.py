@@ -193,6 +193,67 @@ class SparkProject:
         else:
             self._ivf_layout = (ivf_pack(assigned).cache(), centroids, "packed")
 
+    def save_ann_index(self, path: str) -> None:
+        """Persist the currently-built ANN layout (r6): whichever
+        `build_ann_index` kind is active writes through its layout
+        module — ivfpq → blocks+centroids+codebooks, ivfsq →
+        blocks+bounds, ivf (packed) → blocks+centroids. A fresh
+        session then serves it via `load_ann_index` with no rebuild —
+        the reference's persisted-index startup path."""
+        if self._ivfpq_layout is not None:
+            from mcp_vector_search_spark.operators.layout import write_ivfpq_layout
+
+            packed, cents, cbs = self._ivfpq_layout
+            write_ivfpq_layout(packed, cents, cbs, path)
+            return
+        if self._sq_layout is not None:
+            from mcp_vector_search_spark.operators.layout import write_sq_layout
+
+            packed, bounds = self._sq_layout
+            write_sq_layout(packed, bounds, path)
+            return
+        if self._ivf_layout is not None:
+            layout, centroids, lkind = self._ivf_layout
+            if lkind != "packed":
+                raise ValueError(
+                    "only the packed IVF layout persists — rebuild with "
+                    "build_ann_index(kind='ivf')"
+                )
+            from mcp_vector_search_spark.operators.ivf import write_ivf_layout
+
+            write_ivf_layout(layout, centroids, path)
+            return
+        raise ValueError("no ANN index built — call build_ann_index first")
+
+    def load_ann_index(self, path: str, kind: str = "ivf") -> None:
+        """Load a persisted ANN layout into the serving memo (cached
+        blocks + lineage-free metadata) — `search_batch` routes to it
+        exactly as after `build_ann_index(kind)`."""
+        self._drain_deferred()
+        if kind not in ("ivf", "ivfpq", "ivfsq"):
+            raise ValueError(f"unknown ANN index kind: {kind!r}")
+        for attr in ("_ivf_layout", "_ivfpq_layout", "_sq_layout"):
+            layout = getattr(self, attr)
+            if layout is not None:
+                layout[0].unpersist()
+                setattr(self, attr, None)
+        if kind == "ivfpq":
+            from mcp_vector_search_spark.operators.layout import read_ivfpq_layout
+
+            packed, cents, cbs = read_ivfpq_layout(self.spark, path)
+            self._ivfpq_layout = (packed.cache(), cents, cbs)
+        elif kind == "ivfsq":
+            from mcp_vector_search_spark.operators.layout import read_sq_layout
+
+            packed, bounds = read_sq_layout(self.spark, path)
+            bounds_local = self.spark.createDataFrame(bounds.collect(), bounds.schema)
+            self._sq_layout = (packed.cache(), bounds_local)
+        else:
+            from mcp_vector_search_spark.operators.ivf import read_ivf_layout
+
+            packed, centroids = read_ivf_layout(self.spark, path)
+            self._ivf_layout = (packed.cache(), centroids, "packed")
+
     def search_batch(self, queries: DataFrame, limit: int = 10) -> DataFrame:
         """Batch ANN (tool batch search): always the Arrow-vectorized
         kernels — per-batch numpy matmul with partial top-k, so the

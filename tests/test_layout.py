@@ -88,3 +88,33 @@ def test_sq_layout_roundtrip(spark, tmp_path):
     mem = sorted(map(tuple, sq_topk_packed(packed, bounds, queries, 5).collect()))
     disk = sorted(map(tuple, sq_topk_packed(pk, b2, queries, 5).collect()))
     assert disk == mem
+
+
+def test_api_save_load_ann_index_roundtrip(spark, tmp_path):
+    """Facade persistence (r6): build → save → load in a fresh
+    SparkProject → identical search_batch results, for all three
+    codec kinds."""
+    from mcp_vector_search_spark import io
+    from mcp_vector_search_spark.api import SparkProject
+
+    emb = io.table(spark, SF_DIR, "embeddings")
+    docs = emb.selectExpr("vec_id as doc_id", "'t' as text")
+    queries = emb.filter(F.col("vec_id") % 17 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    for kind in ("ivf", "ivfpq", "ivfsq"):
+        p1 = SparkProject(spark, docs, emb)
+        p1.build_ann_index(kind=kind, num_clusters=8)
+        built = sorted(map(tuple, p1.search_batch(queries, 5).collect()))
+        path = str(tmp_path / f"idx_{kind}")
+        p1.save_ann_index(path)
+        p2 = SparkProject(spark, docs, emb)
+        p2.load_ann_index(path, kind=kind)
+        loaded = sorted(map(tuple, p2.search_batch(queries, 5).collect()))
+        assert loaded == built, kind
+
+    import pytest
+
+    p3 = SparkProject(spark, docs, emb)
+    with pytest.raises(ValueError, match="no ANN index built"):
+        p3.save_ann_index(str(tmp_path / "none"))
