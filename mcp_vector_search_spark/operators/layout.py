@@ -142,3 +142,175 @@ def read_sq_layout(spark: SparkSession, path: str) -> tuple[DataFrame, DataFrame
     """(packed_codes, bounds) for `sq_topk_packed` /
     `sq_topk_refined(packed_codes=...)`."""
     return read_codec_layout(spark, path, ("bounds",))
+
+
+def repack_codec_blocks(
+    packed: DataFrame,
+    part_col: str,
+    width_col: str,
+    blob_col: str,
+    dtype_col: str | None = "dtype",
+    fixed_dtype: str | None = None,
+    rows_per_block: int = 1 << 20,
+    max_block_bytes: int = 32 << 20,
+) -> DataFrame:
+    """Generic block-merge for any packed codec layout (r6 — the
+    codes analogue of `operators/ivf.py:repack_blocks`): concatenate a
+    partition's fragmented blocks, re-sort by id, re-split by the
+    shared `block_step` rule. Works for ivfpq blocks
+    (part=cluster_id, width=m, blob=codes, dtype column) and sq
+    blocks (part=bucket, width=d, blob=codes, fixed uint8) alike;
+    nothing is re-encoded — the blobs move, bit-identical serving by
+    construction."""
+    import numpy as np
+    import pandas as pd
+
+    from mcp_vector_search_spark.operators.ivf import block_step
+    from mcp_vector_search_spark.operators.topk import id_type
+
+    idt = id_type(packed, "vec_ids")
+    elem = idt[len("array<"):-1] if idt.startswith("array<") else idt
+    keep = [part_col, "block_id", "n", width_col] + (
+        [dtype_col] if dtype_col else []
+    ) + ["vec_ids", blob_col]
+    dtype_ddl = f"{dtype_col} string, " if dtype_col else ""
+    out_schema = (
+        f"{part_col} int, block_id int, n int, {width_col} int, "
+        f"{dtype_ddl}vec_ids array<{elem}>, {blob_col} binary"
+    )
+
+    def repack(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        part = int(key[0])
+        if dtype_col:
+            dtypes = set(pdf[dtype_col])
+            if len(dtypes) != 1:
+                raise ValueError(
+                    f"{part_col}={part} mixes pack dtypes {sorted(dtypes)}"
+                )
+            dt = dtypes.pop()
+        else:
+            dt = fixed_dtype or "uint8"
+        np_dtype = np.dtype(dt)
+        width = int(pdf[width_col].iloc[0])
+        mats = [
+            np.frombuffer(getattr(r, blob_col), dtype=np_dtype).reshape(
+                int(r.n), width
+            )
+            for r in pdf.itertuples()
+        ]
+        M = np.concatenate(mats) if len(mats) > 1 else mats[0]
+        ids = np.concatenate([np.asarray(v) for v in pdf["vec_ids"]])
+        order = np.argsort(ids, kind="stable")
+        M, ids = M[order], ids[order]
+        step = block_step(width * np_dtype.itemsize, rows_per_block, max_block_bytes)
+        rows = []
+        for b, s in enumerate(range(0, len(ids), step)):
+            blk = np.ascontiguousarray(M[s : s + step])
+            row = [part, b, blk.shape[0], width]
+            if dtype_col:
+                row.append(dt)
+            row += [ids[s : s + step].tolist(), blk.tobytes()]
+            rows.append(tuple(row))
+        cols = [part_col, "block_id", "n", width_col] + (
+            [dtype_col] if dtype_col else []
+        ) + ["vec_ids", blob_col]
+        return pd.DataFrame(rows, columns=cols)
+
+    return packed.select(*keep).groupBy(part_col).applyInPandas(repack, out_schema)
+
+
+def compact_codec_layout(
+    spark: SparkSession,
+    layout_path: str,
+    part_col: str,
+    width_col: str,
+    blob_col: str,
+    dtype_col: str | None = "dtype",
+    fixed_dtype: str | None = None,
+    rows_per_block: int = 1 << 20,
+    max_block_bytes: int = 32 << 20,
+) -> tuple[int, int]:
+    """`streaming.incremental.compact_ann_layout` for code layouts:
+    merge per-batch block fragments, stage under blocks.tmp, atomic
+    rename-aside swap. Same QUIESCED-stream contract and pre-swap
+    abort; metadata tables are untouched. Returns (blocks_before,
+    blocks_after)."""
+    from mcp_vector_search_spark.io import atomic_swap_dir, recover_swap
+
+    blocks_path = f"{layout_path}/blocks"
+    recover_swap(blocks_path)
+    standing = spark.read.parquet(blocks_path)
+    n_before = standing.count()
+    compacted = repack_codec_blocks(
+        standing,
+        part_col,
+        width_col,
+        blob_col,
+        dtype_col=dtype_col,
+        fixed_dtype=fixed_dtype,
+        rows_per_block=rows_per_block,
+        max_block_bytes=max_block_bytes,
+    ).withColumn("batch_id", F.lit(-1))
+    tmp = blocks_path + ".tmp"
+    compacted.write.mode("overwrite").partitionBy(part_col, "batch_id").parquet(tmp)
+    n_after = spark.read.parquet(tmp).count()
+    if spark.read.parquet(blocks_path).count() != n_before:
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise RuntimeError(
+            "blocks changed during compaction (a live stream is appending) "
+            "— quiesce the stream and retry; nothing was modified"
+        )
+    atomic_swap_dir(tmp, blocks_path)
+    return n_before, n_after
+
+
+def compact_ivfpq_layout(spark: SparkSession, layout_path: str) -> tuple[int, int]:
+    return compact_codec_layout(
+        spark, layout_path, "cluster_id", "m", "codes", dtype_col="dtype"
+    )
+
+
+def compact_sq_layout(spark: SparkSession, layout_path: str) -> tuple[int, int]:
+    return compact_codec_layout(
+        spark, layout_path, "bucket", "d", "codes",
+        dtype_col=None, fixed_dtype="uint8",
+    )
+
+
+def ivfpq_layout_sink(spark: SparkSession, layout_path: str,
+                      vec_col: str = "embedding", id_col: str = "vec_id"):
+    """foreachBatch writer for a STREAM-MAINTAINED IVF-PQ code layout
+    (r6 — the codes analogue of `streaming.incremental.ann_layout_sink`):
+    each micro-batch of raw vectors is encoded map-side against the
+    layout's standing quantizer pair (`ivfpq_encode` — no refit),
+    packed, and written into its own (cluster_id, batch_id)
+    partitions with dynamic partition overwrite, so a replayed batch
+    overwrites itself instead of double-appending. Quantizer state is
+    loaded ONCE at sink creation as lineage-free local frames.
+
+        stream.writeStream.foreachBatch(
+            ivfpq_layout_sink(spark, layout_path))
+    """
+    from mcp_vector_search_spark.operators.ivfpq import ivfpq_encode, ivfpq_pack
+
+    _c = spark.read.parquet(f"{layout_path}/centroids")
+    cents = spark.createDataFrame(_c.collect(), _c.schema)
+    _b = spark.read.parquet(f"{layout_path}/codebooks")
+    cbs = spark.createDataFrame(_b.collect(), _b.schema)
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        packed = ivfpq_pack(
+            ivfpq_encode(batch_df, cents, cbs, vec_col=vec_col, id_col=id_col),
+            id_col=id_col,
+        )
+        (
+            packed.withColumn("batch_id", F.lit(int(batch_id)))
+            .write.partitionBy("cluster_id", "batch_id")
+            .option("partitionOverwriteMode", "dynamic")
+            .mode("overwrite")
+            .parquet(f"{layout_path}/blocks")
+        )
+
+    return write

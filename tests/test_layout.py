@@ -118,3 +118,63 @@ def test_api_save_load_ann_index_roundtrip(spark, tmp_path):
     p3 = SparkProject(spark, docs, emb)
     with pytest.raises(ValueError, match="no ANN index built"):
         p3.save_ann_index(str(tmp_path / "none"))
+
+
+def test_ivfpq_streaming_sink_and_compaction(spark, tmp_path):
+    """r6 codec lifecycle symmetry: ivfpq_layout_sink appends
+    micro-batches encoded against the standing quantizer pair
+    (replay-idempotent via dynamic partition overwrite), then
+    compact_ivfpq_layout merges the per-batch fragments with
+    bit-identical serving."""
+    import math
+
+    from mcp_vector_search_spark import io
+    from mcp_vector_search_spark.operators.ivfpq import (
+        ivfpq_build,
+        ivfpq_pack,
+        ivfpq_topk_packed,
+    )
+    from mcp_vector_search_spark.operators.layout import (
+        compact_ivfpq_layout,
+        ivfpq_layout_sink,
+        read_ivfpq_layout,
+        write_ivfpq_layout,
+    )
+
+    emb = io.table(spark, SF_DIR, "embeddings")
+    base = emb.filter(F.col("vec_id") < 300)
+    enc, cents, cbs = ivfpq_build(base, num_clusters=8, m=16, k_codes=64)
+    path = str(tmp_path / "pq_stream")
+    write_ivfpq_layout(ivfpq_pack(enc), cents, cbs, path)
+
+    sink = ivfpq_layout_sink(spark, path)
+    for i, lo in enumerate(range(300, 500, 50)):
+        sink(emb.filter((F.col("vec_id") >= lo) & (F.col("vec_id") < lo + 50)), i)
+    sink(emb.filter((F.col("vec_id") >= 300) & (F.col("vec_id") < 350)), 0)  # replay
+
+    pk, c2, cb2 = read_ivfpq_layout(spark, path)
+    ids = [v for r in pk.select("vec_ids").collect() for v in r.vec_ids]
+    assert len(ids) == len(set(ids)) == emb.count()
+    n_before = pk.count()
+
+    queries = emb.filter(F.col("vec_id") % 19 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    before = sorted(
+        map(tuple, ivfpq_topk_packed(pk, c2, cb2, queries, 5, nprobes=8).collect())
+    )
+
+    got_before, got_after = compact_ivfpq_layout(spark, path)
+    assert got_before == n_before
+    pk2, c3, cb3 = read_ivfpq_layout(spark, path)
+    per_part = {
+        r.cluster_id: r.rows
+        for r in pk2.groupBy("cluster_id").agg(F.sum("n").alias("rows")).collect()
+    }
+    assert got_after == pk2.count() == sum(
+        math.ceil(n / (1 << 20)) for n in per_part.values()
+    ) < n_before
+    after = sorted(
+        map(tuple, ivfpq_topk_packed(pk2, c3, cb3, queries, 5, nprobes=8).collect())
+    )
+    assert after == before
