@@ -314,3 +314,33 @@ def ivfpq_layout_sink(spark: SparkSession, layout_path: str,
         )
 
     return write
+
+
+def sq_layout_sink(spark: SparkSession, layout_path: str,
+                   vec_col: str = "embedding", id_col: str = "vec_id"):
+    """foreachBatch writer for a stream-maintained SQ code layout:
+    micro-batches encode against the layout's PINNED bounds (loaded
+    once, lineage-free — encoding against drifted bounds silently
+    corrupts decode, the same invariant `write_sq_layout` append
+    guards), pack into hash-bucketed blocks, and land in per-batch
+    (bucket, batch_id) partitions with replay-idempotent dynamic
+    overwrite."""
+    from mcp_vector_search_spark.operators.sq import sq_encode, sq_pack
+
+    _b = spark.read.parquet(f"{layout_path}/bounds")
+    bounds = spark.createDataFrame(_b.collect(), _b.schema)
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        packed = sq_pack(
+            sq_encode(batch_df, bounds, vec_col=vec_col, id_col=id_col),
+            id_col=id_col,
+        )
+        (
+            packed.withColumn("batch_id", F.lit(int(batch_id)))
+            .write.partitionBy("bucket", "batch_id")
+            .option("partitionOverwriteMode", "dynamic")
+            .mode("overwrite")
+            .parquet(f"{layout_path}/blocks")
+        )
+
+    return write

@@ -178,3 +178,44 @@ def test_ivfpq_streaming_sink_and_compaction(spark, tmp_path):
         map(tuple, ivfpq_topk_packed(pk2, c3, cb3, queries, 5, nprobes=8).collect())
     )
     assert after == before
+
+
+def test_sq_streaming_sink_and_compaction(spark, tmp_path):
+    """SQ half of the codec streaming lifecycle: sink encodes against
+    the layout's pinned bounds (replay-idempotent), compaction merges
+    per-batch bucket fragments with serve-result equality."""
+    from mcp_vector_search_spark import io
+    from mcp_vector_search_spark.operators.layout import (
+        compact_sq_layout,
+        read_sq_layout,
+        sq_layout_sink,
+        write_sq_layout,
+    )
+    from mcp_vector_search_spark.operators.sq import (
+        sq_encode,
+        sq_pack,
+        sq_topk_packed,
+        sq_train,
+    )
+
+    emb = io.table(spark, SF_DIR, "embeddings")
+    base = emb.filter(F.col("vec_id") < 300)
+    bounds = sq_train(emb)  # bounds over the FULL corpus: appends stay in-range
+    path = str(tmp_path / "sq_stream")
+    write_sq_layout(sq_pack(sq_encode(base, bounds)), bounds, path)
+    sink = sq_layout_sink(spark, path)
+    for i, lo in enumerate(range(300, 500, 100)):
+        sink(emb.filter((F.col("vec_id") >= lo) & (F.col("vec_id") < lo + 100)), i)
+    sink(emb.filter((F.col("vec_id") >= 300) & (F.col("vec_id") < 400)), 0)  # replay
+
+    pk, b2 = read_sq_layout(spark, path)
+    ids = [v for r in pk.select("vec_ids").collect() for v in r.vec_ids]
+    assert len(ids) == len(set(ids)) == emb.count()
+    q = emb.filter(F.col("vec_id") % 23 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    before = sorted(map(tuple, sq_topk_packed(pk, b2, q, 5).collect()))
+    nb, na = compact_sq_layout(spark, path)
+    pk2, b3 = read_sq_layout(spark, path)
+    after = sorted(map(tuple, sq_topk_packed(pk2, b3, q, 5).collect()))
+    assert after == before and na < nb
