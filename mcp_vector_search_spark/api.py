@@ -205,14 +205,14 @@ class SparkProject:
 
             packed, cents, cbs = self._ivfpq_layout
             write_ivfpq_layout(packed, cents, cbs, path)
-            return
-        if self._sq_layout is not None:
+            kind = "ivfpq"
+        elif self._sq_layout is not None:
             from mcp_vector_search_spark.operators.layout import write_sq_layout
 
             packed, bounds = self._sq_layout
             write_sq_layout(packed, bounds, path)
-            return
-        if self._ivf_layout is not None:
+            kind = "ivfsq"
+        elif self._ivf_layout is not None:
             layout, centroids, lkind = self._ivf_layout
             if lkind != "packed":
                 raise ValueError(
@@ -222,37 +222,75 @@ class SparkProject:
             from mcp_vector_search_spark.operators.ivf import write_ivf_layout
 
             write_ivf_layout(layout, centroids, path)
-            return
-        raise ValueError("no ANN index built — call build_ann_index first")
+            kind = "ivf"
+        else:
+            raise ValueError("no ANN index built — call build_ann_index first")
+        # one-row kind manifest: layouts of different kinds share the
+        # blocks/centroids path shape, so a wrong-kind load would
+        # otherwise succeed here and fail cryptically inside an
+        # executor at query time (r6 review)
+        self.spark.createDataFrame([(kind,)], "kind string").write.mode(
+            "overwrite"
+        ).parquet(f"{path}/kind")
 
-    def load_ann_index(self, path: str, kind: str = "ivf") -> None:
+    def load_ann_index(self, path: str, kind: str | None = None) -> None:
         """Load a persisted ANN layout into the serving memo (cached
         blocks + lineage-free metadata) — `search_batch` routes to it
-        exactly as after `build_ann_index(kind)`."""
-        self._drain_deferred()
-        if kind not in ("ivf", "ivfpq", "ivfsq"):
+        exactly as after `build_ann_index(kind)`.
+
+        `kind=None` reads the layout's kind manifest (written by
+        `save_ann_index`); passing a kind that contradicts the
+        manifest raises. The new layout is read and materialized
+        BEFORE the standing one is released, so a failed load leaves
+        the current index serving (r6 review)."""
+        if kind is not None and kind not in ("ivf", "ivfpq", "ivfsq"):
             raise ValueError(f"unknown ANN index kind: {kind!r}")
+        persisted = None
+        try:
+            persisted = self.spark.read.parquet(f"{path}/kind").first()["kind"]
+        except Exception:
+            pass  # pre-manifest layout: trust the caller's kind
+        if persisted is not None:
+            if kind is not None and kind != persisted:
+                raise ValueError(
+                    f"layout at {path} is kind={persisted!r}, not {kind!r}"
+                )
+            kind = persisted
+        if kind is None:
+            raise ValueError(
+                f"layout at {path} has no kind manifest — pass kind= explicitly"
+            )
+
+        # read + materialize the NEW layout first; only then swap
+        if kind == "ivfpq":
+            from mcp_vector_search_spark.operators.layout import read_ivfpq_layout
+
+            packed, cents, cbs = read_ivfpq_layout(self.spark, path)
+            packed = packed.cache()
+            packed.count()
+            new = ("_ivfpq_layout", (packed, cents, cbs))
+        elif kind == "ivfsq":
+            from mcp_vector_search_spark.operators.layout import read_sq_layout
+
+            packed, bounds = read_sq_layout(self.spark, path)
+            packed = packed.cache()
+            packed.count()
+            bounds_local = self.spark.createDataFrame(bounds.collect(), bounds.schema)
+            new = ("_sq_layout", (packed, bounds_local))
+        else:
+            from mcp_vector_search_spark.operators.ivf import read_ivf_layout
+
+            packed, centroids = read_ivf_layout(self.spark, path)
+            packed = packed.cache()
+            packed.count()
+            new = ("_ivf_layout", (packed, centroids, "packed"))
+        self._drain_deferred()
         for attr in ("_ivf_layout", "_ivfpq_layout", "_sq_layout"):
             layout = getattr(self, attr)
             if layout is not None:
                 layout[0].unpersist()
                 setattr(self, attr, None)
-        if kind == "ivfpq":
-            from mcp_vector_search_spark.operators.layout import read_ivfpq_layout
-
-            packed, cents, cbs = read_ivfpq_layout(self.spark, path)
-            self._ivfpq_layout = (packed.cache(), cents, cbs)
-        elif kind == "ivfsq":
-            from mcp_vector_search_spark.operators.layout import read_sq_layout
-
-            packed, bounds = read_sq_layout(self.spark, path)
-            bounds_local = self.spark.createDataFrame(bounds.collect(), bounds.schema)
-            self._sq_layout = (packed.cache(), bounds_local)
-        else:
-            from mcp_vector_search_spark.operators.ivf import read_ivf_layout
-
-            packed, centroids = read_ivf_layout(self.spark, path)
-            self._ivf_layout = (packed.cache(), centroids, "packed")
+        setattr(self, *new)
 
     def search_batch(self, queries: DataFrame, limit: int = 10) -> DataFrame:
         """Batch ANN (tool batch search): always the Arrow-vectorized

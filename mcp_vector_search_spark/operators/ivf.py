@@ -495,57 +495,21 @@ def repack_blocks(
     rows — the blobs move, nothing is re-scored or re-assigned);
     per-cluster state is bounded by the cluster's packed bytes.
     Columns beyond the pack schema (batch_id) are dropped — the
-    caller re-stamps partition columns."""
-    import numpy as np
-    import pandas as pd
+    caller re-stamps partition columns.
 
-    from mcp_vector_search_spark.operators.topk import id_type
+    (r6: delegates to the generic codec repack,
+    `operators/layout.py:repack_codec_blocks` — one merge kernel for
+    float mats and PQ/SQ code blocks alike.)"""
+    from mcp_vector_search_spark.operators.layout import repack_codec_blocks
 
-    idt = id_type(packed, "vec_ids")
-    # vec_ids is array<idt>: strip the array wrapper for the output DDL
-    elem = idt[len("array<"):-1] if idt.startswith("array<") else idt
-    out_schema = (
-        "cluster_id int, block_id int, n int, dim int, dtype string, "
-        f"vec_ids array<{elem}>, mat binary"
-    )
-
-    def repack(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        cid = int(key[0])
-        dtypes = set(pdf["dtype"])
-        if len(dtypes) != 1:
-            raise ValueError(
-                f"cluster {cid} mixes pack dtypes {sorted(dtypes)} — "
-                "a layout must be packed uniformly"
-            )
-        dt = dtypes.pop()
-        np_dtype = np.dtype(dt)
-        dim = int(pdf["dim"].iloc[0])
-        mats = [
-            np.frombuffer(r.mat, dtype=np_dtype).reshape(int(r.n), dim)
-            for r in pdf.itertuples()
-        ]
-        M = np.concatenate(mats) if len(mats) > 1 else mats[0]
-        ids = np.concatenate([np.asarray(v) for v in pdf["vec_ids"]])
-        order = np.argsort(ids, kind="stable")
-        M, ids = M[order], ids[order]
-        step = block_step(dim * np_dtype.itemsize, rows_per_block, max_block_bytes)
-        rows = []
-        for b, s in enumerate(range(0, len(ids), step)):
-            blk = np.ascontiguousarray(M[s : s + step])
-            rows.append(
-                (cid, b, blk.shape[0], dim, dt, ids[s : s + step].tolist(), blk.tobytes())
-            )
-        return pd.DataFrame(
-            rows,
-            columns=[
-                "cluster_id", "block_id", "n", "dim", "dtype", "vec_ids", "mat",
-            ],
-        )
-
-    return (
-        packed.select("cluster_id", "block_id", "n", "dim", "dtype", "vec_ids", "mat")
-        .groupBy("cluster_id")
-        .applyInPandas(repack, out_schema)
+    return repack_codec_blocks(
+        packed,
+        part_col="cluster_id",
+        width_col="dim",
+        blob_col="mat",
+        dtype_col="dtype",
+        rows_per_block=rows_per_block,
+        max_block_bytes=max_block_bytes,
     )
 
 
@@ -718,61 +682,16 @@ def write_ivf_layout(
     batch_id partitions) share one scheme at one path; mixed-depth
     partitioning under `blocks/` would break parquet partition
     discovery at read time (ADVICE r5). Readers treat batch_id as a
-    passthrough column the scoring kernel ignores."""
-    if "batch_id" not in packed.columns:
-        packed = packed.withColumn("batch_id", F.lit(-1))
-    if mode == "append":
-        cpath = f"{path}/centroids"
-        try:
-            # read-probe, not a local-FS isdir check: the layout may
-            # live on any Hadoop-compatible store (hdfs://, s3a://)
-            existing_df = packed.sparkSession.read.parquet(cpath)
-            existing_rows = existing_df.collect()
-        except Exception as e:
-            raise ValueError(
-                f"append to a layout with no readable centroid table at "
-                f"{cpath}: write the initial layout with mode='overwrite' "
-                f"first ({e.__class__.__name__})"
-            ) from e
-        existing = sorted(
-            (r.cluster_id, tuple(r.centroid)) for r in existing_rows
-        )
-        given = sorted(
-            (r.cluster_id, tuple(r.centroid)) for r in centroids.collect()
-        )
-        if existing != given:
-            raise ValueError(
-                "append centroids differ from the persisted quantizer — "
-                "blocks packed against refit centroids cannot be appended to "
-                "a standing layout (overwrite, or use a new path)"
-            )
-        # partition-scheme guard: a pre-r6 layout partitioned by
-        # cluster_id only would end up with two partition depths under
-        # blocks/ after this append — refuse instead of corrupting
-        # partition discovery. An unreadable/absent blocks dir is NOT
-        # an error: the centroid check above already proved this is a
-        # layout, so this append simply writes the first blocks
-        # (r6 review — don't surface a raw AnalysisException here).
-        try:
-            standing_cols = packed.sparkSession.read.parquet(
-                f"{path}/blocks"
-            ).columns
-        except Exception:
-            standing_cols = None
-        if standing_cols is not None and "batch_id" not in standing_cols:
-            raise ValueError(
-                "standing layout's blocks are not partitioned by "
-                "(cluster_id, batch_id) — rewrite it with "
-                "mode='overwrite' before appending"
-            )
-        packed.write.mode("append").partitionBy("cluster_id", "batch_id").parquet(
-            f"{path}/blocks"
-        )
-        return
-    packed.write.mode(mode).partitionBy("cluster_id", "batch_id").parquet(
-        f"{path}/blocks"
+    passthrough column the scoring kernel ignores.
+
+    (r6: delegates to the generic codec-layout writer — ONE
+    implementation of the append/guard invariants across the float,
+    IVF-PQ, and SQ layouts, `operators/layout.py`.)"""
+    from mcp_vector_search_spark.operators.layout import write_codec_layout
+
+    write_codec_layout(
+        packed, {"centroids": centroids}, path, mode=mode, part_col="cluster_id"
     )
-    centroids.write.mode(mode).parquet(f"{path}/centroids")
 
 
 def read_ivf_layout(spark, path: str) -> tuple[DataFrame, DataFrame]:

@@ -86,15 +86,7 @@ def ivfpq_build(
         assigned, centroids = ivf_build(
             vectors, vec_col=vec_col, num_clusters=num_clusters, seed=seed
         )
-    # residual = unit − centroid[cluster_id]; centroids broadcast
-    resid = (
-        assigned.join(F.broadcast(centroids), "cluster_id")
-        .withColumn(
-            "_resid",
-            F.zip_with("unit", "centroid", lambda u, c: u - c),
-        )
-        .select(id_col, "cluster_id", "_resid")
-    )
+    resid = _residuals(assigned, centroids, id_col)
     codebooks = pq_train(
         resid,
         vec_col="_resid",
@@ -108,11 +100,30 @@ def ivfpq_build(
     # cluster_id rides through the encode kernel: a join-back would
     # execute the assignment/residual lineage twice and add an id
     # shuffle just to re-attach a column the kernel's input already had
-    encoded = pq_encode(
+    encoded = _encode_residuals(resid, codebooks, id_col)
+    return encoded, centroids, codebooks
+
+
+def _residuals(assigned: DataFrame, centroids: DataFrame, id_col: str) -> DataFrame:
+    """residual = unit − centroid[cluster_id]; centroids broadcast.
+    ONE definition shared by the batch build and the incremental
+    encode — batch-built and stream-appended codes must agree on the
+    residual contract or a layout silently mixes quantizations
+    (r6 review)."""
+    return (
+        assigned.join(F.broadcast(centroids), "cluster_id")
+        .withColumn("_resid", F.zip_with("unit", "centroid", lambda u, c: u - c))
+        .select(id_col, "cluster_id", "_resid")
+    )
+
+
+def _encode_residuals(resid: DataFrame, codebooks: DataFrame, id_col: str) -> DataFrame:
+    from mcp_vector_search_spark.operators.pq import pq_encode
+
+    return pq_encode(
         resid, codebooks, vec_col="_resid", id_col=id_col, normalize=False,
         passthrough_cols=["cluster_id"],
     ).select(id_col, "cluster_id", "codes")
-    return encoded, centroids, codebooks
 
 
 def ivfpq_encode(
@@ -132,18 +143,9 @@ def ivfpq_encode(
     guard enforces that THESE centroids/codebooks match the persisted
     ones."""
     from mcp_vector_search_spark.operators.ivf import ivf_assign
-    from mcp_vector_search_spark.operators.pq import pq_encode
 
     assigned = ivf_assign(vectors, centroids, vec_col=vec_col)
-    resid = (
-        assigned.join(F.broadcast(centroids), "cluster_id")
-        .withColumn("_resid", F.zip_with("unit", "centroid", lambda u, c: u - c))
-        .select(id_col, "cluster_id", "_resid")
-    )
-    return pq_encode(
-        resid, codebooks, vec_col="_resid", id_col=id_col, normalize=False,
-        passthrough_cols=["cluster_id"],
-    ).select(id_col, "cluster_id", "codes")
+    return _encode_residuals(_residuals(assigned, centroids, id_col), codebooks, id_col)
 
 
 def _adc_query_prep(

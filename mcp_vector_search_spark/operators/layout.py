@@ -71,9 +71,26 @@ def write_codec_layout(
             if _rows_key(existing) != _rows_key(df.collect()):
                 raise ValueError(
                     f"append {name} differ from the persisted layout — "
-                    "blocks encoded against different quantizer state "
-                    "cannot be appended (overwrite, or use a new path)"
+                    f"blocks packed against refit {name} / different "
+                    "quantizer state cannot be appended (overwrite, or "
+                    "use a new path)"
                 )
+        # partition-scheme guard: a legacy layout partitioned without
+        # batch_id would end up with two partition depths under
+        # blocks/ after this append — refuse instead of corrupting
+        # partition discovery. An unreadable/absent blocks dir is NOT
+        # an error (the metadata check above proved this is a layout):
+        # the append simply writes the first blocks.
+        try:
+            standing_cols = spark.read.parquet(f"{path}/blocks").columns
+        except Exception:
+            standing_cols = None
+        if standing_cols is not None and "batch_id" not in standing_cols:
+            raise ValueError(
+                f"standing layout's blocks are not partitioned by "
+                f"({part_col}, batch_id) — rewrite it with "
+                "mode='overwrite' before appending"
+            )
         packed.write.mode("append").partitionBy(part_col, "batch_id").parquet(
             f"{path}/blocks"
         )
@@ -182,20 +199,24 @@ def repack_codec_blocks(
     def repack(key, pdf: pd.DataFrame) -> pd.DataFrame:
         part = int(key[0])
         if dtype_col:
-            dtypes = set(pdf[dtype_col])
-            if len(dtypes) != 1:
-                raise ValueError(
-                    f"{part_col}={part} mixes pack dtypes {sorted(dtypes)}"
-                )
-            dt = dtypes.pop()
+            # a stream can legitimately mix widths within a partition
+            # (ivfpq_pack picks uint8/uint16 per batch by max code) —
+            # upcast to the widest present instead of refusing to
+            # compact exactly the fragments this exists to merge
+            # (r6 review)
+            dtypes = sorted(set(pdf[dtype_col]), key=lambda d: np.dtype(d).itemsize)
+            dt = dtypes[-1]
         else:
             dt = fixed_dtype or "uint8"
         np_dtype = np.dtype(dt)
         width = int(pdf[width_col].iloc[0])
         mats = [
-            np.frombuffer(getattr(r, blob_col), dtype=np_dtype).reshape(
-                int(r.n), width
+            np.frombuffer(
+                getattr(r, blob_col),
+                dtype=np.dtype(getattr(r, dtype_col)) if dtype_col else np_dtype,
             )
+            .reshape(int(r.n), width)
+            .astype(np_dtype)
             for r in pdf.itertuples()
         ]
         M = np.concatenate(mats) if len(mats) > 1 else mats[0]
@@ -229,16 +250,28 @@ def compact_codec_layout(
     fixed_dtype: str | None = None,
     rows_per_block: int = 1 << 20,
     max_block_bytes: int = 32 << 20,
+    require_meta: tuple[str, ...] = (),
 ) -> tuple[int, int]:
-    """`streaming.incremental.compact_ann_layout` for code layouts:
-    merge per-batch block fragments, stage under blocks.tmp, atomic
-    rename-aside swap. Same QUIESCED-stream contract and pre-swap
-    abort; metadata tables are untouched. Returns (blocks_before,
-    blocks_after)."""
+    """Compaction for any packed layout: merge per-batch block
+    fragments, stage under blocks.tmp, atomic rename-aside swap.
+    QUIESCED-stream contract with a pre-swap abort (see
+    `streaming.incremental.compact_ann_layout`, which delegates
+    here); metadata tables are untouched. `require_meta` names
+    metadata tables that must be readable first — compacting a path
+    that is not actually a layout is refused. Returns
+    (blocks_before, blocks_after)."""
     from mcp_vector_search_spark.io import atomic_swap_dir, recover_swap
 
     blocks_path = f"{layout_path}/blocks"
     recover_swap(blocks_path)
+    for name in require_meta:
+        try:
+            spark.read.parquet(f"{layout_path}/{name}").head(1)
+        except Exception as e:
+            raise ValueError(
+                f"{layout_path} has no readable {name} table — not a "
+                f"packed layout ({e.__class__.__name__})"
+            ) from e
     standing = spark.read.parquet(blocks_path)
     n_before = standing.count()
     compacted = repack_codec_blocks(
@@ -268,14 +301,40 @@ def compact_codec_layout(
 
 def compact_ivfpq_layout(spark: SparkSession, layout_path: str) -> tuple[int, int]:
     return compact_codec_layout(
-        spark, layout_path, "cluster_id", "m", "codes", dtype_col="dtype"
+        spark, layout_path, "cluster_id", "m", "codes", dtype_col="dtype",
+        require_meta=("centroids", "codebooks"),
     )
 
 
 def compact_sq_layout(spark: SparkSession, layout_path: str) -> tuple[int, int]:
     return compact_codec_layout(
         spark, layout_path, "bucket", "d", "codes",
-        dtype_col=None, fixed_dtype="uint8",
+        dtype_col=None, fixed_dtype="uint8", require_meta=("bounds",),
+    )
+
+
+def load_local_meta(spark: SparkSession, layout_path: str, name: str) -> DataFrame:
+    """A layout metadata table as a lineage-free LOCAL frame — loaded
+    once at sink creation (metadata is immutable for a layout's
+    lifetime by contract) so the sink closure holds no storage scan."""
+    df = spark.read.parquet(f"{layout_path}/{name}")
+    return spark.createDataFrame(df.collect(), df.schema)
+
+
+def write_stream_blocks(
+    packed: DataFrame, layout_path: str, part_col: str, batch_id: int
+) -> None:
+    """The one micro-batch write shape every layout sink shares:
+    per-batch (part, batch_id) partitions with dynamic partition
+    overwrite, so a REPLAYED batch (foreachBatch at-least-once
+    restart window) deterministically overwrites its own partitions
+    instead of double-appending blocks."""
+    (
+        packed.withColumn("batch_id", F.lit(int(batch_id)))
+        .write.partitionBy(part_col, "batch_id")
+        .option("partitionOverwriteMode", "dynamic")
+        .mode("overwrite")
+        .parquet(f"{layout_path}/blocks")
     )
 
 
@@ -295,23 +354,15 @@ def ivfpq_layout_sink(spark: SparkSession, layout_path: str,
     """
     from mcp_vector_search_spark.operators.ivfpq import ivfpq_encode, ivfpq_pack
 
-    _c = spark.read.parquet(f"{layout_path}/centroids")
-    cents = spark.createDataFrame(_c.collect(), _c.schema)
-    _b = spark.read.parquet(f"{layout_path}/codebooks")
-    cbs = spark.createDataFrame(_b.collect(), _b.schema)
+    cents = load_local_meta(spark, layout_path, "centroids")
+    cbs = load_local_meta(spark, layout_path, "codebooks")
 
     def write(batch_df: DataFrame, batch_id: int) -> None:
         packed = ivfpq_pack(
             ivfpq_encode(batch_df, cents, cbs, vec_col=vec_col, id_col=id_col),
             id_col=id_col,
         )
-        (
-            packed.withColumn("batch_id", F.lit(int(batch_id)))
-            .write.partitionBy("cluster_id", "batch_id")
-            .option("partitionOverwriteMode", "dynamic")
-            .mode("overwrite")
-            .parquet(f"{layout_path}/blocks")
-        )
+        write_stream_blocks(packed, layout_path, "cluster_id", batch_id)
 
     return write
 
@@ -327,20 +378,13 @@ def sq_layout_sink(spark: SparkSession, layout_path: str,
     overwrite."""
     from mcp_vector_search_spark.operators.sq import sq_encode, sq_pack
 
-    _b = spark.read.parquet(f"{layout_path}/bounds")
-    bounds = spark.createDataFrame(_b.collect(), _b.schema)
+    bounds = load_local_meta(spark, layout_path, "bounds")
 
     def write(batch_df: DataFrame, batch_id: int) -> None:
         packed = sq_pack(
             sq_encode(batch_df, bounds, vec_col=vec_col, id_col=id_col),
             id_col=id_col,
         )
-        (
-            packed.withColumn("batch_id", F.lit(int(batch_id)))
-            .write.partitionBy("bucket", "batch_id")
-            .option("partitionOverwriteMode", "dynamic")
-            .mode("overwrite")
-            .parquet(f"{layout_path}/blocks")
-        )
+        write_stream_blocks(packed, layout_path, "bucket", batch_id)
 
     return write

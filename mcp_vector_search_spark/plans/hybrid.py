@@ -305,12 +305,16 @@ def hybrid_search_batch_indexed(
         raise ValueError(f"duplicate query_ids in term_sets: {dupes}")
     n_leg = k * over_retrieve
 
+    from mcp_vector_search_spark.operators.topk import id_type
+
     spark = postings.sparkSession
-    qt_rows = [
-        (int(qid), t) for qid, ts in term_sets for t in dict.fromkeys(ts)
-    ]
+    # inherit the real query-id type (string chunk_ids etc.) — the
+    # expr path supports them, and this path promises row-identity
+    # with it (r6 review: int() coercion broke that contract)
+    qt_rows = [(qid, t) for qid, ts in term_sets for t in dict.fromkeys(ts)]
     qt = spark.createDataFrame(
-        qt_rows, f"{query_id_col} long, term string"
+        qt_rows,
+        f"{query_id_col} {id_type(query_vecs, query_id_col)}, term string",
     )
 
     avg = doc_stats.agg(F.avg("dl").alias("avgdl"))

@@ -1404,15 +1404,11 @@ def q_ml_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mcp_vector_search_spark.sources.code_chunker import code_chunks_multilang
 
     src = _ml_code_docs(spark, sf_dir)
-    lang = F.element_at(
-        F.array(*[F.lit(x) for x in ML_GATE_LANGS]),
-        (F.col("doc_id") % len(ML_GATE_LANGS) + 1).cast("int"),
-    )
     return (
         code_chunks_multilang(src)
         .select(
             "doc_id",
-            lang.alias("lang"),
+            F.col("language").alias("lang"),
             F.col("chunk_no").cast("long").alias("chunk_no"),
             "chunk_type",
             F.coalesce("name", F.lit("")).alias("name"),

@@ -396,6 +396,9 @@ def code_chunks_multilang(
     first = F.substring_index("chunk_text", "\n", 1)
     return grouped.select(
         "doc_id",
+        # the language is a grouping key — emit it so consumers (the
+        # ml_chunks gate) don't have to re-derive it (r6 review)
+        F.col("_lang").alias("language"),
         "chunk_no",
         "n_lines",
         "chunk_text",

@@ -290,24 +290,20 @@ def ann_layout_sink(
     appends for the same reason.
     """
     from mcp_vector_search_spark.operators.ivf import ivf_assign, ivf_pack
+    from mcp_vector_search_spark.operators.layout import (
+        load_local_meta,
+        write_stream_blocks,
+    )
 
     # load the quantizer ONCE at sink creation (the layout must be
     # bootstrapped first): centroids are immutable for the layout's
     # lifetime by contract, so a per-micro-batch re-read was a wasted
-    # Spark job + driver round-trip on every batch. Re-created as a
-    # lineage-free local frame so the closure holds no storage scan.
-    _cdf = spark.read.parquet(f"{layout_path}/centroids")
-    cents = spark.createDataFrame(_cdf.collect(), _cdf.schema)
+    # Spark job + driver round-trip on every batch.
+    cents = load_local_meta(spark, layout_path, "centroids")
 
     def write(batch_df: DataFrame, batch_id: int) -> None:
         packed = ivf_pack(ivf_assign(batch_df, cents, vec_col=vec_col), id_col=id_col)
-        (
-            packed.withColumn("batch_id", F.lit(int(batch_id)))
-            .write.partitionBy("cluster_id", "batch_id")
-            .option("partitionOverwriteMode", "dynamic")
-            .mode("overwrite")
-            .parquet(f"{layout_path}/blocks")
-        )
+        write_stream_blocks(packed, layout_path, "cluster_id", batch_id)
 
     return write
 
@@ -350,41 +346,22 @@ def compact_ann_layout(
     local/NFS checkpoints this engine tests on. On an object store,
     stage to a NEW layout path and flip the serving pointer (the
     `upsert_versioned` manifest pattern) instead.
+
+    (r6: delegates to the generic codec compactor,
+    `operators/layout.py:compact_codec_layout` — one implementation
+    of the snapshot/recheck/swap sequence across the float, IVF-PQ,
+    and SQ layouts.)
     """
-    from mcp_vector_search_spark.io import atomic_swap_dir, recover_swap
-    from mcp_vector_search_spark.operators.ivf import repack_blocks
+    from mcp_vector_search_spark.operators.layout import compact_codec_layout
 
-    blocks_path = f"{layout_path}/blocks"
-    recover_swap(blocks_path)
-    try:
-        spark.read.parquet(f"{layout_path}/centroids").head(1)
-    except Exception as e:
-        raise ValueError(
-            f"{layout_path} has no readable centroid table — not a "
-            f"packed IVF layout ({e.__class__.__name__})"
-        ) from e
-    standing = spark.read.parquet(blocks_path)
-    n_before = standing.count()
-    compacted = repack_blocks(
-        standing, rows_per_block=rows_per_block, max_block_bytes=max_block_bytes
-    ).withColumn("batch_id", F.lit(-1))
-    tmp = blocks_path + ".tmp"
-    compacted.write.mode("overwrite").partitionBy("cluster_id", "batch_id").parquet(tmp)
-    n_after = spark.read.parquet(tmp).count()
-    # concurrent-append guard (r6 review): the swap replaces blocks/
-    # wholesale, so a micro-batch committed after the snapshot read
-    # would silently vanish. Contract: run compaction with the stream
-    # quiesced (between triggers / stopped). This recheck catches a
-    # violated contract for everything committed up to here and aborts
-    # instead of losing data; the residual window between recheck and
-    # rename is milliseconds and still requires a quiesced stream.
-    if spark.read.parquet(blocks_path).count() != n_before:
-        import shutil
-
-        shutil.rmtree(tmp, ignore_errors=True)
-        raise RuntimeError(
-            "blocks changed during compaction (a live stream is appending) "
-            "— quiesce the stream and retry; nothing was modified"
-        )
-    atomic_swap_dir(tmp, blocks_path)
-    return n_before, n_after
+    return compact_codec_layout(
+        spark,
+        layout_path,
+        part_col="cluster_id",
+        width_col="dim",
+        blob_col="mat",
+        dtype_col="dtype",
+        rows_per_block=rows_per_block,
+        max_block_bytes=max_block_bytes,
+        require_meta=("centroids",),
+    )

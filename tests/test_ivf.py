@@ -292,7 +292,7 @@ def test_ivf_lifecycle_guards(spark, tmp_path):
 
     path = str(tmp_path / "layout")
     packed = ivf_pack(assigned)
-    with pytest.raises(ValueError, match="no readable centroid table"):
+    with pytest.raises(ValueError, match="no readable centroid"):
         write_ivf_layout(packed, centroids, path, mode="append")
     write_ivf_layout(packed, centroids, path)
     refit = centroids.withColumn(

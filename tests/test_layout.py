@@ -219,3 +219,62 @@ def test_sq_streaming_sink_and_compaction(spark, tmp_path):
     pk2, b3 = read_sq_layout(spark, path)
     after = sorted(map(tuple, sq_topk_packed(pk2, b3, q, 5).collect()))
     assert after == before and na < nb
+
+
+def test_load_manifest_and_failed_load_preserves_index(spark, tmp_path):
+    """r6 review fixes: save writes a kind manifest (load infers it;
+    a contradictory kind raises), and a failed load leaves the
+    standing index serving instead of silently degrading to brute."""
+    import pytest
+
+    from mcp_vector_search_spark import io
+    from mcp_vector_search_spark.api import SparkProject
+
+    emb = io.table(spark, SF_DIR, "embeddings")
+    docs = emb.selectExpr("vec_id as doc_id", "'t' as text")
+    q = emb.filter(F.col("vec_id") % 29 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    p = SparkProject(spark, docs, emb)
+    p.build_ann_index(kind="ivfpq", num_clusters=8)
+    path = str(tmp_path / "idx")
+    p.save_ann_index(path)
+
+    p2 = SparkProject(spark, docs, emb)
+    p2.load_ann_index(path)  # kind inferred from the manifest
+    assert p2._ivfpq_layout is not None
+    with pytest.raises(ValueError, match="kind='ivfpq'"):
+        p2.load_ann_index(path, kind="ivf")
+
+    served = sorted(map(tuple, p2.search_batch(q, 5).collect()))
+    with pytest.raises(Exception):
+        p2.load_ann_index(str(tmp_path / "missing"), kind="ivf")
+    # the standing ivfpq index survived the failed load
+    assert p2._ivfpq_layout is not None
+    assert sorted(map(tuple, p2.search_batch(q, 5).collect())) == served
+
+
+def test_repack_upcasts_mixed_code_dtypes(spark):
+    """r6 review fix: a stream-maintained IVF-PQ layout with
+    k_codes>256 can mix uint8/uint16 blocks within a cluster (the
+    pack picks the width per batch); repack upcasts to the widest
+    instead of refusing to compact."""
+    import numpy as np
+
+    from mcp_vector_search_spark.operators.layout import repack_codec_blocks
+
+    rows = [
+        (1, 0, 2, 4, "uint16",
+         [10, 11], np.array([[300, 1, 2, 3], [4, 5, 6, 7]], dtype=np.uint16).tobytes()),
+        (1, 0, 2, 4, "uint8",
+         [12, 13], np.array([[8, 9, 10, 11], [12, 13, 14, 15]], dtype=np.uint8).tobytes()),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "cluster_id int, block_id int, n int, m int, dtype string, "
+        "vec_ids array<bigint>, codes binary",
+    )
+    out = repack_codec_blocks(df, "cluster_id", "m", "codes").collect()
+    assert len(out) == 1 and out[0].dtype == "uint16" and out[0].n == 4
+    M = np.frombuffer(out[0].codes, dtype=np.uint16).reshape(4, 4)
+    assert M[0, 0] == 300 and M[2, 0] == 8 and list(out[0].vec_ids) == [10, 11, 12, 13]
