@@ -145,3 +145,83 @@ def test_pack_sequences_greedy_property(spark, toks, cap):
     for b, fill in fills.items():
         if counts[b] > 1:
             assert fill <= cap
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 3),                      # cluster
+            st.integers(1, 5),                      # rows in fragment
+        ),
+        min_size=1,
+        max_size=6,
+    ),
+    st.integers(2, 4),                              # width
+)
+@_settings
+def test_repack_blocks_preserves_content(spark, frags, width):
+    """repack_codec_blocks is a pure layout change: after merging
+    arbitrary fragmented blocks, each partition holds exactly the
+    union of its input (id, row) pairs, id-sorted, under the
+    block-count bound ceil(rows/step)."""
+    import numpy as np
+
+    from mcp_vector_search_spark.operators.layout import repack_codec_blocks
+
+    rows, next_id = [], 0
+    expect: dict[int, dict[int, list[int]]] = {}
+    for b, (part, n) in enumerate(frags):
+        ids = list(range(next_id, next_id + n))
+        next_id += n
+        M = np.arange(n * width, dtype=np.uint8).reshape(n, width) + (b * 7) % 100
+        rows.append((part, b, n, width, "uint8", ids, M.tobytes()))
+        for j, i in enumerate(ids):
+            expect.setdefault(part, {})[i] = list(M[j])
+    df = spark.createDataFrame(
+        rows,
+        "cluster_id int, block_id int, n int, m int, dtype string, "
+        "vec_ids array<bigint>, codes binary",
+    )
+    out = repack_codec_blocks(df, "cluster_id", "m", "codes").collect()
+    got: dict[int, dict[int, list[int]]] = {}
+    for r in out:
+        import numpy as np
+
+        M = np.frombuffer(r.codes, dtype=np.uint8).reshape(r.n, r.m)
+        assert list(r.vec_ids) == sorted(r.vec_ids)  # id-sorted
+        for j, i in enumerate(r.vec_ids):
+            got.setdefault(r.cluster_id, {})[i] = list(M[j])
+    assert got == expect
+    # one block per partition here (rows ≪ any step bound)
+    assert len(out) == len(expect)
+
+
+@given(
+    st.lists(_text, min_size=1, max_size=6),
+    st.lists(st.text(alphabet="abcdxyz", min_size=1, max_size=6), min_size=1, max_size=4),
+)
+@_settings
+def test_serving_stats_match_oneshot(spark, texts, terms):
+    """Bm25ServingStats.stats_for ≡ bm25_oneshot_stats on arbitrary
+    corpora and term sets (incl. absent terms and empty docs) — the
+    warm-serving path can never drift from the one-shot scoring
+    semantics."""
+    from mcp_vector_search_spark.operators.bm25 import (
+        Bm25ServingStats,
+        bm25_oneshot_stats,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    stats = Bm25ServingStats(docs)
+    try:
+        a = stats.stats_for(terms)
+    finally:
+        stats.unpersist()
+    b = bm25_oneshot_stats(docs, terms)
+    assert a["n_docs"] == b["n_docs"] and a["avgdl"] == b["avgdl"]
+    assert abs(a["avg_idf"] - b["avg_idf"]) < 1e-12
+    assert set(a["idf"]) == set(b["idf"])
+    for t in a["idf"]:
+        assert abs(a["idf"][t] - b["idf"][t]) < 1e-12
