@@ -156,15 +156,19 @@ class SparkProject:
             )
 
             bounds = sq_train(self.vectors)
-            codes = sq_encode(self.vectors, bounds)
             # materialize the bounds NOW as a lineage-free local frame
             # (d rows): storing the lazy aggregate would re-execute a
             # full-corpus posexplode scan inside every search_batch,
             # and a later self.vectors change would silently decode
-            # old codes against drifted bounds
+            # old codes against drifted bounds. The ENCODE must use the
+            # same pinned frame — encoding against the lazy aggregate
+            # would re-derive bounds at cache-fill time, so a vector
+            # source swapped in between yields codes encoded with one
+            # set of bounds and decoded with another (r6 review #3)
             bounds_local = self.spark.createDataFrame(
                 bounds.collect(), bounds.schema
             )
+            codes = sq_encode(self.vectors, bounds_local)
             # packed code blocks (r5): same per-row Arrow-cell tax as
             # the other layouts before packing
             self._sq_layout = (sq_pack(codes).cache(), bounds_local)
@@ -180,17 +184,28 @@ class SparkProject:
                 ivfpq_pack,
             )
 
-            # (frame, centroids, layout-kind): the kind tag is what
-            # search_batch dispatches on — never a schema sniff
-            self._ivf_layout = (assigned.cache(), centroids, "rows")
+            # the assignment is cached only for the build: the residual
+            # encode reads it twice (codebook fit sample + full encode),
+            # but SERVING dispatches exclusively on _ivfpq_layout, so
+            # pinning it as a standing _ivf_layout leaked ~2x corpus
+            # vector bytes of executor memory for the lifetime of the
+            # layout (r6 review #3). Materialize the packed codes, then
+            # release it. centroids/codebooks are already lineage-free
+            # local frames (ivf_build/pq_train createDataFrame).
+            assigned = assigned.cache()
             encoded, cents, codebooks = ivfpq_build(
                 self.vectors, m=m, k_codes=k_codes, coarse=(assigned, centroids)
             )
             # serve the ADC stage from PACKED code blocks (r5): the
             # per-row code cache paid the same Arrow-cell deserialize
             # tax the float layout did before ivf_pack
-            self._ivfpq_layout = (ivfpq_pack(encoded).cache(), cents, codebooks)
+            packed = ivfpq_pack(encoded).cache()
+            packed.count()
+            assigned.unpersist()
+            self._ivfpq_layout = (packed, cents, codebooks)
         else:
+            # (frame, centroids, layout-kind): the kind tag is what
+            # search_batch dispatches on — never a schema sniff
             self._ivf_layout = (ivf_pack(assigned).cache(), centroids, "packed")
 
     def save_ann_index(self, path: str) -> None:
@@ -200,6 +215,16 @@ class SparkProject:
         blocks+bounds, ivf (packed) → blocks+centroids. A fresh
         session then serves it via `load_ann_index` with no rebuild —
         the reference's persisted-index startup path."""
+        from mcp_vector_search_spark.io import delete_path
+
+        # retire the standing kind manifest BEFORE touching the layout:
+        # the layout write is not atomic, so a crash mid-save would
+        # otherwise leave the OLD manifest describing a half-written
+        # mix of old and new metadata dirs — a later load would trust
+        # it and fail cryptically inside an executor at query time.
+        # With the manifest gone, a torn save is explicit: load refuses
+        # until kind= is passed (r6 review #3).
+        delete_path(self.spark, f"{path}/kind")
         if self._ivfpq_layout is not None:
             from mcp_vector_search_spark.operators.layout import write_ivfpq_layout
 
@@ -213,12 +238,7 @@ class SparkProject:
             write_sq_layout(packed, bounds, path)
             kind = "ivfsq"
         elif self._ivf_layout is not None:
-            layout, centroids, lkind = self._ivf_layout
-            if lkind != "packed":
-                raise ValueError(
-                    "only the packed IVF layout persists — rebuild with "
-                    "build_ann_index(kind='ivf')"
-                )
+            layout, centroids, _ = self._ivf_layout
             from mcp_vector_search_spark.operators.ivf import write_ivf_layout
 
             write_ivf_layout(layout, centroids, path)
@@ -245,11 +265,22 @@ class SparkProject:
         the current index serving (r6 review)."""
         if kind is not None and kind not in ("ivf", "ivfpq", "ivfsq"):
             raise ValueError(f"unknown ANN index kind: {kind!r}")
+        from pyspark.errors import AnalysisException
+
         persisted = None
         try:
-            persisted = self.spark.read.parquet(f"{path}/kind").first()["kind"]
-        except Exception:
-            pass  # pre-manifest layout: trust the caller's kind
+            row = self.spark.read.parquet(f"{path}/kind").first()
+            if row is None:
+                raise ValueError(f"kind manifest at {path}/kind is empty")
+            persisted = row["kind"]
+        except AnalysisException as e:
+            # ONLY the missing-manifest case falls through to the
+            # caller's kind (pre-manifest layouts / torn saves); any
+            # other failure — corrupt footer, transient FS error — must
+            # surface here, not be mistaken for "no manifest" and fail
+            # cryptically at query time (r6 review #3)
+            if "PATH_NOT_FOUND" not in str(e) and "Path does not exist" not in str(e):
+                raise
         if persisted is not None:
             if kind is not None and kind != persisted:
                 raise ValueError(
@@ -268,6 +299,13 @@ class SparkProject:
             packed, cents, cbs = read_ivfpq_layout(self.spark, path)
             packed = packed.cache()
             packed.count()
+            # pin the tiny metadata tables as lineage-free local frames
+            # too: a row-corrupt centroids/codebooks parquet that passes
+            # schema inference would otherwise only fail at the first
+            # query — AFTER the standing index was released, breaking
+            # the failed-load guarantee below (r6 review #3)
+            cents = self.spark.createDataFrame(cents.collect(), cents.schema)
+            cbs = self.spark.createDataFrame(cbs.collect(), cbs.schema)
             new = ("_ivfpq_layout", (packed, cents, cbs))
         elif kind == "ivfsq":
             from mcp_vector_search_spark.operators.layout import read_sq_layout
@@ -283,6 +321,11 @@ class SparkProject:
             packed, centroids = read_ivf_layout(self.spark, path)
             packed = packed.cache()
             packed.count()
+            # same lineage-cut as the ivfpq branch: fail here, not
+            # after the standing index is released
+            centroids = self.spark.createDataFrame(
+                centroids.collect(), centroids.schema
+            )
             new = ("_ivf_layout", (packed, centroids, "packed"))
         self._drain_deferred()
         for attr in ("_ivf_layout", "_ivfpq_layout", "_sq_layout"):
@@ -299,7 +342,6 @@ class SparkProject:
         pairs (the round-2 perf-weak HOF path is oracle-only now).
         With an IVF layout built, scoring additionally prunes to the
         probed clusters."""
-        from mcp_vector_search_spark.operators.ivf import ivf_topk_batch_np
         from mcp_vector_search_spark.operators.topk import topk_per_query_np
 
         if self._ivfpq_layout is not None:
@@ -324,14 +366,12 @@ class SparkProject:
                 packed_codes=packed_codes,
             )
         if self._ivf_layout is not None:
-            layout, centroids, lkind = self._ivf_layout
-            if lkind == "packed":
-                from mcp_vector_search_spark.operators.ivf import (
-                    ivf_topk_batch_packed,
-                )
+            from mcp_vector_search_spark.operators.ivf import (
+                ivf_topk_batch_packed,
+            )
 
-                return ivf_topk_batch_packed(layout, centroids, queries, limit)
-            return ivf_topk_batch_np(layout, centroids, queries, limit)
+            layout, centroids, _ = self._ivf_layout
+            return ivf_topk_batch_packed(layout, centroids, queries, limit)
         return topk_per_query_np(self.vectors, queries, limit)
 
     def search_hybrid(
@@ -525,9 +565,19 @@ class SparkProject:
             tokenize,
         )
 
-        toks = tokenize("text")
-        lines = doc_lines("text")
-        return self.docs.select(
+        # stage the tokenize/line-split arrays once: CollapseProject
+        # keeps the projections separate when a non-cheap column is
+        # referenced more than once, so each array is computed ONCE per
+        # row instead of re-inlined into every signal (the round-3
+        # text_quality trap, registry.py q_text_quality; r6 review #3)
+        staged = self.docs.select(
+            "doc_id",
+            "text",
+            tokenize("text").alias("_toks"),
+            doc_lines("text").alias("_lines"),
+        )
+        toks, lines = F.col("_toks"), F.col("_lines")
+        return staged.select(
             "doc_id",
             F.size(toks).cast("long").alias("n_tokens"),
             F.round(dup_line_fraction(lines), 6).alias("dup_line_frac"),

@@ -66,6 +66,16 @@ def register_temp_views(spark: SparkSession, sf_dir: str) -> None:
         table(spark, sf_dir, name).createOrReplaceTempView(name)
 
 
+def delete_path(spark: SparkSession, path: str) -> bool:
+    """Recursively delete `path` through the Hadoop FileSystem API —
+    storage-agnostic (HDFS/S3A/local), unlike shutil/os which silently
+    no-op on non-local URIs. Returns True if something was deleted."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return bool(fs.delete(jpath, True))
+
+
 def recover_swap(path: str) -> bool:
     """Crash recovery for `atomic_swap_dir`: if `path` is missing but
     `<path>.old` survives (a crash landed between the two renames),
@@ -211,6 +221,19 @@ def upsert_delta(
             .execute()
         )
     else:
+        # the path may hold a plain-parquet table built by earlier
+        # upsert_parquet calls (delta-spark installed later): treating
+        # it as "no table" and overwriting would silently drop every
+        # previously-upserted non-colliding row. Keep the same upsert
+        # semantics through the parquet path instead (r6 review #3).
+        try:
+            spark.read.parquet(path)
+            exists = True
+        except Exception:
+            exists = False
+        if exists:
+            upsert_parquet(spark, updates, path, key_cols)
+            return "parquet"
         updates.write.format("delta").mode("overwrite").save(path)
     return "delta"
 
@@ -480,7 +503,10 @@ def export_results(df: DataFrame, path: str, fmt: str = "json", max_rows: int = 
     elif fmt == "d3":
         import json
 
-        assert {"src", "dst"} <= set(df.columns), "d3 export needs (src, dst[, weight])"
+        if not {"src", "dst"} <= set(df.columns):
+            # ValueError, not assert: asserts vanish under python -O
+            # and the row comprehension below would fail opaquely
+            raise ValueError("d3 export needs (src, dst[, weight]) columns")
         rows = df.limit(max_rows).collect()
         nodes = sorted({r["src"] for r in rows} | {r["dst"] for r in rows})
         payload = {

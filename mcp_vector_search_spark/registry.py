@@ -242,6 +242,26 @@ def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _hybrid_batch_queries(emb: DataFrame) -> DataFrame:
+    """The HYBRID_BATCH_SPECS query-vector frame — ONE definition for
+    both batch gates: `hybrid_batch` and `hybrid_batch_tbl` are
+    asserted row-identical against a shared oracle, so a drift between
+    two copies of this construction would silently falsify that
+    contract while both gates still pass their own plumbing
+    (r6 review #3)."""
+    vec_ids = [v for _, _, v in HYBRID_BATCH_SPECS]
+    qid = None
+    for q, _, v in HYBRID_BATCH_SPECS:
+        qid = (
+            F.when(F.col("vec_id") == v, F.lit(q))
+            if qid is None
+            else qid.when(F.col("vec_id") == v, F.lit(q))
+        )
+    return emb.filter(F.col("vec_id").isin(vec_ids)).select(
+        qid.cast("long").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+
+
 def q_hybrid_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A 4-query hybrid batch through ONE DataFrame program
     (plans/hybrid.py:hybrid_search_batch — VERDICT r4 #6): per query,
@@ -251,17 +271,7 @@ def q_hybrid_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mcp_vector_search_spark.plans.hybrid import hybrid_search_batch
 
     emb = _emb(spark, sf_dir)
-    vec_ids = [v for _, _, v in HYBRID_BATCH_SPECS]
-    qid = None
-    for q, _, v in HYBRID_BATCH_SPECS:
-        qid = (
-            F.when(F.col("vec_id") == v, F.lit(q))
-            if qid is None
-            else qid.when(F.col("vec_id") == v, F.lit(q))
-        )
-    qvecs = emb.filter(F.col("vec_id").isin(vec_ids)).select(
-        qid.cast("long").alias("query_id"), F.col("embedding").alias("query_vec")
-    )
+    qvecs = _hybrid_batch_queries(emb)
     return hybrid_search_batch(
         _docs(spark, sf_dir),
         emb,
@@ -290,17 +300,7 @@ def q_hybrid_batch_tbl(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mcp_vector_search_spark.plans.hybrid import hybrid_search_batch_indexed
 
     emb = _emb(spark, sf_dir)
-    vec_ids = [v for _, _, v in HYBRID_BATCH_SPECS]
-    qid = None
-    for q, _, v in HYBRID_BATCH_SPECS:
-        qid = (
-            F.when(F.col("vec_id") == v, F.lit(q))
-            if qid is None
-            else qid.when(F.col("vec_id") == v, F.lit(q))
-        )
-    qvecs = emb.filter(F.col("vec_id").isin(vec_ids)).select(
-        qid.cast("long").alias("query_id"), F.col("embedding").alias("query_vec")
-    )
+    qvecs = _hybrid_batch_queries(emb)
     postings = build_postings(_docs(spark, sf_dir))
     doc_stats = doc_stats_from_postings(postings)
     term_stats = build_term_stats(postings, doc_stats)
@@ -409,19 +409,25 @@ def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_embedding_near_dups_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J11 scale path: embedding near-dup pairs blocked on IVF
-    cluster_id — the default dispatch when a layout exists (VERDICT r3
-    #3/#5). Deterministic first-16 centroids (the same mechanism
-    pinning as `ivf_fixed`) make the assignment + intra-cluster pair
-    join + cosine threshold fully hash-checkable in SQL."""
+def _fixed_centroid_assignment(emb: DataFrame, keep: tuple = ()):
+    """The deterministic first-`IVF_FIXED_CENTS`-centroid assignment —
+    ONE pinned mechanism for every fixed-centroid gate (`ivf_fixed`,
+    `ivf_packed`, `embedding_near_dups_clustered`, `_multiprobe`):
+    unit-normalize (norm staged in its own projection, never inside
+    the transform lambda — that re-evaluates it per element), take the
+    first 16 unit vectors as centroids, assign each vector to its
+    max-cosine centroid at round-9 with ties to the lower centroid id.
+    Returns (eu, cents, assigned); `keep` lists extra eu columns (str
+    or aliased Column) to carry in `assigned` beside
+    (vec_id, cluster_id). Inlined copies of this block drifted across
+    four gates — a tweak to one would silently desynchronize it from
+    the shared oracle SQL while still passing its own plumbing
+    (r6 review #3)."""
     from pyspark.sql.window import Window as W
 
     from mcp_vector_search_spark.functions.vectors import dot as _dot
     from mcp_vector_search_spark.functions.vectors import l2_norm, unit_expr
-    from mcp_vector_search_spark.operators.dedup import embedding_near_dups
 
-    emb = _emb(spark, sf_dir)
     eu = emb.withColumn("_nrm", l2_norm(F.col("embedding"))).select(
         "vec_id",
         "embedding",
@@ -436,8 +442,21 @@ def q_embedding_near_dups_clustered(spark: SparkSession, sf_dir: str) -> DataFra
         .withColumn("_cs", F.round(_dot(F.col("u"), F.col("cu")), 9))
         .withColumn("_rn", F.row_number().over(aw))
         .filter(F.col("_rn") == 1)
-        .select("vec_id", "embedding", "cluster_id")
+        .select("vec_id", *keep, "cluster_id")
     )
+    return eu, cents, assigned
+
+
+def q_embedding_near_dups_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J11 scale path: embedding near-dup pairs blocked on IVF
+    cluster_id — the default dispatch when a layout exists (VERDICT r3
+    #3/#5). Deterministic first-16 centroids (the same mechanism
+    pinning as `ivf_fixed`) make the assignment + intra-cluster pair
+    join + cosine threshold fully hash-checkable in SQL."""
+    from mcp_vector_search_spark.operators.dedup import embedding_near_dups
+
+    emb = _emb(spark, sf_dir)
+    _, _, assigned = _fixed_centroid_assignment(emb, keep=("embedding",))
     return embedding_near_dups(emb, threshold=EMB_DUP_T, assigned=assigned)
 
 
@@ -447,22 +466,17 @@ def q_embedding_near_dups_multiprobe(spark: SparkSession, sf_dir: str) -> DataFr
     2nd-nearest cluster. Deterministic first-16 UNIT-vector centroids
     so assignment ranks, pair dedup, and the cosine threshold all
     hash-check in SQL."""
-    from mcp_vector_search_spark.functions.vectors import l2_norm, unit_expr
     from mcp_vector_search_spark.operators.dedup import (
         embedding_near_dups_multiprobe,
     )
 
     emb = _emb(spark, sf_dir)
-    cents = (
-        emb.filter(F.col("vec_id") < IVF_FIXED_CENTS)
-        .withColumn("_nrm", l2_norm(F.col("embedding")))
-        .select(
-            F.col("vec_id").cast("int").alias("cluster_id"),
-            unit_expr(F.col("embedding"), F.col("_nrm")).alias("centroid"),
-        )
-    )
+    _, cents, _ = _fixed_centroid_assignment(emb)
     return embedding_near_dups_multiprobe(
-        emb, cents, threshold=EMB_DUP_T, nprobe=2
+        emb,
+        cents.select("cluster_id", F.col("cu").alias("centroid")),
+        threshold=EMB_DUP_T,
+        nprobe=2,
     )
 
 
@@ -695,30 +709,10 @@ def q_ivf_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     real index keeps its rows-only + recall gate."""
     from pyspark.sql.window import Window as W
 
-    from mcp_vector_search_spark.functions.vectors import l2_norm, unit_expr
-
-    emb = _emb(spark, sf_dir)
-    # norm materialized in its own projection (never inside the
-    # transform lambda — that re-evaluates it per element)
-    eu = (
-        emb.withColumn("_nrm", l2_norm(F.col("embedding")))
-        .select("vec_id", unit_expr(F.col("embedding"), F.col("_nrm")).alias("u"))
-    )
-    cents = (
-        eu.filter(F.col("vec_id") < IVF_FIXED_CENTS)
-        .select(F.col("vec_id").cast("int").alias("cluster_id"), F.col("u").alias("cu"))
-    )
     from mcp_vector_search_spark.functions.vectors import dot as _dot
 
-    pair_sim = F.round(_dot(F.col("u"), F.col("cu")), 9)
-    aw = W.partitionBy("vec_id").orderBy(F.desc("_cs"), F.asc("cluster_id"))
-    assigned = (
-        eu.join(F.broadcast(cents))
-        .withColumn("_cs", pair_sim)
-        .withColumn("_rn", F.row_number().over(aw))
-        .filter(F.col("_rn") == 1)
-        .select("vec_id", "u", "cluster_id")
-    )
+    emb = _emb(spark, sf_dir)
+    eu, cents, assigned = _fixed_centroid_assignment(emb, keep=("u",))
     queries = eu.filter(F.col("vec_id") < BATCH_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("u").alias("uq")
     )
@@ -751,31 +745,14 @@ def q_ivf_packed(spark: SparkSession, sf_dir: str) -> DataFrame:
     does not change a single answer row. The pack receives the
     SQL-normalized unit vectors, so the packed matrix is bit-identical
     to the `ivf_fixed` candidate side."""
-    from pyspark.sql.window import Window as W
-
-    from mcp_vector_search_spark.functions.vectors import dot as _dot
-    from mcp_vector_search_spark.functions.vectors import l2_norm, unit_expr
     from mcp_vector_search_spark.operators.ivf import (
         ivf_pack,
         ivf_topk_batch_packed,
     )
 
     emb = _emb(spark, sf_dir)
-    eu = (
-        emb.withColumn("_nrm", l2_norm(F.col("embedding")))
-        .select("vec_id", unit_expr(F.col("embedding"), F.col("_nrm")).alias("u"))
-    )
-    cents = (
-        eu.filter(F.col("vec_id") < IVF_FIXED_CENTS)
-        .select(F.col("vec_id").cast("int").alias("cluster_id"), F.col("u").alias("cu"))
-    )
-    aw = W.partitionBy("vec_id").orderBy(F.desc("_cs"), F.asc("cluster_id"))
-    assigned = (
-        eu.join(F.broadcast(cents))
-        .withColumn("_cs", F.round(_dot(F.col("u"), F.col("cu")), 9))
-        .withColumn("_rn", F.row_number().over(aw))
-        .filter(F.col("_rn") == 1)
-        .select("vec_id", F.col("u").alias("unit"), "cluster_id")
+    eu, cents, assigned = _fixed_centroid_assignment(
+        emb, keep=(F.col("u").alias("unit"),)
     )
     packed = ivf_pack(assigned)
     centroids = cents.select("cluster_id", F.col("cu").alias("centroid"))
