@@ -80,9 +80,13 @@ def word_ngrams(tokens: Column, n: int) -> Column:
 
 
 def punct_ratio(text: Column | str) -> Column:
-    """Share of characters that are not alphanumeric/space."""
+    """Share of characters that are not alphanumeric/whitespace.
+    Tabs/newlines/CRs are whitespace, not punctuation: counting them
+    inflated the ratio ~0.07 on ordinary line-dense text, enough to
+    cross HIGH_PUNCT_RATIO from line breaks alone (r6 review #4).
+    The oracle SQL uses the same explicit class (Java∩RE2 subset)."""
     col = F.col(text) if isinstance(text, str) else text
-    stripped = F.regexp_replace(F.lower(col), "[a-z0-9 ]", "")
+    stripped = F.regexp_replace(F.lower(col), "[a-z0-9 \\t\\n\\r]", "")
     return F.when(F.length(col) > 0, F.length(stripped) / F.length(col)).otherwise(F.lit(0.0))
 
 
@@ -198,9 +202,8 @@ def extract_identifiers(text: Column | str) -> Column:
 def backtick_refs(text: Column | str) -> Column:
     """`code ref` spans from prose, backticks stripped."""
     col = F.col(text) if isinstance(text, str) else text
-    return F.transform(
-        F.regexp_extract_all(col, F.lit("`([^`]+)`"), 1), lambda s: s
-    )
+    # group-1 extraction already strips the backticks — no transform
+    return F.regexp_extract_all(col, F.lit("`([^`]+)`"), 1)
 
 
 def top_keywords(

@@ -184,7 +184,12 @@ def trace_paths(
     delimited-substring test, so ids that prefix other ids can't false-
     positive. Returns (path, depth)."""
     e = edges.select(F.col(src_col).alias("_es"), F.col(dst_col).alias("_ed"))
-    first = edges.filter(F.col(src_col) == start_id).select(
+    # the first hop needs the same cycle rejection as every later hop:
+    # a self-loop on the start node would otherwise emit the non-simple
+    # path |a|a| and extend it at every depth (r6 review #4)
+    first = edges.filter(
+        (F.col(src_col) == start_id) & (F.col(dst_col) != start_id)
+    ).select(
         F.concat(F.lit(f"|{start_id}|"), F.col(dst_col), F.lit("|")).alias("path"),
         F.col(dst_col).alias("node"),
         F.lit(1).alias("depth"),

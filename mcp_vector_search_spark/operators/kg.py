@@ -105,8 +105,12 @@ def build_ontology(
         )
     lang_expr = lang_expr.otherwise(F.lit(None))
 
+    # split('\s+') keeps empty-string tokens at the boundaries: ''
+    # counted 1 word and '  hi there ' counted 4 — filter them like
+    # tokenize() does (r6 review #4)
     word_count = (
-        F.size(F.split(F.col(text_col), r"\s+")).cast("long")
+        F.size(F.filter(F.split(F.col(text_col), r"\s+"), lambda w: w != ""))
+        .cast("long")
         if text_col
         else F.lit(None).cast("long")
     )
@@ -390,9 +394,12 @@ def kg_boost(
     name filter pushes to the node scan and the boosted-id set is
     orders smaller than the hit set.
     """
-    matched = nodes.filter(F.col("name").isin(query_terms)).select(
-        F.col("id").alias("dst")
-    )
+    # case-insensitive match, like entity_resolve's exact→lower ladder:
+    # preprocess_query lowercases every term, so a case-sensitive isin
+    # would silently never boost capitalized entity names (r6 review #4)
+    matched = nodes.filter(
+        F.lower(F.col("name")).isin([t.lower() for t in query_terms])
+    ).select(F.col("id").alias("dst"))
     boosted_ids = (
         edges.join(F.broadcast(matched), "dst")
         .select(F.col("src").alias(id_col))

@@ -117,7 +117,10 @@ def token_mixture_sample(
     from mcp_vector_search_spark.functions.text import token_count
 
     tot = {
-        r["d"]: float(r["t"])
+        # sum() over a stratum whose every text is NULL aggregates to
+        # NULL — treat as 0 tokens, don't TypeError on the driver
+        # (r6 review #4)
+        r["d"]: float(r["t"]) if r["t"] is not None else 0.0
         for r in docs.groupBy(F.col(strata_col).alias("d"))
         .agg(F.sum(token_count(text_col)).alias("t"))
         .collect()

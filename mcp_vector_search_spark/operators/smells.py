@@ -31,9 +31,14 @@ HIGH_PUNCT_RATIO = 0.1
 def detect_smells(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """(doc_id, smell, severity) — one row per triggered smell."""
     toks = tokenize(text_col)
+    # use the precomputed n_chars when the frame carries one (the
+    # corpus tables do — and their oracle SQL compares against it);
+    # fall back to length(text) so frames with only (id, text) work
+    # instead of hitting UNRESOLVED_COLUMN (r6 review #4)
+    n_chars = F.col("n_chars") if "n_chars" in docs.columns else F.length(text_col)
     checks = F.array(
         F.when(
-            F.col("n_chars") > LONG_DOC_CHARS,
+            n_chars > LONG_DOC_CHARS,
             F.struct(F.lit("long_doc").alias("smell"), F.lit("warning").alias("severity")),
         ),
         F.when(
@@ -62,10 +67,18 @@ def directory_rollup(
     ``core/models.py:589-647``). Ancestors are built row-locally with
     `transform` over the split path; one explode + one groupBy."""
     parts = F.split(F.col(path_col), "/")
-    ancestors = F.transform(
-        F.sequence(F.lit(1), F.size(parts) - 1),
-        lambda i: F.array_join(F.slice(parts, 1, i), "/"),
-    )
+    # sequence(1, 0) yields a DESCENDING [1, 0] (Spark sequences count
+    # down when stop < start), so a root-level path emitted itself and
+    # an empty-string row as fake directories; DuckDB's range(1, 1) —
+    # the oracle's formulation — is empty, the correct semantics
+    # (r6 review #4)
+    ancestors = F.when(
+        F.size(parts) > 1,
+        F.transform(
+            F.sequence(F.lit(1), F.size(parts) - 1),
+            lambda i: F.array_join(F.slice(parts, 1, i), "/"),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
     return (
         files.select(F.explode(ancestors).alias("dir"), F.col(size_col))
         .groupBy("dir")

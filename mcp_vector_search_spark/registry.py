@@ -2461,7 +2461,7 @@ WITH t AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents)
 SELECT doc_id,
        len(toks)::BIGINT AS n_tokens,
        round(CASE WHEN length(text) > 0
-             THEN length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g'))::DOUBLE
+             THEN length(regexp_replace(lower(text), '[a-z0-9 \\t\\n\\r]', '', 'g'))::DOUBLE
                   / length(text) ELSE 0.0 END, 6) AS punct_ratio,
        round(CASE WHEN len(toks) > 0
              THEN len(list_distinct(toks))::DOUBLE / len(toks) ELSE 0.0 END, 6)
@@ -2505,7 +2505,7 @@ s AS (SELECT doc_id,
              CASE WHEN len(toks) > 0
                   THEN len(list_distinct(toks))::DOUBLE / len(toks) ELSE 0.0 END AS dr,
              CASE WHEN length(text) > 0
-                  THEN length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g'))::DOUBLE
+                  THEN length(regexp_replace(lower(text), '[a-z0-9 \\t\\n\\r]', '', 'g'))::DOUBLE
                        / length(text) ELSE 0.0 END AS pr,
              least(len(toks), 100)::DOUBLE AS tk
       FROM t)
@@ -3158,11 +3158,14 @@ SELECT 'viz' AS view, id AS node, CAST(NULL AS BIGINT) AS n_docs,
        CAST(NULL AS BIGINT) AS n_sources, CAST(NULL AS VARCHAR) AS children, rnk
 FROM vz"""
 
-    terms_in = ", ".join(f"'{t}'" for t in QUERY_TERMS)
+    # lower() on both engine and oracle sides: kg_boost matches node
+    # names case-insensitively (query terms are preprocess_query-
+    # lowercased — r6 review #4)
+    terms_in = ", ".join(f"'{t.lower()}'" for t in QUERY_TERMS)
     o["kg_boost"] = f"""
 WITH {_bm25_ctes(KNN_K)},{_KG_EDGE_CTES},
 kgm AS (SELECT DISTINCT ke.src AS doc_id FROM ke JOIN kn ON ke.dst = kn.dst
-        WHERE kn.name IN ({terms_in}))
+        WHERE lower(kn.name) IN ({terms_in}))
 SELECT bm.doc_id, bm.score,
        round(bm.score + CASE WHEN m.doc_id IS NULL THEN 0.0 ELSE 0.02 END, 6)
          AS boosted_score
@@ -3404,7 +3407,7 @@ m AS (SELECT doc_id, n_chars, len(toks) AS nt,
              CASE WHEN len(toks) > 0
                   THEN len(list_distinct(toks))::DOUBLE / len(toks) ELSE 0.0 END AS dr,
              CASE WHEN length(text) > 0
-                  THEN length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g'))::DOUBLE
+                  THEN length(regexp_replace(lower(text), '[a-z0-9 \\t\\n\\r]', '', 'g'))::DOUBLE
                        / length(text) ELSE 0.0 END AS pr
       FROM t)
 SELECT doc_id, 'long_doc' AS smell, 'warning' AS severity FROM m WHERE n_chars > 400
@@ -3420,7 +3423,7 @@ m AS (SELECT doc_id, n_chars, len(toks) AS nt,
              CASE WHEN len(toks) > 0
                   THEN len(list_distinct(toks))::DOUBLE / len(toks) ELSE 0.0 END AS dr,
              CASE WHEN length(text) > 0
-                  THEN length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g'))::DOUBLE
+                  THEN length(regexp_replace(lower(text), '[a-z0-9 \\t\\n\\r]', '', 'g'))::DOUBLE
                        / length(text) ELSE 0.0 END AS pr
       FROM t),
 sm AS (SELECT doc_id, 'long_doc' AS smell FROM m WHERE n_chars > 400
@@ -3455,7 +3458,7 @@ qs AS (SELECT doc_id,
          50.0 + 30.0 * (CASE WHEN len(toks) > 0
                         THEN len(list_distinct(toks))::DOUBLE / len(toks) ELSE 0.0 END)
          - 100.0 * (CASE WHEN length(text) > 0
-                    THEN length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g'))::DOUBLE
+                    THEN length(regexp_replace(lower(text), '[a-z0-9 \\t\\n\\r]', '', 'g'))::DOUBLE
                          / length(text) ELSE 0.0 END)
          + 0.2 * least(len(toks), 100)::DOUBLE)), 4) AS quality
        FROM tq),

@@ -94,10 +94,11 @@ def subproject_roots(files: DataFrame, path_col: str = "path") -> DataFrame:
     col = F.col(path_col)
     parts = F.split(col, "/")
     base = F.element_at(parts, -1)
-    root = F.expr(
-        f"array_join(slice(split({path_col}, '/'), 1, size(split({path_col}, '/')) - 1), '/')"
-    )
+    # built from the `parts` expression, not an interpolated SQL
+    # fragment: F.expr(f"...{path_col}...") re-split the path twice and
+    # broke for column names needing backticks (r6 review #4)
     dir_parts = F.slice(parts, 1, F.size(parts) - 1)
+    root = F.array_join(dir_parts, "/")
     excluded = F.arrays_overlap(
         dir_parts, F.array(*[F.lit(d) for d in EXCLUDED_SUBPROJECT_DIRS])
     )

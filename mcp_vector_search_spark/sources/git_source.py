@@ -48,7 +48,10 @@ def git_log_df(spark: SparkSession, repo_path: str) -> DataFrame:
     ).stdout
     rows = []
     for line in out.splitlines():
-        sha, parents, author, email, ts, subject = line.split("\x1f")
+        # maxsplit confines a 0x1f byte inside the (externally
+        # controlled) subject to the subject field instead of crashing
+        # the whole history parse (r6 review #4)
+        sha, parents, author, email, ts, subject = line.split("\x1f", 5)
         plist = [p for p in parents.split(" ") if p]
         rows.append(
             (

@@ -118,3 +118,32 @@ def test_halstead_empty_text_guards(spark):
     df = spark.createDataFrame([(1, "")], "doc_id long, chunk_text string")
     r = halstead_metrics(df, id_cols=["doc_id"]).first()
     assert r.volume == 0.0 and r.difficulty == 0.0 and r.effort == 0.0
+
+
+def test_directory_rollup_root_files(spark):
+    """A root-level path has no ancestor directories: Spark's
+    sequence(1, 0) counts DOWN, so root files used to emit themselves
+    and '' as fake directories (r6 review)."""
+    from mcp_vector_search_spark.operators.smells import directory_rollup
+
+    files = spark.createDataFrame(
+        [("README.md", 10), ("src/a.py", 20), ("src/sub/b.py", 30)],
+        "path string, n_chars long",
+    )
+    got = {r.dir: (r.n_files, r.total_chars) for r in directory_rollup(files).collect()}
+    assert got == {"src": (2, 50), "src/sub": (1, 30)}
+
+
+def test_detect_smells_without_n_chars(spark):
+    """detect_smells advertises (docs, id_col, text_col) — a frame
+    without the corpus n_chars column must fall back to length(text)
+    instead of UNRESOLVED_COLUMN (r6 review)."""
+    from mcp_vector_search_spark.operators.smells import LONG_DOC_CHARS, detect_smells
+
+    docs = spark.createDataFrame(
+        [(1, "word " * (LONG_DOC_CHARS // 4)), (2, "short")],
+        "doc_id long, text string",
+    )
+    got = {(r.doc_id, r.smell) for r in detect_smells(docs).collect()}
+    assert (1, "long_doc") in got
+    assert all(d != 2 or s != "long_doc" for d, s in got)

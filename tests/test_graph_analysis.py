@@ -38,6 +38,16 @@ def test_trace_paths_cycle_rejection(spark):
     assert all("|a|b|a|" not in p for p, _ in got)
 
 
+def test_trace_paths_rejects_start_self_loop(spark):
+    """The FIRST hop applies the same cycle rejection as later hops: a
+    self-loop on the start node must not emit |a|a| (r6 review)."""
+    e = spark.createDataFrame(
+        [("a", "a"), ("a", "b")], "src string, dst string"
+    )
+    got = {(r.path, r.depth) for r in trace_paths(e, "a", max_depth=3).collect()}
+    assert got == {("|a|b|", 1)}
+
+
 def test_discovery_filters_and_language(spark):
     files = spark.createDataFrame(
         [

@@ -80,6 +80,39 @@ def test_build_ontology_node_types(spark):
     assert any(r == ("doc:src/main.py", "lang:python", "WRITTEN_IN") for r in e)
 
 
+def test_build_ontology_word_count_trims(spark):
+    """split('\\s+') keeps boundary empties: '' must count 0 words and
+    padded text must not count phantom words (r6 review)."""
+    from mcp_vector_search_spark.operators.kg import build_ontology
+
+    files = spark.createDataFrame(
+        [("a.md", ""), ("b.md", "  hi there ")], "path string, text string"
+    )
+    nodes, _ = build_ontology(files, text_col="text")
+    wc = {
+        r.name: r.word_count
+        for r in nodes.filter("entity_type = 'Document'").collect()
+    }
+    assert wc == {"a.md": 0, "b.md": 2}
+
+
+def test_kg_boost_case_insensitive(spark):
+    """Query terms arrive lowercased; capitalized node names must still
+    boost (r6 review)."""
+    from mcp_vector_search_spark.operators.kg import kg_boost
+
+    hits = spark.createDataFrame([(1, 0.5), (2, 0.5)], "doc_id long, score double")
+    edges = spark.createDataFrame([(1, 10), (2, 20)], "src long, dst long")
+    nodes = spark.createDataFrame(
+        [(10, "Vector"), (20, "unrelated")], "id long, name string"
+    )
+    got = {
+        r.doc_id: r.boosted_score
+        for r in kg_boost(hits, edges, nodes, ["vector"]).collect()
+    }
+    assert got == {1: 0.52, 2: 0.5}
+
+
 def test_detect_frameworks(spark):
     from mcp_vector_search_spark.operators.kg import detect_frameworks
 

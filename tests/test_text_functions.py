@@ -36,6 +36,13 @@ def test_punct_and_distinct_ratio(spark):
     assert abs(dr - 2 / 3) < 1e-12
 
 
+def test_punct_ratio_ignores_line_breaks(spark):
+    """Newlines/tabs are whitespace, not punctuation — counting them
+    pushed ordinary line-dense text over HIGH_PUNCT_RATIO (r6 review)."""
+    df = spark.createDataFrame([("line one\nline two\tend\r\n",)], "text string")
+    assert df.select(punct_ratio("text")).first()[0] == 0.0
+
+
 def test_doc_fingerprint_normalizes(spark):
     df = spark.createDataFrame([("Hello,  WORLD!",), ("hello world",)], "text string")
     fps = [r[0] for r in df.select(doc_fingerprint("text")).collect()]
