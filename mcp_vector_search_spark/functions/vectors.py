@@ -31,7 +31,11 @@ def l2_norm(a: Column) -> Column:
 
 
 def cosine_sim(a: Column, b: Column) -> Column:
-    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+    """Zero-norm vectors (failed/padded embeds — the same input class
+    `unit_expr` guards) score 0 to everything instead of raising an
+    ANSI DIVIDE_BY_ZERO that kills the whole job (r6 review #5)."""
+    denom = l2_norm(a) * l2_norm(b)
+    return F.when(denom != 0.0, dot(a, b) / denom).otherwise(F.lit(0.0))
 
 
 def unit_expr(vec: Column, norm: Column) -> Column:

@@ -120,6 +120,15 @@ def minhash_candidates(
     the cache holds two longs per shingle instead of the shingle
     string, and the md5 pass runs once for signature AND verify.
     """
+    if num_bands < 1 or num_hashes % num_bands != 0:
+        # rows_per_band = 0 would degenerate every band key to the bare
+        # band index — every doc collides with every doc, a silent full
+        # cross join; a remainder would silently drop the tail
+        # signature rows (r6 review #5)
+        raise ValueError(
+            f"num_hashes ({num_hashes}) must be a positive multiple of "
+            f"num_bands ({num_bands})"
+        )
     rows_per_band = num_hashes // num_bands
     if shingles is not None and "hp" in shingles.columns:
         hp = shingles.select("doc_id", "hp")
@@ -223,6 +232,11 @@ def neighbor_jaccard(
     window), so string or sparse ids work (round 1 assumed dense
     monotone int ids and silently compared nothing on gaps).
     """
+    if window < 1:
+        # sequence(pos+1, pos+0) counts DOWN to [pos+1, pos]: window=0
+        # would pair every doc with itself at jaccard 1.0 instead of
+        # comparing nothing (r6 review #5)
+        raise ValueError(f"window must be >= 1, got {window}")
     sh = global_positions(shingle_sets(docs, shingle_n, id_col, text_col), "doc_id")
     # Explode each doc's neighbor-position list so the pairing is an
     # *equi-join* on _pos (shuffle-hash/sort-merge at scale), not a
@@ -373,6 +387,10 @@ def embedding_near_dups(
             id_col=id_col,
             round_to=round_to,
         )
+    if window < 1:
+        # same descending-sequence trap as neighbor_jaccard: window=0
+        # would emit self-pairs at cos_sim 1.0 (r6 review #5)
+        raise ValueError(f"window must be >= 1, got {window}")
     pos = global_positions(
         vectors.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va")),
         "id_a",

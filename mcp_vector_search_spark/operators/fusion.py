@@ -49,8 +49,14 @@ def rrf_fuse(
     # one partition — harmless on pre-limited top-N inputs, a stall on
     # anything unbounded).
     mx = fused.agg(F.max("_raw").alias("_max_raw"))
+    # max can be exactly 0.0 at an alpha extreme with an empty weighted
+    # leg (alpha=1.0, empty vector leg): score 0, don't raise an ANSI
+    # DIVIDE_BY_ZERO (r6 review #5)
     out = fused.join(F.broadcast(mx)).withColumn(
-        "rrf_score", F.col("_raw") / F.col("_max_raw")
+        "rrf_score",
+        F.when(
+            F.col("_max_raw") > 0, F.col("_raw") / F.col("_max_raw")
+        ).otherwise(F.lit(0.0)),
     )
     if round_to is not None:
         out = out.withColumn("rrf_score", F.round("rrf_score", round_to))

@@ -34,6 +34,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from mcp_vector_search_spark.functions.vectors import cosine_sim, l2_norm
+from mcp_vector_search_spark.operators.nputil import round_half_up
 
 NPROBES = 20
 
@@ -266,7 +267,7 @@ def _driver_probe_sets(
     C = np.stack(cpd["centroid"].to_numpy()).astype(np.float64)
     Cn = C / _safe_norms(C)
     cids = cpd["cluster_id"].to_numpy()
-    csim = np.round(Q @ Cn.T, 9)  # (nq, nc)
+    csim = round_half_up(Q @ Cn.T, 9)  # (nq, nc)
     order = np.lexsort((np.broadcast_to(cids, csim.shape), -csim), axis=1)
     probe_sets = order[:, :nprobes]  # (nq, nprobes) — indices into cids
     cluster_to_q: dict[int, list[int]] = {}
@@ -322,7 +323,7 @@ def ivf_topk_batch_np(
         V = np.stack(sub[score_col].to_numpy()).astype(np.float64)
         if not has_unit:
             V /= _safe_norms(V)
-        S = np.round(V @ Q[qidx].T, round_to)  # (b, nqq)
+        S = round_half_up(V @ Q[qidx].T, round_to)  # (b, nqq)
         b, nqq = S.shape
         vids = sub[id_col].to_numpy()
         if b > keep:
@@ -572,7 +573,7 @@ def ivf_topk_batch_packed(
                 M = np.frombuffer(row.mat, dtype=row.dtype).reshape(row.n, row.dim)
                 # float32 packs upcast once here: the matmul and the
                 # round-6 both run in float64 either way
-                S = np.round(M.astype(np.float64, copy=False) @ Q[qidx].T, round_to)
+                S = round_half_up(M.astype(np.float64, copy=False) @ Q[qidx].T, round_to)
                 vids = np.asarray(row.vec_ids)
                 b, nqq = S.shape
                 if b > keep:

@@ -48,6 +48,7 @@ from pyspark.sql.window import Window
 from mcp_vector_search_spark.functions.vectors import l2_norm, normalized, unit_expr
 from mcp_vector_search_spark.operators.ivf import NPROBES, block_step, ivf_build
 from mcp_vector_search_spark.operators.pq import _collect_codebooks
+from mcp_vector_search_spark.operators.nputil import round_half_up
 
 
 def ivfpq_build(
@@ -182,7 +183,7 @@ def _adc_query_prep(
     cids = cpd["cluster_id"].to_numpy()
     Cn = C / _safe_norms(C)
 
-    csim = np.round(Q @ Cn.T, 9)  # (nq, nc)
+    csim = round_half_up(Q @ Cn.T, 9)  # (nq, nc)
     order = np.lexsort((np.broadcast_to(cids, csim.shape), -csim), axis=1)
     probe_sets = order[:, :nprobes]
     cluster_to_q: dict[int, list[int]] = {}
@@ -194,7 +195,7 @@ def _adc_query_prep(
     offset = Q @ C.T  # (nq, nc) — q·centroid, cluster_id-indexed below
     cid_to_row = {int(c): i for i, c in enumerate(cids)}
     # lut[qi, s, c] = round(Q_sub · codebook[s, c], 9); cluster-free
-    lut = np.round(np.einsum("qsd,scd->qsc", Q.reshape(nq, m, dsub), cb), 9)
+    lut = round_half_up(np.einsum("qsd,scd->qsc", Q.reshape(nq, m, dsub), cb), 9)
     return m, qids, cluster_to_q_np, offset, cid_to_row, lut
 
 
@@ -241,7 +242,7 @@ def ivfpq_topk(
         lutq = lut[qidx]  # (nqq, m, k) — one gather, not one per subspace
         for s in range(m):
             S += lutq[:, s, Cm[:, s]].T  # (b, nqq)
-        S = np.round(S, round_to)
+        S = round_half_up(S, round_to)
         vids = sub[id_col].to_numpy()
         if b > keep:
             idx = _partial_topk(S, vids, keep)
@@ -403,7 +404,7 @@ def ivfpq_topk_packed(
                 lutq = lut[qidx]
                 for s in range(row.m):
                     S += lutq[:, s, Cm[:, s]].T
-                S = np.round(S, round_to)
+                S = round_half_up(S, round_to)
                 vids = np.asarray(row.vec_ids)
                 if b > keep:
                     idx = _partial_topk(S, vids, keep)

@@ -36,18 +36,28 @@ def lm_fit(
     docs: DataFrame, text_col: str = "text"
 ) -> tuple[DataFrame, DataFrame, int]:
     """Fit the corpus bigram model → (unigrams(term, c1),
-    bigrams(gram, c2), total_tokens)."""
+    bigrams(gram, c2), total_tokens).
+
+    Both count tables come back CACHED: `lm_score` joins each one
+    (unigrams twice), and the `total` scalar is an aggregate over the
+    cached unigram table — without the cache, the corpus tokenize +
+    explode + groupBy lineage re-executed once for the total and again
+    per join input (r6 review #5)."""
     toks = docs.select(tokenize(text_col).alias("toks"))
     unigrams = (
         toks.select(F.explode("toks").alias("term"))
         .groupBy("term")
         .agg(F.count("*").alias("c1"))
+        .cache()
     )
     bigrams = (
         toks.select(F.explode(word_ngrams(F.col("toks"), 2)).alias("gram"))
         .groupBy("gram")
         .agg(F.count("*").alias("c2"))
+        .cache()
     )
+    # one job over the (just-cached) vocab-sized table, not a second
+    # full-corpus aggregation
     total = unigrams.agg(F.sum("c1")).collect()[0][0] or 0
     return unigrams, bigrams, int(total)
 
@@ -65,7 +75,10 @@ def lm_score(
     """Per-doc average bigram log-probability →
     (doc_id, n_bigrams, avg_logp, ppl). Higher ppl = less like the
     corpus (word salad, boilerplate, foreign text). Docs with < 2
-    tokens score NULL (no bigram events).
+    tokens produce NO output row (they have zero bigram events, so
+    they never enter the groupBy — pinned by
+    tests/test_lm.py::test_lm_score_single_token_doc_has_no_row);
+    left-join from the corpus to keep them with NULL scores.
 
     avg_logp is rounded (float-sum order noise sits ~1e-14 below the
     rounding grid); ppl = exp(−avg_logp) is derived from the rounded

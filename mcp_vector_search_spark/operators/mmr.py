@@ -19,6 +19,7 @@ from collections.abc import Iterator
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from mcp_vector_search_spark.operators.nputil import round_half_up
 
 
 def _mmr_select(rel, vecs, k: int, lam: float) -> list[int]:
@@ -32,15 +33,15 @@ def _mmr_select(rel, vecs, k: int, lam: float) -> list[int]:
     # round-9 on sims and step scores: keeps the greedy argmax
     # reproducible across engines (the SQL oracle replays the same
     # rounded arithmetic), same rationale as round-6 retrieval scores
-    sims = np.round(unit @ unit.T, 9)  # n ≤ limit*3, so n² is tiny
+    sims = round_half_up(unit @ unit.T, 9)  # n ≤ limit*3, so n² is tiny
     selected: list[int] = []
     remaining = list(range(n))
     while remaining and len(selected) < k:
         if selected:
-            penalty = np.round(sims[np.ix_(remaining, selected)].max(axis=1), 9)
+            penalty = round_half_up(sims[np.ix_(remaining, selected)].max(axis=1), 9)
         else:
             penalty = np.zeros(len(remaining))
-        scores = np.round(lam * rel[remaining] - (1 - lam) * penalty, 9)
+        scores = round_half_up(lam * rel[remaining] - (1 - lam) * penalty, 9)
         best = int(np.argmax(scores))  # first max → deterministic
         selected.append(remaining.pop(best))
     return selected
@@ -66,7 +67,15 @@ def mmr_diversify(
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import numpy as np
 
-        pdf = pd.concat(list(batches), ignore_index=True)
+        # materialize BEFORE concat: pd.concat([]) raises ValueError,
+        # so an empty candidates frame (zero retrieval hits) must
+        # short-circuit to an empty result, not kill the worker
+        # (r6 review #5)
+        parts = list(batches)
+        if not parts:
+            yield pd.DataFrame({id_col: [], score_col: [], "mmr_rank": []})
+            return
+        pdf = pd.concat(parts, ignore_index=True)
         if len(pdf) == 0:
             yield pd.DataFrame({id_col: [], score_col: [], "mmr_rank": []})
             return

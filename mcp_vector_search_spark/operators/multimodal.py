@@ -20,7 +20,6 @@ from collections.abc import Iterator
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-FEATURE_SCHEMA = "doc_id long, n_bytes long, feature array<double>"
 FEATURE_DIM = 4
 
 
@@ -82,4 +81,13 @@ def extract_features(media: DataFrame, batch_size_hint: int | None = None) -> Da
                 }
             )
 
-    return media.mapInPandas(run, schema=FEATURE_SCHEMA)
+    # schema follows the INPUT id type (string chunk ids, long doc ids
+    # alike) — a hardcoded 'doc_id long' failed with an Arrow cast
+    # error on string-keyed corpora (r6 review #5)
+    from mcp_vector_search_spark.operators.topk import id_type
+
+    schema = (
+        f"doc_id {id_type(media, 'doc_id')}, n_bytes long, "
+        "feature array<double>"
+    )
+    return media.mapInPandas(run, schema=schema)

@@ -41,6 +41,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from mcp_vector_search_spark.functions.vectors import l2_norm, normalized, unit_expr
+from mcp_vector_search_spark.operators.nputil import round_half_up
 
 PQ_M = 8  # subspaces
 PQ_CODES = 256  # codes per subspace (one byte)
@@ -348,7 +349,7 @@ def pq_encode(
                 # absorbed by the rounding like summation-order noise)
                 d2 = (Vs * Vs).sum(axis=1)[:, None] + (cb[s] * cb[s]).sum(axis=1)[None, :]
                 d2 -= 2.0 * (Vs @ cb[s].T)
-                codes[:, s] = np.argmin(np.round(d2, round_to), axis=1)
+                codes[:, s] = np.argmin(round_half_up(d2, round_to), axis=1)
             out = {id_col: pdf[id_col].to_numpy()}
             for c in passthrough_cols or []:
                 out[c] = pdf[c].to_numpy()
@@ -405,7 +406,7 @@ def pq_adc_topk(
     qids = qpd[query_id_col].to_numpy()
     nq = len(qids)
     # lut[qi, s, c] = round(Q_sub · cb[s, c], 9)
-    lut = np.round(
+    lut = round_half_up(
         np.einsum("qsd,scd->qsc", Q.reshape(nq, m, dsub), cb), 9
     )
     keep = k * batch_buffer
@@ -417,7 +418,7 @@ def pq_adc_topk(
             S = np.zeros((b, nq), dtype=np.float64)
             for s in range(m):
                 S += lut[:, s, C[:, s]].T  # (b, nq)
-            S = np.round(S, round_to)
+            S = round_half_up(S, round_to)
             vids = pdf[id_col].to_numpy()
             if b > keep:
                 idx = _partial_topk(S, vids, keep)

@@ -38,6 +38,7 @@ from pyspark.sql.window import Window
 
 from mcp_vector_search_spark.functions.vectors import l2_norm, normalized, unit_expr
 from mcp_vector_search_spark.operators.ivf import block_step
+from mcp_vector_search_spark.operators.nputil import round_half_up
 
 SQ_LEVELS = 255  # code range [0, 255] — int8-equivalent
 
@@ -156,7 +157,7 @@ def sq_topk(
         for pdf in batches:
             C = np.stack(pdf["codes"].to_numpy()).astype(np.float64)  # (b, d)
             R = mn + C * step
-            S = np.round(R @ Q.T, round_to)  # (b, nq)
+            S = round_half_up(R @ Q.T, round_to)  # (b, nq)
             vids = pdf[id_col].to_numpy()
             b = C.shape[0]
             if b > keep:
@@ -354,7 +355,7 @@ def sq_topk_packed(
             for row in pdf.itertuples(index=False):
                 Cm = np.frombuffer(row.codes, dtype=np.uint8).reshape(row.n, row.d)
                 R = mn + Cm.astype(np.float64) * step
-                S = np.round(R @ Q.T, round_to)
+                S = round_half_up(R @ Q.T, round_to)
                 vids = np.asarray(row.vec_ids)
                 b = Cm.shape[0]
                 if b > keep:

@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from mcp_vector_search_spark.functions.vectors import dot, l2_norm, unit_expr
+from mcp_vector_search_spark.operators.nputil import round_half_up
 
 
 def _normalized(df: DataFrame, vec_col: str, out_col: str) -> DataFrame:
@@ -178,7 +179,7 @@ def topk_per_query_np(
         for pdf in batches:
             V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
             V /= _safe_norms(V)
-            S = np.round(V @ Q.T, round_to)  # (b, nq)
+            S = round_half_up(V @ Q.T, round_to)  # (b, nq)
             b = S.shape[0]
             vids = pdf[id_col].to_numpy()
             if b > keep:

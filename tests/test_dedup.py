@@ -189,3 +189,33 @@ def test_embedding_near_dups_auto_routes_clustered(spark):
     assert "sequence(" not in plan  # no global_positions explode
     pairs = {(r.id_a, r.id_b) for r in out.collect()}
     assert (4, 399) in pairs
+
+
+def test_minhash_rejects_bad_band_split(spark):
+    """num_bands must divide num_hashes: rows_per_band = 0 silently
+    degenerated to a full cross join (r6 review)."""
+    import pytest
+
+    from mcp_vector_search_spark.operators.dedup import (
+        minhash_candidates,
+        neighbor_jaccard,
+    )
+
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="multiple of num_bands"):
+        minhash_candidates(docs, num_hashes=8, num_bands=16)
+    with pytest.raises(ValueError, match="window"):
+        neighbor_jaccard(docs, window=0)
+
+
+def test_cosine_sim_zero_vector_scores_zero(spark):
+    """A zero-norm embedding scores 0, never ANSI DIVIDE_BY_ZERO
+    (r6 review)."""
+    from pyspark.sql import functions as F
+
+    from mcp_vector_search_spark.functions.vectors import cosine_sim
+
+    df = spark.createDataFrame(
+        [([0.0, 0.0], [1.0, 0.0])], "a array<double>, b array<double>"
+    )
+    assert df.select(cosine_sim(F.col("a"), F.col("b"))).first()[0] == 0.0

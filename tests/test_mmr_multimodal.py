@@ -53,3 +53,28 @@ def test_extract_features_arrow_batches(spark):
     byid = {r.doc_id: r for r in out}
     assert byid[2].n_bytes == 3 and len(byid[2].feature) == 4
     assert abs(byid[2].feature[0] - ord("x") / 255) < 1e-12
+
+
+def test_mmr_diversify_empty_candidates(spark):
+    """Zero retrieval hits must yield an empty result, not a
+    pd.concat ValueError in the Python worker (r6 review)."""
+    empty = spark.createDataFrame(
+        [], "doc_id long, score double, embedding array<double>"
+    )
+    assert mmr_diversify(empty, k=5).count() == 0
+
+
+def test_extract_features_string_ids(spark):
+    """The mapInPandas schema must follow the input id type — string
+    chunk ids used to hit an Arrow cast error (r6 review)."""
+    from mcp_vector_search_spark.operators.multimodal import (
+        attach_fake_media,
+        extract_features,
+    )
+
+    docs = spark.createDataFrame(
+        [("c0ffee", "hello"), ("dead17", "world")], "doc_id string, text string"
+    )
+    out = extract_features(attach_fake_media(docs)).collect()
+    assert {r.doc_id for r in out} == {"c0ffee", "dead17"}
+    assert all(len(r.feature) == 4 for r in out)

@@ -223,3 +223,29 @@ def test_hybrid_server_matches_hybrid_search(spark):
             assert served == plain
     assert spark.conf.get("spark.sql.adaptive.enabled") == aqe0
     assert spark.conf.get("spark.sql.shuffle.partitions") == parts0
+
+
+def test_rrf_fuse_zero_max_guard(spark):
+    """alpha=1.0 with an empty weighted leg makes every raw score 0 —
+    normalize to 0, don't raise ANSI DIVIDE_BY_ZERO (r6 review)."""
+    from mcp_vector_search_spark.operators.fusion import rrf_fuse
+
+    empty = spark.createDataFrame([], "doc_id long, rank int")
+    bm = spark.createDataFrame([(1, 1), (2, 2)], "doc_id long, rank int")
+    got = {r.doc_id: r.rrf_score for r in rrf_fuse(empty, bm, alpha=1.0).collect()}
+    assert got == {1: 0.0, 2: 0.0}
+
+
+def test_round_half_up_matches_sql_round():
+    """The np kernels round like F.round / DuckDB (half away from
+    zero), not np.round's half-to-even (r6 review)."""
+    import numpy as np
+
+    from mcp_vector_search_spark.operators.nputil import round_half_up
+
+    grid = np.array([0.0078125, -0.0078125, 0.0000005, 1.2345675])
+    got = round_half_up(grid, 6)
+    assert got[0] == 0.007813 and got[1] == -0.007813
+    assert got[2] == 1e-06
+    # np.round would give 0.007812 (half to even) on the first value
+    assert np.round(grid, 6)[0] == 0.007812
