@@ -650,12 +650,23 @@ class SparkProject:
         start = self.spark.createDataFrame([(entity_id,)], ["id"])
         return bfs_min_hops(self._kg_edges, start, max_hops)
 
-    def trace_execution_flow(self, entity_id, max_hops: int = 3) -> DataFrame:
+    def trace_execution_flow(
+        self, entity_id, max_hops: int = 3, direction: str = "forward"
+    ) -> DataFrame:
         """Path enumeration from an entry point (tool
-        `trace_execution_flow`)."""
+        `trace_execution_flow`). direction='backward' walks call edges
+        in reverse (who can reach the entry point) by swapping the
+        src/dst roles — the MCP schema advertised the knob but dispatch
+        dropped it (r6 review #6)."""
         from mcp_vector_search_spark.operators.graph import trace_paths
 
         assert self._kg_edges is not None, "call kg_build first"
+        if direction == "backward":
+            return trace_paths(
+                self._kg_edges, entity_id, max_hops, src_col="dst", dst_col="src"
+            )
+        if direction != "forward":
+            raise ValueError(f"direction must be forward|backward, got {direction!r}")
         return trace_paths(self._kg_edges, entity_id, max_hops)
 
     def build_repo_graph(

@@ -56,7 +56,13 @@ def main(argv: list[str] | None = None, adapter=None) -> int:
             print(json.dumps({"ok": False, "error": f"unexpected argument {tok!r}"}))
             return 2
         key = tok[2:].replace("-", "_")
-        if i + 1 < len(extra) and not extra[i + 1].startswith("--"):
+        # 'str:' must work during POSITION detection too: a value that
+        # itself starts with '--' (e.g. --query "str:--version notes")
+        # was misparsed as the next flag and silently dropped
+        # (r6 review #6)
+        if i + 1 < len(extra) and (
+            extra[i + 1].startswith("str:") or not extra[i + 1].startswith("--")
+        ):
             args[key] = _coerce(extra[i + 1])
             i += 2
         else:

@@ -54,8 +54,9 @@ def load_custom_synonyms(path: str) -> dict[str, list[str]]:
         custom = json.load(f)
     merged = {k: list(v) for k, v in CODE_SYNONYMS.items()}
     for key, syns in custom.items():
-        if isinstance(syns, str) or not isinstance(syns, (list, tuple)):
-            # a bare string would be absorbed character-by-character
+        if not isinstance(syns, (list, tuple)):
+            # a bare string (never a list/tuple) would otherwise be
+            # absorbed character-by-character
             raise ValueError(
                 f"synonyms for {key!r} must be a list, got {type(syns).__name__}"
             )

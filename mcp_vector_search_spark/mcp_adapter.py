@@ -131,10 +131,16 @@ class McpAdapter:
         repo_path: str | None = None,
         max_rows: int = 200,
         reports_dir: str = "reports",
+        model_name: str | None = None,
     ):
         self.project = project
         self.repo_path = repo_path
         self.max_rows = max_rows
+        # query-embedding encoder. MUST name the encoder that produced
+        # the corpus embeddings — with None (this container) queries
+        # use the deterministic fake, which only matches corpora
+        # embedded by the same fake (r6 review #6)
+        self.model_name = model_name
         # save_report containment root. Pinned to an ABSOLUTE real
         # path at construction time so a later os.chdir() in the
         # serving process cannot silently move where reports land.
@@ -144,6 +150,7 @@ class McpAdapter:
         self._chunks: DataFrame | None = None
         self._commits: DataFrame | None = None
         self._dim: int | None = None  # corpus embedding dim, one probe
+        self._ext_pattern: str | None = None  # index_project extension filter
 
     # ------------------------------------------------------- state
 
@@ -153,8 +160,12 @@ class McpAdapter:
         if self._chunks is None:
             from mcp_vector_search_spark.functions.text import tokenize
 
+            docs = self.project.docs
+            if self._ext_pattern is not None:
+                # index_project(file_extensions=...) scoped the index
+                docs = docs.filter(F.col("source").rlike(self._ext_pattern))
             toks = tokenize("text")
-            self._chunks = self.project.docs.select(
+            self._chunks = docs.select(
                 "doc_id",
                 "source",
                 F.get(toks, 0).alias("name"),
@@ -178,19 +189,24 @@ class McpAdapter:
 
     def _query_vec(self, text: str) -> DataFrame:
         """1-row (query_vec) frame for the vector legs — embeds the
-        query text through the same (guarded-real / deterministic
-        fake) encoder the corpus embedding uses, at the corpus dim."""
-        from mcp_vector_search_spark.functions.embed import fake_embed_expr
+        query through `embed_batch` with the adapter's `model_name`,
+        i.e. the SAME (guarded-real / deterministic-fake) path the
+        corpus embedding uses, at the corpus dim. Construct the
+        adapter with the corpus encoder's model_name when serving a
+        real-embedded corpus; the dim probe alone cannot make the fake
+        match a real vector space (r6 review #6)."""
+        from mcp_vector_search_spark.functions.embed import embed_batch
 
         if self._dim is None:
             row = self.project.vectors.select("embedding").first()
             if row is None:
                 raise ValueError("vector index is empty — embed_chunks first")
             self._dim = len(row["embedding"])
-        dim = self._dim
-        return self.project.spark.createDataFrame(
-            [(text,)], "q string"
-        ).select(fake_embed_expr("q", dim=dim).alias("query_vec"))
+        q = self.project.spark.createDataFrame([(0, text)], "qid long, q string")
+        return embed_batch(
+            q, id_col="qid", text_col="q", dim=self._dim,
+            model_name=self.model_name,
+        ).select(F.col("embedding").alias("query_vec"))
 
     # ----------------------------------------------------- dispatch
 
@@ -245,17 +261,50 @@ class McpAdapter:
         if name == "get_project_status":
             return df_payload(p.get_project_status(), cap)
         if name == "index_project":
-            if a.get("force"):
+            exts = a.get("file_extensions")
+            if a.get("force") or exts is not None:
                 if self._chunks is not None:
                     self._chunks.unpersist()
                 self._chunks = None
+            if exts is not None:
+                # honor the advertised extension filter: the new index
+                # covers only matching sources (r6 review #6 — this
+                # arg was accepted and silently ignored)
+                import re as _re
+
+                if isinstance(exts, str):
+                    exts = [exts]
+                norm = [e if e.startswith(".") else "." + e for e in exts]
+                self._ext_pattern = (
+                    "(" + "|".join(_re.escape(e) for e in norm) + ")$"
+                )
             n = self._chunk_frame().count()
             return {"ok": True, "indexed_chunks": n}
         if name == "embed_chunks":
             n = p.vectors.count()
-            return {"ok": True, "embedded": n, "fresh": bool(a.get("fresh", False))}
+            out = {"ok": True, "embedded": n, "fresh": bool(a.get("fresh", False))}
+            if "batch_size" in a:
+                # vectors are a precomputed table here — say so rather
+                # than silently dropping the knob (r6 review #6)
+                out["ignored_args"] = ["batch_size"]
+            return out
         if name == "analyze_project":
-            return df_payload(p.analyze_project(), cap)
+            preset = a.get("threshold_preset")
+            if preset is not None:
+                from mcp_vector_search_spark.config import THRESHOLD_PRESETS
+
+                if preset not in THRESHOLD_PRESETS:
+                    return {
+                        "ok": False,
+                        "error": f"unknown threshold_preset {preset!r}; "
+                        f"expected one of {sorted(THRESHOLD_PRESETS)}",
+                    }
+            out = df_payload(p.analyze_project(), cap)
+            if preset is not None:
+                # the rollup's grade ladder is fixed; an accepted-but-
+                # unapplied knob must be visible, not silent
+                out["ignored_args"] = ["threshold_preset"]
+            return out
         if name == "analyze_file":
             roll = p.analyze_project().filter(F.col("source") == a["file_path"])
             return df_payload(roll, cap)
@@ -302,14 +351,43 @@ class McpAdapter:
                 fh.write(a["content"])
             return {"ok": True, "path": path, "bytes": len(a["content"])}
         if name == "kg_build":
-            edges = p.kg_build(self._chunk_frame())
-            return {"ok": True, "edges": edges.count()}
+            chunks = self._chunk_frame()
+            if a.get("limit"):
+                chunks = chunks.limit(int(a["limit"]))
+            edges = p.kg_build(chunks)
+            out = {"ok": True, "edges": edges.count()}
+            if a.get("skip_documents"):
+                # this KG is call edges only — there are no Document
+                # nodes to skip; surface the no-op (r6 review #6)
+                out["ignored_args"] = ["skip_documents"]
+            return out
         if name == "kg_stats":
             self._edges()
             return df_payload(p.kg_stats(), cap)
         if name == "kg_query":
             self._edges()
-            rel = p.find_related(a["entity"], max_hops=2)
+            relationship = a.get("relationship")
+            if relationship not in (None, "calls"):
+                return {
+                    "ok": False,
+                    "error": f"unsupported relationship {relationship!r}: "
+                    "this index holds 'calls' edges only",
+                }
+            qt = a.get("query_type", "related")
+            if qt == "related":
+                rel = p.find_related(a["entity"], max_hops=2)
+            elif qt in ("callers", "callees"):
+                from mcp_vector_search_spark.operators.graph import call_graph
+
+                rel = call_graph(p._kg_edges, a["entity"]).filter(
+                    F.col("direction") == qt[:-1]
+                )
+            else:
+                return {
+                    "ok": False,
+                    "error": f"unsupported query_type {qt!r}; expected "
+                    "'related', 'callers', or 'callees'",
+                }
             if a.get("limit"):
                 rel = rel.limit(int(a["limit"]))
             return df_payload(rel, cap)
@@ -333,8 +411,19 @@ class McpAdapter:
             }
         if name == "trace_execution_flow":
             self._edges()
+            direction = a.get("direction", "forward")
+            if direction not in ("forward", "backward"):
+                return {
+                    "ok": False,
+                    "error": f"unsupported direction {direction!r}; "
+                    "expected 'forward' or 'backward'",
+                }
             return df_payload(
-                p.trace_execution_flow(a["entry_point"], max_hops=int(a.get("depth", 3))),
+                p.trace_execution_flow(
+                    a["entry_point"],
+                    max_hops=int(a.get("depth", 3)),
+                    direction=direction,
+                ),
                 cap,
             )
         if name in ("kg_history", "kg_callers_at_commit"):

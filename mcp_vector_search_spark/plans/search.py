@@ -32,10 +32,17 @@ from mcp_vector_search_spark.operators.mmr import mmr_diversify
 from mcp_vector_search_spark.plans.hybrid import hybrid_search
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=4)
 def load_cross_encoder(model_name: str):
     """Guarded loader: a sentence-transformers CrossEncoder when the
     library is available, else None (reference ``core/reranker.py:
-    22-174``, default ms-marco-MiniLM)."""
+    22-174``, default ms-marco-MiniLM). lru_cached: the driver-side
+    availability probe in `cross_encoder_rescore` would otherwise pay
+    a full model construction per query, and each worker stream
+    reloads at most once per process (r6 review #6)."""
     try:
         from sentence_transformers import CrossEncoder
 
@@ -116,11 +123,17 @@ def full_search(
     alpha: float = 0.7,
 ) -> DataFrame:
     """→ (doc_id, score, mmr_rank). See module docstring for stages."""
+    # route and threshold on the RAW query, like the reference: the
+    # identifier classifier's camelCase/CapWord patterns need original
+    # case (preprocess lowercases), and the adaptive ladder counts the
+    # user's words, not the abbreviation-expanded ones — computing both
+    # post-preprocess left the camelCase branch unreachable and made
+    # short expandable queries 10x stricter (r6 review #6)
+    if is_identifier_query(query):
+        alpha = IDENTIFIER_ALPHA
+    threshold = adaptive_threshold(query, base_threshold)
     q = preprocess_query(query)
     variants = expand_query(q)[:max_variants]
-    if is_identifier_query(q):
-        alpha = IDENTIFIER_ALPHA
-    threshold = adaptive_threshold(q, base_threshold)
 
     # ONE corpus stats scan for every variant leg: the idf/avgdl
     # constants come from the union of variant terms, so each
@@ -144,11 +157,16 @@ def full_search(
     enriched = merged.join(chunk_meta, "doc_id")
     rescored = heuristic_rescore(enriched, q, score_col="rrf_score")
     reranked = cross_encoder_rescore(rescored, q)
+    # embeddings join BEFORE the k*3 cut: a BM25-only hit without an
+    # embedding (the `unembedded` work-queue scenario) must not occupy
+    # an over-retrieval slot and then vanish in the join, starving MMR
+    # below k while embedded candidates just under the cut were
+    # discarded (r6 review #6)
     candidates = (
         reranked.filter(F.col("ce_score") >= threshold)
+        .join(vectors.select(F.col("vec_id").alias("doc_id"), "embedding"), "doc_id")
         .orderBy(F.desc("ce_score"), F.asc("doc_id"))
         .limit(k * 3)  # T4: over-retrieve for the diversification stage
-        .join(vectors.select(F.col("vec_id").alias("doc_id"), "embedding"), "doc_id")
     )
     return mmr_diversify(
         candidates, k=k, diversity=diversity, id_col="doc_id", score_col="ce_score"

@@ -2828,8 +2828,10 @@ mg AS (SELECT doc_id, lang, chunk_no, min_by(line, pos) AS first_line,
               count(*) AS n_lines
        FROM mf GROUP BY doc_id, lang, chunk_no)
 SELECT doc_id, lang, chunk_no::BIGINT AS chunk_no,
-       {_ml_kind_case("kind")} AS chunk_type,
-       {_ml_kind_case("name")} AS name,
+       CASE WHEN chunk_no = 0 THEN 'module'
+            ELSE {_ml_kind_case("kind")} END AS chunk_type,
+       CASE WHEN chunk_no = 0 THEN ''
+            ELSE {_ml_kind_case("name")} END AS name,
        n_lines::BIGINT AS n_lines
 FROM mg"""
 

@@ -402,8 +402,17 @@ def code_chunks_multilang(
         "chunk_no",
         "n_lines",
         "chunk_text",
-        kind_flag(first, F.col("_lang")).alias("chunk_type"),
-        name_flag(first, F.col("_lang")).alias("name"),
+        # chunk 0 is always genuine preamble (a boundary first line
+        # starts chunk 1), so type it 'module' like code_chunks does —
+        # running kind rules on an arbitrary preamble line mislabeled
+        # e.g. a '/** Returns Foo(bar). */' javadoc as a method named
+        # Foo, polluting chunk-type boosts downstream (r6 review #6)
+        F.when(F.col("chunk_no") == 0, F.lit("module"))
+        .otherwise(kind_flag(first, F.col("_lang")))
+        .alias("chunk_type"),
+        F.when(F.col("chunk_no") == 0, F.lit(""))
+        .otherwise(name_flag(first, F.col("_lang")))
+        .alias("name"),
     )
 
 

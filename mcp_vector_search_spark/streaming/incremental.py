@@ -16,7 +16,13 @@ hand-builds dissolves into Spark machinery:
                                operators/incremental.py
 
 State layout: `<state_dir>/state.parquet` holds (doc_id, fingerprint);
-`<state_dir>/chunks.parquet` accumulates chunk rows append-only.
+`<state_dir>/chunks.parquet` accumulates chunk rows partitioned by
+batch_id (append-only across batches, replay-idempotent within one).
+The accumulated table keeps EVERY batch's rows — a changed document's
+old chunks stay on disk — so consumers read the live set through
+`latest_chunks`, which supersedes a doc's chunks with its newest
+batch (the reference's incremental reindex REPLACES a changed file's
+chunks).
 """
 
 from __future__ import annotations
@@ -52,6 +58,25 @@ def read_state(spark: SparkSession, state_dir: str) -> DataFrame:
     if os.path.exists(path):
         return spark.read.parquet(path)
     return spark.createDataFrame([], "doc_id long, fingerprint string")
+
+
+def latest_chunks(spark: SparkSession, state_dir: str) -> DataFrame:
+    """The LIVE chunk set: each document's chunks from the newest
+    batch that wrote it. The accumulated chunks table keeps every
+    batch's rows (replay-idempotent writes need stable per-batch
+    partitions), so a changed document would otherwise serve BOTH its
+    old and new text to any consumer reading the raw table
+    (r6 review #6). One shuffle on doc_id; at scale the max-batch
+    filter prunes with the partition column in the scan."""
+    from pyspark.sql.window import Window
+
+    ch = spark.read.parquet(_chunks_path(state_dir))
+    w = Window.partitionBy("doc_id")
+    return (
+        ch.withColumn("_mx", F.max("batch_id").over(w))
+        .filter(F.col("batch_id") == F.col("_mx"))
+        .drop("_mx")
+    )
 
 
 def process_batch(
@@ -96,18 +121,31 @@ def process_batch(
     # Chunk write is keyed by the foreachBatch batch_id: a replayed
     # micro-batch dynamically overwrites its own partition instead of
     # appending duplicate chunk rows (plain append otherwise broke the
-    # replay-idempotency claim).
+    # replay-idempotency claim). The plain-batch path (batch_id=None)
+    # uses the SAME partition scheme with the next free id — mixing an
+    # unpartitioned append with partitioned stream writes corrupted
+    # parquet partition discovery for the whole table (r6 review #6);
+    # don't interleave plain and stream lifecycles on one state_dir
+    # (a plain call's synthesized id could collide with a future
+    # micro-batch id).
     chunks = chunk_tokens(delta)
-    if batch_id is not None:
-        (
-            chunks.withColumn("batch_id", F.lit(int(batch_id)))
-            .write.partitionBy("batch_id")
-            .option("partitionOverwriteMode", "dynamic")
-            .mode("overwrite")
-            .parquet(_chunks_path(state_dir))
-        )
-    else:
-        chunks.write.mode("append").parquet(_chunks_path(state_dir))
+    if batch_id is None:
+        try:
+            prev = (
+                spark.read.parquet(_chunks_path(state_dir))
+                .agg(F.max("batch_id"))
+                .first()[0]
+            )
+            batch_id = (prev if prev is not None else -1) + 1
+        except Exception:
+            batch_id = 0  # first write
+    (
+        chunks.withColumn("batch_id", F.lit(int(batch_id)))
+        .write.partitionBy("batch_id")
+        .option("partitionOverwriteMode", "dynamic")
+        .mode("overwrite")
+        .parquet(_chunks_path(state_dir))
+    )
 
     # new state = old rows for unchanged ids + delta rows (upsert),
     # staged then swapped — the ST5 atomic-rebuild pattern

@@ -172,3 +172,55 @@ def test_save_report_contained_and_hostile_json(spark, tmp_path):
 
     assert _json.loads(call_tool_json(ad, "not json"))["ok"] is False
     assert _json.loads(call_tool_json(ad, '{"arguments": {}}'))["ok"] is False
+
+
+def test_advertised_args_are_honored(spark):
+    """Schema-advertised arguments must change behavior or be visibly
+    surfaced — never accepted and silently dropped (r6 review)."""
+    ad = _adapter(spark)
+
+    # kg_query query_type routes: callers/callees vs related
+    ad.call_tool("kg_build", {})
+    rel = ad.call_tool("kg_query", {"entity": 0, "query_type": "related"})
+    assert rel["ok"]
+    callers = ad.call_tool("kg_query", {"entity": 0, "query_type": "callers"})
+    assert callers["ok"]
+    if callers["rows"]:
+        d = callers["columns"].index("direction")
+        assert all(r[d] == "caller" for r in callers["rows"])
+    bad = ad.call_tool("kg_query", {"entity": 0, "query_type": "nope"})
+    assert not bad["ok"] and "query_type" in bad["error"]
+    badrel = ad.call_tool("kg_query", {"entity": 0, "relationship": "imports"})
+    assert not badrel["ok"] and "calls" in badrel["error"]
+
+    # trace direction validates and routes
+    badd = ad.call_tool(
+        "trace_execution_flow", {"entry_point": 0, "direction": "sideways"}
+    )
+    assert not badd["ok"]
+    fwd = ad.call_tool(
+        "trace_execution_flow", {"entry_point": 0, "direction": "backward"}
+    )
+    assert fwd["ok"]
+
+    # analyze_project validates presets and surfaces the no-op
+    badp = ad.call_tool("analyze_project", {"threshold_preset": "nope"})
+    assert not badp["ok"]
+    okp = ad.call_tool("analyze_project", {"threshold_preset": "strict"})
+    assert okp["ok"] and okp.get("ignored_args") == ["threshold_preset"]
+
+    # embed_chunks surfaces the unused batch_size
+    e = ad.call_tool("embed_chunks", {"batch_size": 64})
+    assert e["ok"] and e.get("ignored_args") == ["batch_size"]
+
+
+def test_index_project_extension_filter(spark):
+    ad = _adapter(spark)
+    full = ad.call_tool("index_project", {})["indexed_chunks"]
+    # corpus sources carry no .py suffix, so a .py-scoped index is empty
+    scoped = ad.call_tool("index_project", {"file_extensions": [".py"]})
+    assert scoped["ok"] and scoped["indexed_chunks"] == 0
+    # and a fresh unfiltered force re-index restores the full count
+    ad._ext_pattern = None
+    again = ad.call_tool("index_project", {"force": True})
+    assert again["indexed_chunks"] == full

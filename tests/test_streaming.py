@@ -60,6 +60,18 @@ def test_incremental_stream_end_to_end(spark, tmp_path):
     # only the delta (docs 1 and 3) was re-chunked: 2 + 2 new rows
     assert chunks2.count() == 4
 
+    # the LIVE view supersedes doc 1's old chunk with the batch-2 text:
+    # consumers must never see both the old and new text of a changed
+    # doc (r6 review)
+    from mcp_vector_search_spark.streaming.incremental import latest_chunks
+
+    live = latest_chunks(spark, state_dir)
+    assert live.count() == 3  # docs 1 (new text), 2, 3 — stale row gone
+    doc1 = [r.chunk_text for r in live.filter("doc_id = 1").collect()]
+    # chunk_text is tokenized (lowercased) — check the new word, and
+    # that the superseded batch-1 text is gone
+    assert doc1 and all("changed" in t and "gamma" not in t for t in doc1)
+
 
 def test_streaming_dedup(spark, tmp_path):
     """Duplicate content arriving within the watermark horizon is
