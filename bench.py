@@ -223,7 +223,11 @@ def main():
     total += per_query["ann_brute_q256"] + per_query["ann_ivf_q256"]
 
     # recall@10 of the IVF path vs brute force (BASELINE band: 97.5-100%)
-    sample_q = queries.limit(32)
+    # cache+count: limit without ordering is not deterministic across
+    # actions — the truth and approx collects must score the SAME 32
+    # queries, exactly like the big/huge sections below (r6 review #7)
+    sample_q = queries.limit(32).cache()
+    sample_q.count()
     truth = {
         (r.query_id, r.vec_id) for r in topk_per_query(emb, sample_q, 10).collect()
     }

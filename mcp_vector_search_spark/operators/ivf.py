@@ -33,7 +33,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from mcp_vector_search_spark.functions.vectors import cosine_sim, l2_norm
+from mcp_vector_search_spark.functions.vectors import cosine_sim
 from mcp_vector_search_spark.operators.nputil import round_half_up
 
 NPROBES = 20
@@ -184,7 +184,11 @@ def ivf_topk_batch(
         q.join(F.broadcast(centroids))
         # round-9 probe ranking: keeps cluster selection identical
         # across this path, the vectorized path, and the SQL oracle
-        # when centroid sims differ only by float-summation noise
+        # when centroid sims differ only by float-summation noise.
+        # (Residual caveat: F.round rounds the shortest decimal repr
+        # while the np kernels round the float-scaled product — they
+        # can differ for doubles whose shortest repr sits exactly on
+        # the half grid; see nputil.round_half_up.)
         .withColumn("_csim", F.round(cosine_sim(F.col("_uq"), F.col("centroid")), 9))
         .withColumn("_pr", F.row_number().over(probe_rank))
         .filter(F.col("_pr") <= nprobes)
@@ -243,13 +247,19 @@ def _driver_probe_sets(
     nprobes: int,
     query_id_col: str,
     query_vec_col: str,
+    return_centroids: bool = False,
 ):
-    """Driver-side probe assignment shared by the Arrow scoring paths:
-    rank clusters per query by round-9 centroid cosine (ties → lower
-    cluster id) — the same deterministic contract as the rounded
-    window in `ivf_topk_batch`. Returns (Q, qids, cluster_to_q) where
-    Q is the unit query matrix, qids the id vector, and cluster_to_q
-    maps cluster_id → np.array of query row-indexes probing it.
+    """Driver-side probe assignment shared by the Arrow scoring paths
+    — INCLUDING IVF-PQ's `_adc_query_prep`, which previously inlined a
+    line-for-line copy that every probe/rounding fix had to patch
+    twice (r6 review #7): rank clusters per query by round-9 centroid
+    cosine (ties → lower cluster id) — the same deterministic contract
+    as the rounded window in `ivf_topk_batch`. Returns
+    (Q, qids, cluster_to_q) where Q is the unit query matrix, qids the
+    id vector, and cluster_to_q maps cluster_id → np.array of query
+    row-indexes probing it; with `return_centroids`, additionally
+    (C_raw, cids) for callers that need the un-normalized centroid
+    matrix (the ADC offset term).
 
     The query set and centroid table are both driver-small (queries
     are the serving batch; centroids ≤512 rows by construction), so
@@ -274,7 +284,10 @@ def _driver_probe_sets(
     for qi in range(len(qids)):
         for ci in probe_sets[qi]:
             cluster_to_q.setdefault(int(cids[ci]), []).append(qi)
-    return Q, qids, {c: np.asarray(v) for c, v in cluster_to_q.items()}
+    cluster_to_q_np = {c: np.asarray(v) for c, v in cluster_to_q.items()}
+    if return_centroids:
+        return Q, qids, cluster_to_q_np, C, cids
+    return Q, qids, cluster_to_q_np
 
 
 def ivf_topk_batch_np(

@@ -45,7 +45,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from mcp_vector_search_spark.functions.vectors import l2_norm, normalized, unit_expr
+from mcp_vector_search_spark.functions.vectors import normalized
 from mcp_vector_search_spark.operators.ivf import NPROBES, block_step, ivf_build
 from mcp_vector_search_spark.operators.pq import _collect_codebooks
 from mcp_vector_search_spark.operators.nputil import round_half_up
@@ -164,33 +164,24 @@ def _adc_query_prep(
     q·RAW-centroid offset per (query, probed cluster) — the residual
     was computed against the un-normalized centroid, so the offset
     must use it too. Returns
-    (m, qids, cluster_to_q, offset, cid_to_row, lut)."""
+    (m, qids, cluster_to_q, offset, cid_to_row, lut).
+
+    Probe assignment DELEGATES to ``ivf._driver_probe_sets`` — a prior
+    inlined copy meant every probe tie-rule/rounding fix had to land
+    twice or the float and PQ layouts silently probed different
+    clusters for the same query (r6 review #7)."""
     import numpy as np
 
-    from mcp_vector_search_spark.operators.topk import _safe_norms
+    from mcp_vector_search_spark.operators.ivf import _driver_probe_sets
 
     cb = _collect_codebooks(codebooks)
     m, _, dsub = cb.shape
 
-    qpd = queries.select(query_id_col, query_vec_col).toPandas()
-    Q = np.stack(qpd[query_vec_col].to_numpy()).astype(np.float64)
-    Q /= _safe_norms(Q)
-    qids = qpd[query_id_col].to_numpy()
+    Q, qids, cluster_to_q_np, C, cids = _driver_probe_sets(
+        queries, centroids, nprobes, query_id_col, query_vec_col,
+        return_centroids=True,
+    )
     nq = len(qids)
-
-    cpd = centroids.orderBy("cluster_id").toPandas()
-    C = np.stack(cpd["centroid"].to_numpy()).astype(np.float64)
-    cids = cpd["cluster_id"].to_numpy()
-    Cn = C / _safe_norms(C)
-
-    csim = round_half_up(Q @ Cn.T, 9)  # (nq, nc)
-    order = np.lexsort((np.broadcast_to(cids, csim.shape), -csim), axis=1)
-    probe_sets = order[:, :nprobes]
-    cluster_to_q: dict[int, list[int]] = {}
-    for qi in range(nq):
-        for ci in probe_sets[qi]:
-            cluster_to_q.setdefault(int(cids[ci]), []).append(qi)
-    cluster_to_q_np = {c: np.asarray(v) for c, v in cluster_to_q.items()}
 
     offset = Q @ C.T  # (nq, nc) — q·centroid, cluster_id-indexed below
     cid_to_row = {int(c): i for i, c in enumerate(cids)}

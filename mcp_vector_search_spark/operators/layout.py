@@ -95,6 +95,32 @@ def write_codec_layout(
             f"{path}/blocks"
         )
         return
+    if mode == "overwrite":
+        # STAGE the whole layout and swap the root: writing blocks/
+        # then each metadata table directly into `path` left a crash
+        # window where new blocks sat beside the OLD quantizer
+        # metadata — the silent mixed-quantizer corruption the append
+        # guard above exists to prevent, with nothing to detect it
+        # afterwards (r6 review #7). Same stage+swap contract as
+        # compact_codec_layout; a reader hitting the swap window gets
+        # a retryable missing-path error, never a mixed layout.
+        from mcp_vector_search_spark.io import (
+            atomic_swap_dir,
+            delete_path,
+            recover_swap,
+        )
+
+        spark = packed.sparkSession
+        tmp = path.rstrip("/") + ".tmp"
+        delete_path(spark, tmp)
+        packed.write.mode("overwrite").partitionBy(part_col, "batch_id").parquet(
+            f"{tmp}/blocks"
+        )
+        for name, df in meta.items():
+            df.write.mode("overwrite").parquet(f"{tmp}/{name}")
+        recover_swap(path)
+        atomic_swap_dir(tmp, path)
+        return
     packed.write.mode(mode).partitionBy(part_col, "batch_id").parquet(
         f"{path}/blocks"
     )

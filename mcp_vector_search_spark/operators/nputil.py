@@ -15,12 +15,25 @@ import numpy as np
 
 
 def round_half_up(x, decimals: int):
-    """Round half away from zero — `F.round` / DuckDB semantics.
+    """Round half away from zero — `F.round` / DuckDB round semantics.
 
-    Implemented as sign(x)·floor(|x|·10^d + 0.5)/10^d: for values on
-    the representable half grid this matches BigDecimal HALF_UP where
-    `np.round` diverges; off the grid both formulations agree (the
-    binary double is strictly above or below the boundary).
+    Implemented as sign(x)·floor(|x|·10^d + 0.5)/10^d: for doubles
+    that ARE exact half-grid values (0.0078125 at 6 dp) this matches
+    BigDecimal HALF_UP where `np.round`'s half-to-even diverges, and
+    it matches DuckDB's float-scaled rounding everywhere.
+
+    Known residual vs Spark alone: F.round rounds the double's
+    SHORTEST DECIMAL REPR via BigDecimal, so a double whose shortest
+    repr lands exactly on the half grid while the float64 product
+    x·10^d falls just below it (e.g. 0.0005045·1e6 =
+    504.49999999999994) rounds down here and in DuckDB but up in
+    Spark — measured ~5e-3 of half-grid-neighborhood doubles
+    (r6 review). Exact tri-engine agreement would need per-element
+    decimal-string rounding in the hot kernels; the kernels instead
+    share THIS definition (and DuckDB's), so packed/per-row/NP paths
+    stay bit-identical to each other, and the Spark-side F.round
+    divergence is confined to measure-zero-in-practice inputs that no
+    gate corpus produces.
     """
     scale = 10.0 ** decimals
     return np.sign(x) * np.floor(np.abs(x) * scale + 0.5) / scale

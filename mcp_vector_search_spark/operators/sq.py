@@ -36,7 +36,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from mcp_vector_search_spark.functions.vectors import l2_norm, normalized, unit_expr
+from mcp_vector_search_spark.functions.vectors import normalized
 from mcp_vector_search_spark.operators.ivf import block_step
 from mcp_vector_search_spark.operators.nputil import round_half_up
 

@@ -255,7 +255,19 @@ def _batch_fuse(
     fw = Window.partitionBy(query_id_col).orderBy(F.desc("rrf_score"), F.asc("doc_id"))
     return (
         fused.join(F.broadcast(mx), query_id_col)
-        .withColumn("rrf_score", F.round(F.col("_raw") / F.col("_mx"), 6))
+        # per-query max can be exactly 0.0 (alpha extreme + a query
+        # with an empty weighted leg): score 0 like rrf_fuse does, not
+        # an ANSI DIVIDE_BY_ZERO that kills the whole batch
+        # (r6 review #7)
+        .withColumn(
+            "rrf_score",
+            F.round(
+                F.when(
+                    F.col("_mx") > 0, F.col("_raw") / F.col("_mx")
+                ).otherwise(F.lit(0.0)),
+                6,
+            ),
+        )
         .withColumn("rn", F.row_number().over(fw))
         .filter(F.col("rn") <= k)
         .select(query_id_col, "doc_id", "rrf_score", "rn")

@@ -249,3 +249,24 @@ def test_round_half_up_matches_sql_round():
     assert got[2] == 1e-06
     # np.round would give 0.007812 (half to even) on the first value
     assert np.round(grid, 6)[0] == 0.007812
+
+
+def test_hybrid_batch_zero_max_query(spark):
+    """A batch query whose weighted leg is empty (alpha=0.0, no term
+    hits) normalizes to 0.0 instead of ANSI DIVIDE_BY_ZERO killing the
+    whole batch (r6 review)."""
+    from mcp_vector_search_spark.plans.hybrid import hybrid_search_batch
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "gamma delta")], "doc_id long, text string"
+    )
+    vectors = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])], "vec_id long, embedding array<double>"
+    )
+    qvecs = spark.createDataFrame(
+        [(0, [1.0, 0.0])], "query_id long, query_vec array<double>"
+    )
+    out = hybrid_search_batch(
+        docs, vectors, [(0, ["zzz"])], qvecs, k=2, alpha=0.0
+    ).collect()
+    assert out and all(r.rrf_score == 0.0 for r in out)
