@@ -278,3 +278,47 @@ def test_repack_upcasts_mixed_code_dtypes(spark):
     assert len(out) == 1 and out[0].dtype == "uint16" and out[0].n == 4
     M = np.frombuffer(out[0].codes, dtype=np.uint16).reshape(4, 4)
     assert M[0, 0] == 300 and M[2, 0] == 8 and list(out[0].vec_ids) == [10, 11, 12, 13]
+
+
+def test_overwrite_layout_is_staged_and_leaves_no_tmp(spark, tmp_path):
+    """Overwriting a standing layout swaps a fully-staged copy in:
+    blocks and metadata change together (no mixed-quantizer window)
+    and no .tmp residue survives (r6 review)."""
+    import os
+
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from mcp_vector_search_spark.operators.ivf import (
+        ivf_pack,
+        read_ivf_layout,
+        write_ivf_layout,
+    )
+
+    path = str(tmp_path / "layout")
+    rng = np.random.default_rng(7)
+
+    def mk(tag):
+        rows = [
+            (i, int(i % 2), [float(x) for x in rng.normal(size=4)])
+            for i in range(10)
+        ]
+        assigned = spark.createDataFrame(
+            rows, "vec_id long, cluster_id int, unit array<double>"
+        )
+        cents = spark.createDataFrame(
+            [(0, [1.0, 0.0, 0.0, float(tag)]), (1, [0.0, 1.0, 0.0, float(tag)])],
+            "cluster_id int, centroid array<double>",
+        )
+        return ivf_pack(assigned), cents
+
+    p1, c1 = mk(1)
+    write_ivf_layout(p1, c1, path)
+    p2, c2 = mk(2)
+    write_ivf_layout(p2, c2, path)  # overwrite over the standing layout
+
+    packed, cents = read_ivf_layout(spark, path)
+    got = {r.centroid[3] for r in cents.collect()}
+    assert got == {2.0}  # metadata is the NEW quantizer, not a mix
+    assert packed.count() > 0
+    assert not os.path.exists(path + ".tmp")
