@@ -34,6 +34,18 @@ def round_half_up(x, decimals: int):
     stay bit-identical to each other, and the Spark-side F.round
     divergence is confined to measure-zero-in-practice inputs that no
     gate corpus produces.
+
+    Implementation note: trunc(x·s + copysign(0.5, x)) — equivalent to
+    sign(x)·floor(|x|·s + 0.5) (verified bit-identical incl. the half
+    grid) but in-place over ONE temporary. The naive sign/abs/floor
+    chain cost 8.5 s per 32M elements vs 0.36 s for this form
+    (np.round: 0.13 s) — on the brute-force ANN path, which rounds the
+    full |V|×|Q| score matrix, that overhead dominated the kernel
+    (r6 bench: 4M-vector brute 40 → 59 s before this fix).
     """
     scale = 10.0 ** decimals
-    return np.sign(x) * np.floor(np.abs(x) * scale + 0.5) / scale
+    y = np.multiply(x, scale)
+    np.add(y, np.copysign(0.5, y), out=y)
+    np.trunc(y, out=y)
+    y /= scale
+    return y
