@@ -150,21 +150,199 @@ def write_bm25_index(
     tables). postings is sorted by term within files so query-time
     `term IN (...)` filters benefit from parquet min/max pruning —
     at 100 TB, store it partitioned/Z-ordered by a term-hash bucket.
+
+    Layout is *segmented* (the Lucene segment model re-expressed as a
+    parquet partition column): ``postings/seg=N`` holds the postings
+    written by build N (the base build is seg 0), and ``doc_stats``
+    keeps exactly one row per live doc — ``(doc_id, dl, seg)`` — whose
+    ``seg`` names the segment that doc's postings live in. The read
+    path joins postings against that (doc_id, seg) map, so stale
+    postings from superseded or deleted docs are invisible without
+    ever being rewritten; `update_bm25_index` appends segments and
+    `compact_bm25_index` folds them back to one.
     """
-    postings = build_postings(docs, id_col, text_col)
-    doc_stats = doc_stats_from_postings(postings)
+    postings = build_postings(docs, id_col, text_col).withColumn("seg", F.lit(0))
+    doc_stats = doc_stats_from_postings(postings).withColumn("seg", F.lit(0))
     term_stats = build_term_stats(postings, doc_stats)
-    postings.sortWithinPartitions("term").write.mode("overwrite").parquet(f"{path}/postings")
+    postings.sortWithinPartitions("term").write.partitionBy("seg").mode("overwrite").parquet(
+        f"{path}/postings"
+    )
     doc_stats.write.mode("overwrite").parquet(f"{path}/doc_stats")
     term_stats.write.mode("overwrite").parquet(f"{path}/term_stats")
 
 
 def read_bm25_index(spark, path: str) -> tuple[DataFrame, DataFrame, DataFrame]:
-    return (
-        spark.read.parquet(f"{path}/postings"),
-        spark.read.parquet(f"{path}/doc_stats"),
-        spark.read.parquet(f"{path}/term_stats"),
+    """Returns (postings, doc_stats, term_stats) with segment
+    resolution already applied: postings carries only live rows (one
+    equi-join on the (doc_id, seg) map — the same doc_id join
+    `bm25_scores` performs anyway), doc_stats is (doc_id, dl). A
+    pre-segment flat index (no `seg` column) reads unchanged."""
+    from mcp_vector_search_spark.io import recover_swap
+
+    for t in ("doc_stats", "term_stats"):
+        recover_swap(f"{path}/{t}")
+    postings = spark.read.parquet(f"{path}/postings")
+    ds = spark.read.parquet(f"{path}/doc_stats")
+    term_stats = spark.read.parquet(f"{path}/term_stats")
+    if "seg" in postings.columns:
+        postings = postings.join(ds.select("doc_id", "seg"), ["doc_id", "seg"]).drop("seg")
+        ds = ds.select("doc_id", "dl")
+    return postings, ds, term_stats
+
+
+def _ids_frame(spark, ids, like: DataFrame) -> DataFrame:
+    """A one-column (doc_id) frame from a python list OR a DataFrame,
+    cast to the index's own doc_id type (never hardcode the id type —
+    string ids are first-class)."""
+    id_type = dict(like.dtypes)["doc_id"]
+    if isinstance(ids, DataFrame):
+        first = ids.columns[0]
+        return ids.select(F.col(first).cast(id_type).alias("doc_id"))
+    return spark.createDataFrame(
+        [(i,) for i in ids], f"doc_id {id_type}"
     )
+
+
+def update_bm25_index(
+    spark,
+    path: str,
+    new_docs: DataFrame | None,
+    deleted_ids=None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> int:
+    """Incrementally upsert `new_docs` (and delete `deleted_ids` — a
+    python list or a one-column DataFrame) into a segmented BM25 index,
+    with the contract that the resulting index scores IDENTICALLY to
+    `write_bm25_index` over the equivalent final corpus. Returns the
+    new segment id.
+
+    What is and isn't incremental, and why it holds at 100 TB:
+
+    - the corpus text is tokenized ONCE per doc, ever: only the delta
+      batch is tokenized here, appended as ``postings/seg=N`` via
+      dynamic partition overwrite (a replayed crash re-writes the same
+      partition — idempotent, same contract as the streaming sinks);
+    - ``doc_stats`` (one small row per live doc) is rewritten staged +
+      `atomic_swap_dir`: superseded/deleted ids drop out, delta rows
+      (seg=N) union in. This O(live docs) rewrite is the price of
+      keeping segment resolution a cheap equi-join instead of a
+      query-time latest-seg window; at extreme doc counts, bucket
+      doc_stats by hash(doc_id) and rewrite touched buckets only;
+    - ``term_stats`` must change globally whenever N changes (idf_raw
+      depends on n_docs, and BM25Okapi's epsilon floor averages over
+      ALL terms), and df is not delta-decomposable under upserts — so
+      it is recomputed from the LIVE postings: an aggregation over the
+      already-tokenized index, never a corpus re-scan.
+
+    Crash ordering: postings-then-doc_stats-then-term_stats. A crash
+    after the postings write leaves an orphan segment no doc_stats row
+    references — the index keeps serving the pre-update corpus and a
+    re-run overwrites the same partition. A crash between the two
+    swaps leaves idf one update stale; re-running the update (or
+    `refresh_bm25_term_stats`) repairs it.
+
+    Reference anchor: incremental reindex, ``chunks_backend.py:269-551``
+    (delete-by-key + append); the reference rebuilds its pickled
+    BM25Okapi whole — the segment model is what makes the same
+    semantics incremental at scale.
+    """
+    from mcp_vector_search_spark.io import atomic_swap_dir, recover_swap
+
+    recover_swap(f"{path}/doc_stats")
+    ds = spark.read.parquet(f"{path}/doc_stats")
+    if "seg" not in ds.columns:
+        raise ValueError(
+            f"{path} is a flat (pre-segment) BM25 index; rebuild it with "
+            "write_bm25_index before using update_bm25_index"
+        )
+    seg = (ds.agg(F.max("seg")).first()[0] or 0) + 1
+
+    if new_docs is not None:
+        new_post = build_postings(new_docs, id_col, text_col).withColumn("seg", F.lit(seg))
+        (
+            new_post.sortWithinPartitions("term")
+            .write.option("partitionOverwriteMode", "dynamic")
+            .partitionBy("seg")
+            .mode("overwrite")
+            .parquet(f"{path}/postings")
+        )
+        # build_doc_stats (not doc_stats_from_postings): an upsert to
+        # empty text must still produce a dl=0 row, or the old version
+        # would stay live
+        new_ds = build_doc_stats(new_docs, id_col, text_col).withColumn("seg", F.lit(seg))
+    else:
+        new_ds = spark.createDataFrame([], ds.schema)
+
+    # delta-batch validation (one tiny agg over the delta, not the
+    # corpus): a duplicated doc_id would double-count the doc in every
+    # score, and an id both upserted and deleted has no defined winner
+    touched = new_ds.select("doc_id")
+    if deleted_ids is not None:
+        dels = _ids_frame(spark, deleted_ids, ds)
+        counts = touched.unionByName(dels.select(F.col("doc_id"))).groupBy("doc_id").count()
+        dupes = [r["doc_id"] for r in counts.filter("count > 1").limit(5).collect()]
+        if dupes:
+            raise ValueError(
+                f"doc_ids duplicated within the update batch (or both "
+                f"upserted and deleted): {dupes}"
+            )
+        touched = touched.unionByName(dels)
+    else:
+        counts = touched.groupBy("doc_id").count()
+        dupes = [r["doc_id"] for r in counts.filter("count > 1").limit(5).collect()]
+        if dupes:
+            raise ValueError(f"doc_ids duplicated within new_docs: {dupes}")
+    merged = ds.join(touched, "doc_id", "left_anti").unionByName(new_ds)
+    tmp = f"{path}/doc_stats.tmp"
+    merged.write.mode("overwrite").parquet(tmp)
+    atomic_swap_dir(tmp, f"{path}/doc_stats")
+
+    refresh_bm25_term_stats(spark, path)
+    return seg
+
+
+def refresh_bm25_term_stats(spark, path: str) -> None:
+    """Recompute term_stats from the live (segment-resolved) postings
+    and swap it in — the repair path for a crash between the
+    `update_bm25_index` swaps, and the closing step of every update."""
+    from mcp_vector_search_spark.io import atomic_swap_dir
+
+    postings, doc_stats, _ = read_bm25_index(spark, path)
+    ts = build_term_stats(postings, doc_stats)
+    tmp = f"{path}/term_stats.tmp"
+    ts.write.mode("overwrite").parquet(tmp)
+    atomic_swap_dir(tmp, f"{path}/term_stats")
+
+
+def compact_bm25_index(spark, path: str) -> tuple[int, int]:
+    """Fold all segments back into seg 0, dropping stale postings rows
+    physically (they were already invisible logically). Staged under
+    `<path>.tmp` and root-swapped so the three tables change as one —
+    the multi-table analog of `compact_codec_layout`. Returns
+    (segments_before, segments_after)."""
+    import os
+
+    from mcp_vector_search_spark.io import atomic_swap_dir, recover_swap
+
+    recover_swap(path)
+    raw = spark.read.parquet(f"{path}/postings")
+    segs_before = raw.select("seg").distinct().count() if "seg" in raw.columns else 1
+    postings, doc_stats, term_stats = read_bm25_index(spark, path)
+    stage = f"{path}.tmp"
+    (
+        postings.withColumn("seg", F.lit(0))
+        .sortWithinPartitions("term")
+        .write.partitionBy("seg")
+        .mode("overwrite")
+        .parquet(os.path.join(stage, "postings"))
+    )
+    doc_stats.withColumn("seg", F.lit(0)).write.mode("overwrite").parquet(
+        os.path.join(stage, "doc_stats")
+    )
+    term_stats.write.mode("overwrite").parquet(os.path.join(stage, "term_stats"))
+    atomic_swap_dir(stage, path)
+    return segs_before, 1
 
 
 def bm25_topk_indexed(

@@ -120,8 +120,12 @@ def _terms_in() -> str:
     return ", ".join(f"'{t}'" for t in QUERY_TERMS)
 
 
-_BM25_SHARED = f"""
-toks AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
+def _bm25_shared_over(src: str) -> str:
+    """The BM25 index CTE chain over an arbitrary (doc_id, text)
+    source relation — `bm25_incr` points it at the post-upsert/delete
+    corpus, everything else at `documents`."""
+    return f"""
+toks AS (SELECT doc_id, unnest({_TOKS}) AS term FROM {src}),
 postings AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks GROUP BY doc_id, term),
 doc_stats AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY doc_id),
 corpus AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl FROM doc_stats),
@@ -130,6 +134,9 @@ idf_raw AS (SELECT term, ln((c.n_docs - df + 0.5) / (df + 0.5)) AS ir FROM dfreq
 avg_idf AS (SELECT avg(ir) AS ai FROM idf_raw),
 term_stats AS (SELECT term, CASE WHEN ir < 0 THEN 0.25 * ai ELSE ir END AS idf
                FROM idf_raw, avg_idf)"""
+
+
+_BM25_SHARED = _bm25_shared_over("documents")
 
 
 def _bm25_scored(terms: list[str], limit: int, name: str) -> str:
@@ -213,6 +220,52 @@ def _li_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk(_docs(spark, sf_dir), QUERY_TERMS, KNN_K)
+
+
+# bm25_incr query terms hit both original text and the upsert suffix
+INCR_TERMS = ["data", "vector", "overlay", "segment"]
+
+
+def q_bm25_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K3 incremental index lifecycle gate: base build (doc_id%3!=0)
+    → segment append of the rest → one combined upsert (%5 docs gain
+    an ' incremental segment overlay' suffix) + delete (%7) batch →
+    compact → query. The oracle scores the equivalent FINAL corpus
+    from scratch, pinning the contract that segment appends +
+    superseding doc_stats + compaction reproduce a full rebuild
+    bit-for-bit (`operators/bm25.py:update_bm25_index`; reference
+    incremental reindex, chunks_backend.py:269-551)."""
+    import shutil
+    import tempfile
+
+    from mcp_vector_search_spark.operators.bm25 import (
+        bm25_topk_indexed,
+        compact_bm25_index,
+        update_bm25_index,
+        write_bm25_index,
+    )
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    tmp = tempfile.mkdtemp(prefix="bm25_incr_")
+    try:
+        idx = f"{tmp}/idx"
+        write_bm25_index(docs.filter(F.col("doc_id") % 3 != 0), idx)
+        update_bm25_index(spark, idx, docs.filter(F.col("doc_id") % 3 == 0))
+        upserts = docs.filter(
+            (F.col("doc_id") % 5 == 0) & (F.col("doc_id") % 7 != 0)
+        ).select(
+            "doc_id",
+            F.concat(F.col("text"), F.lit(" incremental segment overlay")).alias("text"),
+        )
+        dels = docs.filter(F.col("doc_id") % 7 == 0).select("doc_id")
+        update_bm25_index(spark, idx, upserts, deleted_ids=dels)
+        compact_bm25_index(spark, idx)
+        res = bm25_topk_indexed(spark, idx, INCR_TERMS, KNN_K)
+        # materialize before the index dir is removed — the returned
+        # frame must not depend on the temp files
+        return spark.createDataFrame(res.collect(), res.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 def q_knn_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2261,6 +2314,18 @@ def _oracles() -> dict[str, str]:
 
     o["bm25_topk"] = f"WITH {_bm25_ctes(KNN_K)} SELECT doc_id, score FROM bm"
 
+    # bm25_incr: the incremental-index gate's oracle is a FULL rebuild
+    # over the post-upsert/delete corpus — same %3/%5/%7 arithmetic as
+    # q_bm25_incremental, same suffix literal
+    o["bm25_incr"] = f"""
+WITH docs2 AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 0 THEN text || ' incremental segment overlay'
+              ELSE text END AS text
+  FROM documents WHERE doc_id % 7 <> 0
+),{_bm25_shared_over("docs2")},{_bm25_scored(INCR_TERMS, KNN_K, "bi")}
+SELECT doc_id, score FROM bi"""
+
     # result_quality: the reference's calculate_result_quality rollup
     # composed over the bm25 oracle (max-normalized to 0-1, joined back
     # for file diversity + word coverage); the query-word set renders
@@ -4154,6 +4219,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "halstead": q_halstead,
     "result_quality": q_result_quality,
     "ml_chunks": q_ml_chunks,
+    "bm25_incr": q_bm25_incremental,
 }
 
 ORACLE_SQL: dict[str, str] = _oracles()

@@ -1,0 +1,172 @@
+"""Segmented BM25 index lifecycle (K3 incremental): upsert/delete
+segments must score identically to a fresh full build over the
+equivalent final corpus (reference incremental reindex,
+chunks_backend.py:269-551 — delete-by-key + append)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from mcp_vector_search_spark.operators.bm25 import (
+    bm25_topk_indexed,
+    compact_bm25_index,
+    read_bm25_index,
+    update_bm25_index,
+    write_bm25_index,
+)
+
+TERMS = ["quick", "spark", "merge", "queries"]
+
+
+def _corpus(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+BASE = [
+    (0, "the quick brown fox jumps over the lazy dog"),
+    (1, "spark sql runs relational queries at scale"),
+    (2, "pack my box with five dozen liquor jugs"),
+    (3, "the quick onyx goblin jumps over the lazy dwarf"),
+]
+ADDED = [
+    (4, "incremental merge of spark postings segments"),
+    (5, "quick queries over a merged segmented index"),
+]
+REPLACED = [(1, "spark streaming merge runs quick incremental queries")]
+
+
+def _topk(spark, path, k=10):
+    return sorted(
+        (r["doc_id"], r["score"])
+        for r in bm25_topk_indexed(spark, path, TERMS, k).collect()
+    )
+
+
+def _full_equiv(spark, tmp, rows, k=10):
+    p = os.path.join(tmp, "full_idx")
+    write_bm25_index(_corpus(spark, rows), p)
+    return _topk(spark, p, k)
+
+
+def test_update_equals_full_rebuild(spark, tmp_path):
+    tmp = str(tmp_path)
+    idx = os.path.join(tmp, "idx")
+    write_bm25_index(_corpus(spark, BASE), idx)
+
+    seg1 = update_bm25_index(spark, idx, _corpus(spark, ADDED))
+    assert seg1 == 1
+    # upsert (doc 1 replaced) + delete (doc 2) in one batch
+    seg2 = update_bm25_index(
+        spark, idx, _corpus(spark, REPLACED), deleted_ids=[2]
+    )
+    assert seg2 == 2
+
+    final_rows = [BASE[0], REPLACED[0], BASE[3]] + ADDED
+    assert _topk(spark, idx) == _full_equiv(spark, tmp, final_rows)
+
+
+def test_deleted_ids_dataframe_path(spark, tmp_path):
+    tmp = str(tmp_path)
+    idx = os.path.join(tmp, "idx")
+    write_bm25_index(_corpus(spark, BASE), idx)
+    dels = spark.createDataFrame([(2,), (3,)], "doc_id long")
+    update_bm25_index(spark, idx, None, deleted_ids=dels)
+    assert _topk(spark, idx) == _full_equiv(spark, tmp, [BASE[0], BASE[1]])
+
+
+def test_empty_text_upsert_supersedes(spark, tmp_path):
+    tmp = str(tmp_path)
+    idx = os.path.join(tmp, "idx")
+    write_bm25_index(_corpus(spark, BASE), idx)
+    update_bm25_index(spark, idx, _corpus(spark, [(1, "")]))
+    # doc 1 must vanish from results (no tokens) yet stay a live doc
+    got = _topk(spark, idx)
+    assert all(d != 1 for d, _ in got)
+    _, doc_stats, _ = read_bm25_index(spark, idx)
+    row = doc_stats.filter(F.col("doc_id") == 1).collect()
+    assert [r["dl"] for r in row] == [0.0]
+
+
+def test_orphan_segment_is_invisible_and_replay_idempotent(spark, tmp_path):
+    tmp = str(tmp_path)
+    idx = os.path.join(tmp, "idx")
+    write_bm25_index(_corpus(spark, BASE), idx)
+    before = _topk(spark, idx)
+
+    # simulate a crash after the postings write: seg 1 exists on disk
+    # but no doc_stats row references it
+    from mcp_vector_search_spark.operators.bm25 import build_postings
+
+    orphan = build_postings(_corpus(spark, ADDED)).withColumn("seg", F.lit(1))
+    (
+        orphan.write.option("partitionOverwriteMode", "dynamic")
+        .partitionBy("seg")
+        .mode("overwrite")
+        .parquet(f"{idx}/postings")
+    )
+    assert _topk(spark, idx) == before  # serves the pre-update corpus
+
+    # replaying the same update lands on the same seg and repairs all
+    seg = update_bm25_index(spark, idx, _corpus(spark, ADDED))
+    assert seg == 1
+    assert _topk(spark, idx) == _full_equiv(spark, tmp, BASE + ADDED)
+
+
+def test_compact_preserves_results_and_folds_segments(spark, tmp_path):
+    tmp = str(tmp_path)
+    idx = os.path.join(tmp, "idx")
+    write_bm25_index(_corpus(spark, BASE), idx)
+    update_bm25_index(spark, idx, _corpus(spark, ADDED))
+    update_bm25_index(spark, idx, _corpus(spark, REPLACED), deleted_ids=[2])
+    before = _topk(spark, idx)
+
+    segs_before, segs_after = compact_bm25_index(spark, idx)
+    assert (segs_before, segs_after) == (3, 1)
+    assert _topk(spark, idx) == before
+    # stale rows are physically gone: doc 1's replaced postings held
+    # 'relational', which no live doc contains after compaction
+    postings, _, _ = read_bm25_index(spark, idx)
+    assert postings.filter(F.col("term") == "relational").count() == 0
+    # and the compacted index keeps accepting updates
+    update_bm25_index(spark, idx, _corpus(spark, [(9, "fresh doc after compact")]))
+    final = [BASE[0], REPLACED[0], BASE[3]] + ADDED + [(9, "fresh doc after compact")]
+    assert _topk(spark, idx) == _full_equiv(spark, tmp, final)
+
+
+def test_flat_v1_index_rejected(spark, tmp_path):
+    idx = str(tmp_path / "flat")
+    docs = _corpus(spark, BASE)
+    from mcp_vector_search_spark.operators.bm25 import (
+        build_postings,
+        build_term_stats,
+        doc_stats_from_postings,
+    )
+
+    postings = build_postings(docs)
+    ds = doc_stats_from_postings(postings)
+    postings.write.parquet(f"{idx}/postings")
+    ds.write.parquet(f"{idx}/doc_stats")
+    build_term_stats(postings, ds).write.parquet(f"{idx}/term_stats")
+    # reads fine (back-compat) ...
+    assert len(_topk(spark, idx)) > 0
+    # ... but updates demand the segmented layout
+    with pytest.raises(ValueError, match="flat"):
+        update_bm25_index(spark, idx, _corpus(spark, ADDED))
+    # and compaction IS the migration path
+    compact_bm25_index(spark, idx)
+    update_bm25_index(spark, idx, _corpus(spark, ADDED))
+    assert _topk(spark, idx) == _full_equiv(spark, str(tmp_path), BASE + ADDED)
+
+
+def test_update_batch_validation(spark, tmp_path):
+    idx = str(tmp_path / "idx")
+    write_bm25_index(_corpus(spark, BASE), idx)
+    with pytest.raises(ValueError, match="duplicated"):
+        update_bm25_index(
+            spark, idx, _corpus(spark, [(7, "a doc"), (7, "same id twice")])
+        )
+    with pytest.raises(ValueError, match="duplicated"):
+        update_bm25_index(spark, idx, _corpus(spark, [(0, "both")]), deleted_ids=[0])
