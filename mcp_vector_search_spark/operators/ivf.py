@@ -89,6 +89,50 @@ def ivf_build(
     return assigned, centroids
 
 
+def _lloyd_fit(X, num_clusters: int, iters: int, seed: int):
+    """Driver-side Lloyd's over an already-unit-normalized sample —
+    the shared fit kernel of `ivf_build_sampled` and
+    `ivf_retrain_gain`/`retrain_ivf_layout`, so build-time and
+    maintenance-time quantizers can never drift in fit rule."""
+    import numpy as np
+
+    n, d = X.shape
+    k = min(num_clusters, n)
+    rng = np.random.default_rng(seed)
+    cents = X[rng.choice(n, size=k, replace=False)].copy()
+    for _ in range(iters):
+        # unit sphere: argmin L2 ≡ argmax (u·c − ‖c‖²/2); BLAS form
+        d2 = (cents * cents).sum(axis=1)[None, :] - 2.0 * (X @ cents.T)
+        assign = np.argmin(d2, axis=1)
+        counts = np.bincount(assign, minlength=k)
+        sums = np.zeros((k, d))
+        np.add.at(sums, assign, X)
+        nz = counts > 0
+        cents[nz] = sums[nz] / counts[nz, None]
+    return cents
+
+
+def _lloyd_fit_best(X, num_clusters: int, iters: int, seed: int, restarts: int = 3):
+    """Best-of-`restarts` Lloyd's (min mean residual on the sample).
+    Plain Lloyd's is init-sensitive: a bad draw of initial points can
+    converge to a fit visibly worse than the quantizer being evaluated,
+    which would make `ivf_retrain_gain` report phantom negative gains
+    and `retrain_ivf_layout` able to *worsen* a layout. Restarts are
+    driver-side on the bounded sample — negligible next to the corpus
+    re-assignment they guard. (`ivf_build_sampled` stays single-seed:
+    its output is pinned by the correctness gates.)"""
+    import numpy as np
+
+    best, best_resid = None, None
+    for s in range(restarts):
+        cents = _lloyd_fit(X, num_clusters, iters, seed + s)
+        d2 = (cents * cents).sum(axis=1)[None, :] - 2.0 * (X @ cents.T)
+        resid = float(np.linalg.norm(X - cents[np.argmin(d2, axis=1)], axis=1).mean())
+        if best_resid is None or resid < best_resid:
+            best, best_resid = cents, resid
+    return best, best_resid
+
+
 def ivf_build_sampled(
     vectors: DataFrame,
     vec_col: str = "embedding",
@@ -131,19 +175,7 @@ def ivf_build_sampled(
     )
     X = np.stack(sample[vec_col].to_numpy()).astype(np.float64)
     X /= _safe_norms(X)
-    n, d = X.shape
-    k = min(num_clusters, n)
-    rng = np.random.default_rng(seed)
-    cents = X[rng.choice(n, size=k, replace=False)].copy()
-    for _ in range(iters):
-        # unit sphere: argmin L2 ≡ argmax (u·c − ‖c‖²/2); BLAS form
-        d2 = (cents * cents).sum(axis=1)[None, :] - 2.0 * (X @ cents.T)
-        assign = np.argmin(d2, axis=1)
-        counts = np.bincount(assign, minlength=k)
-        sums = np.zeros((k, d))
-        np.add.at(sums, assign, X)
-        nz = counts > 0
-        cents[nz] = sums[nz] / counts[nz, None]
+    cents = _lloyd_fit(X, num_clusters, iters, seed)
     centroids = vectors.sparkSession.createDataFrame(
         [(i, [float(x) for x in c]) for i, c in enumerate(cents)],
         "cluster_id int, centroid array<double>",
@@ -716,3 +748,206 @@ def read_ivf_layout(spark, path: str) -> tuple[DataFrame, DataFrame]:
         spark.read.parquet(f"{path}/blocks"),
         spark.read.parquet(f"{path}/centroids"),
     )
+
+
+# ---------------------------------------------------------- maintenance
+
+
+def ivf_unpack(packed: DataFrame, id_col: str = "vec_id") -> DataFrame:
+    """Inverse of `ivf_pack`: packed blocks → per-row
+    (cluster_id, vec_id, unit). The float layout stores exact unit
+    vectors (float64 packs are bit-identical; float32 packs
+    reconstruct at float32 precision), so maintenance jobs — retrain,
+    export, audits — run from the layout itself without the source
+    corpus. One map-side pass; no shuffle."""
+    import numpy as np
+    import pandas as pd
+
+    idt = packed.schema["vec_ids"].dataType.elementType.simpleString()
+    out_schema = f"cluster_id int, {id_col} {idt}, unit array<double>"
+
+    def unpack(batches):
+        for pdf in batches:
+            for row in pdf.itertuples(index=False):
+                M = (
+                    np.frombuffer(row.mat, dtype=np.dtype(row.dtype))
+                    .reshape(row.n, row.dim)
+                    .astype(np.float64)
+                )
+                yield pd.DataFrame(
+                    {
+                        "cluster_id": np.full(row.n, row.cluster_id, dtype=np.int32),
+                        id_col: list(row.vec_ids),
+                        "unit": list(M),
+                    }
+                )
+
+    return packed.mapInPandas(unpack, out_schema)
+
+
+def ivf_stats(packed: DataFrame, centroids: DataFrame) -> DataFrame:
+    """Per-cluster health of a packed layout → (cluster_id, n_rows,
+    n_blocks, mean_resid): row count (skew/imbalance), block count
+    (fragmentation — `repack_blocks`/`compact_codec_layout` is the
+    cure), and mean L2 distance of members to their centroid
+    (quantization error — the signal that grows as streamed appends
+    drift from the distribution the quantizer was fit on). Clusters
+    with no rows appear with zeros, so emptied clusters are visible.
+    One scan over block rows (residuals come from one matmul per
+    block); no corpus shuffle."""
+    import numpy as np
+    import pandas as pd
+
+    cpd = centroids.orderBy("cluster_id").toPandas()
+    cmap = {int(r["cluster_id"]): np.asarray(r["centroid"], dtype=np.float64) for _, r in cpd.iterrows()}
+
+    def per_block(batches):
+        for pdf in batches:
+            for row in pdf.itertuples(index=False):
+                M = (
+                    np.frombuffer(row.mat, dtype=np.dtype(row.dtype))
+                    .reshape(row.n, row.dim)
+                    .astype(np.float64)
+                )
+                c = cmap.get(int(row.cluster_id))
+                resid = float(np.linalg.norm(M - c[None, :], axis=1).sum()) if c is not None else 0.0
+                yield pd.DataFrame(
+                    {
+                        "cluster_id": [row.cluster_id],
+                        "n": [row.n],
+                        "sum_resid": [resid],
+                    }
+                )
+
+    agg = (
+        packed.mapInPandas(per_block, "cluster_id int, n long, sum_resid double")
+        .groupBy("cluster_id")
+        .agg(
+            F.sum("n").alias("n_rows"),
+            F.count("*").alias("n_blocks"),
+            F.round(F.try_divide(F.sum("sum_resid"), F.sum("n")), 6).alias("mean_resid"),
+        )
+    )
+    return (
+        centroids.select("cluster_id")
+        .join(agg, "cluster_id", "left")
+        .select(
+            "cluster_id",
+            F.coalesce("n_rows", F.lit(0)).alias("n_rows"),
+            F.coalesce("n_blocks", F.lit(0)).alias("n_blocks"),
+            F.coalesce("mean_resid", F.lit(0.0)).alias("mean_resid"),
+        )
+    )
+
+
+def ivf_layout_stats(spark, path: str) -> DataFrame:
+    """`ivf_stats` over a persisted layout path."""
+    packed, cents = read_ivf_layout(spark, path)
+    return ivf_stats(packed, cents)
+
+
+def ivf_retrain_gain(
+    spark,
+    path: str,
+    sample_rows: int = 8192,
+    num_clusters: int | None = None,
+    iters: int = 10,
+    seed: int = 42,
+) -> dict:
+    """The retrain decision signal: on a deterministic sample of the
+    layout's own vectors, compare the standing quantizer's mean
+    residual against a fresh `_lloyd_fit` of the same sample →
+    {"current_resid", "refit_resid", "gain_pct", "n_sample"}. A
+    near-zero gain means the centroids still fit the data (retraining
+    buys nothing); a large gain means streamed appends have drifted
+    the corpus and `retrain_ivf_layout` will restore probe recall.
+    Driver-side on the bounded sample — the full corpus is never
+    re-scored. (FAISS guidance: retrain when the imbalance factor or
+    quantization error grows materially; this measures the latter
+    directly.)"""
+    import numpy as np
+
+    packed, cents = read_ivf_layout(spark, path)
+    rows = (
+        ivf_unpack(packed)
+        .orderBy(F.md5(F.concat(F.col("vec_id").cast("string"), F.lit("#ivf-fit"))))
+        .limit(sample_rows)
+        .toPandas()
+    )
+    X = np.stack(rows["unit"].to_numpy())
+    assigned = rows["cluster_id"].to_numpy()
+    cpd = cents.orderBy("cluster_id").toPandas()
+    C = np.stack(cpd["centroid"].to_numpy()).astype(np.float64)
+    cid_to_idx = {int(c): i for i, c in enumerate(cpd["cluster_id"])}
+    idx = np.array([cid_to_idx[int(c)] for c in assigned])
+    current = float(np.linalg.norm(X - C[idx], axis=1).mean())
+
+    k = num_clusters if num_clusters is not None else len(cpd)
+    _, refit = _lloyd_fit_best(X, k, iters, seed)
+    gain = 0.0 if current <= 0 else round(100.0 * (current - refit) / current, 2)
+    return {
+        "current_resid": round(current, 6),
+        "refit_resid": round(refit, 6),
+        "gain_pct": gain,
+        "n_sample": len(rows),
+    }
+
+
+def retrain_ivf_layout(
+    spark,
+    path: str,
+    num_clusters: int | None = None,
+    sample_rows: int = 16384,
+    iters: int = 10,
+    seed: int = 42,
+    rows_per_block: int = 65536,
+    max_block_bytes: int = 32 << 20,
+) -> int:
+    """Refit the coarse quantizer from the layout's own vectors and
+    rewrite the layout against it — the answer to quantizer staleness
+    that `write_ivf_layout(mode="append")`'s equality guard exists to
+    force (a refit means a new layout, never an append into the old
+    one). Returns the number of clusters in the new quantizer.
+
+    Pipeline: unpack blocks → per-row units (map-side) → sampled
+    Lloyd's refit (best-of-restarts, `_lloyd_fit_best`) → one Arrow
+    re-assignment pass → re-pack (same dtype as the standing layout)
+    → staged overwrite via `write_ivf_layout` (the codec-layout
+    writer stages the whole root and atomically swaps, so readers see
+    the old layout until the new one is complete). The source corpus
+    is never touched: the float layout IS the corpus at serving
+    precision. Cost ≈ one corpus scan + the pack shuffle — the same
+    shape as the original build minus normalization.
+
+    Reference behavior matched: LanceDB index re-creation on drift
+    (``vectors_backend.py:665-731`` recreates the ANN index whole);
+    here the rewrite is partition-parallel and atomic."""
+    import numpy as np
+
+    packed, cents = read_ivf_layout(spark, path)
+    dtype = packed.select("dtype").first()["dtype"]
+    if num_clusters is None:
+        num_clusters = cents.count()
+    rows = ivf_unpack(packed).select("vec_id", F.col("unit").alias("embedding"))
+    # same deterministic md5 sample as ivf_build_sampled, but fit
+    # best-of-restarts (see _lloyd_fit_best: a single bad init could
+    # otherwise make the retrain WORSEN the layout)
+    sample = (
+        rows.orderBy(F.md5(F.concat(F.col("vec_id").cast("string"), F.lit("#ivf-fit"))))
+        .limit(sample_rows)
+        .toPandas()
+    )
+    X = np.stack(sample["embedding"].to_numpy()).astype(np.float64)
+    cents_np, _ = _lloyd_fit_best(X, num_clusters, iters, seed)
+    new_cents = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(cents_np)],
+        "cluster_id int, centroid array<double>",
+    )
+    new_packed = ivf_pack(
+        ivf_assign(rows, new_cents),
+        rows_per_block=rows_per_block,
+        max_block_bytes=max_block_bytes,
+        dtype=dtype,
+    )
+    write_ivf_layout(new_packed, new_cents, path, mode="overwrite")
+    return num_clusters
