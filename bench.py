@@ -28,6 +28,7 @@ EXTRA_COMPACT_KEYS = [
     "ann_huge_brute_sec",
     "ann_huge_ivf_sec",
     "ann_huge_recall_at_10",
+    "bm25_update_delta_sec",
 ]
 
 HEADLINE = [
@@ -283,6 +284,20 @@ def main():
         per_query["hybrid_batch_tbl256_sec"] = round(hbt_sec, 3)
         per_query["hybrid_batch_tbl_qps"] = round(HBT_N / hbt_sec, 2)
     total += per_query["bm25_query_indexed"]
+
+    # K3 incremental: upsert a 1% delta into a standing segmented
+    # index (delta tokenized alone; term_stats re-aggregates the
+    # already-tokenized postings) — vs `bm25_index_build`, the
+    # full-rebuild cost measured above
+    from mcp_vector_search_spark.operators.bm25 import update_bm25_index
+
+    with tempfile.TemporaryDirectory() as idx2:
+        base = docs.filter(_F.col("doc_id") % 100 != 0)
+        delta = docs.filter(_F.col("doc_id") % 100 == 0).select("doc_id", "text")
+        write_bm25_index(base, idx2)
+        t0 = time.time()
+        update_bm25_index(spark, idx2, delta)
+        per_query["bm25_update_delta_sec"] = round(time.time() - t0, 3)
 
     # co-located join layout: the same join+agg with and without the
     # pre-shuffled bucket layout (write cost reported separately, like
