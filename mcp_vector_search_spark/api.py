@@ -253,6 +253,68 @@ class SparkProject:
             "overwrite"
         ).parquet(f"{path}/kind")
 
+    def _persisted_kind(self, path: str) -> str | None:
+        """Read the layout's one-row kind manifest; None ONLY when the
+        manifest is missing (pre-manifest layouts / torn saves) — any
+        other read failure surfaces here, not cryptically at query
+        time (r6 review #3)."""
+        from pyspark.errors import AnalysisException
+
+        try:
+            row = self.spark.read.parquet(f"{path}/kind").first()
+            if row is None:
+                raise ValueError(f"kind manifest at {path}/kind is empty")
+            return row["kind"]
+        except AnalysisException as e:
+            if "PATH_NOT_FOUND" not in str(e) and "Path does not exist" not in str(e):
+                raise
+            return None
+
+    def _require_float_ivf(self, path: str) -> None:
+        """Maintenance ops below run on float IVF layouts only: PQ/SQ
+        blocks are lossy codes — their vectors cannot be reconstructed,
+        so retrain those from the source corpus via build_ann_index."""
+        kind = self._persisted_kind(path)
+        if kind is not None and kind != "ivf":
+            raise ValueError(
+                f"layout at {path} is kind={kind!r}; index maintenance "
+                "operates on float 'ivf' layouts only"
+            )
+
+    def ann_index_health(self, path: str) -> DataFrame:
+        """Per-cluster health of a persisted float-IVF layout →
+        (cluster_id, n_rows, n_blocks, mean_resid): skew, block
+        fragmentation (cure: `compact_ann_layout`), and quantization
+        error (cure: `retrain_ann_index`)."""
+        from mcp_vector_search_spark.operators.ivf import ivf_layout_stats
+
+        self._require_float_ivf(path)
+        return ivf_layout_stats(self.spark, path)
+
+    def ann_retrain_gain(self, path: str, sample_rows: int = 8192) -> dict:
+        """The retrain decision signal: mean residual of the standing
+        quantizer vs a fresh sample refit — near-zero means retraining
+        buys nothing; large means streamed appends drifted the corpus."""
+        from mcp_vector_search_spark.operators.ivf import ivf_retrain_gain
+
+        self._require_float_ivf(path)
+        return ivf_retrain_gain(self.spark, path, sample_rows=sample_rows)
+
+    def retrain_ann_index(
+        self, path: str, num_clusters: int | None = None, sample_rows: int = 16384
+    ) -> int:
+        """Refit the quantizer from the layout's own vectors and
+        atomically rewrite the layout (`retrain_ivf_layout`). A
+        session currently serving this path keeps serving the OLD
+        (cached) index until `load_ann_index(path)` is called again —
+        retrain never yanks a live index."""
+        from mcp_vector_search_spark.operators.ivf import retrain_ivf_layout
+
+        self._require_float_ivf(path)
+        return retrain_ivf_layout(
+            self.spark, path, num_clusters=num_clusters, sample_rows=sample_rows
+        )
+
     def load_ann_index(self, path: str, kind: str | None = None) -> None:
         """Load a persisted ANN layout into the serving memo (cached
         blocks + lineage-free metadata) — `search_batch` routes to it
@@ -265,22 +327,7 @@ class SparkProject:
         the current index serving (r6 review)."""
         if kind is not None and kind not in ("ivf", "ivfpq", "ivfsq"):
             raise ValueError(f"unknown ANN index kind: {kind!r}")
-        from pyspark.errors import AnalysisException
-
-        persisted = None
-        try:
-            row = self.spark.read.parquet(f"{path}/kind").first()
-            if row is None:
-                raise ValueError(f"kind manifest at {path}/kind is empty")
-            persisted = row["kind"]
-        except AnalysisException as e:
-            # ONLY the missing-manifest case falls through to the
-            # caller's kind (pre-manifest layouts / torn saves); any
-            # other failure — corrupt footer, transient FS error — must
-            # surface here, not be mistaken for "no manifest" and fail
-            # cryptically at query time (r6 review #3)
-            if "PATH_NOT_FOUND" not in str(e) and "Path does not exist" not in str(e):
-                raise
+        persisted = self._persisted_kind(path)
         if persisted is not None:
             if kind is not None and kind != persisted:
                 raise ValueError(

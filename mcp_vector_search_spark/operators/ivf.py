@@ -763,6 +763,12 @@ def ivf_unpack(packed: DataFrame, id_col: str = "vec_id") -> DataFrame:
     import numpy as np
     import pandas as pd
 
+    if "mat" not in packed.columns:
+        raise ValueError(
+            "not a float IVF layout (no 'mat' blocks) — PQ/SQ code layouts "
+            "are lossy and cannot be unpacked to vectors; retrain those from "
+            "the source corpus instead"
+        )
     idt = packed.schema["vec_ids"].dataType.elementType.simpleString()
     out_schema = f"cluster_id int, {id_col} {idt}, unit array<double>"
 

@@ -81,6 +81,31 @@ def test_retrain_gain_near_zero_on_fresh_fit(spark, layout):
     assert g["gain_pct"] < 10.0
 
 
+def test_facade_maintenance_methods(spark, layout):
+    from mcp_vector_search_spark.api import SparkProject
+
+    vecs = _clustered_vecs(spark)
+    proj = SparkProject(spark, docs=vecs, vectors=vecs)
+    health = proj.ann_index_health(layout).collect()
+    assert sum(r["n_rows"] for r in health) == 400
+    gain = proj.ann_retrain_gain(layout, sample_rows=400)
+    assert set(gain) == {"current_resid", "refit_resid", "gain_pct", "n_sample"}
+    # wrong-kind layouts are refused before any block is touched
+    spark.createDataFrame([("ivfpq",)], "kind string").write.mode(
+        "overwrite"
+    ).parquet(f"{layout}/kind")
+    with pytest.raises(ValueError, match="maintenance"):
+        proj.ann_index_health(layout)
+    with pytest.raises(ValueError, match="maintenance"):
+        proj.retrain_ann_index(layout)
+
+
+def test_unpack_rejects_code_layouts(spark, layout):
+    packed, _ = read_ivf_layout(spark, layout)
+    with pytest.raises(ValueError, match="float IVF"):
+        ivf_unpack(packed.withColumnRenamed("mat", "codes")).collect()
+
+
 def test_drift_then_retrain_restores_fit(spark, tmp_path):
     path = str(tmp_path / "layout")
     vecs = _clustered_vecs(spark, seed=7)
