@@ -260,6 +260,12 @@ class SparkProject:
         time (r6 review #3)."""
         from pyspark.errors import AnalysisException
 
+        from mcp_vector_search_spark.io import recover_swap
+
+        # the layout root is swap-managed (retrain / overwrite): a
+        # crash-stranded `<path>.old` must be recovered before the
+        # manifest probe, or an intact layout reads as manifest-less
+        recover_swap(path)
         try:
             row = self.spark.read.parquet(f"{path}/kind").first()
             if row is None:

@@ -179,6 +179,11 @@ def read_bm25_index(spark, path: str) -> tuple[DataFrame, DataFrame, DataFrame]:
     pre-segment flat index (no `seg` column) reads unchanged."""
     from mcp_vector_search_spark.io import recover_swap
 
+    # the index ROOT is itself swap-managed (compact_bm25_index stages
+    # the whole layout and swaps `path`) — recover it first, or a crash
+    # inside that swap leaves an intact index at `<path>.old` that every
+    # reader would mistake for a missing index (r6 review)
+    recover_swap(path)
     for t in ("doc_stats", "term_stats"):
         recover_swap(f"{path}/{t}")
     postings = spark.read.parquet(f"{path}/postings")
@@ -197,10 +202,21 @@ def _ids_frame(spark, ids, like: DataFrame) -> DataFrame:
     id_type = dict(like.dtypes)["doc_id"]
     if isinstance(ids, DataFrame):
         first = ids.columns[0]
-        return ids.select(F.col(first).cast(id_type).alias("doc_id"))
-    return spark.createDataFrame(
-        [(i,) for i in ids], f"doc_id {id_type}"
-    )
+        # try_cast, not cast: ANSI cast would throw the raw
+        # NumberFormatException deep inside a later join — the NULL
+        # check below turns both bad shapes into one clear error
+        out = ids.select(F.col(first).try_cast(id_type).alias("doc_id"))
+    else:
+        out = spark.createDataFrame([(i,) for i in ids], f"doc_id {id_type}")
+    # a NULL id — supplied, or produced by an uncastable value (e.g.
+    # string ids against a long-keyed index) — would left_anti-join
+    # against nothing and the deletion would silently no-op (r6 review)
+    if out.filter(F.col("doc_id").isNull()).limit(1).count():
+        raise ValueError(
+            f"deleted_ids contain NULL or values not castable to the "
+            f"index's doc_id type {id_type!r} — no deletion was applied"
+        )
+    return out
 
 
 def update_bm25_index(
@@ -249,6 +265,7 @@ def update_bm25_index(
     """
     from mcp_vector_search_spark.io import atomic_swap_dir, recover_swap
 
+    recover_swap(path)
     recover_swap(f"{path}/doc_stats")
     ds = spark.read.parquet(f"{path}/doc_stats")
     if "seg" not in ds.columns:
@@ -267,17 +284,29 @@ def update_bm25_index(
             .mode("overwrite")
             .parquet(f"{path}/postings")
         )
-        # build_doc_stats (not doc_stats_from_postings): an upsert to
-        # empty text must still produce a dl=0 row, or the old version
-        # would stay live
-        new_ds = build_doc_stats(new_docs, id_col, text_col).withColumn("seg", F.lit(seg))
+        # delta doc_stats come from the JUST-WRITTEN segment partition
+        # (partition-pruned read-back): the delta is tokenized exactly
+        # once — the postings write above — and, because
+        # doc_stats_from_postings drops token-less docs, an upsert to
+        # empty text DELETES the doc from the live map instead of
+        # keeping a dl=0 row that would shift n_docs/avgdl (and every
+        # idf) away from the `write_bm25_index` full-rebuild contract
+        # (r6 review). The old version still vanishes: `upserted` below
+        # carries EVERY delta id, tokens or not.
+        seg_post = spark.read.parquet(f"{path}/postings").filter(F.col("seg") == seg)
+        new_ds = doc_stats_from_postings(seg_post).withColumn("seg", F.lit(seg))
+        # small one-column frame, cached so the dupe check + the merged
+        # doc_stats write don't re-execute an expensive delta lineage
+        # (the only remaining delta evaluations: postings scan + this)
+        upserted = new_docs.select(F.col(id_col).alias("doc_id")).cache()
     else:
         new_ds = spark.createDataFrame([], ds.schema)
+        upserted = new_ds.select("doc_id")
 
     # delta-batch validation (one tiny agg over the delta, not the
     # corpus): a duplicated doc_id would double-count the doc in every
     # score, and an id both upserted and deleted has no defined winner
-    touched = new_ds.select("doc_id")
+    touched = upserted
     if deleted_ids is not None:
         dels = _ids_frame(spark, deleted_ids, ds)
         counts = touched.unionByName(dels.select(F.col("doc_id"))).groupBy("doc_id").count()
@@ -297,6 +326,7 @@ def update_bm25_index(
     tmp = f"{path}/doc_stats.tmp"
     merged.write.mode("overwrite").parquet(tmp)
     atomic_swap_dir(tmp, f"{path}/doc_stats")
+    upserted.unpersist()
 
     refresh_bm25_term_stats(spark, path)
     return seg
@@ -328,7 +358,10 @@ def compact_bm25_index(spark, path: str) -> tuple[int, int]:
     recover_swap(path)
     raw = spark.read.parquet(f"{path}/postings")
     segs_before = raw.select("seg").distinct().count() if "seg" in raw.columns else 1
-    postings, doc_stats, term_stats = read_bm25_index(spark, path)
+    postings, doc_stats, _ = read_bm25_index(spark, path)
+    # drop any legacy dl=0 rows (pre-r6-review updates kept them) so a
+    # compacted index always matches the full-rebuild doc_stats exactly
+    doc_stats = doc_stats.filter(F.col("dl") > 0)
     stage = f"{path}.tmp"
     (
         postings.withColumn("seg", F.lit(0))
@@ -340,7 +373,13 @@ def compact_bm25_index(spark, path: str) -> tuple[int, int]:
     doc_stats.withColumn("seg", F.lit(0)).write.mode("overwrite").parquet(
         os.path.join(stage, "doc_stats")
     )
-    term_stats.write.mode("overwrite").parquet(os.path.join(stage, "term_stats"))
+    # REBUILD term_stats rather than copying it verbatim: postings and
+    # doc_stats are already in hand, so this is nearly free, and it
+    # makes compaction double as the repair path for an idf left one
+    # update stale by a crash between the update's two swaps (r6 review)
+    build_term_stats(postings, doc_stats).write.mode("overwrite").parquet(
+        os.path.join(stage, "term_stats")
+    )
     atomic_swap_dir(stage, path)
     return segs_before, 1
 

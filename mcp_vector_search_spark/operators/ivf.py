@@ -133,6 +133,26 @@ def _lloyd_fit_best(X, num_clusters: int, iters: int, seed: int, restarts: int =
     return best, best_resid
 
 
+def _fit_sample(
+    df: DataFrame, id_col: str, vec_col: str, sample_rows: int, extra_cols: tuple = ()
+):
+    """The ONE deterministic quantizer-fit sample rule, shared by
+    build (`ivf_build_sampled`) and maintenance (`ivf_retrain_gain`,
+    `retrain_ivf_layout`): lowest-`sample_rows` rows by
+    md5(id + '#ivf-fit') — a TakeOrdered, stable across runs and
+    partition layouts, and representative even when ids correlate
+    with content. Keeping it in one place is a correctness contract:
+    build-time and maintenance-time sampling must never drift apart
+    (r6 review). Returns a pandas frame of (id_col, vec_col,
+    *extra_cols)."""
+    return (
+        df.select(id_col, vec_col, *extra_cols)
+        .orderBy(F.md5(F.concat(F.col(id_col).cast("string"), F.lit("#ivf-fit"))))
+        .limit(sample_rows)
+        .toPandas()
+    )
+
+
 def ivf_build_sampled(
     vectors: DataFrame,
     vec_col: str = "embedding",
@@ -167,12 +187,7 @@ def ivf_build_sampled(
 
     if num_clusters is None:
         num_clusters = clamp_clusters(vectors.count())
-    sample = (
-        vectors.select(id_col, vec_col)
-        .orderBy(F.md5(F.concat(F.col(id_col).cast("string"), F.lit("#ivf-fit"))))
-        .limit(sample_rows)
-        .toPandas()
-    )
+    sample = _fit_sample(vectors, id_col, vec_col, sample_rows)
     X = np.stack(sample[vec_col].to_numpy()).astype(np.float64)
     X /= _safe_norms(X)
     cents = _lloyd_fit(X, num_clusters, iters, seed)
@@ -744,6 +759,13 @@ def read_ivf_layout(spark, path: str) -> tuple[DataFrame, DataFrame]:
     """Load a persisted packed layout → (packed, centroids), ready for
     `ivf_topk_batch_packed` (optionally .cache() the packed side for
     in-memory serving)."""
+    from mcp_vector_search_spark.io import recover_swap
+
+    # the layout ROOT is swap-managed (write_codec_layout overwrite /
+    # retrain_ivf_layout stage the whole root and swap): a crash inside
+    # that swap leaves the intact layout at `<path>.old` — recover it
+    # before reading, same contract as the BM25 index root (r6 review)
+    recover_swap(path)
     return (
         spark.read.parquet(f"{path}/blocks"),
         spark.read.parquet(f"{path}/centroids"),
@@ -804,6 +826,12 @@ def ivf_stats(packed: DataFrame, centroids: DataFrame) -> DataFrame:
     import numpy as np
     import pandas as pd
 
+    if "mat" not in packed.columns:
+        raise ValueError(
+            "not a float IVF layout (no 'mat' blocks) — PQ/SQ code layouts "
+            "carry codes, not vectors; health stats need the float layout "
+            "(or compute residuals from the source corpus)"
+        )
     cpd = centroids.orderBy("cluster_id").toPandas()
     cmap = {int(r["cluster_id"]): np.asarray(r["centroid"], dtype=np.float64) for _, r in cpd.iterrows()}
 
@@ -874,11 +902,8 @@ def ivf_retrain_gain(
     import numpy as np
 
     packed, cents = read_ivf_layout(spark, path)
-    rows = (
-        ivf_unpack(packed)
-        .orderBy(F.md5(F.concat(F.col("vec_id").cast("string"), F.lit("#ivf-fit"))))
-        .limit(sample_rows)
-        .toPandas()
+    rows = _fit_sample(
+        ivf_unpack(packed), "vec_id", "unit", sample_rows, extra_cols=("cluster_id",)
     )
     X = np.stack(rows["unit"].to_numpy())
     assigned = rows["cluster_id"].to_numpy()
@@ -935,14 +960,10 @@ def retrain_ivf_layout(
     if num_clusters is None:
         num_clusters = cents.count()
     rows = ivf_unpack(packed).select("vec_id", F.col("unit").alias("embedding"))
-    # same deterministic md5 sample as ivf_build_sampled, but fit
-    # best-of-restarts (see _lloyd_fit_best: a single bad init could
-    # otherwise make the retrain WORSEN the layout)
-    sample = (
-        rows.orderBy(F.md5(F.concat(F.col("vec_id").cast("string"), F.lit("#ivf-fit"))))
-        .limit(sample_rows)
-        .toPandas()
-    )
+    # the shared `_fit_sample` rule (same as ivf_build_sampled), but
+    # fit best-of-restarts (see _lloyd_fit_best: a single bad init
+    # could otherwise make the retrain WORSEN the layout)
+    sample = _fit_sample(rows, "vec_id", "embedding", sample_rows)
     X = np.stack(sample["embedding"].to_numpy()).astype(np.float64)
     cents_np, _ = _lloyd_fit_best(X, num_clusters, iters, seed)
     new_cents = spark.createDataFrame(
@@ -956,4 +977,8 @@ def retrain_ivf_layout(
         dtype=dtype,
     )
     write_ivf_layout(new_packed, new_cents, path, mode="overwrite")
-    return num_clusters
+    # the ACTUAL cluster count: _lloyd_fit caps k at the sample size,
+    # so a small layout (or small sample_rows) can fit fewer clusters
+    # than requested — callers sizing nprobes from the return value
+    # must see the real k (r6 review)
+    return len(cents_np)

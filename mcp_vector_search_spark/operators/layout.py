@@ -119,6 +119,19 @@ def write_codec_layout(
         for name, df in meta.items():
             df.write.mode("overwrite").parquet(f"{tmp}/{name}")
         recover_swap(path)
+        # a standing `kind` manifest (written by the facade's
+        # save_ann_index) rides along into the staged root: the swap
+        # replaces the WHOLE directory, and silently dropping the
+        # manifest broke load-after-retrain and lost the wrong-kind
+        # load guard (r6 review). A kind CHANGE never reaches here
+        # with a manifest present — save_ann_index retires it first.
+        try:
+            kind = spark.read.parquet(f"{path}/kind")
+            spark.createDataFrame(kind.collect(), kind.schema).write.mode(
+                "overwrite"
+            ).parquet(f"{tmp}/kind")
+        except Exception:
+            pass
         atomic_swap_dir(tmp, path)
         return
     packed.write.mode(mode).partitionBy(part_col, "batch_id").parquet(
@@ -133,6 +146,11 @@ def read_codec_layout(
 ) -> tuple[DataFrame, ...]:
     """(blocks, *meta) — ready for the packed scoring kernels
     (batch_id rides along as a passthrough column they ignore)."""
+    from mcp_vector_search_spark.io import recover_swap
+
+    # the overwrite path above swaps the layout ROOT — recover a
+    # crash-stranded `<path>.old` before reading (r6 review)
+    recover_swap(path)
     return (spark.read.parquet(f"{path}/blocks"),) + tuple(
         spark.read.parquet(f"{path}/{name}") for name in meta_names
     )

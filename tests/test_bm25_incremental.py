@@ -82,12 +82,62 @@ def test_empty_text_upsert_supersedes(spark, tmp_path):
     idx = os.path.join(tmp, "idx")
     write_bm25_index(_corpus(spark, BASE), idx)
     update_bm25_index(spark, idx, _corpus(spark, [(1, "")]))
-    # doc 1 must vanish from results (no tokens) yet stay a live doc
-    got = _topk(spark, idx)
-    assert all(d != 1 for d, _ in got)
+    # doc 1 must vanish ENTIRELY — from results AND from doc_stats:
+    # write_bm25_index over the equivalent final corpus derives
+    # doc_stats from postings (token-less docs absent), so a dl=0 row
+    # here would shift n_docs/avgdl and every idf off the full-rebuild
+    # contract (r6 review). Scores must equal the rebuild exactly.
     _, doc_stats, _ = read_bm25_index(spark, idx)
-    row = doc_stats.filter(F.col("doc_id") == 1).collect()
-    assert [r["dl"] for r in row] == [0.0]
+    assert doc_stats.filter(F.col("doc_id") == 1).count() == 0
+    assert _topk(spark, idx) == _full_equiv(
+        spark, tmp, [r for r in BASE if r[0] != 1]
+    )
+
+
+def test_root_swap_crash_is_recovered(spark, tmp_path):
+    # a crash inside compact's root swap leaves only `<idx>.old`;
+    # every entry point must rename it back instead of failing on a
+    # missing index (r6 review)
+    tmp = str(tmp_path)
+    idx = os.path.join(tmp, "idx")
+    write_bm25_index(_corpus(spark, BASE), idx)
+    want = _topk(spark, idx)
+    os.rename(idx, idx + ".old")
+    assert _topk(spark, idx) == want
+    os.rename(idx, idx + ".old")
+    update_bm25_index(spark, idx, _corpus(spark, ADDED))
+    assert _topk(spark, idx) == _full_equiv(spark, tmp, BASE + ADDED)
+
+
+def test_uncastable_deleted_ids_raise(spark, tmp_path):
+    # string ids against a long-keyed index cast to NULL and the
+    # deletion would silently no-op — must raise instead (r6 review)
+    idx = os.path.join(str(tmp_path), "idx")
+    write_bm25_index(_corpus(spark, BASE), idx)
+    bad = spark.createDataFrame([("doc-2",)], "doc_id string")
+    with pytest.raises(ValueError, match="castable"):
+        update_bm25_index(spark, idx, None, deleted_ids=bad)
+    with pytest.raises(ValueError, match="castable"):
+        update_bm25_index(spark, idx, None, deleted_ids=[None])
+
+
+def test_compact_repairs_stale_term_stats(spark, tmp_path):
+    # the documented crash window leaves idf one update stale; compact
+    # has postings + doc_stats in hand and must rebuild term_stats,
+    # not copy the stale table forward (r6 review)
+    import shutil
+
+    tmp = str(tmp_path)
+    idx = os.path.join(tmp, "idx")
+    write_bm25_index(_corpus(spark, BASE), idx)
+    stale = os.path.join(tmp, "stale_ts")
+    shutil.copytree(os.path.join(idx, "term_stats"), stale)
+    update_bm25_index(spark, idx, _corpus(spark, ADDED))
+    # simulate the crash-before-refresh window: put the stale idf back
+    shutil.rmtree(os.path.join(idx, "term_stats"))
+    shutil.copytree(stale, os.path.join(idx, "term_stats"))
+    compact_bm25_index(spark, idx)
+    assert _topk(spark, idx) == _full_equiv(spark, tmp, BASE + ADDED)
 
 
 def test_orphan_segment_is_invisible_and_replay_idempotent(spark, tmp_path):

@@ -90,14 +90,21 @@ def test_facade_maintenance_methods(spark, layout):
     assert sum(r["n_rows"] for r in health) == 400
     gain = proj.ann_retrain_gain(layout, sample_rows=400)
     assert set(gain) == {"current_resid", "refit_resid", "gain_pct", "n_sample"}
-    # wrong-kind layouts are refused before any block is touched
+    # wrong-kind layouts are refused before any block is touched;
+    # restore the (manifest-less) fixture state afterwards — later
+    # tests share this module-scoped layout (r6 review)
+    import shutil
+
     spark.createDataFrame([("ivfpq",)], "kind string").write.mode(
         "overwrite"
     ).parquet(f"{layout}/kind")
-    with pytest.raises(ValueError, match="maintenance"):
-        proj.ann_index_health(layout)
-    with pytest.raises(ValueError, match="maintenance"):
-        proj.retrain_ann_index(layout)
+    try:
+        with pytest.raises(ValueError, match="maintenance"):
+            proj.ann_index_health(layout)
+        with pytest.raises(ValueError, match="maintenance"):
+            proj.retrain_ann_index(layout)
+    finally:
+        shutil.rmtree(f"{layout}/kind")
 
 
 def test_unpack_rejects_code_layouts(spark, layout):
@@ -148,3 +155,56 @@ def test_drift_then_retrain_restores_fit(spark, tmp_path):
         for r in ivf_topk_batch_packed(packed, cents2, queries, 5, nprobes=8).collect()
     }
     assert served == exact
+
+
+def test_retrain_preserves_kind_manifest(spark, tmp_path):
+    # save → retrain → load must round-trip: the retrain overwrite
+    # swaps the whole layout root, and dropping the facade's kind
+    # manifest broke the documented reload-after-retrain workflow and
+    # silently lost the wrong-kind load guard (r6 review)
+    from mcp_vector_search_spark.api import SparkProject
+
+    path = str(tmp_path / "layout")
+    vecs = _clustered_vecs(spark)
+    proj = SparkProject(spark, docs=vecs, vectors=vecs)
+    proj.build_ann_index(num_clusters=4, kind="ivf")
+    proj.save_ann_index(path)
+    proj.retrain_ann_index(path, num_clusters=4, sample_rows=400)
+    proj.load_ann_index(path)  # no kind= — must read the manifest
+    with pytest.raises(ValueError, match="kind"):
+        proj.load_ann_index(path, kind="ivfpq")
+
+
+def test_retrain_reports_actual_cluster_count(spark, tmp_path):
+    # _lloyd_fit caps k at the sample size; the return value must be
+    # the REAL cluster count, not the requested one (r6 review)
+    path = str(tmp_path / "layout")
+    vecs = _clustered_vecs(spark)
+    assigned, cents = ivf_build_sampled(vecs, num_clusters=4, seed=3)
+    write_ivf_layout(ivf_pack(assigned, rows_per_block=64), cents, path)
+    k = retrain_ivf_layout(spark, path, num_clusters=64, sample_rows=10, seed=5)
+    assert k <= 10
+    _, new_cents = read_ivf_layout(spark, path)
+    assert new_cents.count() == k
+
+
+def test_layout_root_crash_is_recovered(spark, tmp_path):
+    # a crash inside the retrain/overwrite root swap leaves only
+    # `<path>.old`; readers must rename it back (r6 review)
+    import os
+
+    path = str(tmp_path / "layout")
+    vecs = _clustered_vecs(spark)
+    assigned, cents = ivf_build_sampled(vecs, num_clusters=4, seed=3)
+    write_ivf_layout(ivf_pack(assigned, rows_per_block=64), cents, path)
+    os.rename(path, path + ".old")
+    packed, cents2 = read_ivf_layout(spark, path)
+    assert packed.count() > 0 and cents2.count() == 4
+
+
+def test_stats_reject_code_layouts(spark, layout):
+    from mcp_vector_search_spark.operators.ivf import ivf_stats
+
+    packed, cents = read_ivf_layout(spark, layout)
+    with pytest.raises(ValueError, match="float IVF"):
+        ivf_stats(packed.withColumnRenamed("mat", "codes"), cents)
