@@ -226,6 +226,7 @@ def update_bm25_index(
     deleted_ids=None,
     id_col: str = "doc_id",
     text_col: str = "text",
+    refresh_term_stats: bool = True,
 ) -> int:
     """Incrementally upsert `new_docs` (and delete `deleted_ids` — a
     python list or a one-column DataFrame) into a segmented BM25 index,
@@ -328,7 +329,15 @@ def update_bm25_index(
     atomic_swap_dir(tmp, f"{path}/doc_stats")
     upserted.unpersist()
 
-    refresh_bm25_term_stats(spark, path)
+    # `refresh_term_stats=False` is the high-frequency-update knob
+    # (e.g. a streaming sink on a tight trigger): idf is the one
+    # global that must otherwise be recomputed over the LIVE postings
+    # per update — defer it and run `refresh_bm25_term_stats`
+    # periodically, accepting boundedly-stale idf between refreshes
+    # (doc_stats is always current, so results stay live/deleted-
+    # correct; only the global weighting lags).
+    if refresh_term_stats:
+        refresh_bm25_term_stats(spark, path)
     return seg
 
 

@@ -403,3 +403,75 @@ def compact_ann_layout(
         max_block_bytes=max_block_bytes,
         require_meta=("centroids",),
     )
+
+
+def bm25_index_sink(
+    spark: SparkSession,
+    index_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    op_col: str | None = None,
+    refresh_term_stats: bool = True,
+):
+    """foreachBatch writer: incremental TEXT indexing — the BM25
+    analog of `ann_layout_sink`, completing the watch → reindex story
+    for the lexical leg (reference: file watcher → incremental
+    reindex, ``chunks_backend.py:269-551``). Each micro-batch is
+    applied with `update_bm25_index`, which appends ONE postings
+    segment (the batch is tokenized once) and rewrites the small
+    live-doc map; stale postings from superseded docs stay invisible
+    through the (doc_id, seg) join and are physically dropped by a
+    periodic `compact_bm25_index` (same QUIESCED contract as
+    `compact_ann_layout`).
+
+        stream.writeStream.foreachBatch(
+            bm25_index_sink(spark, index_path))
+
+    `op_col` names an optional string column: rows with value
+    'delete' become deletions (their text is ignored), everything
+    else upserts — one CDC-shaped batch drives both. An id appearing
+    as both upsert and delete in one batch raises (no defined
+    winner), exactly as in `update_bm25_index`.
+
+    Replay safety: a replayed micro-batch (restart inside the classic
+    foreachBatch at-least-once window) allocates a NEW segment and
+    re-points each touched doc's doc_stats row at it — the previous
+    delivery's postings become invisible, so results are unchanged;
+    the only cost is dead postings rows until the next compaction.
+
+    Scale knob: `refresh_term_stats=False` skips the per-batch global
+    idf recompute (an aggregation over the live postings — the one
+    O(index) step per update); run `refresh_bm25_term_stats`
+    periodically instead and accept boundedly-stale idf between
+    refreshes. The index must exist (`write_bm25_index`, possibly
+    over an empty corpus) before the stream starts."""
+    from mcp_vector_search_spark.operators.bm25 import update_bm25_index
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        if op_col is not None:
+            dels = batch_df.filter(F.col(op_col) == "delete").select(id_col)
+            ups = batch_df.filter(
+                F.col(op_col).isNull() | (F.col(op_col) != "delete")
+            )
+            update_bm25_index(
+                spark,
+                index_path,
+                ups if not ups.isEmpty() else None,
+                deleted_ids=dels if not dels.isEmpty() else None,
+                id_col=id_col,
+                text_col=text_col,
+                refresh_term_stats=refresh_term_stats,
+            )
+        else:
+            update_bm25_index(
+                spark,
+                index_path,
+                batch_df,
+                id_col=id_col,
+                text_col=text_col,
+                refresh_term_stats=refresh_term_stats,
+            )
+
+    return write

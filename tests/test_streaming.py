@@ -416,3 +416,96 @@ def test_bootstrap_refuses_existing_layout(spark, tmp_path):
     bootstrap_ann_layout(emb, path, num_clusters=4)
     with pytest.raises(ValueError, match="already holds a layout"):
         bootstrap_ann_layout(emb.filter(F.col("vec_id") < 10), path, num_clusters=4)
+
+
+def test_bm25_index_sink_through_real_stream(spark, tmp_path):
+    """The lexical leg of watch → reindex: a JSONL doc stream drives
+    `bm25_index_sink` (upserts + CDC-style deletes in one batch), and
+    the resulting segmented index scores identically to a fresh full
+    build over the final corpus — including after a checkpoint-based
+    restart (no re-apply) and a compaction."""
+    from pyspark.sql import types as T
+
+    from mcp_vector_search_spark.operators.bm25 import (
+        bm25_topk_indexed,
+        compact_bm25_index,
+        write_bm25_index,
+    )
+    from mcp_vector_search_spark.streaming.incremental import bm25_index_sink
+
+    base = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "spark sql runs relational queries at scale"),
+        (2, "pack my box with five dozen liquor jugs"),
+    ]
+    idx = str(tmp_path / "idx")
+    in_dir = str(tmp_path / "in")
+    ckpt = str(tmp_path / "ckpt")
+    write_bm25_index(
+        spark.createDataFrame(base, "doc_id long, text string"), idx
+    )
+    _write_batch(
+        in_dir,
+        "b1.jsonl",
+        [
+            {"doc_id": 1, "text": "spark streaming runs quick merges", "op": "upsert"},
+            {"doc_id": 3, "text": "a quick segmented spark index", "op": "upsert"},
+            {"doc_id": 2, "text": "", "op": "delete"},
+        ],
+    )
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("op", T.StringType()),
+        ]
+    )
+
+    def _run_stream():
+        q = (
+            spark.readStream.schema(schema)
+            .json(in_dir)
+            .writeStream.foreachBatch(bm25_index_sink(spark, idx, op_col="op"))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    terms = ["quick", "spark", "merges"]
+    final = [
+        base[0],
+        (1, "spark streaming runs quick merges"),
+        (3, "a quick segmented spark index"),
+    ]
+    full = str(tmp_path / "full")
+    write_bm25_index(
+        spark.createDataFrame(final, "doc_id long, text string"), full
+    )
+    want = sorted(
+        (r["doc_id"], r["score"])
+        for r in bm25_topk_indexed(spark, full, terms, 10).collect()
+    )
+
+    _run_stream()
+    got = sorted(
+        (r["doc_id"], r["score"])
+        for r in bm25_topk_indexed(spark, idx, terms, 10).collect()
+    )
+    assert got == want
+
+    # restart on the same checkpoint: the processed file is NOT
+    # re-applied (no new segment, same scores)
+    _run_stream()
+    assert sorted(
+        (r["doc_id"], r["score"])
+        for r in bm25_topk_indexed(spark, idx, terms, 10).collect()
+    ) == want
+
+    # compaction folds the streamed segments; scores unchanged
+    segs_before, segs_after = compact_bm25_index(spark, idx)
+    assert segs_before >= 2 and segs_after == 1
+    assert sorted(
+        (r["doc_id"], r["score"])
+        for r in bm25_topk_indexed(spark, idx, terms, 10).collect()
+    ) == want
