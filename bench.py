@@ -53,6 +53,7 @@ def main():
     from mcp_vector_search_spark.registry import SPARK_QUERIES
     from mcp_vector_search_spark.session import get_spark
 
+    _main_t0 = time.time()
     spark = get_spark(app_name="bench")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -86,6 +87,21 @@ def main():
                 pass  # warmup is best-effort; the timed run will tell
 
     per_query: dict[str, float] = {}
+
+    # per-section wall accounting (r6): the full bench is ~44 min and
+    # the budget question ("what would we cut if the driver's round
+    # budget tightened?") needs MEASURED section costs, not guesses —
+    # wall_<section>_sec rows land in the full JSON (not the compact
+    # tail line, which must stay short). The first mark starts at
+    # _main_t0 so "warmup" covers session startup + table/codegen warmup.
+    _sect_t = [_main_t0]
+
+    def _mark(section: str) -> None:
+        now = time.time()
+        per_query[f"wall_{section}_sec"] = round(now - _sect_t[0], 1)
+        _sect_t[0] = now
+
+    _mark("warmup")
     total = 0.0
     for name in HEADLINE:
         fn = SPARK_QUERIES[name]
@@ -94,6 +110,7 @@ def main():
         dt = time.time() - t0
         per_query[name] = round(dt, 3)
         total += dt
+    _mark("headline")
 
     # warm serving: prime the cached-index build once (untimed), then
     # measure what any DIFFERENT query costs against the in-session
@@ -176,6 +193,7 @@ def main():
     hb_sec = time.time() - t0
     per_query["hybrid_batch64_sec"] = round(hb_sec, 3)
     per_query["hybrid_batch_qps"] = round(HB_N / hb_sec, 2)
+    _mark("warm_serving")
 
     # ANN: brute-force vs IVF on the same 256-query batch (BASELINE's
     # 4.9× ANN-speedup metric, measured as batch scoring throughput).
@@ -237,6 +255,7 @@ def main():
         for r in ivf_topk_batch(assigned, centroids, sample_q, 10, nprobes=BENCH_NPROBES).collect()
     }
     per_query["ann_recall_at_10"] = round(len(truth & approx) / max(len(truth), 1), 4)
+    _mark("ann_small")
 
     # BM25: index build (K3 sink) vs per-query latency against the
     # persisted index — mirrors the reference's prebuilt-index serving path.
@@ -298,6 +317,7 @@ def main():
         t0 = time.time()
         update_bm25_index(spark, idx2, delta)
         per_query["bm25_update_delta_sec"] = round(time.time() - t0, 3)
+    _mark("bm25_index")
 
     # co-located join layout: the same join+agg with and without the
     # pre-shuffled bucket layout (write cost reported separately, like
@@ -336,6 +356,7 @@ def main():
         spark.sql(f"DROP TABLE IF EXISTS {lt}")
         spark.sql(f"DROP TABLE IF EXISTS {rt}")
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_bc)
+    _mark("bucketed_join")
 
     # --- round-4 curation ops: duplicate spans + language ID ------------
     # same steady-state methodology as the headline set (one untimed
@@ -350,6 +371,7 @@ def main():
         t0 = time.time()
         fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
         per_query[name] = round(time.time() - t0, 3)
+    _mark("curation")
 
     # --- ANN above the IVF activation threshold -------------------------
     # sf0.1's 2,000 vectors sit below ANN_ACTIVATION_MIN_ROWS (4,096),
@@ -625,6 +647,7 @@ def main():
     big.unpersist()
     big_assigned.unpersist()
     big_packed.unpersist()
+    _mark("ann_big_512k")
 
     # --- second ANN scale decade: ~4M vectors (VERDICT r5 #7) -----------
     # Same deterministic inflation as the 512K section, ×2048 (≈2.1 GB
@@ -704,6 +727,7 @@ def main():
     huge.unpersist()
     huge_q.unpersist()
     huge_packed.unpersist()
+    _mark("ann_huge_4m")
 
     # amortized per-query serving latency for the BASELINE comparison
     # (single-query online latency is out of Spark's scope; batch
@@ -729,6 +753,7 @@ def main():
     per_query["ann_ivf_ms_per_query"] = round(
         per_query["ann_ivf_q1024_np"] * 1000 / n_q1024, 2
     )
+    _mark("ann_q1024")
 
     # --- sf1.0 scale point (VERDICT r4 #3) ------------------------------
     # No sf1.0 testdata ships, so one is DERIVED: 10 replicas of the
@@ -799,6 +824,8 @@ def main():
                 )
     finally:
         _ssh.rmtree(sdir, ignore_errors=True)
+    _mark("sf1_scale")
+    per_query["wall_total_sec"] = round(time.time() - _main_t0, 1)
 
     emit_results(total, per_query)
 
