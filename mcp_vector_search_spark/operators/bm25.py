@@ -171,6 +171,27 @@ def write_bm25_index(
     term_stats.write.mode("overwrite").parquet(f"{path}/term_stats")
 
 
+def _read_postings_or_empty(spark, path: str, ds: DataFrame) -> DataFrame:
+    """postings read that survives an EMPTY index. `write_bm25_index`
+    over a zero-doc corpus (the documented bootstrap for
+    `bm25_index_sink`) writes a partitioned postings dir with no data
+    files — partitionBy emits nothing for zero rows — so a plain
+    spark.read.parquet raises UNABLE_TO_INFER_SCHEMA on the first
+    delete-only micro-batch or any query before the first batch
+    (r6 review). The schema is reconstructed from doc_stats, whose
+    unpartitioned write always keeps a schema-bearing file: term/tf/seg
+    types are fixed by `build_postings`; doc_id follows the index."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        return spark.read.parquet(f"{path}/postings")
+    except AnalysisException:
+        id_type = dict(ds.dtypes)["doc_id"]
+        return spark.createDataFrame(
+            [], f"doc_id {id_type}, term string, tf bigint, seg int"
+        )
+
+
 def read_bm25_index(spark, path: str) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Returns (postings, doc_stats, term_stats) with segment
     resolution already applied: postings carries only live rows (one
@@ -186,8 +207,8 @@ def read_bm25_index(spark, path: str) -> tuple[DataFrame, DataFrame, DataFrame]:
     recover_swap(path)
     for t in ("doc_stats", "term_stats"):
         recover_swap(f"{path}/{t}")
-    postings = spark.read.parquet(f"{path}/postings")
     ds = spark.read.parquet(f"{path}/doc_stats")
+    postings = _read_postings_or_empty(spark, path, ds)
     term_stats = spark.read.parquet(f"{path}/term_stats")
     if "seg" in postings.columns:
         postings = postings.join(ds.select("doc_id", "seg"), ["doc_id", "seg"]).drop("seg")
@@ -294,7 +315,9 @@ def update_bm25_index(
         # idf) away from the `write_bm25_index` full-rebuild contract
         # (r6 review). The old version still vanishes: `upserted` below
         # carries EVERY delta id, tokens or not.
-        seg_post = spark.read.parquet(f"{path}/postings").filter(F.col("seg") == seg)
+        # _or_empty: an all-empty-text delta into a still-empty index
+        # writes no postings files at all — the read-back must not die
+        seg_post = _read_postings_or_empty(spark, path, ds).filter(F.col("seg") == seg)
         new_ds = doc_stats_from_postings(seg_post).withColumn("seg", F.lit(seg))
         # small one-column frame, cached so the dupe check + the merged
         # doc_stats write don't re-execute an expensive delta lineage
@@ -333,9 +356,13 @@ def update_bm25_index(
     # (e.g. a streaming sink on a tight trigger): idf is the one
     # global that must otherwise be recomputed over the LIVE postings
     # per update — defer it and run `refresh_bm25_term_stats`
-    # periodically, accepting boundedly-stale idf between refreshes
-    # (doc_stats is always current, so results stay live/deleted-
-    # correct; only the global weighting lags).
+    # periodically. Staleness contract (r6 review — be precise, the
+    # lag is NOT weighting-only): deleted docs stay invisible and
+    # re-scored docs serve their new postings immediately (doc_stats
+    # is always current), but `bm25_scores` INNER-joins term_stats, so
+    # a term first introduced after the last refresh has no idf row
+    # yet — docs matching ONLY such brand-new terms are ABSENT from
+    # results (not merely mis-weighted) until the next refresh.
     if refresh_term_stats:
         refresh_bm25_term_stats(spark, path)
     return seg
@@ -365,7 +392,10 @@ def compact_bm25_index(spark, path: str) -> tuple[int, int]:
     from mcp_vector_search_spark.io import atomic_swap_dir, recover_swap
 
     recover_swap(path)
-    raw = spark.read.parquet(f"{path}/postings")
+    recover_swap(f"{path}/doc_stats")
+    raw = _read_postings_or_empty(
+        spark, path, spark.read.parquet(f"{path}/doc_stats")
+    )
     segs_before = raw.select("seg").distinct().count() if "seg" in raw.columns else 1
     postings, doc_stats, _ = read_bm25_index(spark, path)
     # drop any legacy dl=0 rows (pre-r6-review updates kept them) so a

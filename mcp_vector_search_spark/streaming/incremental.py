@@ -429,9 +429,15 @@ def bm25_index_sink(
 
     `op_col` names an optional string column: rows with value
     'delete' become deletions (their text is ignored), everything
-    else upserts — one CDC-shaped batch drives both. An id appearing
-    as both upsert and delete in one batch raises (no defined
-    winner), exactly as in `update_bm25_index`.
+    else upserts — one CDC-shaped batch drives both. At-least-once
+    upstream duplicates are absorbed: repeated deletes of one id and
+    repeated (id, text)-identical upserts are deduped before the
+    update. What still raises — deliberately, these are upstream DATA
+    bugs with no defined winner, and foreachBatch will replay the
+    batch so the error persists until the source is fixed: one id
+    upserted with two DIFFERENT texts in a batch, or an id both
+    upserted and deleted in one batch (same contract as
+    `update_bm25_index`).
 
     Replay safety: a replayed micro-batch (restart inside the classic
     foreachBatch at-least-once window) allocates a NEW segment and
@@ -442,36 +448,62 @@ def bm25_index_sink(
     Scale knob: `refresh_term_stats=False` skips the per-batch global
     idf recompute (an aggregation over the live postings — the one
     O(index) step per update); run `refresh_bm25_term_stats`
-    periodically instead and accept boundedly-stale idf between
-    refreshes. The index must exist (`write_bm25_index`, possibly
-    over an empty corpus) before the stream starts."""
+    periodically instead. The staleness is bounded but not
+    weighting-only (r6 review): terms first introduced after the last
+    refresh have no idf row yet, so docs matching ONLY brand-new terms
+    are absent from results until the next refresh — existing-term
+    updates and deletes serve correctly immediately. The index must
+    exist (`write_bm25_index`, possibly over an empty corpus) before
+    the stream starts."""
     from mcp_vector_search_spark.operators.bm25 import update_bm25_index
 
     def write(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
-        if op_col is not None:
-            dels = batch_df.filter(F.col(op_col) == "delete").select(id_col)
-            ups = batch_df.filter(
-                F.col(op_col).isNull() | (F.col(op_col) != "delete")
-            )
-            update_bm25_index(
-                spark,
-                index_path,
-                ups if not ups.isEmpty() else None,
-                deleted_ids=dels if not dels.isEmpty() else None,
-                id_col=id_col,
-                text_col=text_col,
-                refresh_term_stats=refresh_term_stats,
-            )
-        else:
-            update_bm25_index(
-                spark,
-                index_path,
-                batch_df,
-                id_col=id_col,
-                text_col=text_col,
-                refresh_term_stats=refresh_term_stats,
-            )
+        # one persist for the whole batch: foreachBatch sources are
+        # re-read per action, and this function needs several (the
+        # emptiness probe here, then tokenize + dupe-check + doc_stats
+        # merge inside update_bm25_index) — unpersisted, each would
+        # re-scan the source, wasting the latency budget the
+        # refresh_term_stats knob exists to save (r6 review)
+        batch_df.persist()
+        try:
+            if op_col is not None:
+                is_del = F.coalesce(F.col(op_col) == "delete", F.lit(False))
+                # deletes are idempotent — distinct() absorbs
+                # at-least-once duplicates; identical re-delivered
+                # upserts dedup on (id, text). One aggregation decides
+                # both branches (was: three isEmpty probes = three
+                # jobs per micro-batch).
+                dels = batch_df.filter(is_del).select(id_col).distinct()
+                ups = batch_df.filter(~is_del).dropDuplicates([id_col, text_col])
+                ops = {
+                    bool(r["is_del"]): r["cnt"]
+                    for r in batch_df.groupBy(is_del.alias("is_del"))
+                    .agg(F.count("*").alias("cnt"))
+                    .collect()
+                }
+                if not ops:
+                    return
+                update_bm25_index(
+                    spark,
+                    index_path,
+                    ups if ops.get(False) else None,
+                    deleted_ids=dels if ops.get(True) else None,
+                    id_col=id_col,
+                    text_col=text_col,
+                    refresh_term_stats=refresh_term_stats,
+                )
+            else:
+                if batch_df.isEmpty():
+                    return
+                update_bm25_index(
+                    spark,
+                    index_path,
+                    batch_df.dropDuplicates([id_col, text_col]),
+                    id_col=id_col,
+                    text_col=text_col,
+                    refresh_term_stats=refresh_term_stats,
+                )
+        finally:
+            batch_df.unpersist()
 
     return write

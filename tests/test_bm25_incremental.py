@@ -211,6 +211,50 @@ def test_flat_v1_index_rejected(spark, tmp_path):
     assert _topk(spark, idx) == _full_equiv(spark, str(tmp_path), BASE + ADDED)
 
 
+def test_empty_corpus_bootstrap(spark, tmp_path):
+    # the documented streaming bootstrap: write_bm25_index over a
+    # ZERO-doc corpus. partitionBy writes no postings files for zero
+    # rows, so every read used to die with UNABLE_TO_INFER_SCHEMA on
+    # the first delete-only batch or any pre-first-batch query
+    # (r6 review) — the schema now falls back to doc_stats' id type.
+    tmp = str(tmp_path)
+    idx = os.path.join(tmp, "idx")
+    write_bm25_index(_corpus(spark, []), idx)
+    assert _topk(spark, idx) == []                      # query before any batch
+    update_bm25_index(spark, idx, None, deleted_ids=[7])  # delete-only first batch
+    assert _topk(spark, idx) == []
+    assert compact_bm25_index(spark, idx)[1] == 1       # compacting empty is a no-op
+    update_bm25_index(spark, idx, _corpus(spark, BASE))
+    assert _topk(spark, idx) == _full_equiv(spark, tmp, BASE)
+
+
+def test_deferred_refresh_staleness_contract(spark, tmp_path):
+    # refresh_term_stats=False: deletes and existing-term updates serve
+    # immediately, but a doc matching ONLY a brand-new term is ABSENT
+    # (bm25_scores inner-joins term_stats) until the refresh repairs it
+    from mcp_vector_search_spark.operators.bm25 import refresh_bm25_term_stats
+
+    tmp = str(tmp_path)
+    idx = os.path.join(tmp, "idx")
+    write_bm25_index(_corpus(spark, BASE), idx)
+    update_bm25_index(
+        spark, idx,
+        _corpus(spark, [(6, "zephyr zephyr zephyr")]),
+        deleted_ids=[2],
+        refresh_term_stats=False,
+    )
+    # delete visible immediately: 'liquor' lived only in doc 2
+    assert bm25_topk_indexed(spark, idx, ["liquor"], 10).count() == 0
+    # brand-new term invisible until refresh — the documented staleness
+    assert bm25_topk_indexed(spark, idx, ["zephyr"], 10).count() == 0
+    refresh_bm25_term_stats(spark, idx)
+    hits = bm25_topk_indexed(spark, idx, ["zephyr"], 10).collect()
+    assert [r["doc_id"] for r in hits] == [6]
+    # and after the repair the whole index matches a full rebuild
+    final = [r for r in BASE if r[0] != 2] + [(6, "zephyr zephyr zephyr")]
+    assert _topk(spark, idx) == _full_equiv(spark, tmp, final)
+
+
 def test_update_batch_validation(spark, tmp_path):
     idx = str(tmp_path / "idx")
     write_bm25_index(_corpus(spark, BASE), idx)

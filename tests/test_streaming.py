@@ -509,3 +509,54 @@ def test_bm25_index_sink_through_real_stream(spark, tmp_path):
         (r["doc_id"], r["score"])
         for r in bm25_topk_indexed(spark, idx, terms, 10).collect()
     ) == want
+
+
+def test_bm25_index_sink_absorbs_at_least_once_duplicates(spark, tmp_path):
+    """An at-least-once CDC upstream re-delivers rows WITHIN one
+    micro-batch: repeated deletes of one id and (id, text)-identical
+    repeated upserts must be absorbed (r6 review — they used to hit
+    update_bm25_index's dupe check, and foreachBatch replays the batch
+    forever: an unrecoverable poison pill). Bootstrapping from an
+    EMPTY index with a delete-carrying first batch must also work."""
+    import pytest
+
+    from mcp_vector_search_spark.operators.bm25 import (
+        bm25_topk_indexed,
+        write_bm25_index,
+    )
+    from mcp_vector_search_spark.streaming.incremental import bm25_index_sink
+
+    idx = str(tmp_path / "idx")
+    write_bm25_index(
+        spark.createDataFrame([], "doc_id long, text string"), idx
+    )
+    sink = bm25_index_sink(spark, idx, op_col="op")
+    batch = spark.createDataFrame(
+        [
+            (1, "spark runs quick queries", "upsert"),
+            (1, "spark runs quick queries", "upsert"),  # re-delivered
+            (2, "", "delete"),
+            (2, "", "delete"),                          # re-delivered
+        ],
+        "doc_id long, text string, op string",
+    )
+    sink(batch, 0)
+    got = {r["doc_id"] for r in bm25_topk_indexed(spark, idx, ["spark"], 10).collect()}
+    assert got == {1}
+
+    # a genuinely conflicting batch (one id, two texts) is an upstream
+    # data bug with no defined winner — still raises, documented
+    conflict = spark.createDataFrame(
+        [(5, "version one", "upsert"), (5, "version two", "upsert")],
+        "doc_id long, text string, op string",
+    )
+    with pytest.raises(ValueError, match="duplicated"):
+        sink(conflict, 1)
+
+    # delete-only and fully-empty batches are cheap no-ops
+    sink(
+        spark.createDataFrame([(1, "", "delete")], "doc_id long, text string, op string"),
+        2,
+    )
+    assert bm25_topk_indexed(spark, idx, ["spark"], 10).count() == 0
+    sink(spark.createDataFrame([], "doc_id long, text string, op string"), 3)
