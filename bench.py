@@ -25,6 +25,7 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 EXTRA_COMPACT_KEYS = [
     "hybrid_rrf_warm_served",
     "hybrid_batch_tbl_qps",
+    "hybrid_batch_ann_qps",
     "ann_huge_brute_sec",
     "ann_huge_ivf_sec",
     "ann_huge_recall_at_10",
@@ -302,6 +303,28 @@ def main():
         hbt_sec = time.time() - t0
         per_query["hybrid_batch_tbl256_sec"] = round(hbt_sec, 3)
         per_query["hybrid_batch_tbl_qps"] = round(HBT_N / hbt_sec, 2)
+
+        # serving-from-artifacts hybrid (r6): same 256-query batch, but
+        # the vector leg probes a packed IVF layout (4/16 clusters)
+        # instead of brute-scanning the corpus — at sf0.1's 2K vectors
+        # the win is structural, not visible; the qps point documents
+        # the path works end-to-end at batch scale next to its exact
+        # twin above
+        from mcp_vector_search_spark.operators.ivf import ivf_build_sampled, ivf_pack
+        from mcp_vector_search_spark.plans.hybrid import hybrid_search_batch_ann
+
+        hba_assigned, hba_cents = ivf_build_sampled(emb_w, num_clusters=16)
+        hba_packed = ivf_pack(hba_assigned).cache()
+        hba_packed.count()
+        t0 = time.time()
+        hybrid_search_batch_ann(
+            postings_i, doc_stats_i, term_stats_i, hba_packed, hba_cents,
+            hbt_terms, hbt_qvecs, k=10, nprobes=4,
+        ).write.format("noop").mode("overwrite").save()
+        hba_sec = time.time() - t0
+        per_query["hybrid_batch_ann256_sec"] = round(hba_sec, 3)
+        per_query["hybrid_batch_ann_qps"] = round(HBT_N / hba_sec, 2)
+        hba_packed.unpersist()
     total += per_query["bm25_query_indexed"]
 
     # K3 incremental: upsert a 1% delta into a standing segmented

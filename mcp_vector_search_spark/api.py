@@ -490,6 +490,7 @@ class SparkProject:
         limit: int = 10,
         alpha: float = 0.7,
         method: str = "auto",
+        nprobes: int | None = None,
     ) -> DataFrame:
         """A hybrid query SET as ONE DataFrame program → (query_id,
         doc_id, rrf_score, rn) — the batch-serving surface (r5):
@@ -505,14 +506,43 @@ class SparkProject:
         joins the query set against the memoized postings index — plan
         width independent of batch size, scales to thousands of
         queries; "auto" picks by batch size (≤EXPR_BATCH_MAX → expr).
-        Both paths are row-identical (shared oracle + parity test)."""
+        Both paths are row-identical (shared oracle + parity test).
+
+        "ann" (r6, opt-in — never chosen by "auto" because it trades
+        exactness) additionally serves the VECTOR leg from the
+        project's packed IVF layout (`build_ann_index('ivf')` /
+        `load_ann_index`), probing `nprobes` clusters (None = all =
+        exact): the configuration where neither corpus scan appears
+        in the per-query cost."""
         from mcp_vector_search_spark.functions.query import preprocess_query
 
-        if method not in ("auto", "expr", "indexed"):
+        if method not in ("auto", "expr", "indexed", "ann"):
             raise ValueError(f"unknown method {method!r}")
         term_sets = [(qid, preprocess_query(q).split()) for qid, q in queries]
         if method == "auto":
             method = "expr" if len(term_sets) <= self.EXPR_BATCH_MAX else "indexed"
+        if method == "ann":
+            if self._ivf_layout is None:
+                raise ValueError(
+                    "method='ann' serves from a packed IVF layout — call "
+                    "build_ann_index('ivf') or load_ann_index(path) first"
+                )
+            from mcp_vector_search_spark.plans.hybrid import hybrid_search_batch_ann
+
+            packed, centroids, _ = self._ivf_layout
+            postings, dstats, tstats = self._bm25()
+            return hybrid_search_batch_ann(
+                postings,
+                dstats,
+                tstats,
+                packed,
+                centroids,
+                term_sets,
+                query_vecs,
+                k=limit,
+                alpha=alpha,
+                nprobes=nprobes,
+            )
         if method == "indexed":
             from mcp_vector_search_spark.plans.hybrid import (
                 hybrid_search_batch_indexed,

@@ -131,7 +131,6 @@ def hybrid_search_batch(
         K1,
         bm25_oneshot_stats,
     )
-    from mcp_vector_search_spark.operators.topk import topk_per_query_np
 
     qids = [qid for qid, _ in term_sets]
     if len(set(qids)) != len(qids):
@@ -200,46 +199,51 @@ def hybrid_search_batch(
         )
 
     return _batch_fuse(
-        bm_leg, vectors, query_vecs, k, n_leg, alpha,
-        vec_col, vec_id_col, query_id_col,
+        bm_leg,
+        _brute_vec_leg(vectors, query_vecs, n_leg, vec_col, vec_id_col, query_id_col),
+        k, alpha, query_id_col,
+    )
+
+
+def _brute_vec_leg(
+    vectors: DataFrame,
+    query_vecs: DataFrame,
+    n_leg: int,
+    vec_col: str,
+    vec_id_col: str,
+    query_id_col: str,
+) -> DataFrame:
+    """Exact vector leg: the Arrow batch kernel, one corpus scan for
+    all queries → (query_id, doc_id, _rank_a ≤ n_leg)."""
+    from mcp_vector_search_spark.operators.topk import topk_per_query_np
+
+    return topk_per_query_np(
+        vectors,
+        query_vecs,
+        n_leg,
+        vec_col=vec_col,
+        query_id_col=query_id_col,
+        id_col=vec_id_col,
+    ).select(
+        query_id_col,
+        F.col(vec_id_col).alias("doc_id"),
+        F.col("rn").alias("_rank_a"),
     )
 
 
 def _batch_fuse(
     bm_leg: DataFrame,
-    vectors: DataFrame,
-    query_vecs: DataFrame,
+    vec_leg: DataFrame,
     k: int,
-    n_leg: int,
     alpha: float,
-    vec_col: str,
-    vec_id_col: str,
     query_id_col: str,
 ) -> DataFrame:
-    """Shared tail of the batch-hybrid pipelines: the Arrow-kernel
-    vector legs (one corpus scan for all queries) + per-query RRF
-    fusion with max-normalization. `bm_leg` = (query_id, doc_id,
-    _rank_b ≤ n_leg) from either the expression-compiled or the
-    table-driven BM25 stage."""
+    """Shared tail of the batch-hybrid pipelines: per-query RRF fusion
+    with max-normalization. `bm_leg` = (query_id, doc_id, _rank_b ≤
+    n_leg) from either the expression-compiled or the table-driven
+    BM25 stage; `vec_leg` = (query_id, doc_id, _rank_a ≤ n_leg) from
+    the exact Arrow kernel or a packed-IVF layout."""
     from pyspark.sql.window import Window
-
-    from mcp_vector_search_spark.operators.topk import topk_per_query_np
-
-    vec_leg = (
-        topk_per_query_np(
-            vectors,
-            query_vecs,
-            n_leg,
-            vec_col=vec_col,
-            query_id_col=query_id_col,
-            id_col=vec_id_col,
-        )
-        .select(
-            query_id_col,
-            F.col(vec_id_col).alias("doc_id"),
-            F.col("rn").alias("_rank_a"),
-        )
-    )
 
     fused = (
         vec_leg.join(bm_leg, [query_id_col, "doc_id"], "full_outer")
@@ -307,17 +311,38 @@ def hybrid_search_batch_indexed(
     terms (`build_term_stats`), docs reach a query only through a
     matched posting (the `_m > 0` filter by construction).
     """
+    n_leg = k * over_retrieve
+    bm_leg = _indexed_bm_leg(
+        postings, doc_stats, term_stats, term_sets, query_vecs, n_leg, query_id_col
+    )
+    return _batch_fuse(
+        bm_leg,
+        _brute_vec_leg(vectors, query_vecs, n_leg, vec_col, vec_id_col, query_id_col),
+        k, alpha, query_id_col,
+    )
+
+
+def _indexed_bm_leg(
+    postings: DataFrame,
+    doc_stats: DataFrame,
+    term_stats: DataFrame,
+    term_sets: list[tuple[int, list[str]]],
+    query_vecs: DataFrame,
+    n_leg: int,
+    query_id_col: str,
+) -> DataFrame:
+    """The table-driven BM25 stage → (query_id, doc_id, _rank_b ≤
+    n_leg). Shared by the exact (`hybrid_search_batch_indexed`) and
+    ANN-layout (`hybrid_search_batch_ann`) batch pipelines."""
     from pyspark.sql.window import Window
 
     from mcp_vector_search_spark.operators.bm25 import B, K1
+    from mcp_vector_search_spark.operators.topk import id_type
 
     qids = [qid for qid, _ in term_sets]
     if len(set(qids)) != len(qids):
         dupes = sorted({q for q in qids if qids.count(q) > 1})
         raise ValueError(f"duplicate query_ids in term_sets: {dupes}")
-    n_leg = k * over_retrieve
-
-    from mcp_vector_search_spark.operators.topk import id_type
 
     spark = postings.sparkSession
     # inherit the real query-id type (string chunk_ids etc.) — the
@@ -351,15 +376,65 @@ def hybrid_search_batch_indexed(
         .agg(F.round(F.sum("contrib"), 6).alias("score"))
     )
     bw = Window.partitionBy(query_id_col).orderBy(F.desc("score"), F.asc("doc_id"))
-    bm_leg = (
+    return (
         scored.withColumn("_rank_b", F.row_number().over(bw))
         .filter(F.col("_rank_b") <= n_leg)
         .select(query_id_col, "doc_id", "_rank_b")
     )
-    return _batch_fuse(
-        bm_leg, vectors, query_vecs, k, n_leg, alpha,
-        vec_col, vec_id_col, query_id_col,
+
+
+def hybrid_search_batch_ann(
+    postings: DataFrame,
+    doc_stats: DataFrame,
+    term_stats: DataFrame,
+    packed: DataFrame,
+    centroids: DataFrame,
+    term_sets: list[tuple[int, list[str]]],
+    query_vecs: DataFrame,
+    k: int = 10,
+    over_retrieve: int = 2,
+    alpha: float = 0.7,
+    nprobes: int | None = None,
+    vec_id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Batch hybrid where BOTH legs serve from persisted index
+    artifacts — the shape that holds when neither the corpus text nor
+    the vectors fit a scan budget: the BM25 stage is the table-driven
+    postings-index join (`_indexed_bm_leg`, O(Σ df(q)) not O(corpus))
+    and the vector stage probes a packed IVF layout
+    (`operators/ivf.py:ivf_topk_batch_packed` over `ivf_pack` /
+    `read_ivf_layout` blocks — non-probed clusters are never
+    deserialized; on disk, never read).
+
+    `nprobes=None` probes every cluster: the packed scan degenerates
+    to exact brute force (float64 packs are bit-identical to the
+    Arrow kernel), so the result is row-identical to
+    `hybrid_search_batch_indexed` — that is this function's oracle
+    contract. With `nprobes < num_clusters` the vector leg is
+    approximate (recall per the IVF gates) and per-query cost drops to
+    the probed fraction — the 100 TB serving configuration.
+
+    Reference anchor: hybrid search over the LanceDB-backed ANN index
+    + BM25 corpus (``core/search.py:1656-1768``); the reference's two
+    sequential index lookups become two branches of one plan."""
+    n_leg = k * over_retrieve
+    bm_leg = _indexed_bm_leg(
+        postings, doc_stats, term_stats, term_sets, query_vecs, n_leg, query_id_col
     )
+    from mcp_vector_search_spark.operators.ivf import ivf_topk_batch_packed
+
+    if nprobes is None:
+        nprobes = centroids.count()
+    vec_leg = ivf_topk_batch_packed(
+        packed, centroids, query_vecs, n_leg, nprobes=nprobes,
+        query_id_col=query_id_col, id_col=vec_id_col,
+    ).select(
+        query_id_col,
+        F.col(vec_id_col).alias("doc_id"),
+        F.col("rn").alias("_rank_a"),
+    )
+    return _batch_fuse(bm_leg, vec_leg, k, alpha, query_id_col)
 
 
 class HybridServer:

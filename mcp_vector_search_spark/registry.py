@@ -398,6 +398,50 @@ def q_hybrid_batch_tbl(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hybrid_batch_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same 4-query batch with BOTH legs served from index
+    artifacts (plans/hybrid.py:hybrid_search_batch_ann — r6): the
+    table-driven postings join for BM25 plus the packed-IVF block
+    layout for vectors, built here on the deterministic first-16
+    centroids the codec gates share. Every cluster is probed
+    (nprobes=None), so the packed scan is exact brute force and the
+    gate shares `hybrid_batch`'s oracle — proving the
+    serving-from-artifacts plumbing changes no answer row; the
+    probe-pruned approximation is gated separately (`ivf_packed`,
+    `ann_recall`)."""
+    from mcp_vector_search_spark.operators.bm25 import (
+        build_postings,
+        build_term_stats,
+        doc_stats_from_postings,
+    )
+    from mcp_vector_search_spark.operators.ivf import ivf_pack
+    from mcp_vector_search_spark.plans.hybrid import hybrid_search_batch_ann
+
+    emb = _emb(spark, sf_dir)
+    qvecs = _hybrid_batch_queries(emb)
+    postings = build_postings(_docs(spark, sf_dir))
+    doc_stats = doc_stats_from_postings(postings)
+    term_stats = build_term_stats(postings, doc_stats)
+    # keep the RAW embedding (not the SQL-normalized unit): ivf_pack
+    # then np-normalizes exactly like the brute kernel the oracle's
+    # vector leg uses, so cos_sim is bit-identical — a SQL-normalized
+    # pack could drift a ulp and flip a round-6 value under the hash
+    eu, cents, assigned = _fixed_centroid_assignment(emb, keep=("embedding",))
+    return hybrid_search_batch_ann(
+        postings,
+        doc_stats,
+        term_stats,
+        ivf_pack(assigned),
+        cents.select("cluster_id", F.col("cu").alias("centroid")),
+        [(q, ts) for q, ts, _ in HYBRID_BATCH_SPECS],
+        qvecs,
+        k=HYBRID_K,
+        alpha=ALPHA,
+    ).select(
+        "query_id", "doc_id", "rrf_score", F.col("rn").cast("long").alias("rn")
+    )
+
+
 def q_exact_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_duplicates(_docs(spark, sf_dir))
 
@@ -2489,6 +2533,10 @@ SELECT query_id, doc_id, rrf_score, rn::BIGINT AS rn FROM r WHERE rn <= {HYBRID_
     # (plans/hybrid.py:hybrid_search_batch_indexed) — one shared oracle
     # pins both, the ivf_packed/ivf_fixed pattern
     o["hybrid_batch_tbl"] = o["hybrid_batch"]
+    # hybrid_batch_ann: the serving-from-artifacts path probes every
+    # cluster (exact), so the three batch pipelines are row-identical
+    # by contract and share one oracle
+    o["hybrid_batch_ann"] = o["hybrid_batch"]
 
     o["exact_dups"] = f"""
 WITH fp AS (SELECT doc_id, {_FP} AS fingerprint FROM documents)
@@ -4234,6 +4282,10 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mmr": q_mmr,
     # --- overflow: oracle-checked past the driver's 50-query window;
     # tools/verify_local.py runs them on every round ---
+    # hybrid_batch_ann twins hybrid_batch's oracle by design (all-
+    # clusters-probed packed IVF = exact), so it lives in overflow —
+    # the in-window batch gates already score the pipeline's algebra
+    "hybrid_batch_ann": q_hybrid_batch_ann,
     "neighbor_jaccard": q_neighbor_jaccard,
     "bfs": q_bfs,
     "pq_fixed": q_pq_fixed,

@@ -441,3 +441,16 @@ def test_api_serving_mode_and_indexed_batch(spark):
 
     with pytest.raises(ValueError, match="unknown method"):
         p.search_hybrid_batch(qs, qvb, method="nope")
+
+    # method='ann' (r6): serves the vector leg from the project's
+    # packed IVF layout; needs one built/loaded, and with every
+    # cluster probed (nprobes=None) it is row-identical to the exact
+    # paths
+    with pytest.raises(ValueError, match="packed IVF layout"):
+        p.search_hybrid_batch(qs, qvb, limit=5, method="ann")
+    p.build_ann_index(num_clusters=8, kind="ivf")
+    ann = {(r.query_id, r.doc_id, r.rrf_score, r.rn)
+           for r in p.search_hybrid_batch(qs, qvb, limit=5, method="ann").collect()}
+    assert ann == expr
+    approx = p.search_hybrid_batch(qs, qvb, limit=5, method="ann", nprobes=2)
+    assert approx.groupBy("query_id").count().filter("count = 5").count() == 2

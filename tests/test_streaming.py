@@ -560,3 +560,116 @@ def test_bm25_index_sink_absorbs_at_least_once_duplicates(spark, tmp_path):
     )
     assert bm25_topk_indexed(spark, idx, ["spark"], 10).count() == 0
     sink(spark.createDataFrame([], "doc_id long, text string, op string"), 3)
+
+
+def test_artifact_serving_loop_end_to_end(spark, tmp_path):
+    """r6 capstone — the full watch → maintain → serve loop across
+    BOTH index families: bootstrap a segmented BM25 index and a packed
+    IVF layout, apply streamed micro-batches through their sinks (doc
+    upsert + new-doc vectors), compact both, then serve
+    `hybrid_search_batch_ann` ENTIRELY from the persisted artifacts
+    with every cluster probed — row-identical to the in-memory exact
+    batch over the equivalent final corpus. (Per-sink streaming
+    mechanics — checkpoint restarts, replay idempotency — are pinned
+    by the dedicated tests above; this drives the sink closures
+    directly.)"""
+    from pyspark.sql import functions as F
+
+    from mcp_vector_search_spark.operators.bm25 import (
+        compact_bm25_index,
+        read_bm25_index,
+        write_bm25_index,
+    )
+    from mcp_vector_search_spark.operators.ivf import read_ivf_layout
+    from mcp_vector_search_spark.plans.hybrid import (
+        hybrid_search_batch,
+        hybrid_search_batch_ann,
+    )
+    from mcp_vector_search_spark.streaming.incremental import (
+        ann_layout_sink,
+        bm25_index_sink,
+        bootstrap_ann_layout,
+        compact_ann_layout,
+    )
+
+    words = ["spark", "stream", "index", "merge", "query", "vector", "scan", "rank"]
+    base_docs = [
+        (i, " ".join(words[j % len(words)] for j in range(i, i + 4)))
+        for i in range(8)
+    ]
+
+    def _vec(i):
+        return [float(i + 1), float((i * 7) % 5), float((i * 3) % 11), 1.0]
+
+    base_vecs = [(i, _vec(i)) for i in range(8)]
+    bm25_p = str(tmp_path / "bm25_idx")
+    ann_p = str(tmp_path / "ann_layout")
+    write_bm25_index(
+        spark.createDataFrame(base_docs, "doc_id long, text string"), bm25_p
+    )
+    bootstrap_ann_layout(
+        spark.createDataFrame(base_vecs, "vec_id long, embedding array<double>"),
+        ann_p,
+        num_clusters=2,
+    )
+
+    # two micro-batches: docs 8-9 arrive (text + vector), doc 1's text
+    # is revised (vector unchanged — only the lexical side re-indexes)
+    doc_sink = bm25_index_sink(spark, bm25_p, op_col="op")
+    vec_sink = ann_layout_sink(spark, ann_p)
+    doc_sink(
+        spark.createDataFrame(
+            [(8, "fresh spark vector stream", "upsert")],
+            "doc_id long, text string, op string",
+        ),
+        0,
+    )
+    vec_sink(
+        spark.createDataFrame([(8, _vec(8))], "vec_id long, embedding array<double>"),
+        0,
+    )
+    doc_sink(
+        spark.createDataFrame(
+            [
+                (9, "merge rank scan query", "upsert"),
+                (1, "revised spark merge text", "upsert"),
+            ],
+            "doc_id long, text string, op string",
+        ),
+        1,
+    )
+    vec_sink(
+        spark.createDataFrame([(9, _vec(9))], "vec_id long, embedding array<double>"),
+        1,
+    )
+    compact_bm25_index(spark, bm25_p)
+    compact_ann_layout(spark, ann_p)
+
+    final_docs = [d for d in base_docs if d[0] != 1] + [
+        (1, "revised spark merge text"),
+        (8, "fresh spark vector stream"),
+        (9, "merge rank scan query"),
+    ]
+    final_vecs = base_vecs + [(8, _vec(8)), (9, _vec(9))]
+    docs_df = spark.createDataFrame(final_docs, "doc_id long, text string")
+    vecs_df = spark.createDataFrame(
+        final_vecs, "vec_id long, embedding array<double>"
+    )
+    term_sets = [(0, ["spark", "merge"]), (8, ["vector", "scan"])]
+    qvecs = vecs_df.filter(F.col("vec_id").isin([0, 8])).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    want = {
+        (r.query_id, r.doc_id, r.rrf_score, r.rn)
+        for r in hybrid_search_batch(docs_df, vecs_df, term_sets, qvecs, k=5).collect()
+    }
+
+    postings, doc_stats, term_stats = read_bm25_index(spark, bm25_p)
+    packed, cents = read_ivf_layout(spark, ann_p)
+    got = {
+        (r.query_id, r.doc_id, r.rrf_score, r.rn)
+        for r in hybrid_search_batch_ann(
+            postings, doc_stats, term_stats, packed, cents, term_sets, qvecs, k=5
+        ).collect()
+    }
+    assert got == want and len(want) == 10

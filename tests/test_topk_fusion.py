@@ -177,6 +177,68 @@ def test_hybrid_batch_indexed_matches_expression_path(spark):
         hybrid_search_batch(docs, emb, [(0, ["data"]), (0, ["query"])], qvecs)
 
 
+def test_hybrid_batch_ann_matches_exact_paths(spark):
+    """hybrid_search_batch_ann (both legs from index artifacts — the
+    postings tables + a packed IVF layout) with every cluster probed
+    is row-identical to the exact batch pipelines (float64 packs are
+    bit-identical to the Arrow brute kernel); with nprobes <
+    num_clusters it still returns a full ranked top-k per query."""
+    from pyspark.sql import functions as F
+
+    from mcp_vector_search_spark import io
+    from mcp_vector_search_spark.operators.bm25 import (
+        build_postings,
+        build_term_stats,
+        doc_stats_from_postings,
+    )
+    from mcp_vector_search_spark.operators.ivf import ivf_build_sampled, ivf_pack
+    from mcp_vector_search_spark.plans.hybrid import (
+        hybrid_search_batch,
+        hybrid_search_batch_ann,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    docs = io.table(spark, sf, "documents")
+    emb = io.table(spark, sf, "embeddings")
+    term_sets = [
+        (0, ["data", "query", "fast"]),
+        (1, ["window", "merge", "sort"]),
+        (2, ["zzzznotaterm"]),  # absent everywhere: empty BM25 leg
+        (3, ["graph", "node", "edge"]),
+    ]
+    qvecs = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").cast("long").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    postings = build_postings(docs)
+    doc_stats = doc_stats_from_postings(postings)
+    term_stats = build_term_stats(postings, doc_stats)
+    assigned, cents = ivf_build_sampled(emb, num_clusters=8)
+    packed = ivf_pack(assigned)
+
+    expr = {
+        (r.query_id, r.doc_id, r.rrf_score, r.rn)
+        for r in hybrid_search_batch(docs, emb, term_sets, qvecs).collect()
+    }
+    ann_exact = {
+        (r.query_id, r.doc_id, r.rrf_score, r.rn)
+        for r in hybrid_search_batch_ann(
+            postings, doc_stats, term_stats, packed, cents, term_sets, qvecs
+        ).collect()  # nprobes=None: all clusters probed = exact
+    }
+    assert ann_exact == expr
+
+    approx = hybrid_search_batch_ann(
+        postings, doc_stats, term_stats, packed, cents, term_sets, qvecs,
+        nprobes=2,
+    )
+    per_q = {
+        r["query_id"]: r["cnt"]
+        for r in approx.groupBy("query_id").agg(F.count("*").alias("cnt")).collect()
+    }
+    assert set(per_q) == {0, 1, 2, 3} and all(c == 10 for c in per_q.values())
+
+
 def test_hybrid_server_matches_hybrid_search(spark):
     """HybridServer (warm single-query serving, VERDICT r5 #6) returns
     exactly hybrid_search's rows — the same code path runs, fed the
