@@ -340,6 +340,19 @@ def main():
         t0 = time.time()
         update_bm25_index(spark, idx2, delta)
         per_query["bm25_update_delta_sec"] = round(time.time() - t0, 3)
+
+    # term-bucketed postings layout (r6): the same index partitioned
+    # by term-hash bucket — the query's IN-filter becomes physical
+    # partition pruning (plan-asserted in tests/test_bm25_incremental).
+    # At sf0.1's corpus the win is structural; the row proves the
+    # bucketed build+query path at bench scale.
+    with tempfile.TemporaryDirectory() as idxb:
+        write_bm25_index(docs, idxb, term_buckets=32)
+        t0 = time.time()
+        bm25_topk_indexed(spark, idxb, QUERY_TERMS, 20).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        per_query["bm25_query_indexed_bucketed"] = round(time.time() - t0, 3)
     _mark("bm25_index")
 
     # co-located join layout: the same join+agg with and without the

@@ -142,14 +142,59 @@ def bm25_scores(
     return agg
 
 
+def term_bucket(term: str, n: int) -> int:
+    """Driver-side twin of `_tbucket_expr` — MUST stay arithmetic-
+    identical (first 8 md5 hex chars as an int, mod n): the query path
+    computes each query term's bucket in Python to build the partition
+    filter the executors prune with."""
+    import hashlib
+
+    return int(hashlib.md5(term.encode("utf-8")).hexdigest()[:8], 16) % n
+
+
+def _tbucket_expr(n: int):
+    """SQL-side term→bucket: md5 (stable across Spark/Python, unlike
+    hash()/xxhash64 whose seeds are engine-internal), first 8 hex
+    chars → int, mod n."""
+    return F.pmod(
+        F.conv(F.substring(F.md5(F.col("term")), 1, 8), 16, 10).cast("long"),
+        F.lit(n),
+    ).cast("int")
+
+
+def bm25_term_buckets(spark, path: str) -> int | None:
+    """Term-bucket count of a persisted index (None = unbucketed —
+    either a legacy index with no meta table or one written with
+    term_buckets=None)."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        n = spark.read.parquet(f"{path}/meta").first()["term_buckets"]
+    except AnalysisException:
+        return None
+    return n or None
+
+
 def write_bm25_index(
-    docs: DataFrame, path: str, id_col: str = "doc_id", text_col: str = "text"
+    docs: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    term_buckets: int | None = None,
 ) -> None:
     """K3 index sink (reference pickles BM25Okapi,
     ``bm25_backend.py:202-267``; here the index is three parquet
     tables). postings is sorted by term within files so query-time
-    `term IN (...)` filters benefit from parquet min/max pruning —
-    at 100 TB, store it partitioned/Z-ordered by a term-hash bucket.
+    `term IN (...)` filters benefit from parquet min/max pruning.
+
+    `term_buckets=N` additionally partitions postings by a term-hash
+    bucket (``tbucket``): the query path computes its terms' buckets
+    driver-side and the IN-filter becomes PHYSICAL partition pruning —
+    a query touches ≤|q| of N partitions no matter how large the
+    index grows. This is the 100 TB layout; size N so each bucket's
+    postings fit a scan budget (the bucket count is recorded in a
+    ``meta`` table and threaded through updates and compaction, so
+    one index never mixes partition schemes).
 
     Layout is *segmented* (the Lucene segment model re-expressed as a
     parquet partition column): ``postings/seg=N`` holds the postings
@@ -164,11 +209,20 @@ def write_bm25_index(
     postings = build_postings(docs, id_col, text_col).withColumn("seg", F.lit(0))
     doc_stats = doc_stats_from_postings(postings).withColumn("seg", F.lit(0))
     term_stats = build_term_stats(postings, doc_stats)
-    postings.sortWithinPartitions("term").write.partitionBy("seg").mode("overwrite").parquet(
-        f"{path}/postings"
-    )
+    part_cols = ["seg"]
+    if term_buckets:
+        postings = postings.withColumn("tbucket", _tbucket_expr(term_buckets))
+        part_cols.append("tbucket")
+    postings.sortWithinPartitions("term").write.partitionBy(*part_cols).mode(
+        "overwrite"
+    ).parquet(f"{path}/postings")
     doc_stats.write.mode("overwrite").parquet(f"{path}/doc_stats")
     term_stats.write.mode("overwrite").parquet(f"{path}/term_stats")
+    # always written (0 = unbucketed): a rebuild over a previously
+    # bucketed path must retire the old bucket count, not inherit it
+    docs.sparkSession.createDataFrame(
+        [(int(term_buckets or 0),)], "term_buckets int"
+    ).write.mode("overwrite").parquet(f"{path}/meta")
 
 
 def _read_postings_or_empty(spark, path: str, ds: DataFrame) -> DataFrame:
@@ -297,12 +351,20 @@ def update_bm25_index(
         )
     seg = (ds.agg(F.max("seg")).first()[0] or 0) + 1
 
+    # the delta must land in the SAME partition scheme the base build
+    # chose — mixing depths under one postings root breaks parquet
+    # partition discovery for every reader (ADVICE r5 failure class)
+    n_buckets = bm25_term_buckets(spark, path)
     if new_docs is not None:
         new_post = build_postings(new_docs, id_col, text_col).withColumn("seg", F.lit(seg))
+        part_cols = ["seg"]
+        if n_buckets:
+            new_post = new_post.withColumn("tbucket", _tbucket_expr(n_buckets))
+            part_cols.append("tbucket")
         (
             new_post.sortWithinPartitions("term")
             .write.option("partitionOverwriteMode", "dynamic")
-            .partitionBy("seg")
+            .partitionBy(*part_cols)
             .mode("overwrite")
             .parquet(f"{path}/postings")
         )
@@ -402,13 +464,22 @@ def compact_bm25_index(spark, path: str) -> tuple[int, int]:
     # compacted index always matches the full-rebuild doc_stats exactly
     doc_stats = doc_stats.filter(F.col("dl") > 0)
     stage = f"{path}.tmp"
+    # preserve the term-bucket scheme (and its meta record) across the
+    # fold — compaction must never change how an index partitions
+    n_buckets = bm25_term_buckets(spark, path)
+    part_cols = ["seg"] + (["tbucket"] if n_buckets else [])
+    if n_buckets and "tbucket" not in postings.columns:
+        postings = postings.withColumn("tbucket", _tbucket_expr(n_buckets))
     (
         postings.withColumn("seg", F.lit(0))
         .sortWithinPartitions("term")
-        .write.partitionBy("seg")
+        .write.partitionBy(*part_cols)
         .mode("overwrite")
         .parquet(os.path.join(stage, "postings"))
     )
+    spark.createDataFrame(
+        [(int(n_buckets or 0),)], "term_buckets int"
+    ).write.mode("overwrite").parquet(os.path.join(stage, "meta"))
     doc_stats.withColumn("seg", F.lit(0)).write.mode("overwrite").parquet(
         os.path.join(stage, "doc_stats")
     )
@@ -432,8 +503,17 @@ def bm25_topk_indexed(
     """Query path against a persisted index: touches only the postings
     of the query's terms (In-filter pushed to the parquet scan) — the
     O(df(q)) cost the reference gets from its in-memory BM25 object,
-    but without loading the corpus."""
+    but without loading the corpus. On a term-bucketed index
+    (`write_bm25_index(term_buckets=N)`) the query terms' buckets are
+    computed driver-side and the scan prunes whole partitions — ≤|q|
+    of N directories read, regardless of index size."""
     postings, doc_stats, term_stats = read_bm25_index(spark, path)
+    n_buckets = bm25_term_buckets(spark, path)
+    if n_buckets and "tbucket" in postings.columns:
+        buckets = sorted(
+            {term_bucket(t, n_buckets) for t in dict.fromkeys(query_terms)}
+        )
+        postings = postings.filter(F.col("tbucket").isin(buckets))
     return (
         bm25_scores(postings, doc_stats, query_terms, term_stats=term_stats)
         .orderBy(F.desc("score"), F.asc("doc_id"))

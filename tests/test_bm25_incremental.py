@@ -255,6 +255,73 @@ def test_deferred_refresh_staleness_contract(spark, tmp_path):
     assert _topk(spark, idx) == _full_equiv(spark, tmp, final)
 
 
+def test_term_bucketed_index_lifecycle(spark, tmp_path):
+    # the 100 TB postings layout: term-hash partition buckets. Scores
+    # must be identical to the unbucketed build, the scheme must
+    # thread through update/compact unchanged (mixed partition depths
+    # under one root break discovery — ADVICE r5 class), and the query
+    # path's bucket IN-filter must prune PARTITIONS, not rows.
+    from mcp_vector_search_spark.operators.bm25 import (
+        bm25_term_buckets,
+        term_bucket,
+    )
+
+    tmp = str(tmp_path)
+    idx = os.path.join(tmp, "idx")
+    write_bm25_index(_corpus(spark, BASE), idx, term_buckets=8)
+    assert bm25_term_buckets(spark, idx) == 8
+    assert _topk(spark, idx) == _full_equiv(spark, tmp, BASE)
+    segdir = os.path.join(idx, "postings", "seg=0")
+    assert any(d.startswith("tbucket=") for d in os.listdir(segdir))
+
+    # updates land in the same scheme and keep full-rebuild parity
+    update_bm25_index(spark, idx, _corpus(spark, ADDED))
+    update_bm25_index(spark, idx, _corpus(spark, REPLACED), deleted_ids=[2])
+    final = [BASE[0], REPLACED[0], BASE[3]] + ADDED
+    assert _topk(spark, idx) == _full_equiv(spark, tmp, final)
+
+    # the SQL and driver bucket functions are arithmetic twins
+    raw = spark.read.parquet(f"{idx}/postings").select("term", "tbucket").distinct()
+    assert all(term_bucket(r["term"], 8) == r["tbucket"] for r in raw.collect())
+
+    # query-term buckets appear as a PartitionFilter on the scan
+    q = bm25_topk_indexed(spark, idx, TERMS, 10)
+    plan = q._sc._jvm.PythonSQLUtils.explainString(
+        q._jdf.queryExecution(), "formatted"
+    )
+    assert any(
+        "tbucket" in seg.split("]")[0]
+        for seg in plan.split("PartitionFilters")[1:]
+    )
+
+    # compaction preserves the scheme and its meta record
+    compact_bm25_index(spark, idx)
+    assert bm25_term_buckets(spark, idx) == 8
+    assert any(
+        d.startswith("tbucket=")
+        for d in os.listdir(os.path.join(idx, "postings", "seg=0"))
+    )
+    assert _topk(spark, idx) == _full_equiv(spark, tmp, final)
+
+    # a rebuild without buckets retires the old bucket count
+    write_bm25_index(_corpus(spark, BASE), idx)
+    assert bm25_term_buckets(spark, idx) is None
+    assert _topk(spark, idx) == _full_equiv(spark, tmp, BASE)
+
+
+def test_empty_bucketed_bootstrap(spark, tmp_path):
+    # streaming bootstrap × bucketed layout: the first real segment
+    # must pick up the bucket scheme recorded at (empty) build time
+    tmp = str(tmp_path)
+    idx = os.path.join(tmp, "idx")
+    write_bm25_index(_corpus(spark, []), idx, term_buckets=4)
+    update_bm25_index(spark, idx, None, deleted_ids=[7])
+    update_bm25_index(spark, idx, _corpus(spark, BASE))
+    seg1 = os.path.join(idx, "postings", "seg=1")
+    assert any(d.startswith("tbucket=") for d in os.listdir(seg1))
+    assert _topk(spark, idx) == _full_equiv(spark, tmp, BASE)
+
+
 def test_update_batch_validation(spark, tmp_path):
     idx = str(tmp_path / "idx")
     write_bm25_index(_corpus(spark, BASE), idx)
