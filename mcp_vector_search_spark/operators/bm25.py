@@ -206,6 +206,8 @@ def write_bm25_index(
     ever being rewritten; `update_bm25_index` appends segments and
     `compact_bm25_index` folds them back to one.
     """
+    from mcp_vector_search_spark.io import atomic_swap_dir, recover_swap
+
     postings = build_postings(docs, id_col, text_col).withColumn("seg", F.lit(0))
     doc_stats = doc_stats_from_postings(postings).withColumn("seg", F.lit(0))
     term_stats = build_term_stats(postings, doc_stats)
@@ -213,16 +215,25 @@ def write_bm25_index(
     if term_buckets:
         postings = postings.withColumn("tbucket", _tbucket_expr(term_buckets))
         part_cols.append("tbucket")
+    # staged + root-swapped (same contract as compact_bm25_index): an
+    # in-place rebuild crashing between the four table overwrites
+    # could leave a postings partition scheme that contradicts meta,
+    # and the NEXT update would write a mixed-depth segment — the
+    # discovery-breaking failure a staged swap makes impossible
+    # (multi-table overwrite = crash window, r6 review class)
+    recover_swap(path)
+    stage = f"{path}.tmp"
     postings.sortWithinPartitions("term").write.partitionBy(*part_cols).mode(
         "overwrite"
-    ).parquet(f"{path}/postings")
-    doc_stats.write.mode("overwrite").parquet(f"{path}/doc_stats")
-    term_stats.write.mode("overwrite").parquet(f"{path}/term_stats")
+    ).parquet(f"{stage}/postings")
+    doc_stats.write.mode("overwrite").parquet(f"{stage}/doc_stats")
+    term_stats.write.mode("overwrite").parquet(f"{stage}/term_stats")
     # always written (0 = unbucketed): a rebuild over a previously
     # bucketed path must retire the old bucket count, not inherit it
     docs.sparkSession.createDataFrame(
         [(int(term_buckets or 0),)], "term_buckets int"
-    ).write.mode("overwrite").parquet(f"{path}/meta")
+    ).write.mode("overwrite").parquet(f"{stage}/meta")
+    atomic_swap_dir(stage, path)
 
 
 def _read_postings_or_empty(spark, path: str, ds: DataFrame) -> DataFrame:

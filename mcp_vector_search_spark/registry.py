@@ -426,7 +426,7 @@ def q_hybrid_batch_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     # then np-normalizes exactly like the brute kernel the oracle's
     # vector leg uses, so cos_sim is bit-identical — a SQL-normalized
     # pack could drift a ulp and flip a round-6 value under the hash
-    eu, cents, assigned = _fixed_centroid_assignment(emb, keep=("embedding",))
+    _, cents, assigned = _fixed_centroid_assignment(emb, keep=("embedding",))
     return hybrid_search_batch_ann(
         postings,
         doc_stats,
