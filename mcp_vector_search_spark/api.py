@@ -518,6 +518,11 @@ class SparkProject:
 
         if method not in ("auto", "expr", "indexed", "ann"):
             raise ValueError(f"unknown method {method!r}")
+        if nprobes is not None and method != "ann":
+            # every other method runs an EXACT brute vector leg — a
+            # silently ignored nprobes would let the caller believe
+            # they configured IVF probing (r6 review)
+            raise ValueError(f"nprobes applies only to method='ann' (got {method!r})")
         term_sets = [(qid, preprocess_query(q).split()) for qid, q in queries]
         if method == "auto":
             method = "expr" if len(term_sets) <= self.EXPR_BATCH_MAX else "indexed"

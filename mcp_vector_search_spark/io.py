@@ -76,6 +76,29 @@ def delete_path(spark: SparkSession, path: str) -> bool:
     return bool(fs.delete(jpath, True))
 
 
+def _hadoop_fs(path: str):
+    """(FileSystem, Path-class) for a URI path, via the active session
+    — the same storage-agnostic route `delete_path` uses."""
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.getActiveSession()
+    if spark is None:
+        raise RuntimeError(
+            f"no active SparkSession to resolve the filesystem of {path!r}"
+        )
+    jvm = spark._jvm
+    P = jvm.org.apache.hadoop.fs.Path
+    return P(path).getFileSystem(spark._jsc.hadoopConfiguration()), P
+
+
+def _is_uri(path: str) -> bool:
+    # plain local paths (the common case) stay on os.rename — atomic
+    # and session-free; anything scheme-qualified (hdfs://, s3a://,
+    # file://) routes through the Hadoop FileSystem API, which os.*
+    # silently cannot address (r6 review)
+    return "://" in path
+
+
 def recover_swap(path: str) -> bool:
     """Crash recovery for `atomic_swap_dir`: if `path` is missing but
     `<path>.old` survives (a crash landed between the two renames),
@@ -85,6 +108,12 @@ def recover_swap(path: str) -> bool:
     mistaken for 'no table yet' — which would silently restart the
     table from just the current batch."""
     old = path + ".old"
+    if _is_uri(path):
+        fs, P = _hadoop_fs(path)
+        if not fs.exists(P(path)) and fs.exists(P(old)):
+            fs.rename(P(old), P(path))
+            return True
+        return False
     if not os.path.exists(path) and os.path.exists(old):
         os.rename(old, path)
         return True
@@ -100,10 +129,27 @@ def atomic_swap_dir(tmp: str, path: str) -> None:
     runs first; a concurrent reader hitting the window gets a
     retryable missing-path error, never an empty or partial table.
     (rmtree-then-rename was strictly worse: a crash left only
-    `<path>.tmp` and no recovery marker.)"""
+    `<path>.tmp` and no recovery marker.)
+
+    URI paths (hdfs://, s3a://, file://) go through the Hadoop
+    FileSystem API: on HDFS rename is atomic exactly like the local
+    branch; on S3A each "rename" is a copy — functional and still
+    crash-recoverable through the same `.old` marker, just not
+    instantaneous. os.rename cannot address these paths at all (it
+    raises or, worse, manipulates an identically-named local dir)."""
+    old = path + ".old"
+    if _is_uri(path):
+        fs, P = _hadoop_fs(path)
+        if fs.exists(P(old)):
+            fs.delete(P(old), True)
+        if fs.exists(P(path)):
+            fs.rename(P(path), P(old))
+        fs.rename(P(tmp), P(path))
+        if fs.exists(P(old)):
+            fs.delete(P(old), True)
+        return
     import shutil
 
-    old = path + ".old"
     if os.path.exists(old):
         shutil.rmtree(old)
     if os.path.exists(path):

@@ -175,6 +175,29 @@ def bm25_term_buckets(spark, path: str) -> int | None:
     return n or None
 
 
+def _with_tbucket(postings: DataFrame, n_buckets: int | None):
+    """ONE definition of the partition-scheme threading: stamp the
+    term-bucket column when the index is bucketed (unless the frame
+    already carries it — compaction's read-back does) and return
+    (postings, partition_cols). Every postings writer — base build,
+    update segment, compaction fold — goes through this, so the
+    scheme cannot desynchronize between them (the mixed-partition-
+    depth failure the meta table exists to prevent)."""
+    if n_buckets:
+        if "tbucket" not in postings.columns:
+            postings = postings.withColumn("tbucket", _tbucket_expr(n_buckets))
+        return postings, ["seg", "tbucket"]
+    return postings, ["seg"]
+
+
+def _write_meta(spark, root: str, n_buckets: int | None) -> None:
+    """The index's bucket record (0 = unbucketed) — always written by
+    full builds and compactions so a rebuild retires a prior scheme."""
+    spark.createDataFrame(
+        [(int(n_buckets or 0),)], "term_buckets int"
+    ).write.mode("overwrite").parquet(f"{root}/meta")
+
+
 def write_bm25_index(
     docs: DataFrame,
     path: str,
@@ -211,10 +234,7 @@ def write_bm25_index(
     postings = build_postings(docs, id_col, text_col).withColumn("seg", F.lit(0))
     doc_stats = doc_stats_from_postings(postings).withColumn("seg", F.lit(0))
     term_stats = build_term_stats(postings, doc_stats)
-    part_cols = ["seg"]
-    if term_buckets:
-        postings = postings.withColumn("tbucket", _tbucket_expr(term_buckets))
-        part_cols.append("tbucket")
+    postings, part_cols = _with_tbucket(postings, term_buckets)
     # staged + root-swapped (same contract as compact_bm25_index): an
     # in-place rebuild crashing between the four table overwrites
     # could leave a postings partition scheme that contradicts meta,
@@ -228,11 +248,7 @@ def write_bm25_index(
     ).parquet(f"{stage}/postings")
     doc_stats.write.mode("overwrite").parquet(f"{stage}/doc_stats")
     term_stats.write.mode("overwrite").parquet(f"{stage}/term_stats")
-    # always written (0 = unbucketed): a rebuild over a previously
-    # bucketed path must retire the old bucket count, not inherit it
-    docs.sparkSession.createDataFrame(
-        [(int(term_buckets or 0),)], "term_buckets int"
-    ).write.mode("overwrite").parquet(f"{stage}/meta")
+    _write_meta(docs.sparkSession, stage, term_buckets)
     atomic_swap_dir(stage, path)
 
 
@@ -368,10 +384,7 @@ def update_bm25_index(
     n_buckets = bm25_term_buckets(spark, path)
     if new_docs is not None:
         new_post = build_postings(new_docs, id_col, text_col).withColumn("seg", F.lit(seg))
-        part_cols = ["seg"]
-        if n_buckets:
-            new_post = new_post.withColumn("tbucket", _tbucket_expr(n_buckets))
-            part_cols.append("tbucket")
+        new_post, part_cols = _with_tbucket(new_post, n_buckets)
         (
             new_post.sortWithinPartitions("term")
             .write.option("partitionOverwriteMode", "dynamic")
@@ -478,9 +491,7 @@ def compact_bm25_index(spark, path: str) -> tuple[int, int]:
     # preserve the term-bucket scheme (and its meta record) across the
     # fold — compaction must never change how an index partitions
     n_buckets = bm25_term_buckets(spark, path)
-    part_cols = ["seg"] + (["tbucket"] if n_buckets else [])
-    if n_buckets and "tbucket" not in postings.columns:
-        postings = postings.withColumn("tbucket", _tbucket_expr(n_buckets))
+    postings, part_cols = _with_tbucket(postings, n_buckets)
     (
         postings.withColumn("seg", F.lit(0))
         .sortWithinPartitions("term")
@@ -488,9 +499,7 @@ def compact_bm25_index(spark, path: str) -> tuple[int, int]:
         .mode("overwrite")
         .parquet(os.path.join(stage, "postings"))
     )
-    spark.createDataFrame(
-        [(int(n_buckets or 0),)], "term_buckets int"
-    ).write.mode("overwrite").parquet(os.path.join(stage, "meta"))
+    _write_meta(spark, stage, n_buckets)
     doc_stats.withColumn("seg", F.lit(0)).write.mode("overwrite").parquet(
         os.path.join(stage, "doc_stats")
     )
@@ -519,12 +528,16 @@ def bm25_topk_indexed(
     computed driver-side and the scan prunes whole partitions — ≤|q|
     of N directories read, regardless of index size."""
     postings, doc_stats, term_stats = read_bm25_index(spark, path)
-    n_buckets = bm25_term_buckets(spark, path)
-    if n_buckets and "tbucket" in postings.columns:
-        buckets = sorted(
-            {term_bucket(t, n_buckets) for t in dict.fromkeys(query_terms)}
-        )
-        postings = postings.filter(F.col("tbucket").isin(buckets))
+    # schema-gated: only a bucketed index (tbucket partition column
+    # present) pays the tiny meta read — unbucketed and legacy indexes
+    # add zero jobs to the hot query path (r6 review)
+    if "tbucket" in postings.columns:
+        n_buckets = bm25_term_buckets(spark, path)
+        if n_buckets:
+            buckets = sorted(
+                {term_bucket(t, n_buckets) for t in dict.fromkeys(query_terms)}
+            )
+            postings = postings.filter(F.col("tbucket").isin(buckets))
     return (
         bm25_scores(postings, doc_stats, query_terms, term_stats=term_stats)
         .orderBy(F.desc("score"), F.asc("doc_id"))

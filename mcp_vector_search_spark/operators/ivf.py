@@ -326,6 +326,14 @@ def _driver_probe_sets(
     cids = cpd["cluster_id"].to_numpy()
     csim = round_half_up(Q @ Cn.T, 9)  # (nq, nc)
     order = np.lexsort((np.broadcast_to(cids, csim.shape), -csim), axis=1)
+    # nprobes=None → the [:None] slice keeps every cluster (exact
+    # packed brute force); 0/negative would silently produce an EMPTY
+    # probe map — a vector leg that returns nothing while looking like
+    # a "minimal probing" configuration (r6 review)
+    if nprobes is not None and nprobes < 1:
+        raise ValueError(
+            f"nprobes must be >= 1, or None to probe all clusters; got {nprobes}"
+        )
     probe_sets = order[:, :nprobes]  # (nq, nprobes) — indices into cids
     cluster_to_q: dict[int, list[int]] = {}
     for qi in range(len(qids)):
@@ -579,7 +587,7 @@ def ivf_topk_batch_packed(
     centroids: DataFrame,
     queries: DataFrame,
     k: int,
-    nprobes: int = NPROBES,
+    nprobes: int | None = NPROBES,
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
     id_col: str = "vec_id",
@@ -596,8 +604,9 @@ def ivf_topk_batch_packed(
     per-vector deserialize — → one `np.frombuffer` + one matmul per
     (block, probing-queries) inside a shuffle-free mapInPandas → exact
     per-query rank window over the per-block partial top-k. Probing
-    all clusters degenerates to a packed brute-force scan, which is
-    how the layout also serves exact search.
+    all clusters (`nprobes=None`, or any value ≥ the cluster count)
+    degenerates to a packed brute-force scan, which is how the layout
+    also serves exact search — with no extra job to count centroids.
 
     Scale envelope: the query set and its probe map live on the
     driver and ship inside the task closure — right for SERVING

@@ -424,8 +424,8 @@ def hybrid_search_batch_ann(
     )
     from mcp_vector_search_spark.operators.ivf import ivf_topk_batch_packed
 
-    if nprobes is None:
-        nprobes = centroids.count()
+    # nprobes=None flows straight through: the packed kernel's probe
+    # slice keeps every cluster, with no count() job here (r6 review)
     vec_leg = ivf_topk_batch_packed(
         packed, centroids, query_vecs, n_leg, nprobes=nprobes,
         query_id_col=query_id_col, id_col=vec_id_col,

@@ -454,3 +454,10 @@ def test_api_serving_mode_and_indexed_batch(spark):
     assert ann == expr
     approx = p.search_hybrid_batch(qs, qvb, limit=5, method="ann", nprobes=2)
     assert approx.groupBy("query_id").count().filter("count = 5").count() == 2
+    # nprobes on an exact method would be silently ignored — raise;
+    # nprobes=0 would produce an empty probe map (BM25-only results
+    # masquerading as hybrid) — raise (r6 review)
+    with pytest.raises(ValueError, match="applies only to method='ann'"):
+        p.search_hybrid_batch(qs, qvb, limit=5, method="indexed", nprobes=4)
+    with pytest.raises(ValueError, match="nprobes must be >= 1"):
+        p.search_hybrid_batch(qs, qvb, limit=5, method="ann", nprobes=0).collect()

@@ -322,6 +322,23 @@ def test_empty_bucketed_bootstrap(spark, tmp_path):
     assert _topk(spark, idx) == _full_equiv(spark, tmp, BASE)
 
 
+def test_uri_path_index_lifecycle(spark, tmp_path):
+    # storage-agnostic swap (r6 review): scheme-qualified paths route
+    # through the Hadoop FileSystem API — os.rename cannot address
+    # them, so the staged build/update/compact swaps used to strand
+    # the .tmp layout on hdfs://-like storage. file:// (Hadoop
+    # LocalFileSystem) exercises that branch end-to-end locally.
+    tmp = str(tmp_path)
+    idx = f"file://{tmp}/idx"
+    write_bm25_index(_corpus(spark, BASE), idx, term_buckets=4)
+    assert _topk(spark, idx) == _full_equiv(spark, tmp, BASE)
+    update_bm25_index(spark, idx, _corpus(spark, ADDED), deleted_ids=[2])
+    final = [b for b in BASE if b[0] != 2] + ADDED
+    assert _topk(spark, idx) == _full_equiv(spark, tmp, final)
+    compact_bm25_index(spark, idx)
+    assert _topk(spark, idx) == _full_equiv(spark, tmp, final)
+
+
 def test_update_batch_validation(spark, tmp_path):
     idx = str(tmp_path / "idx")
     write_bm25_index(_corpus(spark, BASE), idx)
