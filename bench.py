@@ -26,6 +26,8 @@ EXTRA_COMPACT_KEYS = [
     "hybrid_rrf_warm_served",
     "hybrid_batch_tbl_qps",
     "hybrid_batch_ann_qps",
+    "hybrid_scale_tbl_qps",
+    "hybrid_scale_ann_qps",
     "ann_huge_brute_sec",
     "ann_huge_ivf_sec",
     "ann_huge_recall_at_10",
@@ -596,6 +598,71 @@ def main():
     per_query["ann_big_recall_at_10"] = round(
         len(big_truth & big_approx) / max(len(big_truth), 1), 4
     )
+
+    # --- hybrid serving at the 512K decade (r6): the tbl-vs-ann
+    # crossover the artifacts path exists for. Same 256-query batch
+    # against a 128K-doc corpus (docs ×256, caesar-shifted per variant
+    # like the sf1 replicas) + the 512K-vector packed layout above.
+    # The BM25 legs are identical (both join the term-bucketed
+    # postings index); the vector legs differ — exact brute scan of
+    # 512K vectors vs 20/256 probed packed clusters — so the qps gap
+    # is the measured value of serving the vector leg from the layout.
+    import tempfile as _htf
+
+    docs01 = eio.table(spark, SF_DIR, "documents")
+    dv = F.broadcast(
+        spark.range(INFLATE).select(F.col("id").cast("int").alias("_v"))
+    )
+    _lo = "abcdefghijklmnopqrstuvwxyz"
+    _up = _lo.upper()
+    _shift = F.col("text")
+    for i in range(1, 26):
+        tgt = _lo[i:] + _lo[:i] + _up[i:] + _up[:i]
+        _shift = F.when(
+            F.col("_v") % 26 == i, F.translate("text", _lo + _up, tgt)
+        ).otherwise(_shift)
+    docs_big = docs01.crossJoin(dv).select(
+        (F.col("doc_id") * INFLATE + F.col("_v")).cast("long").alias("doc_id"),
+        _shift.alias("text"),
+    )
+    with _htf.TemporaryDirectory() as hidx:
+        t0 = time.time()
+        write_bm25_index(docs_big, hidx, term_buckets=64)
+        per_query["hybrid_scale_index_build_sec"] = round(time.time() - t0, 3)
+        from mcp_vector_search_spark.operators.bm25 import read_bm25_index as _rbi
+        from mcp_vector_search_spark.plans.hybrid import (
+            hybrid_search_batch_ann,
+            hybrid_search_batch_indexed,
+        )
+
+        hp, hds, hts = _rbi(spark, hidx)
+        _hpool = [
+            ["data", "query", "fast", "vector"], ["window", "merge", "sort"],
+            ["stream", "filter", "data"], ["index", "hash", "join"],
+            ["cache", "memory", "fast"], ["search", "rank", "score"],
+            ["parse", "token", "text"], ["graph", "node", "edge"],
+        ]
+        HS_N = 256
+        hs_terms = [(i, _hpool[i % len(_hpool)]) for i in range(HS_N)]
+        hs_qvecs = big_q.limit(HS_N).cache()
+        hs_qvecs.count()
+        _gc_quiesce()
+        t0 = time.time()
+        hybrid_search_batch_indexed(
+            hp, hds, hts, big, hs_terms, hs_qvecs, k=10
+        ).write.format("noop").mode("overwrite").save()
+        tbl_sec = time.time() - t0
+        per_query["hybrid_scale_tbl_sec"] = round(tbl_sec, 3)
+        per_query["hybrid_scale_tbl_qps"] = round(HS_N / tbl_sec, 2)
+        t0 = time.time()
+        hybrid_search_batch_ann(
+            hp, hds, hts, big_packed, big_cents, hs_terms, hs_qvecs,
+            k=10, nprobes=20,
+        ).write.format("noop").mode("overwrite").save()
+        ann_sec = time.time() - t0
+        per_query["hybrid_scale_ann_sec"] = round(ann_sec, 3)
+        per_query["hybrid_scale_ann_qps"] = round(HS_N / ann_sec, 2)
+        hs_qvecs.unpersist()
 
     # IVF-PQ on the same layout: residual-PQ encode on top of the
     # existing coarse quantizer (no KMeans refit), ADC scan of codes

@@ -162,17 +162,60 @@ def _tbucket_expr(n: int):
     ).cast("int")
 
 
+def _dbucket_expr(n: int):
+    """SQL-side doc→bucket (same md5 construction as `_tbucket_expr`,
+    over the stringified id so long and string ids hash alike)."""
+    return F.pmod(
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+        ).cast("long"),
+        F.lit(n),
+    ).cast("int")
+
+
+def _bm25_meta(spark, path: str) -> tuple[int | None, int | None, str | None]:
+    """(term_buckets, doc_buckets, doc_id_type) of a persisted index —
+    all None for a legacy index with no meta table; fields added after
+    a meta row was written read as None (forward/backward compatible)."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        r = spark.read.parquet(f"{path}/meta").first()
+    except AnalysisException:
+        return None, None, None
+    fields = set(r.__fields__)
+    tb = (r["term_buckets"] if "term_buckets" in fields else 0) or None
+    db = (r["doc_buckets"] if "doc_buckets" in fields else 0) or None
+    idt = r["doc_id_type"] if "doc_id_type" in fields else None
+    return tb, db, idt
+
+
 def bm25_term_buckets(spark, path: str) -> int | None:
     """Term-bucket count of a persisted index (None = unbucketed —
     either a legacy index with no meta table or one written with
     term_buckets=None)."""
+    return _bm25_meta(spark, path)[0]
+
+
+def _read_doc_stats_or_empty(spark, path: str) -> DataFrame:
+    """doc_stats read that survives an EMPTY doc-bucketed index: a
+    partitioned doc_stats over zero docs has no data files (same
+    partitionBy-writes-nothing behavior as postings), so the schema is
+    reconstructed from the meta record's doc_id type. Unbucketed
+    doc_stats always keeps a schema-bearing file, so this fallback
+    only ever fires for the bucketed empty-bootstrap case."""
     from pyspark.errors import AnalysisException
 
     try:
-        n = spark.read.parquet(f"{path}/meta").first()["term_buckets"]
+        return spark.read.parquet(f"{path}/doc_stats")
     except AnalysisException:
-        return None
-    return n or None
+        _, db, idt = _bm25_meta(spark, path)
+        if idt is None:
+            raise
+        cols = f"doc_id {idt}, dl double, seg int"
+        if db:
+            cols += ", dbucket int"
+        return spark.createDataFrame([], cols)
 
 
 def _with_tbucket(postings: DataFrame, n_buckets: int | None):
@@ -190,11 +233,17 @@ def _with_tbucket(postings: DataFrame, n_buckets: int | None):
     return postings, ["seg"]
 
 
-def _write_meta(spark, root: str, n_buckets: int | None) -> None:
-    """The index's bucket record (0 = unbucketed) — always written by
-    full builds and compactions so a rebuild retires a prior scheme."""
+def _write_meta(
+    spark, root: str, term_buckets: int | None, doc_buckets: int | None,
+    doc_id_type: str,
+) -> None:
+    """The index's scheme record (0 = unbucketed) — always written by
+    full builds and compactions so a rebuild retires a prior scheme.
+    `doc_id_type` lets readers reconstruct schemas for tables whose
+    partitioned write produced no files (empty bootstrap)."""
     spark.createDataFrame(
-        [(int(n_buckets or 0),)], "term_buckets int"
+        [(int(term_buckets or 0), int(doc_buckets or 0), doc_id_type)],
+        "term_buckets int, doc_buckets int, doc_id_type string",
     ).write.mode("overwrite").parquet(f"{root}/meta")
 
 
@@ -204,6 +253,7 @@ def write_bm25_index(
     id_col: str = "doc_id",
     text_col: str = "text",
     term_buckets: int | None = None,
+    doc_buckets: int | None = None,
 ) -> None:
     """K3 index sink (reference pickles BM25Okapi,
     ``bm25_backend.py:202-267``; here the index is three parquet
@@ -218,6 +268,15 @@ def write_bm25_index(
     postings fit a scan budget (the bucket count is recorded in a
     ``meta`` table and threaded through updates and compaction, so
     one index never mixes partition schemes).
+
+    `doc_buckets=M` additionally partitions doc_stats by a doc-id-hash
+    bucket (``dbucket``), which turns `update_bm25_index`'s doc_stats
+    maintenance from an O(live docs) full rewrite into a dynamic
+    partition overwrite of ONLY the buckets the delta touches —
+    O(live/M × touched buckets) per update. The trade (documented in
+    `update_bm25_index`): the per-update doc_stats change is no longer
+    a single atomic swap — a crash mid-write leaves a mixed-version
+    window that the replayed update repairs.
 
     Layout is *segmented* (the Lucene segment model re-expressed as a
     parquet partition column): ``postings/seg=N`` holds the postings
@@ -235,6 +294,8 @@ def write_bm25_index(
     doc_stats = doc_stats_from_postings(postings).withColumn("seg", F.lit(0))
     term_stats = build_term_stats(postings, doc_stats)
     postings, part_cols = _with_tbucket(postings, term_buckets)
+    if doc_buckets:
+        doc_stats = doc_stats.withColumn("dbucket", _dbucket_expr(doc_buckets))
     # staged + root-swapped (same contract as compact_bm25_index): an
     # in-place rebuild crashing between the four table overwrites
     # could leave a postings partition scheme that contradicts meta,
@@ -246,9 +307,15 @@ def write_bm25_index(
     postings.sortWithinPartitions("term").write.partitionBy(*part_cols).mode(
         "overwrite"
     ).parquet(f"{stage}/postings")
-    doc_stats.write.mode("overwrite").parquet(f"{stage}/doc_stats")
+    dsw = doc_stats.write.mode("overwrite")
+    if doc_buckets:
+        dsw = dsw.partitionBy("dbucket")
+    dsw.parquet(f"{stage}/doc_stats")
     term_stats.write.mode("overwrite").parquet(f"{stage}/term_stats")
-    _write_meta(docs.sparkSession, stage, term_buckets)
+    _write_meta(
+        docs.sparkSession, stage, term_buckets, doc_buckets,
+        dict(docs.dtypes)[id_col],
+    )
     atomic_swap_dir(stage, path)
 
 
@@ -288,7 +355,7 @@ def read_bm25_index(spark, path: str) -> tuple[DataFrame, DataFrame, DataFrame]:
     recover_swap(path)
     for t in ("doc_stats", "term_stats"):
         recover_swap(f"{path}/{t}")
-    ds = spark.read.parquet(f"{path}/doc_stats")
+    ds = _read_doc_stats_or_empty(spark, path)
     postings = _read_postings_or_empty(spark, path, ds)
     term_stats = spark.read.parquet(f"{path}/term_stats")
     if "seg" in postings.columns:
@@ -342,12 +409,17 @@ def update_bm25_index(
       batch is tokenized here, appended as ``postings/seg=N`` via
       dynamic partition overwrite (a replayed crash re-writes the same
       partition — idempotent, same contract as the streaming sinks);
-    - ``doc_stats`` (one small row per live doc) is rewritten staged +
-      `atomic_swap_dir`: superseded/deleted ids drop out, delta rows
-      (seg=N) union in. This O(live docs) rewrite is the price of
-      keeping segment resolution a cheap equi-join instead of a
-      query-time latest-seg window; at extreme doc counts, bucket
-      doc_stats by hash(doc_id) and rewrite touched buckets only;
+    - ``doc_stats`` (one small row per live doc): superseded/deleted
+      ids drop out, delta rows (seg=N) union in. Unbucketed, this is
+      an O(live docs) staged rewrite + `atomic_swap_dir` — the price
+      of keeping segment resolution a cheap equi-join. With
+      `write_bm25_index(doc_buckets=M)` it becomes a dynamic
+      partition overwrite of ONLY the id-hash buckets the delta
+      touches — O(live/M × touched buckets) per update, the layout
+      for extreme doc counts. Bucketed crash note: the per-update
+      doc_stats change is then per-partition, not one swap — a crash
+      mid-write leaves touched buckets at mixed versions until the
+      replayed update (same delta → same buckets) repairs them;
     - ``term_stats`` must change globally whenever N changes (idf_raw
       depends on n_docs, and BM25Okapi's epsilon floor averages over
       ALL terms), and df is not delta-decomposable under upserts — so
@@ -370,7 +442,7 @@ def update_bm25_index(
 
     recover_swap(path)
     recover_swap(f"{path}/doc_stats")
-    ds = spark.read.parquet(f"{path}/doc_stats")
+    ds = _read_doc_stats_or_empty(spark, path)
     if "seg" not in ds.columns:
         raise ValueError(
             f"{path} is a flat (pre-segment) BM25 index; rebuild it with "
@@ -378,10 +450,10 @@ def update_bm25_index(
         )
     seg = (ds.agg(F.max("seg")).first()[0] or 0) + 1
 
-    # the delta must land in the SAME partition scheme the base build
-    # chose — mixing depths under one postings root breaks parquet
-    # partition discovery for every reader (ADVICE r5 failure class)
-    n_buckets = bm25_term_buckets(spark, path)
+    # the delta must land in the SAME partition schemes the base build
+    # chose — mixing depths under one root breaks parquet partition
+    # discovery for every reader (ADVICE r5 failure class)
+    n_buckets, m_buckets, _ = _bm25_meta(spark, path)
     if new_docs is not None:
         new_post = build_postings(new_docs, id_col, text_col).withColumn("seg", F.lit(seg))
         new_post, part_cols = _with_tbucket(new_post, n_buckets)
@@ -432,10 +504,46 @@ def update_bm25_index(
         dupes = [r["doc_id"] for r in counts.filter("count > 1").limit(5).collect()]
         if dupes:
             raise ValueError(f"doc_ids duplicated within new_docs: {dupes}")
-    merged = ds.join(touched, "doc_id", "left_anti").unionByName(new_ds)
-    tmp = f"{path}/doc_stats.tmp"
-    merged.write.mode("overwrite").parquet(tmp)
-    atomic_swap_dir(tmp, f"{path}/doc_stats")
+    if m_buckets:
+        # bucketed doc_stats (the extreme-doc-count layout): rewrite
+        # ONLY the id-hash buckets the delta touches. The merged frame
+        # is localCheckpointed first — it reads the same partitions the
+        # dynamic overwrite replaces, and the checkpoint both cuts that
+        # self-read and pins ONE materialization for the two consumers
+        # below (the present-buckets collect and the write).
+        if "dbucket" not in new_ds.columns:
+            new_ds = new_ds.withColumn("dbucket", _dbucket_expr(m_buckets))
+        touched_b = sorted(
+            r["dbucket"]
+            for r in touched.select(_dbucket_expr(m_buckets).alias("dbucket"))
+            .distinct()
+            .collect()
+        )
+        merged = (
+            ds.filter(F.col("dbucket").isin(touched_b))
+            .join(touched, "doc_id", "left_anti")
+            .unionByName(new_ds)
+            .localCheckpoint()
+        )
+        present = {r["dbucket"] for r in merged.select("dbucket").distinct().collect()}
+        (
+            merged.write.option("partitionOverwriteMode", "dynamic")
+            .partitionBy("dbucket")
+            .mode("overwrite")
+            .parquet(f"{path}/doc_stats")
+        )
+        # a touched bucket whose every row vanished (all its docs
+        # deleted) produces NO partition in the dynamic write, so its
+        # stale rows would survive — drop those partitions explicitly
+        from mcp_vector_search_spark.io import delete_path
+
+        for b in sorted(set(touched_b) - present):
+            delete_path(spark, f"{path}/doc_stats/dbucket={b}")
+    else:
+        merged = ds.join(touched, "doc_id", "left_anti").unionByName(new_ds)
+        tmp = f"{path}/doc_stats.tmp"
+        merged.write.mode("overwrite").parquet(tmp)
+        atomic_swap_dir(tmp, f"{path}/doc_stats")
     upserted.unpersist()
 
     # `refresh_term_stats=False` is the high-frequency-update knob
@@ -479,18 +587,16 @@ def compact_bm25_index(spark, path: str) -> tuple[int, int]:
 
     recover_swap(path)
     recover_swap(f"{path}/doc_stats")
-    raw = _read_postings_or_empty(
-        spark, path, spark.read.parquet(f"{path}/doc_stats")
-    )
+    raw = _read_postings_or_empty(spark, path, _read_doc_stats_or_empty(spark, path))
     segs_before = raw.select("seg").distinct().count() if "seg" in raw.columns else 1
     postings, doc_stats, _ = read_bm25_index(spark, path)
     # drop any legacy dl=0 rows (pre-r6-review updates kept them) so a
     # compacted index always matches the full-rebuild doc_stats exactly
     doc_stats = doc_stats.filter(F.col("dl") > 0)
     stage = f"{path}.tmp"
-    # preserve the term-bucket scheme (and its meta record) across the
+    # preserve both bucket schemes (and their meta record) across the
     # fold — compaction must never change how an index partitions
-    n_buckets = bm25_term_buckets(spark, path)
+    n_buckets, m_buckets, idt = _bm25_meta(spark, path)
     postings, part_cols = _with_tbucket(postings, n_buckets)
     (
         postings.withColumn("seg", F.lit(0))
@@ -499,10 +605,14 @@ def compact_bm25_index(spark, path: str) -> tuple[int, int]:
         .mode("overwrite")
         .parquet(os.path.join(stage, "postings"))
     )
-    _write_meta(spark, stage, n_buckets)
-    doc_stats.withColumn("seg", F.lit(0)).write.mode("overwrite").parquet(
-        os.path.join(stage, "doc_stats")
-    )
+    _write_meta(spark, stage, n_buckets, m_buckets, idt or dict(doc_stats.dtypes)["doc_id"])
+    dsw = doc_stats.withColumn("seg", F.lit(0))
+    if m_buckets:
+        dsw = dsw.withColumn("dbucket", _dbucket_expr(m_buckets))
+    dsww = dsw.write.mode("overwrite")
+    if m_buckets:
+        dsww = dsww.partitionBy("dbucket")
+    dsww.parquet(os.path.join(stage, "doc_stats"))
     # REBUILD term_stats rather than copying it verbatim: postings and
     # doc_stats are already in hand, so this is nearly free, and it
     # makes compaction double as the repair path for an idf left one

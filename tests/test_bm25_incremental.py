@@ -322,6 +322,71 @@ def test_empty_bucketed_bootstrap(spark, tmp_path):
     assert _topk(spark, idx) == _full_equiv(spark, tmp, BASE)
 
 
+def test_doc_bucketed_index_lifecycle(spark, tmp_path):
+    # doc_buckets=M (the extreme-doc-count layout): doc_stats
+    # maintenance becomes a dynamic partition overwrite of ONLY the
+    # id-hash buckets the delta touches — untouched buckets' files
+    # must not be rewritten, a bucket whose every doc is deleted must
+    # be dropped (dynamic overwrite can't write an empty partition),
+    # and scores must equal the full rebuild at every step.
+    import hashlib
+
+    def dbucket(i, m=4):
+        return int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % m
+
+    def bucket_files(idx):
+        root = os.path.join(idx, "doc_stats")
+        return {
+            d: sorted(os.listdir(os.path.join(root, d)))
+            for d in os.listdir(root)
+            if d.startswith("dbucket=")
+        }
+
+    tmp = str(tmp_path)
+    idx = os.path.join(tmp, "idx")
+    write_bm25_index(_corpus(spark, BASE), idx, term_buckets=4, doc_buckets=4)
+    assert _topk(spark, idx) == _full_equiv(spark, tmp, BASE)
+    before = bucket_files(idx)
+    assert before  # partitioned layout exists
+
+    # upsert ADDED (ids 4,5) + delete 2: only those ids' buckets move
+    update_bm25_index(spark, idx, _corpus(spark, ADDED), deleted_ids=[2])
+    final = [BASE[0], BASE[1], BASE[3]] + ADDED
+    assert _topk(spark, idx) == _full_equiv(spark, tmp, final)
+    touched = {f"dbucket={dbucket(i)}" for i in (4, 5, 2)}
+    after = bucket_files(idx)
+    for d, files in before.items():
+        if d not in touched:
+            assert after[d] == files, f"untouched bucket {d} was rewritten"
+
+    # delete every doc in one bucket → its partition dir must vanish
+    by_bucket = {}
+    for i, _ in final:
+        by_bucket.setdefault(dbucket(i), []).append(i)
+    victim_bucket, victims = sorted(by_bucket.items())[0]
+    update_bm25_index(spark, idx, None, deleted_ids=victims)
+    remaining = [d for d in final if d[0] not in set(victims)]
+    assert f"dbucket={victim_bucket}" not in bucket_files(idx)
+    assert _topk(spark, idx) == _full_equiv(spark, tmp, remaining)
+
+    # compaction preserves both schemes; scores unchanged
+    compact_bm25_index(spark, idx)
+    assert bucket_files(idx)
+    assert _topk(spark, idx) == _full_equiv(spark, tmp, remaining)
+
+
+def test_empty_doc_bucketed_bootstrap(spark, tmp_path):
+    # empty bootstrap × doc buckets: the partitioned doc_stats write
+    # produces no files, so reads reconstruct the schema from the meta
+    # record's doc_id type
+    tmp = str(tmp_path)
+    idx = os.path.join(tmp, "idx")
+    write_bm25_index(_corpus(spark, []), idx, doc_buckets=4)
+    assert _topk(spark, idx) == []
+    update_bm25_index(spark, idx, _corpus(spark, BASE))
+    assert _topk(spark, idx) == _full_equiv(spark, tmp, BASE)
+
+
 def test_uri_path_index_lifecycle(spark, tmp_path):
     # storage-agnostic swap (r6 review): scheme-qualified paths route
     # through the Hadoop FileSystem API — os.rename cannot address
