@@ -647,9 +647,13 @@ def main():
         hs_qvecs = big_q.limit(HS_N).cache()
         hs_qvecs.count()
         _gc_quiesce()
+        # term_buckets=64 on BOTH paths: the union terms' buckets
+        # partition-prune the postings scan (the at-scale config the
+        # layout exists for) — without it the shared BM25 leg reads
+        # all 64 partitions and dominates both measurements
         t0 = time.time()
         hybrid_search_batch_indexed(
-            hp, hds, hts, big, hs_terms, hs_qvecs, k=10
+            hp, hds, hts, big, hs_terms, hs_qvecs, k=10, term_buckets=64
         ).write.format("noop").mode("overwrite").save()
         tbl_sec = time.time() - t0
         per_query["hybrid_scale_tbl_sec"] = round(tbl_sec, 3)
@@ -657,7 +661,7 @@ def main():
         t0 = time.time()
         hybrid_search_batch_ann(
             hp, hds, hts, big_packed, big_cents, hs_terms, hs_qvecs,
-            k=10, nprobes=20,
+            k=10, nprobes=20, term_buckets=64,
         ).write.format("noop").mode("overwrite").save()
         ann_sec = time.time() - t0
         per_query["hybrid_scale_ann_sec"] = round(ann_sec, 3)

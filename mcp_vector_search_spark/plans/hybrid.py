@@ -291,6 +291,7 @@ def hybrid_search_batch_indexed(
     vec_col: str = "embedding",
     vec_id_col: str = "vec_id",
     query_id_col: str = "query_id",
+    term_buckets: int | None = None,
 ) -> DataFrame:
     """`hybrid_search_batch` with the BM25 stage TABLE-DRIVEN
     (VERDICT r5 #2): the query set joins the persisted postings index
@@ -310,10 +311,18 @@ def hybrid_search_batch_indexed(
     N = |docs with ≥1 token|, idf epsilon-floored over ALL corpus
     terms (`build_term_stats`), docs reach a query only through a
     matched posting (the `_m > 0` filter by construction).
+
+    `term_buckets`: the bucket count of a term-bucketed postings
+    index (`bm25_term_buckets`) — the union terms' buckets are then
+    computed driver-side and the postings scan prunes whole
+    partitions before the term join, exactly like `bm25_topk_indexed`
+    on the single-query path. Score-neutral (a strict superset of the
+    term equi-join's matches survives the filter).
     """
     n_leg = k * over_retrieve
     bm_leg = _indexed_bm_leg(
-        postings, doc_stats, term_stats, term_sets, query_vecs, n_leg, query_id_col
+        postings, doc_stats, term_stats, term_sets, query_vecs, n_leg,
+        query_id_col, term_buckets,
     )
     return _batch_fuse(
         bm_leg,
@@ -330,6 +339,7 @@ def _indexed_bm_leg(
     query_vecs: DataFrame,
     n_leg: int,
     query_id_col: str,
+    term_buckets: int | None = None,
 ) -> DataFrame:
     """The table-driven BM25 stage → (query_id, doc_id, _rank_b ≤
     n_leg). Shared by the exact (`hybrid_search_batch_indexed`) and
@@ -343,6 +353,17 @@ def _indexed_bm_leg(
     if len(set(qids)) != len(qids):
         dupes = sorted({q for q in qids if qids.count(q) > 1})
         raise ValueError(f"duplicate query_ids in term_sets: {dupes}")
+    if term_buckets and "tbucket" in postings.columns:
+        from mcp_vector_search_spark.operators.bm25 import term_bucket
+
+        buckets = sorted(
+            {
+                term_bucket(t, term_buckets)
+                for _, ts in term_sets
+                for t in ts
+            }
+        )
+        postings = postings.filter(F.col("tbucket").isin(buckets))
 
     spark = postings.sparkSession
     # inherit the real query-id type (string chunk_ids etc.) — the
@@ -397,6 +418,7 @@ def hybrid_search_batch_ann(
     nprobes: int | None = None,
     vec_id_col: str = "vec_id",
     query_id_col: str = "query_id",
+    term_buckets: int | None = None,
 ) -> DataFrame:
     """Batch hybrid where BOTH legs serve from persisted index
     artifacts — the shape that holds when neither the corpus text nor
@@ -420,7 +442,8 @@ def hybrid_search_batch_ann(
     sequential index lookups become two branches of one plan."""
     n_leg = k * over_retrieve
     bm_leg = _indexed_bm_leg(
-        postings, doc_stats, term_stats, term_sets, query_vecs, n_leg, query_id_col
+        postings, doc_stats, term_stats, term_sets, query_vecs, n_leg,
+        query_id_col, term_buckets,
     )
     from mcp_vector_search_spark.operators.ivf import ivf_topk_batch_packed
 

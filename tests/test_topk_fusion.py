@@ -239,6 +239,52 @@ def test_hybrid_batch_ann_matches_exact_paths(spark):
     assert set(per_q) == {0, 1, 2, 3} and all(c == 10 for c in per_q.values())
 
 
+def test_hybrid_batch_indexed_term_bucket_pruning(spark, tmp_path):
+    """The batch paths prune a term-bucketed postings index the same
+    way the single-query path does: score-neutral (row-identical to
+    the expression-compiled batch) with the union terms' buckets as a
+    PartitionFilter on the postings scan."""
+    from pyspark.sql import functions as F
+
+    from mcp_vector_search_spark import io
+    from mcp_vector_search_spark.operators.bm25 import (
+        read_bm25_index,
+        write_bm25_index,
+    )
+    from mcp_vector_search_spark.plans.hybrid import (
+        hybrid_search_batch,
+        hybrid_search_batch_indexed,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    docs = io.table(spark, sf, "documents")
+    emb = io.table(spark, sf, "embeddings")
+    term_sets = [(0, ["data", "query", "fast"]), (1, ["window", "merge"])]
+    qvecs = emb.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").cast("long").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    idx = str(tmp_path / "idx")
+    write_bm25_index(docs, idx, term_buckets=8)
+    postings, ds, ts = read_bm25_index(spark, idx)
+    want = {
+        (r.query_id, r.doc_id, r.rrf_score, r.rn)
+        for r in hybrid_search_batch(docs, emb, term_sets, qvecs).collect()
+    }
+    pruned = hybrid_search_batch_indexed(
+        postings, ds, ts, emb, term_sets, qvecs, term_buckets=8
+    )
+    got = {(r.query_id, r.doc_id, r.rrf_score, r.rn) for r in pruned.collect()}
+    assert got == want
+    plan = pruned._sc._jvm.PythonSQLUtils.explainString(
+        pruned._jdf.queryExecution(), "formatted"
+    )
+    assert any(
+        "tbucket" in seg.split("]")[0]
+        for seg in plan.split("PartitionFilters")[1:]
+    )
+
+
 def test_hybrid_server_matches_hybrid_search(spark):
     """HybridServer (warm single-query serving, VERDICT r5 #6) returns
     exactly hybrid_search's rows — the same code path runs, fed the
