@@ -375,6 +375,38 @@ def test_doc_bucketed_index_lifecycle(spark, tmp_path):
     assert _topk(spark, idx) == _full_equiv(spark, tmp, remaining)
 
 
+def test_doc_bucketed_crash_replay_repairs(spark, tmp_path):
+    # the documented bucketed crash window: a crash mid-way through
+    # the per-bucket dynamic overwrite leaves touched buckets at mixed
+    # versions. Simulate the worst partial state — postings seg=N
+    # fully written, NO doc_stats bucket updated (the whole delta
+    # invisible) — then replay the same update and require full-
+    # rebuild parity.
+    import hashlib
+    import shutil
+
+    tmp = str(tmp_path)
+    idx = os.path.join(tmp, "idx")
+    write_bm25_index(_corpus(spark, BASE), idx, doc_buckets=4)
+    # snapshot doc_stats AND term_stats, run the real update, then
+    # restore both: postings seg=1 exists but neither stats table
+    # advanced — exactly the crash-after-postings / before-any-bucket
+    # state (term_stats is written after doc_stats, so a crash there
+    # leaves it pre-update too)
+    for t in ("doc_stats", "term_stats"):
+        shutil.copytree(os.path.join(idx, t), os.path.join(tmp, f"{t}_snap"))
+    update_bm25_index(spark, idx, _corpus(spark, ADDED), deleted_ids=[2])
+    for t in ("doc_stats", "term_stats"):
+        shutil.rmtree(os.path.join(idx, t))
+        shutil.copytree(os.path.join(tmp, f"{t}_snap"), os.path.join(idx, t))
+    # the index serves the PRE-update corpus (orphan segment invisible)
+    assert _topk(spark, idx) == _full_equiv(spark, tmp, BASE)
+    # replaying the same delta repairs everything
+    update_bm25_index(spark, idx, _corpus(spark, ADDED), deleted_ids=[2])
+    final = [b for b in BASE if b[0] != 2] + ADDED
+    assert _topk(spark, idx) == _full_equiv(spark, tmp, final)
+
+
 def test_empty_doc_bucketed_bootstrap(spark, tmp_path):
     # empty bootstrap × doc buckets: the partitioned doc_stats write
     # produces no files, so reads reconstruct the schema from the meta
