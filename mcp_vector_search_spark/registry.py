@@ -226,15 +226,15 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 INCR_TERMS = ["data", "vector", "overlay", "segment"]
 
 
-def q_bm25_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """K3 incremental index lifecycle gate: base build (doc_id%3!=0)
+def _bm25_lifecycle_result(
+    spark: SparkSession, sf_dir: str, **build_kwargs
+) -> DataFrame:
+    """Shared body of the K3 lifecycle gates: base build (doc_id%3!=0)
     → segment append of the rest → one combined upsert (%5 docs gain
     an ' incremental segment overlay' suffix) + delete (%7) batch →
-    compact → query. The oracle scores the equivalent FINAL corpus
-    from scratch, pinning the contract that segment appends +
-    superseding doc_stats + compaction reproduce a full rebuild
-    bit-for-bit (`operators/bm25.py:update_bm25_index`; reference
-    incremental reindex, chunks_backend.py:269-551)."""
+    compact → query. `build_kwargs` select the index layout
+    (term_buckets/doc_buckets) — score-neutral by contract, so every
+    layout variant shares ONE oracle."""
     import shutil
     import tempfile
 
@@ -249,7 +249,7 @@ def q_bm25_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     tmp = tempfile.mkdtemp(prefix="bm25_incr_")
     try:
         idx = f"{tmp}/idx"
-        write_bm25_index(docs.filter(F.col("doc_id") % 3 != 0), idx)
+        write_bm25_index(docs.filter(F.col("doc_id") % 3 != 0), idx, **build_kwargs)
         update_bm25_index(spark, idx, docs.filter(F.col("doc_id") % 3 == 0))
         upserts = docs.filter(
             (F.col("doc_id") % 5 == 0) & (F.col("doc_id") % 7 != 0)
@@ -266,6 +266,24 @@ def q_bm25_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(res.collect(), res.schema)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def q_bm25_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K3 incremental index lifecycle gate — the oracle scores the
+    equivalent FINAL corpus from scratch, pinning the contract that
+    segment appends + superseding doc_stats + compaction reproduce a
+    full rebuild bit-for-bit (`operators/bm25.py:update_bm25_index`;
+    reference incremental reindex, chunks_backend.py:269-551)."""
+    return _bm25_lifecycle_result(spark, sf_dir)
+
+
+def q_bm25_incremental_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same lifecycle over a term- AND doc-bucketed index (r6 —
+    `write_bm25_index(term_buckets=8, doc_buckets=4)`): query-term
+    partition pruning plus touched-bucket-only doc_stats updates must
+    be invisible in the answers, so this gate shares `bm25_incr`'s
+    oracle verbatim."""
+    return _bm25_lifecycle_result(spark, sf_dir, term_buckets=8, doc_buckets=4)
 
 
 def q_commit_dag_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2396,6 +2414,9 @@ WITH docs2 AS (
   FROM documents WHERE doc_id % 7 <> 0
 ),{_bm25_shared_over("docs2")},{_bm25_scored(INCR_TERMS, KNN_K, "bi")}
 SELECT doc_id, score FROM bi"""
+    # bm25_incr_bucketed: the bucketed layouts are score-neutral by
+    # contract, so the lifecycle gate's oracle covers them verbatim
+    o["bm25_incr_bucketed"] = o["bm25_incr"]
 
     # commit_dag_closure: reachability as a recursive CTE — the same
     # chain(-3)/merge(-7 on %5) DAG arithmetic as q_commit_dag_closure
@@ -4322,6 +4343,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "result_quality": q_result_quality,
     "ml_chunks": q_ml_chunks,
     "bm25_incr": q_bm25_incremental,
+    "bm25_incr_bucketed": q_bm25_incremental_bucketed,
 }
 
 ORACLE_SQL: dict[str, str] = _oracles()
