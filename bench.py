@@ -607,8 +607,6 @@ def main():
     # postings index); the vector legs differ — exact brute scan of
     # 512K vectors vs 20/256 probed packed clusters — so the qps gap
     # is the measured value of serving the vector leg from the layout.
-    import tempfile as _htf
-
     docs01 = eio.table(spark, SF_DIR, "documents")
     dv = F.broadcast(
         spark.range(INFLATE).select(F.col("id").cast("int").alias("_v"))
@@ -625,7 +623,7 @@ def main():
         (F.col("doc_id") * INFLATE + F.col("_v")).cast("long").alias("doc_id"),
         _shift.alias("text"),
     )
-    with _htf.TemporaryDirectory() as hidx:
+    with tempfile.TemporaryDirectory() as hidx:
         t0 = time.time()
         write_bm25_index(docs_big, hidx, term_buckets=64)
         per_query["hybrid_scale_index_build_sec"] = round(time.time() - t0, 3)
@@ -644,7 +642,21 @@ def main():
         ]
         HS_N = 256
         hs_terms = [(i, _hpool[i % len(_hpool)]) for i in range(HS_N)]
-        hs_qvecs = big_q.limit(HS_N).cache()
+        # renumber query_ids 0..N-1 so they ALIGN with hs_terms — the
+        # batch contract. big_q's ids are inflated vec_ids (multiples
+        # of 1792), and the first cut of this section fused only
+        # query 0: every other "hybrid" group was leg-only (r6 review;
+        # the leg costs dominate, but the claim must be honest)
+        from pyspark.sql.window import Window as _HW
+
+        hs_qvecs = (
+            big_q.select(F.col("query_id").alias("_orig"), "query_vec")
+            .withColumn(
+                "query_id", F.row_number().over(_HW.orderBy("_orig")) - 1
+            )
+            .select("query_id", "query_vec")
+            .cache()
+        )
         hs_qvecs.count()
         _gc_quiesce()
         # term_buckets=64 on BOTH paths: the union terms' buckets

@@ -152,25 +152,27 @@ def term_bucket(term: str, n: int) -> int:
     return int(hashlib.md5(term.encode("utf-8")).hexdigest()[:8], 16) % n
 
 
-def _tbucket_expr(n: int):
-    """SQL-side term→bucket: md5 (stable across Spark/Python, unlike
-    hash()/xxhash64 whose seeds are engine-internal), first 8 hex
-    chars → int, mod n."""
+def _md5_bucket_expr(col, n: int):
+    """ONE definition of the SQL-side md5 bucket (stable across
+    Spark/Python, unlike hash()/xxhash64 whose seeds are
+    engine-internal): first 8 hex chars → int, mod n. Both bucket
+    columns (term, doc_id) derive from this so the construction can't
+    drift between layouts (r6 review)."""
     return F.pmod(
-        F.conv(F.substring(F.md5(F.col("term")), 1, 8), 16, 10).cast("long"),
+        F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long"),
         F.lit(n),
     ).cast("int")
+
+
+def _tbucket_expr(n: int):
+    """SQL-side term→bucket; driver twin: `term_bucket`."""
+    return _md5_bucket_expr(F.col("term"), n)
 
 
 def _dbucket_expr(n: int):
-    """SQL-side doc→bucket (same md5 construction as `_tbucket_expr`,
-    over the stringified id so long and string ids hash alike)."""
-    return F.pmod(
-        F.conv(
-            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
-        ).cast("long"),
-        F.lit(n),
-    ).cast("int")
+    """SQL-side doc→bucket (the shared md5 construction, over the
+    stringified id so long and string ids hash alike)."""
+    return _md5_bucket_expr(F.col("doc_id").cast("string"), n)
 
 
 def _bm25_meta(spark, path: str) -> tuple[int | None, int | None, str | None]:
@@ -448,6 +450,14 @@ def update_bm25_index(
             f"{path} is a flat (pre-segment) BM25 index; rebuild it with "
             "write_bm25_index before using update_bm25_index"
         )
+    # seg allocation stays a max() over doc_stats' seg column BY
+    # CHOICE (r6 review considered an O(#segments) partition-directory
+    # listing): doc_stats is the index's SMALL table and the aggregate
+    # column-prunes to one int column, while directory-based
+    # allocation reads past orphan postings segments — a replayed
+    # batch (foreachBatch retry loop) would then burn a fresh segment
+    # and strand an orphan EVERY retry instead of idempotently
+    # overwriting its own partition, unbounded garbage in a crash loop.
     seg = (ds.agg(F.max("seg")).first()[0] or 0) + 1
 
     # the delta must land in the SAME partition schemes the base build

@@ -353,7 +353,19 @@ def _indexed_bm_leg(
     if len(set(qids)) != len(qids):
         dupes = sorted({q for q in qids if qids.count(q) > 1})
         raise ValueError(f"duplicate query_ids in term_sets: {dupes}")
-    if term_buckets and "tbucket" in postings.columns:
+    if term_buckets:
+        # hard-fail on an unbucketed frame rather than silently skip:
+        # a caller who passes a bucket count believes pruning (and its
+        # cost profile) is in effect (r6 review). The count itself
+        # MUST be the index's own — pass bm25_term_buckets(spark,
+        # path); a wrong count computes wrong buckets and silently
+        # drops matching postings, exactly like passing the wrong
+        # postings frame.
+        if "tbucket" not in postings.columns:
+            raise ValueError(
+                "term_buckets was given but the postings frame has no "
+                "tbucket column — not a term-bucketed index"
+            )
         from mcp_vector_search_spark.operators.bm25 import term_bucket
 
         buckets = sorted(

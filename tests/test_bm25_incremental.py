@@ -382,7 +382,6 @@ def test_doc_bucketed_crash_replay_repairs(spark, tmp_path):
     # fully written, NO doc_stats bucket updated (the whole delta
     # invisible) — then replay the same update and require full-
     # rebuild parity.
-    import hashlib
     import shutil
 
     tmp = str(tmp_path)
