@@ -91,6 +91,17 @@ def _hadoop_fs(path: str):
     return P(path).getFileSystem(spark._jsc.hadoopConfiguration()), P
 
 
+def _fs_rename(fs, src, dst) -> None:
+    """Hadoop FileSystem.rename reports failure by returning False
+    (destination exists, missing source, S3A copy failure) instead of
+    raising. Callers in the swap protocol must fail loudly — a silent
+    no-op rename means the swap didn't happen but the caller reports
+    success and readers keep serving stale data (r6 advice). Mirrors
+    the fail-loud semantics of the local os.rename branch."""
+    if not fs.rename(src, dst):
+        raise IOError(f"Hadoop FileSystem.rename({src}, {dst}) returned false")
+
+
 def _is_uri(path: str) -> bool:
     # plain local paths (the common case) stay on os.rename — atomic
     # and session-free; anything scheme-qualified (hdfs://, s3a://,
@@ -111,7 +122,7 @@ def recover_swap(path: str) -> bool:
     if _is_uri(path):
         fs, P = _hadoop_fs(path)
         if not fs.exists(P(path)) and fs.exists(P(old)):
-            fs.rename(P(old), P(path))
+            _fs_rename(fs, P(old), P(path))
             return True
         return False
     if not os.path.exists(path) and os.path.exists(old):
@@ -143,8 +154,8 @@ def atomic_swap_dir(tmp: str, path: str) -> None:
         if fs.exists(P(old)):
             fs.delete(P(old), True)
         if fs.exists(P(path)):
-            fs.rename(P(path), P(old))
-        fs.rename(P(tmp), P(path))
+            _fs_rename(fs, P(path), P(old))
+        _fs_rename(fs, P(tmp), P(path))
         if fs.exists(P(old)):
             fs.delete(P(old), True)
         return

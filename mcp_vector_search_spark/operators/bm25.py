@@ -185,6 +185,17 @@ def _bm25_meta(spark, path: str) -> tuple[int | None, int | None, str | None]:
         r = spark.read.parquet(f"{path}/meta").first()
     except AnalysisException:
         return None, None, None
+    if r is None:
+        # a present-but-EMPTY meta table (torn copy, manual truncation)
+        # is corruption, not a legacy index: the legacy fallback would
+        # silently serve a bucketed index unbucketed (wrong partition
+        # pruning), and r.__fields__ on None raised a bare
+        # AttributeError deep in every read/update path (r6 advice)
+        raise ValueError(
+            f"corrupt BM25 index at {path}: meta table exists but has "
+            "no rows — restore the index or delete meta to treat it "
+            "as a legacy unbucketed layout"
+        )
     fields = set(r.__fields__)
     tb = (r["term_buckets"] if "term_buckets" in fields else 0) or None
     db = (r["doc_buckets"] if "doc_buckets" in fields else 0) or None

@@ -332,9 +332,12 @@ def compact_codec_layout(
     compacted.write.mode("overwrite").partitionBy(part_col, "batch_id").parquet(tmp)
     n_after = spark.read.parquet(tmp).count()
     if spark.read.parquet(blocks_path).count() != n_before:
-        import shutil
+        # delete_path, not shutil.rmtree: on scheme-qualified paths
+        # (hdfs://, s3a://, file://) rmtree silently cannot address the
+        # URI and would leave blocks.tmp debris (r6 advice)
+        from mcp_vector_search_spark.io import delete_path
 
-        shutil.rmtree(tmp, ignore_errors=True)
+        delete_path(spark, tmp)
         raise RuntimeError(
             "blocks changed during compaction (a live stream is appending) "
             "— quiesce the stream and retry; nothing was modified"

@@ -130,15 +130,37 @@ def process_batch(
     # micro-batch id).
     chunks = chunk_tokens(delta)
     if batch_id is None:
+        # 'first write' is ONLY a missing/empty path. A bare
+        # `except Exception: 0` here masked genuine read errors
+        # (permissions, corruption) as first-write and — for a chunks
+        # table written by a pre-batch_id layout — wrote partitioned
+        # files into an unpartitioned directory, the exact
+        # mixed-partition-depth corruption warned about above
+        # (r6 advice).
+        from pyspark.errors import AnalysisException
+
         try:
-            prev = (
-                spark.read.parquet(_chunks_path(state_dir))
-                .agg(F.max("batch_id"))
-                .first()[0]
+            prev_tbl = spark.read.parquet(_chunks_path(state_dir))
+        except AnalysisException as e:
+            cond = (
+                getattr(e, "getCondition", None)
+                or getattr(e, "getErrorClass", None)
             )
+            cond = cond() if cond is not None else None
+            if cond not in ("PATH_NOT_FOUND", "UNABLE_TO_INFER_SCHEMA"):
+                raise
+            batch_id = 0  # first write (no table yet / empty dir)
+        else:
+            if "batch_id" not in prev_tbl.columns:
+                raise ValueError(
+                    f"existing chunks table at {_chunks_path(state_dir)} has "
+                    "no batch_id partition column — it was written by an "
+                    "unpartitioned append; refusing to write a mixed "
+                    "partition layout. Rebuild the state_dir (or migrate "
+                    "the table to batch_id partitions) first."
+                )
+            prev = prev_tbl.agg(F.max("batch_id")).first()[0]
             batch_id = (prev if prev is not None else -1) + 1
-        except Exception:
-            batch_id = 0  # first write
     (
         chunks.withColumn("batch_id", F.lit(int(batch_id)))
         .write.partitionBy("batch_id")

@@ -444,3 +444,23 @@ def test_update_batch_validation(spark, tmp_path):
         )
     with pytest.raises(ValueError, match="duplicated"):
         update_bm25_index(spark, idx, _corpus(spark, [(0, "both")]), deleted_ids=[0])
+
+
+def test_present_but_empty_meta_table_raises_corrupt(spark, tmp_path):
+    """A zero-row meta table (torn copy, manual truncation) is
+    corruption, not a legacy unbucketed index: the legacy fallback
+    would serve a bucketed layout unbucketed, and pre-fix the read
+    path died with a bare AttributeError (r7, ADVICE low)."""
+    from mcp_vector_search_spark.operators.bm25 import bm25_term_buckets
+
+    idx = str(tmp_path / "idx")
+    write_bm25_index(_corpus(spark, BASE), idx, term_buckets=4)
+    # truncate meta to zero rows in place
+    empty = spark.read.parquet(f"{idx}/meta").limit(0)
+    empty.write.mode("overwrite").parquet(f"{idx}/meta_empty")
+    import shutil
+
+    shutil.rmtree(f"{idx}/meta")
+    shutil.move(f"{idx}/meta_empty", f"{idx}/meta")
+    with pytest.raises(ValueError, match="corrupt BM25 index"):
+        bm25_term_buckets(spark, idx)

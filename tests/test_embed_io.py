@@ -238,3 +238,25 @@ def test_versioned_upsert_truly_concurrent_writers(spark, tmp_path):
     for v in range(1, 5):
         snap = {r.k: r.v for r in read_versioned(spark, path, v).collect()}
         assert 999 in snap and len(snap) == v + 1
+
+
+def test_fs_rename_false_return_raises(spark, tmp_path):
+    """Hadoop FileSystem.rename reports failure by returning False
+    (destination exists, S3A copy failure) instead of raising; the URI
+    swap branches must fail loudly, not report a swap that never
+    happened while readers keep serving stale data (r7, ADVICE medium).
+    LocalFileSystem deterministically returns false when renaming a
+    file onto an existing file — the probe case."""
+    import pytest
+
+    from mcp_vector_search_spark.io import _fs_rename, _hadoop_fs
+
+    src = tmp_path / "src.txt"
+    dst = tmp_path / "dst.txt"
+    src.write_text("new")
+    dst.write_text("old")
+    fs, P = _hadoop_fs(f"file://{src}")
+    with pytest.raises(IOError, match="rename"):
+        _fs_rename(fs, P(f"file://{src}"), P(f"file://{dst}"))
+    # nothing moved: both files intact, destination not clobbered
+    assert src.read_text() == "new" and dst.read_text() == "old"

@@ -322,3 +322,45 @@ def test_overwrite_layout_is_staged_and_leaves_no_tmp(spark, tmp_path):
     assert got == {2.0}  # metadata is the NEW quantizer, not a mix
     assert packed.count() > 0
     assert not os.path.exists(path + ".tmp")
+
+
+def test_compact_abort_cleans_staged_tmp_on_uri_path(spark, tmp_path, monkeypatch):
+    """The concurrent-append abort path must clean blocks.tmp through
+    the FS API: shutil.rmtree on a scheme-qualified path silently
+    cannot address the URI and left staged debris (r7, ADVICE low)."""
+    import glob
+    import shutil
+
+    from mcp_vector_search_spark import io
+    from mcp_vector_search_spark.operators import layout as layout_mod
+    from mcp_vector_search_spark.operators.layout import (
+        compact_sq_layout,
+        write_sq_layout,
+    )
+    from mcp_vector_search_spark.operators.sq import sq_encode, sq_pack, sq_train
+
+    emb = io.table(spark, SF_DIR, "embeddings").filter(F.col("vec_id") < 200)
+    bounds = sq_train(emb)
+    packed = sq_pack(sq_encode(emb, bounds))
+    local = tmp_path / "sq"
+    path = f"file://{local}"
+    write_sq_layout(packed, bounds, path)
+
+    real = layout_mod.repack_codec_blocks
+
+    def racing(*a, **k):
+        # a concurrent appender lands a block between the pre-count and
+        # the pre-swap recheck: duplicate an existing data file
+        part = glob.glob(
+            str(local / "blocks" / "bucket=*" / "batch_id=*" / "part-*.parquet")
+        )[0]
+        shutil.copy(part, part.replace("part-", "race-part-"))
+        return real(*a, **k)
+
+    monkeypatch.setattr(layout_mod, "repack_codec_blocks", racing)
+    with pytest.raises(RuntimeError, match="quiesce"):
+        compact_sq_layout(spark, path)
+    # staged dir cleaned through the FS API, not a silent rmtree no-op
+    assert not (local / "blocks.tmp").exists()
+    # the standing layout is untouched and still serves
+    assert spark.read.parquet(f"{path}/blocks").count() > 0

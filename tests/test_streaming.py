@@ -673,3 +673,38 @@ def test_artifact_serving_loop_end_to_end(spark, tmp_path):
         ).collect()
     }
     assert got == want and len(want) == 10
+
+
+def test_process_batch_refuses_unpartitioned_chunks_table(spark, tmp_path):
+    """batch_id synthesis must not treat read errors as 'first write':
+    an existing chunks table WITHOUT the batch_id partition column
+    (pre-partitioning layout) must raise instead of writing partitioned
+    files into the unpartitioned directory — the mixed-partition-depth
+    corruption the sink comment warns about (r7, ADVICE low). A
+    genuinely missing path still synthesizes batch_id=0."""
+    import pytest
+
+    from mcp_vector_search_spark.streaming.incremental import process_batch
+
+    batch = spark.createDataFrame(
+        [(1, "some words here", "a.txt")],
+        "doc_id long, text string, source string",
+    )
+
+    state_dir = str(tmp_path / "legacy")
+    os.makedirs(state_dir)
+    # a chunks table written by an unpartitioned append: no batch_id
+    spark.createDataFrame(
+        [(9, 0, "old chunk")], "doc_id long, chunk_idx int, chunk_text string"
+    ).write.parquet(os.path.join(state_dir, "chunks.parquet"))
+    with pytest.raises(ValueError, match="no batch_id partition column"):
+        process_batch(spark, batch, state_dir, batch_id=None)
+    # refused BEFORE writing: the legacy table is intact and unmixed
+    legacy = spark.read.parquet(os.path.join(state_dir, "chunks.parquet"))
+    assert legacy.count() == 1 and "batch_id" not in legacy.columns
+
+    fresh = str(tmp_path / "fresh")
+    os.makedirs(fresh)
+    assert process_batch(spark, batch, fresh, batch_id=None) == 1
+    chunks = spark.read.parquet(os.path.join(fresh, "chunks.parquet"))
+    assert set(r.batch_id for r in chunks.select("batch_id").collect()) == {0}
