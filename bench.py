@@ -30,6 +30,8 @@ EXTRA_COMPACT_KEYS = [
     "hybrid_scale_ann_qps",
     "ann_huge_brute_sec",
     "ann_huge_ivf_sec",
+    "ann_huge_ivf_f32_sec",
+    "ann_huge_ivf_build_sec",
     "ann_huge_recall_at_10",
     "bm25_update_delta_sec",
 ]
@@ -432,6 +434,15 @@ def main():
         wob = F.sin(F.col("variant") * 131.0 + F.col("vec_id") * 17.0 + i)
         return x + F.when(F.col("variant") == 0, F.lit(0.0)).otherwise(0.02 * wob)
 
+    # r7: REPARTITION the inflated corpus before caching. sf0.1's
+    # embeddings.parquet is one ~800 KB file = ONE scan partition, and
+    # broadcast-crossJoin inheritance kept the whole 512K/4M-row corpus
+    # in that single partition — every full-corpus Arrow kernel (brute
+    # scoring, IVF assignment) ran on ONE core while the packed layout
+    # (32 shuffle partitions from groupBy) probed on all of them. The
+    # pre-r7 brute-vs-ivf comparisons were parallelism-asymmetric;
+    # a real 100 TB corpus is never one partition.
+    _ncpu = spark.sparkContext.defaultParallelism
     big = (
         emb.select("vec_id", "embedding")
         .crossJoin(variants)
@@ -440,6 +451,7 @@ def main():
             (F.col("vec_id") * INFLATE + F.col("variant")).cast("long").alias("vec_id"),
             F.col("pert").alias("embedding"),
         )
+        .repartition(_ncpu)
         .cache()
     )
     n_big = big.count()
@@ -622,7 +634,7 @@ def main():
     docs_big = docs01.crossJoin(dv).select(
         (F.col("doc_id") * INFLATE + F.col("_v")).cast("long").alias("doc_id"),
         _shift.alias("text"),
-    )
+    ).repartition(_ncpu)  # same one-file-scan trap: tokenize map-side in parallel
     with tempfile.TemporaryDirectory() as hidx:
         t0 = time.time()
         write_bm25_index(docs_big, hidx, term_buckets=64)
@@ -790,6 +802,7 @@ def main():
             ),
             F.col("pert").alias("embedding"),
         )
+        .repartition(_ncpu)  # see the 512K section: one-file scan = one partition
         .cache()
     )
     n_huge = huge.count()
@@ -812,9 +825,14 @@ def main():
     per_query["ann_huge_brute_ms_per_query"] = round(
         per_query["ann_huge_brute_sec"] * 1000 / n_huge_q, 2
     )
+    # r7: fused build — assign+pack in one corpus pass; only block
+    # blobs cross the shuffle. Bit-identical layout to the two-step
+    # build (pinned in tests/test_ivf.py), same quantizer fit.
+    from mcp_vector_search_spark.operators.ivf import ivf_build_sampled_packed
+
     t0 = time.time()
-    huge_assigned, huge_cents = ivf_build_sampled(huge, num_clusters=512)
-    huge_packed = ivf_pack(huge_assigned).cache()
+    huge_packed, huge_cents = ivf_build_sampled_packed(huge, num_clusters=512)
+    huge_packed = huge_packed.cache()
     per_query["ann_huge_ivf_n_blocks"] = huge_packed.count()
     per_query["ann_huge_ivf_build_sec"] = round(time.time() - t0, 3)
     per_query["ann_huge_ivf_runs"] = _runs_of(
@@ -825,6 +843,30 @@ def main():
     per_query["ann_huge_ivf_ms_per_query"] = round(
         per_query["ann_huge_ivf_sec"] * 1000 / n_huge_q, 2
     )
+    # honesty stat (r7): a DIVERSE 128-query batch probes the union of
+    # nearly every cluster (measured 509/512), so the in-memory packed
+    # scan is Arrow-TRANSFER-bound, not flop-bound — probing ≈ packed
+    # brute at this dim/batch. The regime where in-memory probing wins
+    # is small/concentrated batches; on disk the pruning is physical
+    # partition pruning regardless (ann_big_disk_* points).
+    from mcp_vector_search_spark.operators.ivf import _driver_probe_sets
+
+    _, _, _c2q = _driver_probe_sets(
+        huge_q, huge_cents, 20, "query_id", "query_vec"
+    )
+    per_query["ann_huge_probed_union"] = len(_c2q)
+    # float32 packs halve the bytes crossing the JVM→Arrow boundary —
+    # the lever that matters when serving is transfer-bound (quantization
+    # sits below the round-6 score rounding for unit vectors)
+    from mcp_vector_search_spark.operators.ivf import ivf_pack_fused
+
+    huge_packed32 = ivf_pack_fused(huge, huge_cents, dtype="float32").cache()
+    huge_packed32.count()
+    per_query["ann_huge_ivf_f32_runs"] = _runs_of(
+        2, lambda: ivf_topk_batch_packed(
+            huge_packed32, huge_cents, huge_q, 10, nprobes=20
+        ).write.format("noop").mode("overwrite").save())
+    per_query["ann_huge_ivf_f32_sec"] = min(per_query["ann_huge_ivf_f32_runs"])
     # cache+count the sample so the truth and approx collects see the
     # SAME 16 queries (limit without ordering is not deterministic
     # across actions — r6 review)
@@ -846,6 +888,7 @@ def main():
     huge.unpersist()
     huge_q.unpersist()
     huge_packed.unpersist()
+    huge_packed32.unpersist()
     _mark("ann_huge_4m")
 
     # amortized per-query serving latency for the BASELINE comparison

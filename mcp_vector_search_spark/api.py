@@ -111,6 +111,7 @@ class SparkProject:
         kind: str = "ivf",
         m: int = 8,
         k_codes: int = 256,
+        fit: str = "kmeans",
     ) -> None:
         """Build + memoize an ANN layout so `search_batch` prunes
         clusters instead of scanning the corpus per query.
@@ -136,10 +137,22 @@ class SparkProject:
         and unpersists its cached frames — `search_batch` routes by
         whichever layout exists, so a stale one would silently keep
         answering with the old index.
+
+        fit="kmeans" (default) — MLlib KMeans coarse fit: re-scans the
+        corpus per iteration; the pinned quantizer existing callers
+        expect. fit="sampled" — the r7 scale build: driver-side Lloyd's
+        on the deterministic md5 sample, then for kind="ivf" the FUSED
+        one-pass assign+pack (`ivf_build_sampled_packed` — the corpus
+        is scanned exactly once, only block blobs cross the shuffle);
+        for the coded kinds the sampled quantizer feeds the usual
+        encode. The 100 TB default is "sampled"; "kmeans" stays the
+        API default only for result stability.
         """
         self._drain_deferred()
         if kind not in ("ivf", "ivfpq", "ivfsq"):
             raise ValueError(f"unknown ANN index kind: {kind!r}")
+        if fit not in ("kmeans", "sampled"):
+            raise ValueError(f"unknown ANN fit: {fit!r}")
         for attr, cached_pos in (
             ("_ivf_layout", 0), ("_ivfpq_layout", 0), ("_sq_layout", 0)
         ):
@@ -149,6 +162,13 @@ class SparkProject:
                 setattr(self, attr, None)
 
         if kind == "ivfsq":
+            if fit != "kmeans":
+                # no accept-and-ignore: SQ has no coarse quantizer fit,
+                # so a caller asking for one is confused, not served
+                raise ValueError(
+                    "kind='ivfsq' scalar-quantizes without a coarse fit — "
+                    "the 'fit' argument does not apply"
+                )
             from mcp_vector_search_spark.operators.sq import (
                 sq_encode,
                 sq_pack,
@@ -174,10 +194,22 @@ class SparkProject:
             self._sq_layout = (sq_pack(codes).cache(), bounds_local)
             return
 
-        from mcp_vector_search_spark.operators.ivf import ivf_build, ivf_pack
+        from mcp_vector_search_spark.operators.ivf import (
+            ivf_build,
+            ivf_build_sampled,
+            ivf_build_sampled_packed,
+            ivf_pack,
+        )
 
         kwargs = {} if num_clusters is None else {"num_clusters": num_clusters}
-        assigned, centroids = ivf_build(self.vectors, **kwargs)
+        if kind == "ivf" and fit == "sampled":
+            packed, centroids = ivf_build_sampled_packed(self.vectors, **kwargs)
+            packed = packed.cache()
+            packed.count()
+            self._ivf_layout = (packed, centroids, "packed")
+            return
+        builder = ivf_build_sampled if fit == "sampled" else ivf_build
+        assigned, centroids = builder(self.vectors, **kwargs)
         if kind == "ivfpq":
             from mcp_vector_search_spark.operators.ivfpq import (
                 ivfpq_build,

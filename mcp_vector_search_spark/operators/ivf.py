@@ -144,13 +144,41 @@ def _fit_sample(
     with content. Keeping it in one place is a correctness contract:
     build-time and maintenance-time sampling must never drift apart
     (r6 review). Returns a pandas frame of (id_col, vec_col,
-    *extra_cols)."""
-    return (
-        df.select(id_col, vec_col, *extra_cols)
-        .orderBy(F.md5(F.concat(F.col(id_col).cast("string"), F.lit("#ivf-fit"))))
-        .limit(sample_rows)
-        .toPandas()
-    )
+    *extra_cols).
+
+    r7 fast path: the naive TakeOrdered drags every row's vector
+    payload through a `sample_rows`-deep bounded heap per partition
+    (~14-27 s at 4M rows). Instead, prefilter `md5 <= cutoff` (one
+    cheap scan, no sort) and TakeOrdered only the survivors. The
+    output is PROVABLY identical whenever ≥ sample_rows rows survive:
+    if the candidate set has ≥ sample_rows elements below the cutoff,
+    every one of the global lowest sample_rows is below it too (else
+    ≥ sample_rows elements would be smaller than a 'winner').
+    Undershoot (16× oversampled — vanishingly rare) falls back to the
+    exact full TakeOrdered, so determinism never depends on the
+    estimate."""
+    sel = df.select(id_col, vec_col, *extra_cols)
+    key = F.md5(F.concat(F.col(id_col).cast("string"), F.lit("#ivf-fit")))
+    n = sel.count()
+    cand = None
+    if n > sample_rows * 8:
+        frac = min(1.0, 16.0 * sample_rows / n)
+        cutoff = format(max(1, min(0xFFFFFF, int(frac * 0x1000000))), "06x")
+        pre = sel.filter(key <= cutoff).cache()
+        if pre.count() >= sample_rows:
+            cand = pre
+        else:
+            pre.unpersist()
+    try:
+        return (
+            (cand if cand is not None else sel)
+            .orderBy(key)
+            .limit(sample_rows)
+            .toPandas()
+        )
+    finally:
+        if cand is not None:
+            cand.unpersist()
 
 
 def ivf_build_sampled(
@@ -180,8 +208,28 @@ def ivf_build_sampled(
     a centroid fit needs a representative sample, not every row — the
     same contract as `pq_train`. Here the corpus is scanned exactly
     once, map-side, for assignment."""
+    centroids = _fit_centroids(
+        vectors, vec_col, id_col, num_clusters, sample_rows, iters, seed
+    )
+    # ONE shared assignment kernel: the corpus scan is exactly the
+    # incremental path's ivf_assign (same half-norm argmin tie rule),
+    # so build-time and append-time assignment can never drift
+    return ivf_assign(vectors, centroids, vec_col=vec_col), centroids
+
+
+def _fit_centroids(
+    vectors: DataFrame,
+    vec_col: str,
+    id_col: str,
+    num_clusters: int | None,
+    sample_rows: int,
+    iters: int,
+    seed: int,
+) -> DataFrame:
+    """The shared sample-fit of `ivf_build_sampled` and
+    `ivf_build_sampled_packed` — one fit rule, so the per-row and
+    fused builds can never produce different quantizers."""
     import numpy as np
-    import pandas as pd
 
     from mcp_vector_search_spark.operators.topk import _safe_norms
 
@@ -191,14 +239,10 @@ def ivf_build_sampled(
     X = np.stack(sample[vec_col].to_numpy()).astype(np.float64)
     X /= _safe_norms(X)
     cents = _lloyd_fit(X, num_clusters, iters, seed)
-    centroids = vectors.sparkSession.createDataFrame(
+    return vectors.sparkSession.createDataFrame(
         [(i, [float(x) for x in c]) for i, c in enumerate(cents)],
         "cluster_id int, centroid array<double>",
     )
-    # ONE shared assignment kernel: the corpus scan is exactly the
-    # incremental path's ivf_assign (same half-norm argmin tie rule),
-    # so build-time and append-time assignment can never drift
-    return ivf_assign(vectors, centroids, vec_col=vec_col), centroids
 
 
 def ivf_topk_batch(
@@ -543,6 +587,131 @@ def ivf_pack(
         .groupBy("cluster_id")
         .applyInPandas(pack, out_schema)
     )
+
+
+def ivf_pack_fused(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    rows_per_block: int = 65536,
+    max_block_bytes: int = 32 << 20,
+    dtype: str = "float64",
+) -> DataFrame:
+    """`ivf_pack(ivf_assign(vectors, centroids))` in ONE corpus pass.
+
+    The two-step build crosses the Python/JVM Arrow boundary twice —
+    `ivf_assign` emits a per-row `unit` array<double> cell for every
+    vector, and `ivf_pack` re-decodes them on the far side of an
+    N-row shuffle. Fused, each input partition normalizes + assigns +
+    packs its rows into PARTIAL per-cluster blocks map-side, so only
+    block rows (binary blobs) cross the shuffle; `repack_blocks`
+    merges the fragments into the canonical layout. Output is
+    bit-identical to the two-step result by construction — repack
+    re-sorts each cluster by id and re-splits by the SAME `block_step`
+    rule as `ivf_pack` (pinned in tests/test_ivf.py) — under the
+    layout lifecycle's unique-id contract. Assignment math is the
+    `ivf_assign` kernel verbatim (float64 normalize, half-norm argmin,
+    lower-cluster-id tie rule).
+
+    100 TB shape: the shuffle moves ~partitions×clusters block rows
+    instead of N vector rows (at 1000 executors × 512 clusters that is
+    a fixed ~512K blobs for ANY corpus size, bytes bounded by the data
+    itself); per-task memory is one input partition, bounded by
+    `spark.sql.files.maxPartitionBytes`."""
+    import numpy as np
+    import pandas as pd
+
+    from mcp_vector_search_spark.operators.topk import _safe_norms, id_type
+
+    cpd = centroids.orderBy("cluster_id").toPandas()
+    C = np.stack(cpd["centroid"].to_numpy()).astype(np.float64)
+    cids = cpd["cluster_id"].to_numpy()
+    half_c2 = (C * C).sum(axis=1) / 2.0
+    idt = id_type(vectors, id_col)
+    np_dtype = np.dtype(dtype)
+    out_schema = (
+        "cluster_id int, block_id int, n int, dim int, dtype string, "
+        f"vec_ids array<{idt}>, mat binary"
+    )
+    cols = ["cluster_id", "block_id", "n", "dim", "dtype", "vec_ids", "mat"]
+
+    def pack_pass(batches):
+        U_parts, id_parts, asn_parts = [], [], []
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            U = V / _safe_norms(V)
+            asn_parts.append(np.argmin(half_c2[None, :] - U @ C.T, axis=1))
+            U_parts.append(U)
+            id_parts.append(pdf[id_col].to_numpy())
+        if not U_parts:
+            return
+        U = np.concatenate(U_parts) if len(U_parts) > 1 else U_parts[0]
+        pid = np.concatenate(id_parts) if len(id_parts) > 1 else id_parts[0]
+        asn = np.concatenate(asn_parts) if len(asn_parts) > 1 else asn_parts[0]
+        M = np.ascontiguousarray(U.astype(np_dtype))
+        dim = M.shape[1]
+        step = block_step(dim * np_dtype.itemsize, rows_per_block, max_block_bytes)
+        order = np.argsort(asn, kind="stable")
+        bounds = np.flatnonzero(np.diff(asn[order])) + 1
+        rows = []
+        for grp in np.split(order, bounds):
+            cid = int(cids[asn[grp[0]]])
+            for b, s in enumerate(range(0, len(grp), step)):
+                sel = grp[s : s + step]
+                blk = np.ascontiguousarray(M[sel])
+                rows.append(
+                    (
+                        cid,
+                        b,
+                        blk.shape[0],
+                        dim,
+                        dtype,
+                        pid[sel].tolist(),
+                        blk.tobytes(),
+                    )
+                )
+        yield pd.DataFrame(rows, columns=cols)
+
+    partials = vectors.select(id_col, vec_col).mapInPandas(pack_pass, out_schema)
+    return repack_blocks(
+        partials, rows_per_block=rows_per_block, max_block_bytes=max_block_bytes
+    )
+
+
+def ivf_build_sampled_packed(
+    vectors: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    num_clusters: int | None = None,
+    sample_rows: int = 16384,
+    iters: int = 10,
+    seed: int = 42,
+    rows_per_block: int = 65536,
+    max_block_bytes: int = 32 << 20,
+    dtype: str = "float64",
+) -> tuple[DataFrame, DataFrame]:
+    """`ivf_build_sampled` + `ivf_pack` as one corpus pass →
+    (packed, centroids). Same `_fit_centroids` sample-fit rule, so the
+    quantizer is IDENTICAL to the two-step build's; the packed layout
+    is bit-identical via `ivf_pack_fused`. This is the build that
+    holds at 100 TB: one map-side corpus scan, a block-row (not
+    vector-row) shuffle, no per-row Arrow unit cells."""
+    centroids = _fit_centroids(
+        vectors, vec_col, id_col, num_clusters, sample_rows, iters, seed
+    )
+    packed = ivf_pack_fused(
+        vectors,
+        centroids,
+        vec_col=vec_col,
+        id_col=id_col,
+        rows_per_block=rows_per_block,
+        max_block_bytes=max_block_bytes,
+        dtype=dtype,
+    )
+    return packed, centroids
 
 
 def repack_blocks(

@@ -906,6 +906,52 @@ def q_ivf_packed(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("query_id", "vec_id", "cos_sim", F.col("rn").cast("long").alias("rn"))
 
 
+def q_ivf_fused(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r7 fused one-pass build gate (operators/ivf.py:ivf_pack_fused /
+    ivf_build_sampled_packed): asserts IN-ENGINE that the fused
+    map-side pack — normalize + assign + partial-pack in one corpus
+    scan, only block blobs crossing the shuffle — produces the EXACT
+    blocks (ids, mats byte-for-byte) and the exact serving rows of the
+    two-step `ivf_pack(ivf_assign(...))` build it replaces in bench.
+    Score-neutral-layout gating pattern (like bm25_incr_bucketed);
+    self-oracled like ann_recall because the claim is equality of two
+    in-engine artifacts, not reproducible values (the shared numpy
+    assignment is not SQL-replayable)."""
+    from mcp_vector_search_spark.operators.ivf import (
+        ivf_build_sampled,
+        ivf_pack,
+        ivf_pack_fused,
+        ivf_topk_batch_packed,
+    )
+
+    emb = _emb(spark, sf_dir)
+    assigned, cents = ivf_build_sampled(emb, num_clusters=16)
+    two = ivf_pack(assigned)
+    fused = ivf_pack_fused(emb, cents)
+    j = two.alias("a").join(
+        fused.alias("b"), ["cluster_id", "block_id"], "full_outer"
+    )
+    n_mismatch = j.filter(
+        F.col("a.n").isNull()
+        | F.col("b.n").isNull()
+        | (F.col("a.n") != F.col("b.n"))
+        | (F.col("a.dtype") != F.col("b.dtype"))
+        | (F.col("a.vec_ids") != F.col("b.vec_ids"))
+        | (F.col("a.mat") != F.col("b.mat"))
+    ).count()
+    n_blocks = two.count()
+    queries = emb.filter(F.col("vec_id") % 37 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    a = ivf_topk_batch_packed(two, cents, queries, BATCH_K, nprobes=4)
+    b = ivf_topk_batch_packed(fused, cents, queries, BATCH_K, nprobes=4)
+    serve_mismatch = a.exceptAll(b).count() + b.exceptAll(a).count()
+    return spark.createDataFrame(
+        [(bool(n_blocks > 0), bool(n_mismatch == 0), bool(serve_mismatch == 0))],
+        "has_blocks boolean, blocks_equal boolean, serve_equal boolean",
+    )
+
+
 IVF_RECALL_FLOOR = 0.975  # reference recall@10 band floor (97.5-100%)
 
 
@@ -3856,6 +3902,14 @@ SELECT count(*)::BIGINT AS n_queries, (count(*) * {BATCH_K})::BIGINT AS n_result
        true AS recall_ok
 FROM embeddings WHERE vec_id < {BATCH_QUERIES}"""
 
+    # r7 fused-build equality gate: the claim is artifact equality, so
+    # the oracle asserts the three booleans; any block-byte or serving
+    # divergence between the fused and two-step builds flips a flag
+    # and hash-mismatches
+    o["ivf_fused"] = (
+        "SELECT true AS has_blocks, true AS blocks_equal, "
+        "true AS serve_equal"
+    )
     # merged self-oracle for both trained ANN paths (IVF + PQ-refined):
     # one asserted row per path; any recall regression flips recall_ok
     # and hash-mismatches
@@ -4251,6 +4305,12 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # source_rollup). All rotated-out gates stay oracle-checked every
     # round via tools/verify_local.py.
     # (r4/r5 rotation notes preserved in git history.)
+    # r7 rotation: ivf_fused (the one-pass fused build that now powers
+    # the bench's 4M index build — equality-gated against the two-step
+    # layout) rotates IN; embedding_near_dups_clustered rotates to
+    # overflow (its sibling embedding_near_dups_multiprobe, the r5
+    # auto-path, stays in-window and exercises the same cluster-blocked
+    # candidate generation plus multiprobe boundary recovery).
     "bm25_topk": q_bm25_topk,
     "knn_topk": q_knn_topk,
     "hybrid_rrf": q_hybrid_rrf,
@@ -4263,7 +4323,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "decontaminate": q_decontaminate,
     "simhash_near_dups": q_simhash_near_dups,
     "lm_perplexity": q_lm_perplexity,
-    "embedding_near_dups_clustered": q_embedding_near_dups_clustered,
+    "ivf_fused": q_ivf_fused,
     "text_quality": q_text_quality,
     "source_rollup": q_source_rollup,
     "packed_shards": q_packed_shards,
@@ -4307,6 +4367,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # clusters-probed packed IVF = exact), so it lives in overflow —
     # the in-window batch gates already score the pipeline's algebra
     "hybrid_batch_ann": q_hybrid_batch_ann,
+    "embedding_near_dups_clustered": q_embedding_near_dups_clustered,
     "neighbor_jaccard": q_neighbor_jaccard,
     "bfs": q_bfs,
     "pq_fixed": q_pq_fixed,

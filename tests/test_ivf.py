@@ -302,3 +302,59 @@ def test_ivf_lifecycle_guards(spark, tmp_path):
         write_ivf_layout(packed, refit, path, mode="append")
     # same quantizer appends fine
     write_ivf_layout(packed, centroids, path, mode="append")
+
+
+def test_ivf_pack_fused_bit_identical_to_two_step(spark):
+    """r7: the fused map-side pack (`ivf_pack_fused` /
+    `ivf_build_sampled_packed`) must produce the EXACT layout of the
+    two-step `ivf_pack(ivf_assign(...))` — same centroids (shared
+    `_fit_centroids`), same blocks byte-for-byte (repack re-sorts by
+    id and re-splits by the shared `block_step` rule). Serving over
+    either layout is then identical by construction."""
+    from mcp_vector_search_spark.operators.ivf import (
+        ivf_assign,
+        ivf_build_sampled,
+        ivf_build_sampled_packed,
+        ivf_pack,
+        ivf_pack_fused,
+        ivf_topk_batch_packed,
+    )
+
+    emb = io.table(spark, SF_DIR, "embeddings")
+    assigned, cents = ivf_build_sampled(emb, num_clusters=16)
+    packed2, cents2 = ivf_build_sampled_packed(emb, num_clusters=16)
+
+    # identical quantizer from the shared fit rule
+    assert sorted(map(tuple, cents.collect())) == sorted(map(tuple, cents2.collect()))
+
+    def key(df):
+        return sorted(
+            (r.cluster_id, r.block_id, r.n, r.dim, r.dtype, tuple(r.vec_ids), r.mat)
+            for r in df.collect()
+        )
+
+    two_step = key(ivf_pack(assigned))
+    assert key(packed2) == two_step
+    # the standalone fused pack against an existing quantizer too
+    assert key(ivf_pack_fused(emb, cents)) == two_step
+
+    # small-block split parity: force multiple blocks per cluster
+    assert key(ivf_pack(assigned, rows_per_block=16)) == key(
+        ivf_pack_fused(emb, cents, rows_per_block=16)
+    )
+
+    # float32 codec parity
+    assert key(ivf_pack(assigned, dtype="float32")) == key(
+        ivf_pack_fused(emb, cents, dtype="float32")
+    )
+
+    # and the layout serves: top-k over the fused layout equals the
+    # two-step packed layout's results exactly
+    queries = emb.filter(F.col("vec_id") % 29 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    a = sorted(
+        map(tuple, ivf_topk_batch_packed(ivf_pack(assigned), cents, queries, 5).collect())
+    )
+    b = sorted(map(tuple, ivf_topk_batch_packed(packed2, cents2, queries, 5).collect()))
+    assert a == b

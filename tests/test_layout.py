@@ -364,3 +364,42 @@ def test_compact_abort_cleans_staged_tmp_on_uri_path(spark, tmp_path, monkeypatc
     assert not (local / "blocks.tmp").exists()
     # the standing layout is untouched and still serves
     assert spark.read.parquet(f"{path}/blocks").count() > 0
+
+
+def test_api_build_ann_index_sampled_fit(spark):
+    """r7: `build_ann_index(fit="sampled")` routes kind="ivf" through
+    the fused one-pass build and serves rows identical to the manual
+    `ivf_build_sampled_packed` path; kind="ivfpq" accepts the sampled
+    coarse fit; kind="ivfsq" refuses the inapplicable argument."""
+    import pytest
+
+    from mcp_vector_search_spark import io
+    from mcp_vector_search_spark.api import SparkProject
+    from mcp_vector_search_spark.operators.ivf import (
+        ivf_build_sampled_packed,
+        ivf_topk_batch_packed,
+    )
+
+    emb = io.table(spark, SF_DIR, "embeddings")
+    docs = emb.selectExpr("vec_id as doc_id", "'t' as text")
+    queries = emb.filter(F.col("vec_id") % 19 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    p = SparkProject(spark, docs, emb)
+    p.build_ann_index(kind="ivf", num_clusters=8, fit="sampled")
+    got = sorted(map(tuple, p.search_batch(queries, 5).collect()))
+    packed, cents = ivf_build_sampled_packed(emb, num_clusters=8)
+    want_df = ivf_topk_batch_packed(packed, cents, queries, 5)
+    # project to the facade's output columns before comparing
+    want = sorted(map(tuple, want_df.select(*p.search_batch(queries, 5).columns).collect()))
+    assert got == want
+
+    p2 = SparkProject(spark, docs, emb)
+    p2.build_ann_index(kind="ivfpq", num_clusters=8, fit="sampled")
+    assert p2.search_batch(queries, 5).count() > 0
+
+    p3 = SparkProject(spark, docs, emb)
+    with pytest.raises(ValueError, match="does not apply"):
+        p3.build_ann_index(kind="ivfsq", fit="sampled")
+    with pytest.raises(ValueError, match="unknown ANN fit"):
+        p3.build_ann_index(kind="ivf", fit="bogus")
