@@ -59,6 +59,11 @@ def main():
     from mcp_vector_search_spark.session import get_spark
 
     _main_t0 = time.time()
+    # the 4M decade caches ~7 GB across corpora+layouts; under the 16g
+    # default heap the f64 packed runs thrash the block cache (2-6x
+    # erratic). Xmx is a cap, not an allocation — size it to the bench
+    # working set (the 128 GiB box). Explicit env still wins.
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "64g")
     spark = get_spark(app_name="bench")
     spark.sparkContext.setLogLevel("ERROR")
 

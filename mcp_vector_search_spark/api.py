@@ -153,6 +153,15 @@ class SparkProject:
             raise ValueError(f"unknown ANN index kind: {kind!r}")
         if fit not in ("kmeans", "sampled"):
             raise ValueError(f"unknown ANN fit: {fit!r}")
+        if kind == "ivfsq" and fit != "kmeans":
+            # no accept-and-ignore: SQ has no coarse quantizer fit, so a
+            # caller asking for one is confused, not served. Validated
+            # BEFORE the invalidation loop below — a rejected call must
+            # not destroy the standing layout (r7 review).
+            raise ValueError(
+                "kind='ivfsq' scalar-quantizes without a coarse fit — "
+                "the 'fit' argument does not apply"
+            )
         for attr, cached_pos in (
             ("_ivf_layout", 0), ("_ivfpq_layout", 0), ("_sq_layout", 0)
         ):
@@ -162,13 +171,6 @@ class SparkProject:
                 setattr(self, attr, None)
 
         if kind == "ivfsq":
-            if fit != "kmeans":
-                # no accept-and-ignore: SQ has no coarse quantizer fit,
-                # so a caller asking for one is confused, not served
-                raise ValueError(
-                    "kind='ivfsq' scalar-quantizes without a coarse fit — "
-                    "the 'fit' argument does not apply"
-                )
             from mcp_vector_search_spark.operators.sq import (
                 sq_encode,
                 sq_pack,

@@ -183,8 +183,25 @@ def _bm25_meta(spark, path: str) -> tuple[int | None, int | None, str | None]:
 
     try:
         r = spark.read.parquet(f"{path}/meta").first()
-    except AnalysisException:
-        return None, None, None
+    except AnalysisException as e:
+        cond = (
+            getattr(e, "getCondition", None) or getattr(e, "getErrorClass", None)
+        )
+        cond = cond() if cond is not None else None
+        # legacy = the meta table does not EXIST. A present-but-unreadable
+        # meta dir (torn copy: directory landed, parquet file didn't —
+        # UNABLE_TO_INFER_SCHEMA) is the same corruption as the zero-row
+        # case below and must not silently serve a bucketed index
+        # unbucketed (r7 review).
+        if cond == "PATH_NOT_FOUND" or (
+            cond is None and "Path does not exist" in str(e)
+        ):
+            return None, None, None
+        raise ValueError(
+            f"corrupt BM25 index at {path}: meta exists but is unreadable "
+            f"({cond or e.__class__.__name__}) — restore the index or delete "
+            "meta to treat it as a legacy unbucketed layout"
+        ) from e
     if r is None:
         # a present-but-EMPTY meta table (torn copy, manual truncation)
         # is corruption, not a legacy index: the legacy fallback would

@@ -154,16 +154,20 @@ def _fit_sample(
     if the candidate set has ≥ sample_rows elements below the cutoff,
     every one of the global lowest sample_rows is below it too (else
     ≥ sample_rows elements would be smaller than a 'winner').
-    Undershoot (16× oversampled — vanishingly rare) falls back to the
+    Undershoot (8× oversampled — vanishingly rare) falls back to the
     exact full TakeOrdered, so determinism never depends on the
-    estimate."""
+    estimate. The fast path only engages past 64× sample_rows, where
+    the prefilter keeps ≤ n/8 — below that the filter would retain
+    most of the corpus and the extra scan+cache is pure loss (the one
+    unconditional n-count is the price of the decision; it is cheap
+    next to either sort)."""
     sel = df.select(id_col, vec_col, *extra_cols)
     key = F.md5(F.concat(F.col(id_col).cast("string"), F.lit("#ivf-fit")))
     n = sel.count()
     cand = None
-    if n > sample_rows * 8:
-        frac = min(1.0, 16.0 * sample_rows / n)
-        cutoff = format(max(1, min(0xFFFFFF, int(frac * 0x1000000))), "06x")
+    if n > sample_rows * 64:
+        frac = 8.0 * sample_rows / n  # ≤ 1/8 by the gate above
+        cutoff = format(max(1, int(frac * 0x1000000)), "06x")
         pre = sel.filter(key <= cutoff).cache()
         if pre.count() >= sample_rows:
             cand = pre

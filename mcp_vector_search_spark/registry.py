@@ -926,8 +926,11 @@ def q_ivf_fused(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _emb(spark, sf_dir)
     assigned, cents = ivf_build_sampled(emb, num_clusters=16)
-    two = ivf_pack(assigned)
-    fused = ivf_pack_fused(emb, cents)
+    # cached: this gate runs ~5 actions (block compare, count, two
+    # exceptAll counts) — without the caches each one re-executes the
+    # sample fit + corpus assign + pack end to end (r7 review)
+    two = ivf_pack(assigned).cache()
+    fused = ivf_pack_fused(emb, cents).cache()
     j = two.alias("a").join(
         fused.alias("b"), ["cluster_id", "block_id"], "full_outer"
     )
@@ -946,6 +949,8 @@ def q_ivf_fused(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = ivf_topk_batch_packed(two, cents, queries, BATCH_K, nprobes=4)
     b = ivf_topk_batch_packed(fused, cents, queries, BATCH_K, nprobes=4)
     serve_mismatch = a.exceptAll(b).count() + b.exceptAll(a).count()
+    two.unpersist()
+    fused.unpersist()
     return spark.createDataFrame(
         [(bool(n_blocks > 0), bool(n_mismatch == 0), bool(serve_mismatch == 0))],
         "has_blocks boolean, blocks_equal boolean, serve_equal boolean",

@@ -147,7 +147,13 @@ def process_batch(
                 or getattr(e, "getErrorClass", None)
             )
             cond = cond() if cond is not None else None
-            if cond not in ("PATH_NOT_FOUND", "UNABLE_TO_INFER_SCHEMA"):
+            # condition-less AnalysisExceptions (message-only variants on
+            # some Spark builds) fall back to message matching, the same
+            # detection api._persisted_kind uses (r7 review)
+            first_write = cond in ("PATH_NOT_FOUND", "UNABLE_TO_INFER_SCHEMA") or (
+                cond is None and "Path does not exist" in str(e)
+            )
+            if not first_write:
                 raise
             batch_id = 0  # first write (no table yet / empty dir)
         else:

@@ -464,3 +464,10 @@ def test_present_but_empty_meta_table_raises_corrupt(spark, tmp_path):
     shutil.move(f"{idx}/meta_empty", f"{idx}/meta")
     with pytest.raises(ValueError, match="corrupt BM25 index"):
         bm25_term_buckets(spark, idx)
+    # torn-copy shape 2 (r7 review): meta DIRECTORY exists but holds no
+    # readable parquet — must also raise, not silently serve the
+    # bucketed index unbucketed via the legacy fallback
+    shutil.rmtree(f"{idx}/meta")
+    os.makedirs(f"{idx}/meta")
+    with pytest.raises(ValueError, match="unreadable"):
+        bm25_term_buckets(spark, idx)

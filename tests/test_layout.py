@@ -398,8 +398,12 @@ def test_api_build_ann_index_sampled_fit(spark):
     p2.build_ann_index(kind="ivfpq", num_clusters=8, fit="sampled")
     assert p2.search_batch(queries, 5).count() > 0
 
-    p3 = SparkProject(spark, docs, emb)
+    # a REJECTED call must not destroy the standing layout (r7 review:
+    # the ivfsq+fit validation used to run after the invalidation loop,
+    # silently reverting every later search to brute force)
     with pytest.raises(ValueError, match="does not apply"):
-        p3.build_ann_index(kind="ivfsq", fit="sampled")
+        p.build_ann_index(kind="ivfsq", fit="sampled")
     with pytest.raises(ValueError, match="unknown ANN fit"):
-        p3.build_ann_index(kind="ivf", fit="bogus")
+        p.build_ann_index(kind="ivf", fit="bogus")
+    assert p._ivf_layout is not None
+    assert sorted(map(tuple, p.search_batch(queries, 5).collect())) == got
