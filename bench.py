@@ -731,6 +731,16 @@ def main():
     big_enc_packed = ivfpq_pack(big_enc).cache()
     big_enc_packed.count()
     per_query["ann_big_ivfpq_pack_sec"] = round(time.time() - t0, 3)
+    # r7: the fused one-pass encode+pack (assign+residual+code+pack
+    # map-side, only code blobs shuffle) vs the staged encode+pack
+    # above — bit-identical blocks, so this is a pure build-cost point
+    from mcp_vector_search_spark.operators.ivfpq import ivfpq_pack_fused
+
+    t0 = time.time()
+    ivfpq_pack_fused(big, big_pq_cents, big_cbs).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    per_query["ann_big_ivfpq_fused_build_sec"] = round(time.time() - t0, 3)
     per_query["ann_big_ivfpq_perrow_sec"] = round(
         _best_of(2, lambda: ivfpq_topk_refined(
             big, big_enc, big_pq_cents, big_cbs, big_q, 10,

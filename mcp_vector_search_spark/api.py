@@ -112,6 +112,7 @@ class SparkProject:
         m: int = 8,
         k_codes: int = 256,
         fit: str = "kmeans",
+        dtype: str = "float64",
     ) -> None:
         """Build + memoize an ANN layout so `search_batch` prunes
         clusters instead of scanning the corpus per query.
@@ -147,12 +148,26 @@ class SparkProject:
         for the coded kinds the sampled quantizer feeds the usual
         encode. The 100 TB default is "sampled"; "kmeans" stays the
         API default only for result stability.
+
+        dtype="float32" (kind="ivf" only) halves the packed layout's
+        cache bytes and Arrow transfer — the lever that matters when
+        in-memory serving is transfer-bound (BENCH_NOTES r7);
+        quantization sits below the round-6 score rounding, answer-set
+        parity pinned in tests/test_ivf.py.
         """
         self._drain_deferred()
         if kind not in ("ivf", "ivfpq", "ivfsq"):
             raise ValueError(f"unknown ANN index kind: {kind!r}")
         if fit not in ("kmeans", "sampled"):
             raise ValueError(f"unknown ANN fit: {fit!r}")
+        if dtype not in ("float64", "float32"):
+            raise ValueError(f"unknown pack dtype: {dtype!r}")
+        if kind != "ivf" and dtype != "float64":
+            # the coded kinds already fix their codecs (uint8 codes);
+            # a float pack dtype only applies to the plain-IVF layout
+            raise ValueError(
+                f"dtype={dtype!r} only applies to kind='ivf' packed floats"
+            )
         if kind == "ivfsq" and fit != "kmeans":
             # no accept-and-ignore: SQ has no coarse quantizer fit, so a
             # caller asking for one is confused, not served. Validated
@@ -205,7 +220,9 @@ class SparkProject:
 
         kwargs = {} if num_clusters is None else {"num_clusters": num_clusters}
         if kind == "ivf" and fit == "sampled":
-            packed, centroids = ivf_build_sampled_packed(self.vectors, **kwargs)
+            packed, centroids = ivf_build_sampled_packed(
+                self.vectors, dtype=dtype, **kwargs
+            )
             packed = packed.cache()
             packed.count()
             self._ivf_layout = (packed, centroids, "packed")
@@ -240,7 +257,9 @@ class SparkProject:
         else:
             # (frame, centroids, layout-kind): the kind tag is what
             # search_batch dispatches on — never a schema sniff
-            self._ivf_layout = (ivf_pack(assigned).cache(), centroids, "packed")
+            self._ivf_layout = (
+                ivf_pack(assigned, dtype=dtype).cache(), centroids, "packed"
+            )
 
     def save_ann_index(self, path: str) -> None:
         """Persist the currently-built ANN layout (r6): whichever

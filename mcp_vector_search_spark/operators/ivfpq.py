@@ -344,6 +344,119 @@ def ivfpq_pack(
     )
 
 
+def ivfpq_pack_fused(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    codebooks: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    rows_per_block: int = 1 << 20,
+    max_block_bytes: int = 32 << 20,
+) -> DataFrame:
+    """`ivfpq_pack(ivfpq_encode(vectors, centroids, codebooks))` in ONE
+    corpus pass (r7 — the codes analogue of `ivf.ivf_pack_fused`).
+
+    The three-step path crosses the Python/JVM boundary three times
+    (assign emits per-row units, the residual join re-reads them, the
+    encode emits per-row code arrays that then shuffle into the pack).
+    Fused, each input partition normalizes + assigns + residual-encodes
+    + packs map-side into partial per-cluster code blocks; only block
+    blobs cross the shuffle and `repack_codec_blocks` merges them into
+    the canonical id-sorted layout. Bit-identical to the three-step
+    result (pinned in tests/test_ivfpq.py): the assignment is the
+    `ivf_assign` kernel verbatim, the residual is the same IEEE-double
+    u−c the SQL `zip_with` computes, the code argmin is `pq_encode`'s
+    kernel verbatim (round-9 BLAS-form squared-L2, ties → lower code),
+    and the per-cluster dtype resolves identically because repack
+    upcasts partials to the widest present — which is exactly the
+    dtype of the partial holding the cluster's max code.
+
+    100 TB shape: same as the float fused build — ~partitions×clusters
+    block rows cross the shuffle instead of N per-row code arrays, and
+    the blobs are m BYTES per vector, so the fused IVF-PQ build's
+    shuffle is ~d·8/m times smaller than the float one's."""
+    import numpy as np
+    import pandas as pd
+
+    from mcp_vector_search_spark.operators.layout import repack_codec_blocks
+    from mcp_vector_search_spark.operators.topk import _safe_norms, id_type
+
+    cpd = centroids.orderBy("cluster_id").toPandas()
+    C = np.stack(cpd["centroid"].to_numpy()).astype(np.float64)
+    cids = cpd["cluster_id"].to_numpy()
+    half_c2 = (C * C).sum(axis=1) / 2.0
+    cb = _collect_codebooks(codebooks)
+    m, _, dsub = cb.shape
+    cb_half = [(cb[s] * cb[s]).sum(axis=1)[None, :] for s in range(m)]
+
+    idt = id_type(vectors, id_col)
+    out_schema = (
+        "cluster_id int, block_id int, n int, m int, dtype string, "
+        f"vec_ids array<{idt}>, codes binary"
+    )
+    cols = ["cluster_id", "block_id", "n", "m", "dtype", "vec_ids", "codes"]
+
+    def pack_pass(batches):
+        code_parts, id_parts, asn_parts = [], [], []
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            U = V / _safe_norms(V)
+            nearest = np.argmin(half_c2[None, :] - U @ C.T, axis=1)
+            R = U - C[nearest]
+            b = R.shape[0]
+            codes = np.empty((b, m), dtype=np.int32)
+            for s in range(m):
+                Vs = R[:, s * dsub : (s + 1) * dsub]
+                d2 = (Vs * Vs).sum(axis=1)[:, None] + cb_half[s]
+                d2 -= 2.0 * (Vs @ cb[s].T)
+                codes[:, s] = np.argmin(round_half_up(d2, 9), axis=1)
+            code_parts.append(codes)
+            id_parts.append(pdf[id_col].to_numpy())
+            asn_parts.append(nearest)
+        if not code_parts:
+            return
+        Cm = np.concatenate(code_parts) if len(code_parts) > 1 else code_parts[0]
+        pid = np.concatenate(id_parts) if len(id_parts) > 1 else id_parts[0]
+        asn = np.concatenate(asn_parts) if len(asn_parts) > 1 else asn_parts[0]
+        order = np.argsort(asn, kind="stable")
+        bounds = np.flatnonzero(np.diff(asn[order])) + 1
+        rows = []
+        for grp in np.split(order, bounds):
+            cid = int(cids[asn[grp[0]]])
+            Mc = Cm[grp]
+            dtype = "uint8" if Mc.max(initial=0) < 256 else "uint16"
+            M = np.ascontiguousarray(Mc.astype(np.dtype(dtype)))
+            step = block_step(m * M.itemsize, rows_per_block, max_block_bytes)
+            for b_i, s in enumerate(range(0, len(grp), step)):
+                sel = slice(s, s + step)
+                blk = np.ascontiguousarray(M[sel])
+                rows.append(
+                    (
+                        cid,
+                        b_i,
+                        blk.shape[0],
+                        m,
+                        dtype,
+                        pid[grp[sel]].tolist(),
+                        blk.tobytes(),
+                    )
+                )
+        yield pd.DataFrame(rows, columns=cols)
+
+    partials = vectors.select(id_col, vec_col).mapInPandas(pack_pass, out_schema)
+    return repack_codec_blocks(
+        partials,
+        part_col="cluster_id",
+        width_col="m",
+        blob_col="codes",
+        dtype_col="dtype",
+        rows_per_block=rows_per_block,
+        max_block_bytes=max_block_bytes,
+    )
+
+
 def ivfpq_topk_packed(
     packed_codes: DataFrame,
     centroids: DataFrame,

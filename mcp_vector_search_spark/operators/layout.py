@@ -399,15 +399,18 @@ def ivfpq_layout_sink(spark: SparkSession, layout_path: str,
         stream.writeStream.foreachBatch(
             ivfpq_layout_sink(spark, layout_path))
     """
-    from mcp_vector_search_spark.operators.ivfpq import ivfpq_encode, ivfpq_pack
+    from mcp_vector_search_spark.operators.ivfpq import ivfpq_pack_fused
 
     cents = load_local_meta(spark, layout_path, "centroids")
     cbs = load_local_meta(spark, layout_path, "codebooks")
 
     def write(batch_df: DataFrame, batch_id: int) -> None:
-        packed = ivfpq_pack(
-            ivfpq_encode(batch_df, cents, cbs, vec_col=vec_col, id_col=id_col),
-            id_col=id_col,
+        # r7: fused encode+pack — one Python pass per micro-batch
+        # instead of three (assign, encode, pack) plus a row shuffle;
+        # bit-identical blocks (tests/test_ivfpq.py), and micro-batch
+        # latency is job-count-bound, so fewer stages is the win here
+        packed = ivfpq_pack_fused(
+            batch_df, cents, cbs, vec_col=vec_col, id_col=id_col
         )
         write_stream_blocks(packed, layout_path, "cluster_id", batch_id)
 

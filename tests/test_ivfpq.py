@@ -157,3 +157,39 @@ def test_ivfpq_packed_codes_parity(spark):
     assert r1 == r2
     enc.unpersist()
     packed.unpersist()
+
+
+def test_ivfpq_pack_fused_bit_identical_to_three_step(emb, index):
+    """r7: the fused one-pass encode+pack (`ivfpq_pack_fused`) must
+    produce the EXACT block layout of
+    ivfpq_pack(ivfpq_encode(vectors, cents, cbs)) — same assignment
+    kernel, same IEEE residual, pq_encode's argmin verbatim, dtype
+    resolution through repack upcast — and serve identical ADC rows."""
+    from mcp_vector_search_spark.operators.ivfpq import (
+        ivfpq_encode,
+        ivfpq_pack,
+        ivfpq_pack_fused,
+        ivfpq_topk_packed,
+    )
+
+    _, cents, cbs = index
+    three = ivfpq_pack(ivfpq_encode(emb, cents, cbs))
+    fused = ivfpq_pack_fused(emb, cents, cbs)
+
+    def key(df):
+        return sorted(
+            (r.cluster_id, r.block_id, r.n, r.m, r.dtype, tuple(r.vec_ids), r.codes)
+            for r in df.collect()
+        )
+
+    want = key(three)
+    assert key(fused) == want
+    # forced multi-block split parity
+    assert key(ivfpq_pack(ivfpq_encode(emb, cents, cbs), rows_per_block=64)) == key(
+        ivfpq_pack_fused(emb, cents, cbs, rows_per_block=64)
+    )
+    # serving parity over the fused layout
+    q = _queries(emb)
+    a = sorted(map(tuple, ivfpq_topk_packed(three, cents, cbs, q, 5, nprobes=8).collect()))
+    b = sorted(map(tuple, ivfpq_topk_packed(fused, cents, cbs, q, 5, nprobes=8).collect()))
+    assert a == b

@@ -405,5 +405,14 @@ def test_api_build_ann_index_sampled_fit(spark):
         p.build_ann_index(kind="ivfsq", fit="sampled")
     with pytest.raises(ValueError, match="unknown ANN fit"):
         p.build_ann_index(kind="ivf", fit="bogus")
+    with pytest.raises(ValueError, match="only applies to kind='ivf'"):
+        p.build_ann_index(kind="ivfpq", dtype="float32")
     assert p._ivf_layout is not None
     assert sorted(map(tuple, p.search_batch(queries, 5).collect())) == got
+
+    # float32 pack through the facade: same answer set at this scale
+    p4 = SparkProject(spark, docs, emb)
+    p4.build_ann_index(kind="ivf", num_clusters=8, fit="sampled", dtype="float32")
+    assert p4._ivf_layout[0].first().dtype == "float32"
+    got32 = {(r[0], r[1]) for r in p4.search_batch(queries, 5).collect()}
+    assert got32 == {(r[0], r[1]) for r in got}
