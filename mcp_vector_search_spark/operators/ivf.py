@@ -593,6 +593,30 @@ def ivf_pack(
     )
 
 
+def _coarse_nearest(U, C, half_c2):
+    """THE coarse-assignment kernel (unit sphere: argmin L2 ≡ argmax
+    (u·c − ‖c‖²/2), BLAS half-norm form; ties → lower row = lower
+    cluster id). One definition shared by `ivf_assign`,
+    `ivf_pack_fused`, and `ivfpq.ivfpq_pack_fused` — an assignment
+    tie-rule fix must land exactly once or staged and fused layouts
+    silently diverge (r7 review)."""
+    import numpy as np
+
+    return np.argmin(half_c2[None, :] - U @ C.T, axis=1)
+
+
+def _cluster_groups(asn):
+    """Yield (first_row_assignment_index, group_row_indices) per
+    assigned cluster, in stable-argsort order — the shared group-split
+    of both fused packers."""
+    import numpy as np
+
+    order = np.argsort(asn, kind="stable")
+    bounds = np.flatnonzero(np.diff(asn[order])) + 1
+    for grp in np.split(order, bounds):
+        yield asn[grp[0]], grp
+
+
 def ivf_pack_fused(
     vectors: DataFrame,
     centroids: DataFrame,
@@ -647,7 +671,7 @@ def ivf_pack_fused(
                 continue
             V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
             U = V / _safe_norms(V)
-            asn_parts.append(np.argmin(half_c2[None, :] - U @ C.T, axis=1))
+            asn_parts.append(_coarse_nearest(U, C, half_c2))
             U_parts.append(U)
             id_parts.append(pdf[id_col].to_numpy())
         if not U_parts:
@@ -658,11 +682,9 @@ def ivf_pack_fused(
         M = np.ascontiguousarray(U.astype(np_dtype))
         dim = M.shape[1]
         step = block_step(dim * np_dtype.itemsize, rows_per_block, max_block_bytes)
-        order = np.argsort(asn, kind="stable")
-        bounds = np.flatnonzero(np.diff(asn[order])) + 1
         rows = []
-        for grp in np.split(order, bounds):
-            cid = int(cids[asn[grp[0]]])
+        for first_asn, grp in _cluster_groups(asn):
+            cid = int(cids[first_asn])
             for b, s in enumerate(range(0, len(grp), step)):
                 sel = grp[s : s + step]
                 blk = np.ascontiguousarray(M[sel])
@@ -890,7 +912,7 @@ def ivf_assign(
         for pdf in batches:
             V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
             U = V / _safe_norms(V)
-            nearest = np.argmin(half_c2[None, :] - U @ C.T, axis=1)
+            nearest = _coarse_nearest(U, C, half_c2)
             out = pdf.copy()
             out["unit"] = list(U)
             out["cluster_id"] = cids[nearest].astype(np.int32)
@@ -1152,8 +1174,13 @@ def retrain_ivf_layout(
         [(i, [float(x) for x in c]) for i, c in enumerate(cents_np)],
         "cluster_id int, centroid array<double>",
     )
-    new_packed = ivf_pack(
-        ivf_assign(rows, new_cents),
+    # r7: fused re-assignment+pack — one pass over the unpacked rows,
+    # block blobs (not per-row unit arrays) cross the rewrite shuffle;
+    # bit-identical to ivf_pack(ivf_assign(...)) incl. the shared
+    # re-normalization both paths apply to the unpacked units
+    new_packed = ivf_pack_fused(
+        rows,
+        new_cents,
         rows_per_block=rows_per_block,
         max_block_bytes=max_block_bytes,
         dtype=dtype,

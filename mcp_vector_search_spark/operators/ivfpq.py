@@ -363,10 +363,10 @@ def ivfpq_pack_fused(
     + packs map-side into partial per-cluster code blocks; only block
     blobs cross the shuffle and `repack_codec_blocks` merges them into
     the canonical id-sorted layout. Bit-identical to the three-step
-    result (pinned in tests/test_ivfpq.py): the assignment is the
-    `ivf_assign` kernel verbatim, the residual is the same IEEE-double
-    u−c the SQL `zip_with` computes, the code argmin is `pq_encode`'s
-    kernel verbatim (round-9 BLAS-form squared-L2, ties → lower code),
+    result (pinned in tests/test_ivfpq.py): the assignment IS the
+    shared `ivf._coarse_nearest` kernel, the residual is the same
+    IEEE-double u−c the SQL `zip_with` computes, the code argmin IS the
+    shared `pq._code_rows` kernel (round-9 squared-L2, ties → lower code),
     and the per-cluster dtype resolves identically because repack
     upcasts partials to the widest present — which is exactly the
     dtype of the partial holding the cluster's max code.
@@ -378,7 +378,12 @@ def ivfpq_pack_fused(
     import numpy as np
     import pandas as pd
 
+    from mcp_vector_search_spark.operators.ivf import (
+        _cluster_groups,
+        _coarse_nearest,
+    )
     from mcp_vector_search_spark.operators.layout import repack_codec_blocks
+    from mcp_vector_search_spark.operators.pq import _code_rows
     from mcp_vector_search_spark.operators.topk import _safe_norms, id_type
 
     cpd = centroids.orderBy("cluster_id").toPandas()
@@ -386,8 +391,7 @@ def ivfpq_pack_fused(
     cids = cpd["cluster_id"].to_numpy()
     half_c2 = (C * C).sum(axis=1) / 2.0
     cb = _collect_codebooks(codebooks)
-    m, _, dsub = cb.shape
-    cb_half = [(cb[s] * cb[s]).sum(axis=1)[None, :] for s in range(m)]
+    m = cb.shape[0]
 
     idt = id_type(vectors, id_col)
     out_schema = (
@@ -403,16 +407,8 @@ def ivfpq_pack_fused(
                 continue
             V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
             U = V / _safe_norms(V)
-            nearest = np.argmin(half_c2[None, :] - U @ C.T, axis=1)
-            R = U - C[nearest]
-            b = R.shape[0]
-            codes = np.empty((b, m), dtype=np.int32)
-            for s in range(m):
-                Vs = R[:, s * dsub : (s + 1) * dsub]
-                d2 = (Vs * Vs).sum(axis=1)[:, None] + cb_half[s]
-                d2 -= 2.0 * (Vs @ cb[s].T)
-                codes[:, s] = np.argmin(round_half_up(d2, 9), axis=1)
-            code_parts.append(codes)
+            nearest = _coarse_nearest(U, C, half_c2)
+            code_parts.append(_code_rows(U - C[nearest], cb))
             id_parts.append(pdf[id_col].to_numpy())
             asn_parts.append(nearest)
         if not code_parts:
@@ -420,11 +416,9 @@ def ivfpq_pack_fused(
         Cm = np.concatenate(code_parts) if len(code_parts) > 1 else code_parts[0]
         pid = np.concatenate(id_parts) if len(id_parts) > 1 else id_parts[0]
         asn = np.concatenate(asn_parts) if len(asn_parts) > 1 else asn_parts[0]
-        order = np.argsort(asn, kind="stable")
-        bounds = np.flatnonzero(np.diff(asn[order])) + 1
         rows = []
-        for grp in np.split(order, bounds):
-            cid = int(cids[asn[grp[0]]])
+        for first_asn, grp in _cluster_groups(asn):
+            cid = int(cids[first_asn])
             Mc = Cm[grp]
             dtype = "uint8" if Mc.max(initial=0) < 256 else "uint16"
             M = np.ascontiguousarray(Mc.astype(np.dtype(dtype)))

@@ -405,10 +405,11 @@ def ivfpq_layout_sink(spark: SparkSession, layout_path: str,
     cbs = load_local_meta(spark, layout_path, "codebooks")
 
     def write(batch_df: DataFrame, batch_id: int) -> None:
-        # r7: fused encode+pack — one Python pass per micro-batch
-        # instead of three (assign, encode, pack) plus a row shuffle;
-        # bit-identical blocks (tests/test_ivfpq.py), and micro-batch
-        # latency is job-count-bound, so fewer stages is the win here
+        # r7: fused encode+pack — the three corpus-wide Python passes
+        # (assign, encode, pack) collapse to one map-side pass plus the
+        # block-row repack merge, and per-row unit/code arrays never
+        # cross the Arrow boundary; bit-identical blocks
+        # (tests/test_ivfpq.py)
         packed = ivfpq_pack_fused(
             batch_df, cents, cbs, vec_col=vec_col, id_col=id_col
         )

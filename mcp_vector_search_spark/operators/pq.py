@@ -300,6 +300,28 @@ def pq_train_rotated(
     return cb, R
 
 
+def _code_rows(V, cb, round_to: int = 9):
+    """THE PQ code-assignment kernel: per subspace, nearest codebook
+    entry by round-`round_to` squared L2 in BLAS expansion form
+    (Σ(v−c)² = Σv² + Σc² − 2v·c; round-9 before argmin keeps the code
+    choice aligned with the SQL replay — ulp noise from the expansion
+    identity sits at ~1e-15, absorbed by the rounding like
+    summation-order noise; ties → lower code). One definition shared
+    by `pq_encode` and `ivfpq.ivfpq_pack_fused` — a rounding/tie fix
+    must land exactly once or staged and fused code layouts silently
+    diverge (r7 review)."""
+    import numpy as np
+
+    m, _, dsub = cb.shape
+    codes = np.empty((V.shape[0], m), dtype=np.int32)
+    for s in range(m):
+        Vs = V[:, s * dsub : (s + 1) * dsub]
+        d2 = (Vs * Vs).sum(axis=1)[:, None] + (cb[s] * cb[s]).sum(axis=1)[None, :]
+        d2 -= 2.0 * (Vs @ cb[s].T)
+        codes[:, s] = np.argmin(round_half_up(d2, round_to), axis=1)
+    return codes
+
+
 def pq_encode(
     vectors: DataFrame,
     codebooks: DataFrame,
@@ -339,17 +361,7 @@ def pq_encode(
                 V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
             if rotation is not None:
                 V = V @ rotation.T
-            b = V.shape[0]
-            codes = np.empty((b, m), dtype=np.int32)
-            for s in range(m):
-                Vs = V[:, s * dsub : (s + 1) * dsub]
-                # BLAS form of Σ(v−c)²; round-9 before argmin keeps
-                # the code choice aligned with the SQL replay (ulp
-                # noise from the expansion identity sits at ~1e-15,
-                # absorbed by the rounding like summation-order noise)
-                d2 = (Vs * Vs).sum(axis=1)[:, None] + (cb[s] * cb[s]).sum(axis=1)[None, :]
-                d2 -= 2.0 * (Vs @ cb[s].T)
-                codes[:, s] = np.argmin(round_half_up(d2, round_to), axis=1)
+            codes = _code_rows(V, cb, round_to)
             out = {id_col: pdf[id_col].to_numpy()}
             for c in passthrough_cols or []:
                 out[c] = pdf[c].to_numpy()

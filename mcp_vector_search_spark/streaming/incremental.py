@@ -291,6 +291,7 @@ def bootstrap_ann_layout(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     num_clusters: int | None = None,
+    dtype: str = "float64",
 ) -> None:
     """One-time base build for a STREAM-MAINTAINED packed IVF layout:
     sample-fit quantizer → pack → `write_ivf_layout` (blocks
@@ -302,8 +303,7 @@ def bootstrap_ann_layout(
     owns its partitions); readers see it as one more passthrough
     column the scoring kernel ignores."""
     from mcp_vector_search_spark.operators.ivf import (
-        ivf_build_sampled,
-        ivf_pack,
+        ivf_build_sampled_packed,
         write_ivf_layout,
     )
 
@@ -325,10 +325,13 @@ def bootstrap_ann_layout(
             "deliberately)"
         )
     kwargs = {} if num_clusters is None else {"num_clusters": num_clusters}
-    assigned, centroids = ivf_build_sampled(
-        vectors, vec_col=vec_col, id_col=id_col, **kwargs
+    # r7: the fused one-pass build (bit-identical layout, only block
+    # blobs shuffle); `dtype` sets the layout's pack codec — appends
+    # through ann_layout_sink inherit it from the standing blocks
+    packed, centroids = ivf_build_sampled_packed(
+        vectors, vec_col=vec_col, id_col=id_col, dtype=dtype, **kwargs
     )
-    write_ivf_layout(ivf_pack(assigned, id_col=id_col), centroids, layout_path)
+    write_ivf_layout(packed, centroids, layout_path)
 
 
 def ann_layout_sink(
@@ -355,7 +358,7 @@ def ann_layout_sink(
     a fresh layout path — `write_ivf_layout` refuses cross-quantizer
     appends for the same reason.
     """
-    from mcp_vector_search_spark.operators.ivf import ivf_assign, ivf_pack
+    from mcp_vector_search_spark.operators.ivf import ivf_pack_fused
     from mcp_vector_search_spark.operators.layout import (
         load_local_meta,
         write_stream_blocks,
@@ -366,9 +369,23 @@ def ann_layout_sink(
     # lifetime by contract, so a per-micro-batch re-read was a wasted
     # Spark job + driver round-trip on every batch.
     cents = load_local_meta(spark, layout_path, "centroids")
+    # appends inherit the STANDING layout's pack dtype: a float32
+    # layout appended with the float64 default would mix dtypes and
+    # the next compaction's widest-present upcast would silently
+    # rewrite the whole layout as float64, losing the halved bytes the
+    # builder opted into (r7 review)
+    dtype = (
+        spark.read.parquet(f"{layout_path}/blocks")
+        .select("dtype").first()["dtype"]
+    )
 
     def write(batch_df: DataFrame, batch_id: int) -> None:
-        packed = ivf_pack(ivf_assign(batch_df, cents, vec_col=vec_col), id_col=id_col)
+        # fused assign+pack: per-row unit arrays never cross Arrow and
+        # the per-batch row shuffle carries block blobs only —
+        # bit-identical blocks (tests/test_ivf.py)
+        packed = ivf_pack_fused(
+            batch_df, cents, vec_col=vec_col, id_col=id_col, dtype=dtype
+        )
         write_stream_blocks(packed, layout_path, "cluster_id", batch_id)
 
     return write

@@ -708,3 +708,53 @@ def test_process_batch_refuses_unpartitioned_chunks_table(spark, tmp_path):
     assert process_batch(spark, batch, fresh, batch_id=None) == 1
     chunks = spark.read.parquet(os.path.join(fresh, "chunks.parquet"))
     assert set(r.batch_id for r in chunks.select("batch_id").collect()) == {0}
+
+
+def test_ann_layout_sink_inherits_float32_dtype(spark, tmp_path):
+    """r7 review: appends must inherit the STANDING layout's pack
+    dtype. A float32 layout appended with the float64 default mixed
+    dtypes, and the next compaction's widest-present upcast silently
+    rewrote the whole layout as float64 — losing the halved bytes the
+    builder opted into."""
+    from pyspark.sql import functions as F
+
+    from mcp_vector_search_spark import io
+    from mcp_vector_search_spark.operators.ivf import (
+        ivf_topk_batch_packed,
+        read_ivf_layout,
+    )
+    from mcp_vector_search_spark.streaming.incremental import (
+        ann_layout_sink,
+        bootstrap_ann_layout,
+        compact_ann_layout,
+    )
+
+    emb = io.table(spark, "/root/testdata/sf0.01", "embeddings").select(
+        "vec_id", "embedding"
+    )
+    base = emb.filter(F.col("vec_id") < 400)
+    extra = emb.filter(F.col("vec_id") >= 400)
+
+    path = str(tmp_path / "ann_f32")
+    bootstrap_ann_layout(base, path, num_clusters=8, dtype="float32")
+    sink = ann_layout_sink(spark, path)
+    sink(extra, 0)
+
+    packed, cents = read_ivf_layout(spark, path)
+    assert {r.dtype for r in packed.select("dtype").distinct().collect()} == {
+        "float32"
+    }
+    # compaction keeps the codec (nothing to upcast)
+    compact_ann_layout(spark, path)
+    packed2, cents2 = read_ivf_layout(spark, path)
+    assert {r.dtype for r in packed2.select("dtype").distinct().collect()} == {
+        "float32"
+    }
+    # and the layout serves every vector exactly once
+    ids = [v for r in packed2.select("vec_ids").collect() for v in r.vec_ids]
+    assert len(ids) == len(set(ids)) == emb.count()
+    self_q = extra.limit(1).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    hit = ivf_topk_batch_packed(packed2, cents2, self_q, 1, nprobes=8).first()
+    assert hit.vec_id == hit.query_id
