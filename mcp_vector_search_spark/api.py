@@ -244,13 +244,28 @@ class SparkProject:
             # release it. centroids/codebooks are already lineage-free
             # local frames (ivf_build/pq_train createDataFrame).
             assigned = assigned.cache()
-            encoded, cents, codebooks = ivfpq_build(
-                self.vectors, m=m, k_codes=k_codes, coarse=(assigned, centroids)
-            )
-            # serve the ADC stage from PACKED code blocks (r5): the
-            # per-row code cache paid the same Arrow-cell deserialize
-            # tax the float layout did before ivf_pack
-            packed = ivfpq_pack(encoded).cache()
+            if fit == "sampled":
+                # r7: codebooks fit as usual, then ONE fused
+                # encode+pack pass — no per-row code table, no
+                # per-row-array shuffle (bit-identical blocks)
+                from mcp_vector_search_spark.operators.ivfpq import (
+                    ivfpq_build_packed,
+                )
+
+                packed, cents, codebooks = ivfpq_build_packed(
+                    self.vectors, m=m, k_codes=k_codes,
+                    coarse=(assigned, centroids),
+                )
+                packed = packed.cache()
+            else:
+                encoded, cents, codebooks = ivfpq_build(
+                    self.vectors, m=m, k_codes=k_codes,
+                    coarse=(assigned, centroids),
+                )
+                # serve the ADC stage from PACKED code blocks (r5):
+                # the per-row code cache paid the same Arrow-cell
+                # deserialize tax the float layout did before ivf_pack
+                packed = ivfpq_pack(encoded).cache()
             packed.count()
             assigned.unpersist()
             self._ivfpq_layout = (packed, cents, codebooks)

@@ -105,6 +105,49 @@ def ivfpq_build(
     return encoded, centroids, codebooks
 
 
+def ivfpq_build_packed(
+    vectors: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    num_clusters: int | None = None,
+    m: int = 8,
+    k_codes: int = 256,
+    sample_rows: int = 16384,
+    seed: int = 42,
+    coarse: tuple[DataFrame, DataFrame] | None = None,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """`ivfpq_build` that returns the PACKED layout directly →
+    (packed, centroids, codebooks). Codebooks are fit exactly as in
+    `ivfpq_build` (same residual sample rule), then the corpus is
+    encoded+packed in ONE pass via `ivfpq_pack_fused` — bit-identical
+    blocks to `ivfpq_pack(ivfpq_build(...)[0])`, without materializing
+    the per-row code table or shuffling per-row arrays. The build that
+    holds at 100 TB for the coded layout."""
+    from mcp_vector_search_spark.operators.pq import pq_train
+
+    if coarse is not None:
+        assigned, centroids = coarse
+    else:
+        assigned, centroids = ivf_build(
+            vectors, vec_col=vec_col, num_clusters=num_clusters, seed=seed
+        )
+    resid = _residuals(assigned, centroids, id_col)
+    codebooks = pq_train(
+        resid,
+        vec_col="_resid",
+        id_col=id_col,
+        m=m,
+        k=k_codes,
+        sample_rows=sample_rows,
+        seed=seed,
+        normalize=False,
+    )
+    packed = ivfpq_pack_fused(
+        vectors, centroids, codebooks, vec_col=vec_col, id_col=id_col
+    )
+    return packed, centroids, codebooks
+
+
 def _residuals(assigned: DataFrame, centroids: DataFrame, id_col: str) -> DataFrame:
     """residual = unit − centroid[cluster_id]; centroids broadcast.
     ONE definition shared by the batch build and the incremental

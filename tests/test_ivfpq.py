@@ -193,3 +193,32 @@ def test_ivfpq_pack_fused_bit_identical_to_three_step(emb, index):
     a = sorted(map(tuple, ivfpq_topk_packed(three, cents, cbs, q, 5, nprobes=8).collect()))
     b = sorted(map(tuple, ivfpq_topk_packed(fused, cents, cbs, q, 5, nprobes=8).collect()))
     assert a == b
+
+
+def test_ivfpq_build_packed_matches_staged_build(emb, index):
+    """r7: `ivfpq_build_packed` (codebook fit + one fused encode+pack
+    pass) returns the exact packed layout of
+    ivfpq_pack(ivfpq_build(...)[0]) given the same coarse state."""
+    from mcp_vector_search_spark.operators.ivf import ivf_build_sampled
+    from mcp_vector_search_spark.operators.ivfpq import (
+        ivfpq_build,
+        ivfpq_build_packed,
+        ivfpq_pack,
+    )
+
+    assigned, cents = ivf_build_sampled(emb, num_clusters=8)
+    assigned = assigned.cache()
+    enc, c1, cb1 = ivfpq_build(emb, m=16, k_codes=64, coarse=(assigned, cents))
+    pk, c2, cb2 = ivfpq_build_packed(
+        emb, m=16, k_codes=64, coarse=(assigned, cents)
+    )
+    assert sorted(map(tuple, cb1.collect())) == sorted(map(tuple, cb2.collect()))
+
+    def key(df):
+        return sorted(
+            (r.cluster_id, r.block_id, r.n, r.m, r.dtype, tuple(r.vec_ids), r.codes)
+            for r in df.collect()
+        )
+
+    assert key(ivfpq_pack(enc)) == key(pk)
+    assigned.unpersist()
