@@ -33,6 +33,9 @@ EXTRA_COMPACT_KEYS = [
     "ann_huge_ivf_f32_sec",
     "ann_huge_ivf_build_sec",
     "ann_huge_recall_at_10",
+    "ann_big_ivfpq_fused_build_sec",
+    "ann_big_disk_brute_q2_sec",
+    "ann_big_disk_packed_q2_sec",
     "bm25_update_delta_sec",
 ]
 
@@ -451,12 +454,16 @@ def main():
     big = (
         emb.select("vec_id", "embedding")
         .crossJoin(variants)
+        # repartition BEFORE the sin-heavy projection: the shuffle
+        # moves the same bytes either way, but the 32M-sin transform
+        # then runs on every core instead of inside the single source
+        # partition
+        .repartition(_ncpu)
         .withColumn("pert", F.transform("embedding", _perturb))
         .select(
             (F.col("vec_id") * INFLATE + F.col("variant")).cast("long").alias("vec_id"),
             F.col("pert").alias("embedding"),
         )
-        .repartition(_ncpu)
         .cache()
     )
     n_big = big.count()
@@ -594,6 +601,24 @@ def main():
             "noop"
         ).mode("overwrite").save()
         per_query["ann_big_disk_packed_sec"] = round(time.time() - t0, 3)
+        # r7: the SERVING shape — a 2-query lookup probes 40/256
+        # partitions (~16% of bytes) where the 8-query batch above
+        # probes ~60%; this is the point where on-disk partition
+        # pruning actually shows (a 100 TB layout answers single
+        # lookups, not 8-wide batches, from cold storage)
+        q2 = big_q.limit(2).cache()
+        q2.count()
+        t0 = time.time()
+        topk_per_query_np(flat_df, q2, 10).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        per_query["ann_big_disk_brute_q2_sec"] = round(time.time() - t0, 3)
+        t0 = time.time()
+        ivf_topk_batch_packed(pk_df, pk_cents, q2, 10, nprobes=20).write.format(
+            "noop"
+        ).mode("overwrite").save()
+        per_query["ann_big_disk_packed_q2_sec"] = round(time.time() - t0, 3)
+        q2.unpersist()
     finally:
         _sh.rmtree(layout_dir, ignore_errors=True)
 
@@ -636,10 +661,12 @@ def main():
         _shift = F.when(
             F.col("_v") % 26 == i, F.translate("text", _lo + _up, tgt)
         ).otherwise(_shift)
-    docs_big = docs01.crossJoin(dv).select(
+    # repartition BEFORE the 26-branch translate chain (same
+    # one-file-scan trap): the shift itself then runs on every core
+    docs_big = docs01.crossJoin(dv).repartition(_ncpu).select(
         (F.col("doc_id") * INFLATE + F.col("_v")).cast("long").alias("doc_id"),
         _shift.alias("text"),
-    ).repartition(_ncpu)  # same one-file-scan trap: tokenize map-side in parallel
+    )
     with tempfile.TemporaryDirectory() as hidx:
         t0 = time.time()
         write_bm25_index(docs_big, hidx, term_buckets=64)
@@ -810,6 +837,7 @@ def main():
     huge = (
         emb.select("vec_id", "embedding")
         .crossJoin(hvariants)
+        .repartition(_ncpu)  # before the 256M-sin projection — see 512K note
         .withColumn("pert", F.transform("embedding", _perturb))
         .select(
             (F.col("vec_id") * HUGE_INFLATE + F.col("variant")).cast("long").alias(
@@ -817,7 +845,6 @@ def main():
             ),
             F.col("pert").alias("embedding"),
         )
-        .repartition(_ncpu)  # see the 512K section: one-file scan = one partition
         .cache()
     )
     n_huge = huge.count()
@@ -964,6 +991,14 @@ def main():
                 F.col("_r") == i, F.translate("text", lo + up, tgt)
             ).otherwise(shifted)
         docs0 = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        # NO repartition here, deliberately: the sf0.1 baselines below
+        # read the single-file sf0.1 tables (one scan partition), so
+        # the derived sf1 tables must keep the same single-partition
+        # write or the ratio compares a parallel sf1 scan against a
+        # serial sf0.1 scan and reads as impossibly sub-linear
+        # (measured 1.55x "scaling" on 10x data — a parallelism
+        # artifact, r7). Both sides equally handicapped = a pure
+        # data-scaling ratio, comparable with rounds 4-6.
         docs0.crossJoin(reps).select(
             (F.col("doc_id") + F.col("_r").cast("long") * OFF).alias("doc_id"),
             shifted.alias("text"),
