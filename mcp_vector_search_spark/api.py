@@ -187,8 +187,7 @@ class SparkProject:
 
         if kind == "ivfsq":
             from mcp_vector_search_spark.operators.sq import (
-                sq_encode,
-                sq_pack,
+                sq_pack_fused,
                 sq_train,
             )
 
@@ -205,10 +204,12 @@ class SparkProject:
             bounds_local = self.spark.createDataFrame(
                 bounds.collect(), bounds.schema
             )
-            codes = sq_encode(self.vectors, bounds_local)
-            # packed code blocks (r5): same per-row Arrow-cell tax as
-            # the other layouts before packing
-            self._sq_layout = (sq_pack(codes).cache(), bounds_local)
+            # r7: fused one-pass encode+pack against the pinned bounds
+            # (bit-identical to sq_pack(sq_encode(...)), tests/test_sq.py)
+            self._sq_layout = (
+                sq_pack_fused(self.vectors, bounds_local).cache(),
+                bounds_local,
+            )
             return
 
         from mcp_vector_search_spark.operators.ivf import (

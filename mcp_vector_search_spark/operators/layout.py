@@ -427,14 +427,16 @@ def sq_layout_sink(spark: SparkSession, layout_path: str,
     guards), pack into hash-bucketed blocks, and land in per-batch
     (bucket, batch_id) partitions with replay-idempotent dynamic
     overwrite."""
-    from mcp_vector_search_spark.operators.sq import sq_encode, sq_pack
+    from mcp_vector_search_spark.operators.sq import sq_pack_fused
 
     bounds = load_local_meta(spark, layout_path, "bounds")
 
     def write(batch_df: DataFrame, batch_id: int) -> None:
-        packed = sq_pack(
-            sq_encode(batch_df, bounds, vec_col=vec_col, id_col=id_col),
-            id_col=id_col,
+        # r7: fused encode+pack — one map-side pass per micro-batch,
+        # block blobs only across the shuffle (bit-identical blocks,
+        # tests/test_sq.py)
+        packed = sq_pack_fused(
+            batch_df, bounds, vec_col=vec_col, id_col=id_col
         )
         write_stream_blocks(packed, layout_path, "bucket", batch_id)
 

@@ -312,6 +312,106 @@ def sq_pack(
     return bucketed.groupBy("bucket").applyInPandas(pack, out_schema)
 
 
+def sq_pack_fused(
+    vectors: DataFrame,
+    bounds: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    normalize: bool = True,
+    n_buckets: int = 64,
+    rows_per_block: int = 1 << 20,
+    max_block_bytes: int = 32 << 20,
+) -> DataFrame:
+    """`sq_pack(sq_encode(vectors, bounds))` in ONE corpus pass (r7 —
+    completing the fused-build family: `ivf_pack_fused`,
+    `ivfpq_pack_fused`). The id→bucket hash is computed JVM-side with
+    the SAME `xxhash64 % n_buckets` expression `sq_pack` uses (layout
+    compatibility — never re-implement an engine hash in Python), then
+    each input partition encodes + packs its rows into partial
+    per-bucket blocks map-side; only block blobs cross the shuffle and
+    `repack_codec_blocks` merges them. Bit-identical to the staged
+    path (pinned in tests/test_sq.py): the encode is `sq_encode`'s
+    kernel op-for-op, int32→uint8 truncation matches `sq_pack`'s
+    astype, and repack re-sorts/re-splits by the shared rules."""
+    import numpy as np
+    import pandas as pd
+
+    from mcp_vector_search_spark.operators.ivf import _cluster_groups
+    from mcp_vector_search_spark.operators.layout import repack_codec_blocks
+    from mcp_vector_search_spark.operators.pq import _unit_rows
+    from mcp_vector_search_spark.operators.topk import id_type
+
+    mn, step_, rng = _collect_bounds(bounds)
+    ok = rng > 0
+    idt = id_type(vectors, id_col)
+    out_schema = (
+        "bucket int, block_id int, n int, d int, "
+        f"vec_ids array<{idt}>, codes binary"
+    )
+    cols = ["bucket", "block_id", "n", "d", "vec_ids", "codes"]
+    bucketed = vectors.select(
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_buckets))
+        .cast("int")
+        .alias("_bucket"),
+        id_col,
+        vec_col,
+    )
+
+    def pack_pass(batches):
+        code_parts, id_parts, bkt_parts = [], [], []
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            if normalize:
+                V = _unit_rows(pdf[vec_col])
+            else:
+                V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            x = np.zeros_like(V)
+            x[:, ok] = (V[:, ok] - mn[ok]) * SQ_LEVELS / rng[ok]
+            codes = np.clip(np.floor(x + 0.5), 0, SQ_LEVELS).astype(np.int32)
+            codes[:, ~ok] = 0
+            code_parts.append(codes)
+            id_parts.append(pdf[id_col].to_numpy())
+            bkt_parts.append(pdf["_bucket"].to_numpy())
+        if not code_parts:
+            return
+        Cm = np.concatenate(code_parts) if len(code_parts) > 1 else code_parts[0]
+        pid = np.concatenate(id_parts) if len(id_parts) > 1 else id_parts[0]
+        bkt = np.concatenate(bkt_parts) if len(bkt_parts) > 1 else bkt_parts[0]
+        M = np.ascontiguousarray(Cm.astype(np.uint8))
+        d = M.shape[1]
+        step = block_step(d, rows_per_block, max_block_bytes)
+        rows = []
+        for first_bkt, grp in _cluster_groups(bkt):
+            b_val = int(first_bkt)
+            for b_i, s in enumerate(range(0, len(grp), step)):
+                sel = grp[s : s + step]
+                blk = np.ascontiguousarray(M[sel])
+                rows.append(
+                    (
+                        b_val,
+                        b_i,
+                        blk.shape[0],
+                        d,
+                        pid[sel].tolist(),
+                        blk.tobytes(),
+                    )
+                )
+        yield pd.DataFrame(rows, columns=cols)
+
+    partials = bucketed.mapInPandas(pack_pass, out_schema)
+    return repack_codec_blocks(
+        partials,
+        part_col="bucket",
+        width_col="d",
+        blob_col="codes",
+        dtype_col=None,
+        fixed_dtype="uint8",
+        rows_per_block=rows_per_block,
+        max_block_bytes=max_block_bytes,
+    )
+
+
 def sq_topk_packed(
     packed_codes: DataFrame,
     bounds: DataFrame,

@@ -141,3 +141,45 @@ def test_sq_packed_codes_parity(spark):
     assert r1 == r2
     codes.unpersist()
     packed.unpersist()
+
+
+def test_sq_pack_fused_bit_identical_to_staged(spark):
+    """r7: the fused one-pass SQ encode+pack must produce the exact
+    block layout of sq_pack(sq_encode(...)) — same JVM bucket hash,
+    same encode kernel, same uint8 truncation — and serve identically."""
+    from pyspark.sql import functions as F
+
+    from mcp_vector_search_spark import io
+    from mcp_vector_search_spark.operators.sq import (
+        sq_encode,
+        sq_pack,
+        sq_pack_fused,
+        sq_topk_packed,
+        sq_train,
+    )
+
+    emb = io.table(spark, "/root/testdata/sf0.01", "embeddings")
+    bounds = sq_train(emb)
+    bounds = spark.createDataFrame(bounds.collect(), bounds.schema)
+    staged = sq_pack(sq_encode(emb, bounds))
+    fused = sq_pack_fused(emb, bounds)
+
+    def key(df):
+        return sorted(
+            (r.bucket, r.block_id, r.n, r.d, tuple(r.vec_ids), r.codes)
+            for r in df.collect()
+        )
+
+    want = key(staged)
+    assert key(fused) == want
+    # forced multi-block split parity + non-default bucket count
+    assert key(sq_pack(sq_encode(emb, bounds), n_buckets=8, rows_per_block=32)) == key(
+        sq_pack_fused(emb, bounds, n_buckets=8, rows_per_block=32)
+    )
+    # serving parity
+    queries = emb.filter(F.col("vec_id") % 23 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    a = sorted(map(tuple, sq_topk_packed(staged, bounds, queries, 5).collect()))
+    b = sorted(map(tuple, sq_topk_packed(fused, bounds, queries, 5).collect()))
+    assert a == b
