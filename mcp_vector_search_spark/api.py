@@ -258,6 +258,15 @@ class SparkProject:
                     coarse=(assigned, centroids),
                 )
                 packed = packed.cache()
+                # release the fit-only assignment cache BEFORE the
+                # memory-heaviest job (the fused full-corpus pass in
+                # packed.count()) — nothing reads it after the codebook
+                # fit, and holding it through the count pinned ~2x
+                # corpus vector bytes at peak (r7 review)
+                assigned.unpersist()
+                packed.count()
+                self._ivfpq_layout = (packed, cents, codebooks)
+                return
             else:
                 encoded, cents, codebooks = ivfpq_build(
                     self.vectors, m=m, k_codes=k_codes,

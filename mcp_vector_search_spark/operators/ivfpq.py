@@ -79,12 +79,32 @@ def ivfpq_build(
     Pass `coarse=(assigned, centroids)` from a prior ``ivf_build`` to
     add PQ codes to an existing IVF layout without refitting KMeans.
     """
-    from mcp_vector_search_spark.operators.pq import pq_encode, pq_train
+    resid, centroids, codebooks = _fit_residual_codebooks(
+        vectors, vec_col, id_col, num_clusters, m, k_codes, sample_rows,
+        seed, coarse, builder=ivf_build,
+    )
+    # cluster_id rides through the encode kernel: a join-back would
+    # execute the assignment/residual lineage twice and add an id
+    # shuffle just to re-attach a column the kernel's input already had
+    encoded = _encode_residuals(resid, codebooks, id_col)
+    return encoded, centroids, codebooks
+
+
+def _fit_residual_codebooks(
+    vectors, vec_col, id_col, num_clusters, m, k_codes, sample_rows, seed,
+    coarse, builder,
+):
+    """THE residual-codebook fit, shared by `ivfpq_build` and
+    `ivfpq_build_packed` — one definition of the coarse fallback,
+    residual lineage, and pq_train arguments, so a fit-rule change
+    lands exactly once (r7 review). Returns (resid, centroids,
+    codebooks)."""
+    from mcp_vector_search_spark.operators.pq import pq_train
 
     if coarse is not None:
         assigned, centroids = coarse
     else:
-        assigned, centroids = ivf_build(
+        assigned, centroids = builder(
             vectors, vec_col=vec_col, num_clusters=num_clusters, seed=seed
         )
     resid = _residuals(assigned, centroids, id_col)
@@ -98,11 +118,7 @@ def ivfpq_build(
         seed=seed,
         normalize=False,
     )
-    # cluster_id rides through the encode kernel: a join-back would
-    # execute the assignment/residual lineage twice and add an id
-    # shuffle just to re-attach a column the kernel's input already had
-    encoded = _encode_residuals(resid, codebooks, id_col)
-    return encoded, centroids, codebooks
+    return resid, centroids, codebooks
 
 
 def ivfpq_build_packed(
@@ -117,30 +133,31 @@ def ivfpq_build_packed(
     coarse: tuple[DataFrame, DataFrame] | None = None,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """`ivfpq_build` that returns the PACKED layout directly →
-    (packed, centroids, codebooks). Codebooks are fit exactly as in
-    `ivfpq_build` (same residual sample rule), then the corpus is
-    encoded+packed in ONE pass via `ivfpq_pack_fused` — bit-identical
-    blocks to `ivfpq_pack(ivfpq_build(...)[0])`, without materializing
-    the per-row code table or shuffling per-row arrays. The build that
-    holds at 100 TB for the coded layout."""
-    from mcp_vector_search_spark.operators.pq import pq_train
+    (packed, centroids, codebooks): codebooks via the shared
+    `_fit_residual_codebooks`, then one fused encode+pack corpus pass
+    (`ivfpq_pack_fused`) — no per-row code table, no per-row-array
+    shuffle. The build that holds at 100 TB for the coded layout.
 
-    if coarse is not None:
-        assigned, centroids = coarse
-    else:
-        assigned, centroids = ivf_build(
-            vectors, vec_col=vec_col, num_clusters=num_clusters, seed=seed
-        )
-    resid = _residuals(assigned, centroids, id_col)
-    codebooks = pq_train(
-        resid,
-        vec_col="_resid",
-        id_col=id_col,
-        m=m,
-        k=k_codes,
-        sample_rows=sample_rows,
-        seed=seed,
-        normalize=False,
+    ASSIGNMENT-KERNEL CONTRACT: the fused pack re-assigns every vector
+    with the exact `ivf._coarse_nearest` kernel, so bit-identity to
+    `ivfpq_pack(ivfpq_build(...)[0])` holds only when the coarse
+    assignment came from that same kernel — which is why the default
+    coarse here is `ivf_build_sampled` (NOT `ivf_build`): MLlib
+    KMeansModel.transform uses fastSquaredDistance (~1e-6 relative
+    precision) and can assign a near-tied vector differently. If you
+    pass `coarse=(assigned, cents)` from an MLlib `ivf_build`, the
+    codebooks are fit on those assignments but the packed layout
+    reflects the exact kernel's — self-consistent and recall-
+    equivalent, but not row-identical to the staged encode, and a
+    float layout persisted from the same `assigned` frame may place a
+    boundary-tied vec_id in a different cluster. Use the staged
+    `ivfpq_build` + `ivfpq_pack` when you need to mirror an MLlib
+    coarse exactly (r7 review)."""
+    from mcp_vector_search_spark.operators.ivf import ivf_build_sampled
+
+    _, centroids, codebooks = _fit_residual_codebooks(
+        vectors, vec_col, id_col, num_clusters, m, k_codes, sample_rows,
+        seed, coarse, builder=ivf_build_sampled,
     )
     packed = ivfpq_pack_fused(
         vectors, centroids, codebooks, vec_col=vec_col, id_col=id_col

@@ -79,6 +79,24 @@ def _collect_bounds(bounds: DataFrame):
     return mn, step, rng
 
 
+def _sq_code_rows(V, mn, rng, ok):
+    """THE SQ quantization kernel:
+    code_d = clip(floor((v_d − mn_d)·255/(mx_d − mn_d) + 0.5), 0, 255),
+    degenerate dims (rng == 0) → 0. Exactly the oracle's op order so
+    identical inputs give identical IEEE results. One definition
+    shared by `sq_encode` and `sq_pack_fused` — a rounding or
+    degenerate-dim fix must land exactly once or the staged and fused
+    SQ layouts silently encode the same vector differently
+    (r7 review). Returns int32 codes in [0, 255]."""
+    import numpy as np
+
+    x = np.zeros_like(V)
+    x[:, ok] = (V[:, ok] - mn[ok]) * SQ_LEVELS / rng[ok]
+    codes = np.clip(np.floor(x + 0.5), 0, SQ_LEVELS).astype(np.int32)
+    codes[:, ~ok] = 0
+    return codes
+
+
 def sq_encode(
     vectors: DataFrame,
     bounds: DataFrame,
@@ -105,12 +123,7 @@ def sq_encode(
                 V = _unit_rows(pdf[vec_col])
             else:
                 V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
-            x = np.zeros_like(V)
-            # exactly the oracle's op order — (v−mn)·255/(mx−mn) —
-            # so identical inputs give identical IEEE results
-            x[:, ok] = (V[:, ok] - mn[ok]) * SQ_LEVELS / rng[ok]
-            codes = np.clip(np.floor(x + 0.5), 0, SQ_LEVELS).astype(np.int32)
-            codes[:, ~ok] = 0
+            codes = _sq_code_rows(V, mn, rng, ok)
             yield pd.DataFrame(
                 {id_col: pdf[id_col].to_numpy(), "codes": list(codes)}
             )
@@ -341,7 +354,7 @@ def sq_pack_fused(
     from mcp_vector_search_spark.operators.pq import _unit_rows
     from mcp_vector_search_spark.operators.topk import id_type
 
-    mn, step_, rng = _collect_bounds(bounds)
+    mn, _, rng = _collect_bounds(bounds)
     ok = rng > 0
     idt = id_type(vectors, id_col)
     out_schema = (
@@ -366,11 +379,10 @@ def sq_pack_fused(
                 V = _unit_rows(pdf[vec_col])
             else:
                 V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
-            x = np.zeros_like(V)
-            x[:, ok] = (V[:, ok] - mn[ok]) * SQ_LEVELS / rng[ok]
-            codes = np.clip(np.floor(x + 0.5), 0, SQ_LEVELS).astype(np.int32)
-            codes[:, ~ok] = 0
-            code_parts.append(codes)
+            # uint8 per batch: values are already in [0, 255], and
+            # holding the partition's codes as int32 quadrupled
+            # task-resident memory for nothing (r7 review)
+            code_parts.append(_sq_code_rows(V, mn, rng, ok).astype(np.uint8))
             id_parts.append(pdf[id_col].to_numpy())
             bkt_parts.append(pdf["_bucket"].to_numpy())
         if not code_parts:
@@ -378,7 +390,7 @@ def sq_pack_fused(
         Cm = np.concatenate(code_parts) if len(code_parts) > 1 else code_parts[0]
         pid = np.concatenate(id_parts) if len(id_parts) > 1 else id_parts[0]
         bkt = np.concatenate(bkt_parts) if len(bkt_parts) > 1 else bkt_parts[0]
-        M = np.ascontiguousarray(Cm.astype(np.uint8))
+        M = np.ascontiguousarray(Cm)  # already uint8 per batch
         d = M.shape[1]
         step = block_step(d, rows_per_block, max_block_bytes)
         rows = []
