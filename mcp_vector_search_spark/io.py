@@ -56,6 +56,28 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Repartition an UNDER-partitioned frame up to the cluster's
+    parallelism — the single-small-file trap (r7): one parquet file
+    under `maxPartitionBytes` is ONE scan partition, and broadcast
+    joins / per-row projections inherit it, so every downstream
+    full-corpus Arrow kernel (brute scoring, index builds) runs on one
+    core no matter how many the cluster has. Spark cannot know a tiny
+    file will fan out 100× in Python work; the ingest that knows must
+    say so.
+
+    Explicit by design (a hidden shuffle inside query operators would
+    be a surprise cost): call it once where a corpus enters a
+    pipeline, BEFORE caching or heavy projections. No-op when the
+    frame already has at least `min_partitions` (default: the
+    session's defaultParallelism)."""
+    sess = df.sparkSession
+    target = min_partitions or sess.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: table(spark, sf_dir, name) for name in TABLES}
 

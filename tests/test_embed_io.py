@@ -260,3 +260,20 @@ def test_fs_rename_false_return_raises(spark, tmp_path):
         _fs_rename(fs, P(f"file://{src}"), P(f"file://{dst}"))
     # nothing moved: both files intact, destination not clobbered
     assert src.read_text() == "new" and dst.read_text() == "old"
+
+
+def test_spread_repartitions_only_when_under(spark, tmp_path):
+    """r7: `io.spread` raises an under-partitioned frame to the
+    session parallelism and leaves already-parallel frames alone."""
+    from mcp_vector_search_spark.io import spread
+
+    one = spark.createDataFrame([(i,) for i in range(100)], "id long").coalesce(1)
+    assert one.rdd.getNumPartitions() == 1
+    par = spread(one)
+    assert par.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
+    assert par.count() == 100
+    # explicit target
+    assert spread(one, 4).rdd.getNumPartitions() == 4
+    # no-op when already at/above target: the SAME plan comes back
+    wide = spark.range(100).repartition(8)
+    assert spread(wide, 4) is wide
