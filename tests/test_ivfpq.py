@@ -221,4 +221,11 @@ def test_ivfpq_build_packed_matches_staged_build(emb, index):
         )
 
     assert key(ivfpq_pack(enc)) == key(pk)
+    # default coarse is the SAMPLED fit (r7 review: an MLlib ivf_build
+    # coarse would mix assignment kernels — fastSquaredDistance ties
+    # vs the exact half-norm argmin the fused pack re-assigns with):
+    # no-coarse fused == staged-with-sampled-coarse, block for block
+    pk_def, c3, cb3 = ivfpq_build_packed(emb, num_clusters=8, m=16, k_codes=64)
+    assert sorted(map(tuple, c3.collect())) == sorted(map(tuple, cents.collect()))
+    assert key(pk_def) == key(pk)
     assigned.unpersist()
