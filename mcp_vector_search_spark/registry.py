@@ -906,54 +906,112 @@ def q_ivf_packed(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("query_id", "vec_id", "cos_sim", F.col("rn").cast("long").alias("rn"))
 
 
+def _layout_equal_row(codec, staged, fused, keys, payload_cols, serve):
+    """(codec, has_blocks, blocks_equal, serve_equal) for one fused
+    codec: full-outer join on the block keys, any payload inequality
+    (or a one-sided block) is a mismatch; `serve` maps a layout frame
+    → result frame for the serving-parity leg."""
+    j = staged.alias("a").join(fused.alias("b"), keys, "full_outer")
+    neq = F.col(f"a.{payload_cols[0]}").isNull() | F.col(
+        f"b.{payload_cols[0]}"
+    ).isNull()
+    for c in payload_cols:
+        neq = neq | (F.col(f"a.{c}") != F.col(f"b.{c}"))
+    n_mismatch = j.filter(neq).count()
+    n_blocks = staged.count()
+    a, b = serve(staged), serve(fused)
+    serve_mismatch = a.exceptAll(b).count() + b.exceptAll(a).count()
+    return (
+        codec,
+        bool(n_blocks > 0),
+        bool(n_mismatch == 0),
+        bool(serve_mismatch == 0),
+    )
+
+
 def q_ivf_fused(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """r7 fused one-pass build gate (operators/ivf.py:ivf_pack_fused /
-    ivf_build_sampled_packed): asserts IN-ENGINE that the fused
-    map-side pack — normalize + assign + partial-pack in one corpus
-    scan, only block blobs crossing the shuffle — produces the EXACT
-    blocks (ids, mats byte-for-byte) and the exact serving rows of the
-    two-step `ivf_pack(ivf_assign(...))` build it replaces in bench.
-    Score-neutral-layout gating pattern (like bm25_incr_bucketed);
-    self-oracled like ann_recall because the claim is equality of two
-    in-engine artifacts, not reproducible values (the shared numpy
-    assignment is not SQL-replayable)."""
+    """r7 fused one-pass build gate — the WHOLE fused codec family:
+    asserts IN-ENGINE that each fused map-side pack (normalize +
+    assign (+ encode) + partial-pack in one corpus scan, only block
+    blobs crossing the shuffle) produces the EXACT blocks
+    (byte-for-byte) and the exact serving rows of the staged path it
+    replaces: `ivf_pack_fused` vs `ivf_pack(ivf_assign(...))`,
+    `ivfpq_pack_fused` vs `ivfpq_pack(encode)` (sampled coarse — the
+    assignment-kernel contract), `sq_pack_fused` vs
+    `sq_pack(sq_encode(...))`. Score-neutral-layout gating pattern
+    (like bm25_incr_bucketed); self-oracled like ann_recall because
+    the claim is equality of in-engine artifacts, not reproducible
+    values (the shared numpy assignment is not SQL-replayable)."""
     from mcp_vector_search_spark.operators.ivf import (
         ivf_build_sampled,
         ivf_pack,
         ivf_pack_fused,
         ivf_topk_batch_packed,
     )
+    from mcp_vector_search_spark.operators.ivfpq import (
+        ivfpq_build,
+        ivfpq_pack,
+        ivfpq_pack_fused,
+        ivfpq_topk_packed,
+    )
+    from mcp_vector_search_spark.operators.sq import (
+        sq_encode,
+        sq_pack,
+        sq_pack_fused,
+        sq_topk_packed,
+        sq_train,
+    )
 
     emb = _emb(spark, sf_dir)
-    assigned, cents = ivf_build_sampled(emb, num_clusters=16)
-    # cached: this gate runs ~5 actions (block compare, count, two
-    # exceptAll counts) — without the caches each one re-executes the
-    # sample fit + corpus assign + pack end to end (r7 review)
-    two = ivf_pack(assigned).cache()
-    fused = ivf_pack_fused(emb, cents).cache()
-    j = two.alias("a").join(
-        fused.alias("b"), ["cluster_id", "block_id"], "full_outer"
-    )
-    n_mismatch = j.filter(
-        F.col("a.n").isNull()
-        | F.col("b.n").isNull()
-        | (F.col("a.n") != F.col("b.n"))
-        | (F.col("a.dtype") != F.col("b.dtype"))
-        | (F.col("a.vec_ids") != F.col("b.vec_ids"))
-        | (F.col("a.mat") != F.col("b.mat"))
-    ).count()
-    n_blocks = two.count()
     queries = emb.filter(F.col("vec_id") % 37 == 0).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
-    a = ivf_topk_batch_packed(two, cents, queries, BATCH_K, nprobes=4)
-    b = ivf_topk_batch_packed(fused, cents, queries, BATCH_K, nprobes=4)
-    serve_mismatch = a.exceptAll(b).count() + b.exceptAll(a).count()
+    rows = []
+    # caches: each codec's comparison runs ~5 actions (block compare,
+    # count, two exceptAll counts) — without them every action would
+    # re-execute the sample fit + corpus pass end to end (r7 review)
+    assigned, cents = ivf_build_sampled(emb, num_clusters=16)
+    assigned = assigned.cache()
+    two = ivf_pack(assigned).cache()
+    fused = ivf_pack_fused(emb, cents).cache()
+    rows.append(_layout_equal_row(
+        "ivf", two, fused, ["cluster_id", "block_id"],
+        ["n", "dtype", "vec_ids", "mat"],
+        lambda p: ivf_topk_batch_packed(p, cents, queries, BATCH_K, nprobes=4),
+    ))
     two.unpersist()
     fused.unpersist()
+
+    enc, _, cbs = ivfpq_build(
+        emb, m=16, k_codes=64, coarse=(assigned, cents)
+    )
+    pq_two = ivfpq_pack(enc).cache()
+    pq_fused = ivfpq_pack_fused(emb, cents, cbs).cache()
+    rows.append(_layout_equal_row(
+        "ivfpq", pq_two, pq_fused, ["cluster_id", "block_id"],
+        ["n", "dtype", "vec_ids", "codes"],
+        lambda p: ivfpq_topk_packed(p, cents, cbs, queries, BATCH_K, nprobes=4),
+    ))
+    pq_two.unpersist()
+    pq_fused.unpersist()
+    assigned.unpersist()
+
+    bounds = sq_train(emb)
+    bounds = spark.createDataFrame(bounds.collect(), bounds.schema)
+    sq_two = sq_pack(sq_encode(emb, bounds)).cache()
+    sq_fused_df = sq_pack_fused(emb, bounds).cache()
+    rows.append(_layout_equal_row(
+        "sq", sq_two, sq_fused_df, ["bucket", "block_id"],
+        ["n", "vec_ids", "codes"],
+        lambda p: sq_topk_packed(p, bounds, queries, BATCH_K),
+    ))
+    sq_two.unpersist()
+    sq_fused_df.unpersist()
+
     return spark.createDataFrame(
-        [(bool(n_blocks > 0), bool(n_mismatch == 0), bool(serve_mismatch == 0))],
-        "has_blocks boolean, blocks_equal boolean, serve_equal boolean",
+        rows,
+        "codec string, has_blocks boolean, blocks_equal boolean, "
+        "serve_equal boolean",
     )
 
 
@@ -3912,8 +3970,10 @@ FROM embeddings WHERE vec_id < {BATCH_QUERIES}"""
     # divergence between the fused and two-step builds flips a flag
     # and hash-mismatches
     o["ivf_fused"] = (
-        "SELECT true AS has_blocks, true AS blocks_equal, "
-        "true AS serve_equal"
+        "SELECT 'ivf' AS codec, true AS has_blocks, true AS blocks_equal,"
+        " true AS serve_equal"
+        " UNION ALL SELECT 'ivfpq', true, true, true"
+        " UNION ALL SELECT 'sq', true, true, true"
     )
     # merged self-oracle for both trained ANN paths (IVF + PQ-refined):
     # one asserted row per path; any recall regression flips recall_ok
