@@ -70,7 +70,14 @@ def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     be a surprise cost): call it once where a corpus enters a
     pipeline, BEFORE caching or heavy projections. No-op when the
     frame already has at least `min_partitions` (default: the
-    session's defaultParallelism)."""
+    session's defaultParallelism).
+
+    RAW SCANS ONLY: the partition-count probe converts to RDD, which
+    under AQE materializes any upstream shuffle stages as real jobs —
+    on a joined/aggregated frame that is a hidden double execution
+    (probe + the repartition re-running the lineage). Those frames
+    are already shuffle-parallel; this helper is for the one case
+    Spark can't size itself, a small single-file scan (r7 review)."""
     sess = df.sparkSession
     target = min_partitions or sess.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() >= target:

@@ -919,8 +919,12 @@ def _layout_equal_row(codec, staged, fused, keys, payload_cols, serve):
         neq = neq | (F.col(f"a.{c}") != F.col(f"b.{c}"))
     n_mismatch = j.filter(neq).count()
     n_blocks = staged.count()
-    a, b = serve(staged), serve(fused)
+    # serve frames cached: both exceptAll counts consume each side, so
+    # uncached they'd execute every serve pipeline twice (r7 review)
+    a, b = serve(staged).cache(), serve(fused).cache()
     serve_mismatch = a.exceptAll(b).count() + b.exceptAll(a).count()
+    a.unpersist()
+    b.unpersist()
     return (
         codec,
         bool(n_blocks > 0),

@@ -227,5 +227,6 @@ def test_ivfpq_build_packed_matches_staged_build(emb, index):
     # no-coarse fused == staged-with-sampled-coarse, block for block
     pk_def, c3, cb3 = ivfpq_build_packed(emb, num_clusters=8, m=16, k_codes=64)
     assert sorted(map(tuple, c3.collect())) == sorted(map(tuple, cents.collect()))
+    assert sorted(map(tuple, cb3.collect())) == sorted(map(tuple, cb1.collect()))
     assert key(pk_def) == key(pk)
     assigned.unpersist()
