@@ -104,9 +104,20 @@ def _fit_residual_codebooks(
     if coarse is not None:
         assigned, centroids = coarse
     else:
-        assigned, centroids = builder(
-            vectors, vec_col=vec_col, num_clusters=num_clusters, seed=seed
-        )
+        # forward id_col / sample_rows when the builder takes them
+        # (ivf_build_sampled does, MLlib ivf_build doesn't) — without
+        # this, a non-default id_col with no explicit coarse failed in
+        # _fit_sample selecting the missing 'vec_id' column (r7 advice)
+        import inspect
+
+        kwargs = {"vec_col": vec_col, "num_clusters": num_clusters,
+                  "seed": seed}
+        params = inspect.signature(builder).parameters
+        if "id_col" in params:
+            kwargs["id_col"] = id_col
+        if "sample_rows" in params:
+            kwargs["sample_rows"] = sample_rows
+        assigned, centroids = builder(vectors, **kwargs)
     resid = _residuals(assigned, centroids, id_col)
     codebooks = pq_train(
         resid,

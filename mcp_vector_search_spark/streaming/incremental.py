@@ -40,6 +40,23 @@ from mcp_vector_search_spark.sources.chunker import chunk_tokens
 DOC_SCHEMA = "doc_id long, text string, source string"
 
 
+def _dir_has_no_partitions(path: str) -> bool:
+    """True when `path` exists but holds NO batch_id= partition dirs —
+    the state a zero-row bootstrap batch leaves behind (partitionBy
+    writes only _SUCCESS for zero rows). Hadoop FS listing, not
+    os.listdir: the state_dir may be an HDFS/S3 URI (r6 review)."""
+    from mcp_vector_search_spark.io import _hadoop_fs
+
+    fs, P = _hadoop_fs(path)
+    jpath = P(path)
+    if not fs.exists(jpath):
+        return True
+    for st in fs.listStatus(jpath):
+        if st.getPath().getName().startswith("batch_id="):
+            return False
+    return True
+
+
 def _state_path(state_dir: str) -> str:
     return os.path.join(state_dir, "state.parquet")
 
@@ -150,12 +167,31 @@ def process_batch(
             # condition-less AnalysisExceptions (message-only variants on
             # some Spark builds) fall back to message matching, the same
             # detection api._persisted_kind uses (r7 review)
-            first_write = cond in ("PATH_NOT_FOUND", "UNABLE_TO_INFER_SCHEMA") or (
+            if cond == "PATH_NOT_FOUND" or (
                 cond is None and "Path does not exist" in str(e)
-            )
-            if not first_write:
+            ):
+                batch_id = 0  # first write (no table yet)
+            elif cond == "UNABLE_TO_INFER_SCHEMA" and _dir_has_no_partitions(
+                _chunks_path(state_dir)
+            ):
+                # a zero-row bootstrap batch legitimately leaves a chunks
+                # dir with only _SUCCESS (partitionBy writes no files for
+                # zero rows) — genuinely empty is still first-write
+                batch_id = 0
+            elif cond == "UNABLE_TO_INFER_SCHEMA":
+                # present-but-unreadable WITH partition dirs = torn copy /
+                # manual truncation. Restarting batch numbering at 0 here
+                # would silently re-issue batch ids that downstream
+                # batch-id-keyed state may have consumed — corruption, not
+                # first-write; mirror bm25._bm25_meta (r7 advice)
+                raise ValueError(
+                    f"corrupt chunks table at {_chunks_path(state_dir)}: "
+                    "batch_id partition dirs exist but no parquet files "
+                    "are readable — restore the state_dir or delete the "
+                    "chunks table to restart batch numbering explicitly"
+                ) from e
+            else:
                 raise
-            batch_id = 0  # first write (no table yet / empty dir)
         else:
             if "batch_id" not in prev_tbl.columns:
                 raise ValueError(
@@ -374,10 +410,18 @@ def ann_layout_sink(
     # the next compaction's widest-present upcast would silently
     # rewrite the whole layout as float64, losing the halved bytes the
     # builder opted into (r7 review)
-    dtype = (
-        spark.read.parquet(f"{layout_path}/blocks")
-        .select("dtype").first()["dtype"]
+    dtype_row = (
+        spark.read.parquet(f"{layout_path}/blocks").select("dtype").first()
     )
+    if dtype_row is None:
+        # blocks dir exists but holds zero rows — first() returns None
+        # and subscripting it raised an opaque TypeError (r7 advice)
+        raise ValueError(
+            f"ANN layout at {layout_path} has no blocks — bootstrap the "
+            "layout (write_ivf_layout / facade build) before attaching "
+            "the streaming sink"
+        )
+    dtype = dtype_row["dtype"]
 
     def write(batch_df: DataFrame, batch_id: int) -> None:
         # fused assign+pack: per-row unit arrays never cross Arrow and

@@ -230,3 +230,25 @@ def test_ivfpq_build_packed_matches_staged_build(emb, index):
     assert sorted(map(tuple, cb3.collect())) == sorted(map(tuple, cb1.collect()))
     assert key(pk_def) == key(pk)
     assigned.unpersist()
+
+
+def test_ivfpq_build_packed_custom_id_col_default_coarse(emb):
+    """r7 advice: with a non-default id_col and NO explicit coarse,
+    the default sampled coarse fit must receive that id_col —
+    previously _fit_residual_codebooks dropped it and ivf_build_sampled
+    failed selecting the missing 'vec_id' column."""
+    from mcp_vector_search_spark.operators.ivfpq import ivfpq_build_packed
+
+    renamed = emb.withColumnRenamed("vec_id", "doc_id")
+    pk, cents, cbs = ivfpq_build_packed(
+        renamed, id_col="doc_id", num_clusters=8, m=16, k_codes=64
+    )
+    ids = [v for r in pk.select("vec_ids").collect() for v in r.vec_ids]
+    assert len(ids) == len(set(ids)) == emb.count()
+    assert cents.count() == 8 and cbs.count() == 16 * 64
+
+    # identical fit rule as the default-name path: same centroids
+    pk0, cents0, _ = ivfpq_build_packed(emb, num_clusters=8, m=16, k_codes=64)
+    assert sorted(map(tuple, cents0.collect())) == sorted(
+        map(tuple, cents.collect())
+    )

@@ -758,3 +758,60 @@ def test_ann_layout_sink_inherits_float32_dtype(spark, tmp_path):
     )
     hit = ivf_topk_batch_packed(packed2, cents2, self_q, 1, nprobes=8).first()
     assert hit.vec_id == hit.query_id
+
+def test_process_batch_torn_chunks_dir_is_corruption(spark, tmp_path):
+    """r7 advice: a chunks dir with batch_id= partition dirs but NO
+    readable parquet files (torn copy / manual truncation) must raise,
+    not silently restart batch numbering at 0 — downstream batch-id-
+    keyed state may already have consumed those ids. A dir with only
+    _SUCCESS (zero-row bootstrap batch) is still a legitimate first
+    write."""
+    import pytest
+
+    from mcp_vector_search_spark.streaming.incremental import process_batch
+
+    batch = spark.createDataFrame(
+        [(1, "some words here", "a.txt")],
+        "doc_id long, text string, source string",
+    )
+
+    torn = str(tmp_path / "torn")
+    chunks = os.path.join(torn, "chunks.parquet")
+    os.makedirs(os.path.join(chunks, "batch_id=0"))  # dir, no files
+    with pytest.raises(ValueError, match="corrupt chunks table"):
+        process_batch(spark, batch, torn, batch_id=None)
+    # refused before writing anything into the torn table
+    assert os.listdir(os.path.join(chunks, "batch_id=0")) == []
+
+    empty = str(tmp_path / "empty")
+    chunks2 = os.path.join(empty, "chunks.parquet")
+    os.makedirs(chunks2)
+    open(os.path.join(chunks2, "_SUCCESS"), "w").close()
+    assert process_batch(spark, batch, empty, batch_id=None) == 1
+    got = spark.read.parquet(chunks2)
+    assert {r.batch_id for r in got.select("batch_id").collect()} == {0}
+
+
+def test_ann_layout_sink_refuses_zero_block_layout(spark, tmp_path):
+    """r7 advice: the sink's dtype-inheritance probe on a blocks table
+    with zero rows returned None and raised an opaque TypeError at
+    sink construction — now a clear 'bootstrap first' error."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from mcp_vector_search_spark import io
+    from mcp_vector_search_spark.streaming.incremental import (
+        ann_layout_sink,
+        bootstrap_ann_layout,
+    )
+
+    emb = io.table(spark, "/root/testdata/sf0.01", "embeddings").select(
+        "vec_id", "embedding"
+    )
+    path = str(tmp_path / "ann_zero")
+    bootstrap_ann_layout(emb.filter(F.col("vec_id") < 200), path, num_clusters=4)
+    blocks_path = f"{path}/blocks"
+    schema = spark.read.parquet(blocks_path).schema
+    spark.createDataFrame([], schema).write.mode("overwrite").parquet(blocks_path)
+    with pytest.raises(ValueError, match="no blocks"):
+        ann_layout_sink(spark, path)
