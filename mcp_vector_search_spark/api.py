@@ -26,7 +26,26 @@ class SparkProject:
         docs: DataFrame,
         vectors: DataFrame,
         chunk_meta: DataFrame | None = None,
+        spread: bool | str = "auto",
     ):
+        """`spread` controls the single-small-file ingest trap
+        (io.spread docstring; VERDICT r7 #2): a one-file corpus is ONE
+        scan partition, and every full-corpus Arrow kernel this façade
+        runs (BM25 tokenize, ANN builds, brute scoring) would inherit
+        that single partition no matter the cluster size. "auto"
+        (default) repartitions docs/vectors up to cluster parallelism
+        ONLY when their plans are raw scans (narrow ops over a file
+        relation — derived frames pass through untouched, not even
+        probed); True forces the spread — callers who KNOW the frame
+        is safe to probe; False opts out entirely."""
+        from mcp_vector_search_spark import io as _io
+
+        if spread == "auto":
+            docs = _io.spread_if_raw(docs)
+            vectors = _io.spread_if_raw(vectors)
+        elif spread:
+            docs = _io.spread(docs)
+            vectors = _io.spread(vectors)
         self.spark = spark
         self.docs = docs
         self.vectors = vectors

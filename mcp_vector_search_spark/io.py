@@ -85,6 +85,47 @@ def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     return df.repartition(target)
 
 
+# analyzed-plan node names that keep a frame inside `spread`'s
+# raw-scans-only contract: narrow ops over a file relation, nothing
+# that would make the partition probe materialize a shuffle under AQE.
+# Anything NOT in this set (Aggregate, Join, Sort, Repartition, Window,
+# Distinct, Union, limits, ...) disqualifies the frame — conservative
+# by design: an unprobed frame is merely unspread, a probed derived
+# frame is a hidden double execution.
+_RAW_SCAN_NODES = frozenset(
+    {"Relation", "LogicalRelation", "Project", "Filter", "SubqueryAlias",
+     "View", "LogicalRDD"}
+)
+
+
+def _is_raw_scan(df: DataFrame) -> bool:
+    """True when the frame's ANALYZED logical plan is only narrow ops
+    over a scan — the frames `spread` may safely probe. Static plan
+    inspection, no job runs."""
+    plan = df._jdf.queryExecution().analyzed().toString()
+    for line in plan.splitlines():
+        stripped = line.lstrip(" :+-")
+        if not stripped:
+            continue
+        node = stripped.split(" ", 1)[0].split("[", 1)[0]
+        if node not in _RAW_SCAN_NODES:
+            return False
+    return True
+
+
+def spread_if_raw(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """`spread`, but only when the frame satisfies the raw-scans-only
+    contract (`_is_raw_scan`); derived frames pass through UNTOUCHED —
+    not even partition-probed, since the probe itself would materialize
+    their shuffle lineage under AQE (r7 review). The façade's ingest
+    boundary calls this so a one-small-file corpus stops hitting the
+    single-partition trap (VERDICT r7 #2) without surprising users who
+    hand in already-shuffled frames."""
+    if not _is_raw_scan(df):
+        return df
+    return spread(df, min_partitions)
+
+
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: table(spark, sf_dir, name) for name in TABLES}
 
