@@ -869,6 +869,21 @@ class SparkProject:
         commits = git_log_df(self.spark, repo_path)
         return repo_nodes(commits, project_name, branch=current_branch(repo_path))
 
+    def commit_ancestry_table(self, repo_path: str) -> DataFrame:
+        """(commit_sha, ancestor_sha) reflexive ancestry closure for
+        the repo — the temporal-KG join table ("B is an ancestor of A"
+        as one semi-join). Routed by commit count
+        (sources/git_source.commit_closure, threshold 100k): small
+        histories use the driver bitset build, larger ones the
+        distributed pointer-doubling closure — same rows either way.
+        Persist the result for repeated at-commit queries."""
+        from mcp_vector_search_spark.sources.git_source import (
+            commit_closure,
+            git_log_df,
+        )
+
+        return commit_closure(git_log_df(self.spark, repo_path))
+
     # ------------------------------------------------- corpus curation
 
     def split_corpus(self, train: float = 0.8, val: float = 0.1) -> DataFrame:

@@ -454,14 +454,16 @@ class McpAdapter:
                     "this index has none — use kg_query for "
                     "history-wide callers",
                 }
-            from mcp_vector_search_spark.sources.git_source import ancestors_of
+            # routed by commit count (VERDICT r7 #6): small history →
+            # driver BFS (tiny local relation, auto-broadcast); large →
+            # distributed closure filtered to the target. No forced
+            # broadcast — in the large branch one commit's ancestor set
+            # can be nearly the whole history.
+            from mcp_vector_search_spark.sources.git_source import ancestor_set_df
 
-            anc = ancestors_of(commits, a["commit_sha"])
+            anc_df = ancestor_set_df(commits, a["commit_sha"])
             edges = self._edges().filter(F.col("dst") == a["entity_name"])
-            anc_df = p.spark.createDataFrame(
-                [(s,) for s in anc], "commit_sha string"
-            )
-            live = chunks.join(F.broadcast(anc_df), "commit_sha", "left_semi")
+            live = chunks.join(anc_df, "commit_sha", "left_semi")
             edges = edges.join(
                 live.select(F.col("name").alias("src")).distinct(), "src", "left_semi"
             )

@@ -242,3 +242,48 @@ def test_distributed_closure_matches_driver_build(spark):
 
     with _pytest.raises(RuntimeError, match="converge"):
         ancestry_closure(deep, max_iters=2)
+
+
+def test_commit_closure_routes_by_history_size(spark):
+    """r8 (VERDICT r7 #6): the façade/MCP ancestry default routes by
+    commit count — driver bitsets at/below the threshold, distributed
+    pointer doubling above — with identical rows from both branches,
+    and the per-target ancestor_set_df routes the same way."""
+    import pytest
+
+    from mcp_vector_search_spark.sources.git_source import (
+        ancestor_set_df,
+        commit_closure,
+    )
+
+    rows = [
+        ("a", []),
+        ("b", ["a"]),
+        ("c", ["a"]),
+        ("d", ["b", "c"]),
+        ("e", ["d"]),
+    ]
+    commits = spark.createDataFrame(
+        rows, "commit_sha string, parent_shas array<string>"
+    )
+
+    def key(df):
+        return sorted((r["commit_sha"], r["ancestor_sha"]) for r in df.collect())
+
+    # driver branch (5 commits <= threshold) vs forced-distributed
+    assert key(commit_closure(commits)) == key(
+        commit_closure(commits, driver_max_commits=1)
+    )
+
+    def anc(df):
+        return sorted(r["commit_sha"] for r in df.collect())
+
+    assert anc(ancestor_set_df(commits, "d")) == ["a", "b", "c", "d"]
+    assert anc(ancestor_set_df(commits, "d", driver_max_commits=1)) == [
+        "a", "b", "c", "d",
+    ]
+    # unknown sha raises in BOTH branches — never a confident empty set
+    with pytest.raises(ValueError, match="unknown commit"):
+        ancestor_set_df(commits, "nope")
+    with pytest.raises(ValueError, match="unknown commit"):
+        ancestor_set_df(commits, "nope", driver_max_commits=1)
