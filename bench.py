@@ -934,6 +934,23 @@ def sec_hybrid_scale(spark, per_query, mark):
             .cache()
         )
         hs_qvecs.count()
+        # untimed steady-state warmup: one SMALL batch through each
+        # serving path first. The pre-r8 single-session bench got this
+        # for free — the bm25_index section had already executed the
+        # exact hybrid_search_batch_indexed plan shape at sf0.1 before
+        # hybrid_scale ran — so an isolated section timing its first
+        # execution would conflate plan codegen + Arrow-kernel JIT
+        # with serving cost (first-vs-second run gap ~2x measured).
+        # Steady-state is what the qps rows have always claimed.
+        warm_terms = hs_terms[:4]
+        warm_qv = hs_qvecs.filter(F.col("query_id") < 4)
+        _noop(hybrid_search_batch_indexed(
+            hp, hds, hts, big, warm_terms, warm_qv, k=10, term_buckets=64
+        ))
+        _noop(hybrid_search_batch_ann(
+            hp, hds, hts, big_packed, big_cents, warm_terms, warm_qv,
+            k=10, nprobes=20, term_buckets=64,
+        ))
         # term_buckets=64 on BOTH paths: the union terms' buckets
         # partition-prune the postings scan (the at-scale config the
         # layout exists for) — without it the shared BM25 leg reads
