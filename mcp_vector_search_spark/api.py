@@ -40,6 +40,14 @@ class SparkProject:
         is safe to probe; False opts out entirely."""
         from mcp_vector_search_spark import io as _io
 
+        if spread not in (True, False, "auto"):
+            # a typo'd mode ("Auto", "off", "none") must not silently
+            # take the force branch — forced spread probes partition
+            # counts, which on a derived frame is the hidden double
+            # execution the auto guard exists to prevent (r8 review)
+            raise ValueError(
+                f"spread must be True, False, or 'auto', got {spread!r}"
+            )
         if spread == "auto":
             docs = _io.spread_if_raw(docs)
             vectors = _io.spread_if_raw(vectors)

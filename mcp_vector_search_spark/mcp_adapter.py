@@ -454,11 +454,13 @@ class McpAdapter:
                     "this index has none — use kg_query for "
                     "history-wide callers",
                 }
-            # routed by commit count (VERDICT r7 #6): small history →
-            # driver BFS (tiny local relation, auto-broadcast); large →
-            # distributed closure filtered to the target. No forced
-            # broadcast — in the large branch one commit's ancestor set
-            # can be nearly the whole history.
+            # per-target ancestry stays the driver BFS (O(N) shas at
+            # any feasible history — the 100k routing threshold is
+            # about closure bitsets, not ancestor sets; r8 review). A
+            # deployment serving MANY at-commit queries persists
+            # `commit_closure` (count-routed driver/distributed) and
+            # passes it as `closure=` to amortize. No forced broadcast
+            # — one commit's ancestor set can be ~the whole history.
             from mcp_vector_search_spark.sources.git_source import ancestor_set_df
 
             anc_df = ancestor_set_df(commits, a["commit_sha"])

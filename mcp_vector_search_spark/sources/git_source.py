@@ -277,33 +277,34 @@ def commit_closure(
 def ancestor_set_df(
     commits: DataFrame,
     commit_sha: str,
-    driver_max_commits: int = ANCESTRY_DRIVER_MAX_COMMITS,
+    closure: DataFrame | None = None,
 ) -> DataFrame:
     """ONE commit's ancestor set as a single-column frame
-    (commit_sha), routed like `commit_closure`: a small history uses
-    the driver BFS (`ancestors_of` — tiny local relation, Spark
-    auto-broadcasts it into downstream semi-joins); a large one
-    filters the distributed closure to the target, staying
-    cluster-bounded (amortize many targets by persisting
-    `commit_closure`). Do NOT force-broadcast the result: in the
-    large branch one commit's ancestor set can be nearly the whole
-    history (r6 rule — never broadcast an O(corpus) table in an
-    O(query) contract). Raises on an unknown sha in both branches —
-    a typo must not become a confident empty result."""
+    (commit_sha). Default: the driver BFS (`ancestors_of`) — O(N)
+    sha strings, NOT the O(N²) closure, so it scales to any history
+    whose parent map fits the driver (millions of commits; the 100k
+    routing threshold is about closure BITSETS and does not apply
+    here — routing a single lookup to a per-call distributed closure
+    would turn an O(N) query into an O(N²) job, r8 review). For
+    REPEATED at-commit queries against a monorepo-scale history, pass
+    `closure` = a persisted `commit_closure` table: the set is then
+    one partition-prunable filter, cluster-side. Do NOT
+    force-broadcast the result in that path: one commit's ancestor
+    set can be nearly the whole history (r6 rule — never broadcast an
+    O(corpus) table in an O(query) contract). Raises on an unknown
+    sha in both branches — a typo must not become a confident empty
+    result."""
     spark = commits.sparkSession
-    if commits.count() <= driver_max_commits:
+    if closure is None:
         return spark.createDataFrame(
             [(s,) for s in ancestors_of(commits, commit_sha)],
             "commit_sha string",
         )
     anc = (
-        commit_ancestry_distributed(commits)
-        .filter(F.col("commit_sha") == commit_sha)
+        closure.filter(F.col("commit_sha") == commit_sha)
         .select(F.col("ancestor_sha").alias("commit_sha"))
     )
-    # the closure is reflexive, so a known sha always has ≥1 row; the
-    # closure frame is localCheckpoint-materialized, so this probe
-    # doesn't re-run the doubling rounds
+    # the closure is reflexive, so a known sha always has ≥1 row
     if anc.isEmpty():
         raise ValueError(f"unknown commit: {commit_sha}")
     return anc

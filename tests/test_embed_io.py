@@ -341,3 +341,17 @@ def test_facade_ingest_spreads_one_file_corpus(spark, tmp_path):
     # spread=False opts out entirely
     proj3 = SparkProject(spark, docs, vecs, spread=False)
     assert proj3.vectors.rdd.getNumPartitions() == 1
+
+
+def test_facade_spread_rejects_unknown_mode(spark):
+    """r8 review: a typo'd spread mode must raise, not silently take
+    the force branch (which probes partition counts — a hidden double
+    execution on derived frames)."""
+    import pytest
+
+    from mcp_vector_search_spark.api import SparkProject
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    vecs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    with pytest.raises(ValueError, match="spread must be"):
+        SparkProject(spark, docs, vecs, spread="Auto")

@@ -279,11 +279,15 @@ def test_commit_closure_routes_by_history_size(spark):
         return sorted(r["commit_sha"] for r in df.collect())
 
     assert anc(ancestor_set_df(commits, "d")) == ["a", "b", "c", "d"]
-    assert anc(ancestor_set_df(commits, "d", driver_max_commits=1)) == [
+    # the amortized monorepo path: a persisted closure answers the
+    # same set as the driver BFS (r8 review: per-target lookups never
+    # route to a per-call distributed closure — O(N) vs O(N²))
+    clo = commit_closure(commits, driver_max_commits=1)
+    assert anc(ancestor_set_df(commits, "d", closure=clo)) == [
         "a", "b", "c", "d",
     ]
     # unknown sha raises in BOTH branches — never a confident empty set
     with pytest.raises(ValueError, match="unknown commit"):
         ancestor_set_df(commits, "nope")
     with pytest.raises(ValueError, match="unknown commit"):
-        ancestor_set_df(commits, "nope", driver_max_commits=1)
+        ancestor_set_df(commits, "nope", closure=clo)
