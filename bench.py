@@ -711,6 +711,62 @@ def sec_ann_big(spark, per_query, mark):
                 topk_per_query_np(big, q, 10))), 3)
         qn.unpersist()
 
+    # --- the DIM axis of the in-memory crossover (r8): the 64-d curve
+    # above shows probing never beats parallel brute at this dim — but
+    # real embedding models are 256-1536-d, where per-row bytes and
+    # flops grow 4-24× while the probed fraction stays fixed. Widen
+    # the same 512K corpus to 256-d (4 deterministically-perturbed
+    # tiles of each 64-d vector) and measure the q2/q8 serving points
+    # both ways. Build reuses the fused one-pass path.
+    from mcp_vector_search_spark.operators.ivf import ivf_build_sampled_packed
+
+    def _tile(c):
+        return F.transform(
+            "embedding",
+            lambda x, i: x + 0.01 * F.sin(
+                F.col("vec_id") * 7.0 + i.cast("double") * 1.7 + c * 13.0
+            ),
+        )
+
+    big256 = big.select(
+        "vec_id",
+        F.flatten(
+            F.array(F.col("embedding"), _tile(1), _tile(2), _tile(3))
+        ).alias("embedding"),
+    ).cache()
+    big256.count()
+    per_query["ann_big256_dim"] = 256
+    t0 = time.time()
+    packed256, cents256 = ivf_build_sampled_packed(big256, num_clusters=256)
+    packed256 = packed256.cache()
+    packed256.count()
+    per_query["ann_big256_ivf_build_sec"] = round(time.time() - t0, 3)
+    q_ids = big_q.select(F.col("query_id").alias("vec_id"))
+    big_q256 = (
+        big256.join(q_ids, "vec_id")
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_vec"),
+        )
+        .cache()
+    )
+    big_q256.count()
+    for nq in (2, 8):
+        qn = big_q256.limit(nq).cache()
+        qn.count()
+        _, _, c2q = _driver_probe_sets(qn, cents256, 20, "query_id", "query_vec")
+        per_query[f"ann_big256_q{nq}_probe_union"] = len(c2q)
+        per_query[f"ann_big256_q{nq}_ivf_sec"] = round(
+            _best_of(spark, 2, lambda q=qn: _noop(ivf_topk_batch_packed(
+                packed256, cents256, q, 10, nprobes=20))), 3)
+        per_query[f"ann_big256_q{nq}_brute_sec"] = round(
+            _best_of(spark, 2, lambda q=qn: _noop(
+                topk_per_query_np(big256, q, 10))), 3)
+        qn.unpersist()
+    big_q256.unpersist()
+    big256.unpersist()
+    packed256.unpersist()
+
     # --- the reproducible IVF win: I/O pruning on a persisted layout.
     # In memory both paths deserialize every cached row (64-dim flops
     # are trivial), so the in-memory timings above fluctuate with
