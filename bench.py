@@ -51,6 +51,10 @@ EXTRA_COMPACT_KEYS = [
     "ann_big_disk_packed_q2_sec",
     "ann_huge_disk_brute_q2_sec",
     "ann_huge_disk_packed_q2_sec",
+    "ann_big256_q2_ivf_sec",
+    "ann_big256_q2_brute_sec",
+    "ann_big256_q8_ivf_sec",
+    "ann_big256_q8_brute_sec",
     "bm25_update_delta_sec",
 ]
 
@@ -621,6 +625,7 @@ def sec_ann_big(spark, per_query, mark):
     from mcp_vector_search_spark.operators.ivf import (
         _driver_probe_sets,
         ivf_build_sampled,
+        ivf_build_sampled_packed,
         ivf_pack,
         ivf_topk_batch_np,
         ivf_topk_batch_packed,
@@ -633,12 +638,16 @@ def sec_ann_big(spark, per_query, mark):
     emb = eio.table(spark, SF_DIR, "embeddings").cache()
     emb.count()
     # warm the sampled-build/pack/scoring kernels untimed on the tiny
-    # raw corpus — ann_big_ivf_build_sec and the pack point are
-    # single-run in a cold subprocess (r8 review; 2x run-to-run
-    # spread observed on the build before this)
+    # raw corpus — ann_big_ivf_build_sec, the pack point, and the
+    # 256-d fused build are single-run in a cold subprocess (r8
+    # review; 2x run-to-run spread observed on the build before this).
+    # Both build shapes are warmed: staged (the timed 64-d build) AND
+    # fused (the timed 256-d build).
     wa, wc = ivf_build_sampled(emb, num_clusters=4)
     wp = ivf_pack(wa).cache()
     wp.count()
+    wpf, _ = ivf_build_sampled_packed(emb, num_clusters=4)
+    wpf.count()
     wq = emb.filter(F.col("vec_id") < 4).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
@@ -710,62 +719,6 @@ def sec_ann_big(spark, per_query, mark):
             _best_of(spark, 2, lambda q=qn: _noop(
                 topk_per_query_np(big, q, 10))), 3)
         qn.unpersist()
-
-    # --- the DIM axis of the in-memory crossover (r8): the 64-d curve
-    # above shows probing never beats parallel brute at this dim — but
-    # real embedding models are 256-1536-d, where per-row bytes and
-    # flops grow 4-24× while the probed fraction stays fixed. Widen
-    # the same 512K corpus to 256-d (4 deterministically-perturbed
-    # tiles of each 64-d vector) and measure the q2/q8 serving points
-    # both ways. Build reuses the fused one-pass path.
-    from mcp_vector_search_spark.operators.ivf import ivf_build_sampled_packed
-
-    def _tile(c):
-        return F.transform(
-            "embedding",
-            lambda x, i: x + 0.01 * F.sin(
-                F.col("vec_id") * 7.0 + i.cast("double") * 1.7 + c * 13.0
-            ),
-        )
-
-    big256 = big.select(
-        "vec_id",
-        F.flatten(
-            F.array(F.col("embedding"), _tile(1), _tile(2), _tile(3))
-        ).alias("embedding"),
-    ).cache()
-    big256.count()
-    per_query["ann_big256_dim"] = 256
-    t0 = time.time()
-    packed256, cents256 = ivf_build_sampled_packed(big256, num_clusters=256)
-    packed256 = packed256.cache()
-    packed256.count()
-    per_query["ann_big256_ivf_build_sec"] = round(time.time() - t0, 3)
-    q_ids = big_q.select(F.col("query_id").alias("vec_id"))
-    big_q256 = (
-        big256.join(q_ids, "vec_id")
-        .select(
-            F.col("vec_id").alias("query_id"),
-            F.col("embedding").alias("query_vec"),
-        )
-        .cache()
-    )
-    big_q256.count()
-    for nq in (2, 8):
-        qn = big_q256.limit(nq).cache()
-        qn.count()
-        _, _, c2q = _driver_probe_sets(qn, cents256, 20, "query_id", "query_vec")
-        per_query[f"ann_big256_q{nq}_probe_union"] = len(c2q)
-        per_query[f"ann_big256_q{nq}_ivf_sec"] = round(
-            _best_of(spark, 2, lambda q=qn: _noop(ivf_topk_batch_packed(
-                packed256, cents256, q, 10, nprobes=20))), 3)
-        per_query[f"ann_big256_q{nq}_brute_sec"] = round(
-            _best_of(spark, 2, lambda q=qn: _noop(
-                topk_per_query_np(big256, q, 10))), 3)
-        qn.unpersist()
-    big_q256.unpersist()
-    big256.unpersist()
-    packed256.unpersist()
 
     # --- the reproducible IVF win: I/O pruning on a persisted layout.
     # In memory both paths deserialize every cached row (64-dim flops
@@ -927,9 +880,79 @@ def sec_ann_big(spark, per_query, mark):
         _sh2.rmtree(fd, ignore_errors=True)
     big_enc.unpersist()
     big_enc_packed.unpersist()
-    big.unpersist()
     big_assigned.unpersist()
     big_packed.unpersist()
+
+    # --- the DIM axis of the in-memory crossover (r8): the 64-d curve
+    # above shows probing never beats parallel brute at this dim — but
+    # real embedding models are 256-1536-d, where per-row bytes and
+    # flops grow 4-24× while the probed fraction stays fixed. Widen
+    # the same 512K corpus to 256-d (4 deterministically-perturbed
+    # tiles of each 64-d vector) and measure the q2/q8 serving points
+    # both ways. Placed LAST in the section so its ~2 GB of cache
+    # churn can't perturb the cross-round-compared disk/ivfpq points
+    # above (r8 review). Build uses the fused one-pass path (warmed in
+    # the section warmup).
+    def _tile(c, vec_col, id_col):
+        return F.transform(
+            vec_col,
+            lambda x, i: x + 0.01 * F.sin(
+                F.col(id_col) * 7.0 + i.cast("double") * 1.7 + c * 13.0
+            ),
+        )
+
+    def _widen(df, vec_col, id_col):
+        return df.select(
+            id_col,
+            F.flatten(F.array(
+                F.col(vec_col),
+                _tile(1, vec_col, id_col),
+                _tile(2, vec_col, id_col),
+                _tile(3, vec_col, id_col),
+            )).alias(vec_col),
+        )
+
+    big256 = _widen(big, "embedding", "vec_id").cache()
+    big256.count()
+    per_query["ann_big256_dim"] = 256
+    t0 = time.time()
+    packed256, cents256 = ivf_build_sampled_packed(big256, num_clusters=256)
+    packed256 = packed256.cache()
+    packed256.count()
+    per_query["ann_big256_ivf_build_sec"] = round(time.time() - t0, 3)
+    # widen the CACHED 64-d query set directly — the tile expression is
+    # a pure function of (id, vector), so these are exactly the
+    # corpus's 256-d rows for the SAME query ids the 64-d curve used
+    # (a corpus join + limit would let join order pick different
+    # queries per run — r8 review)
+    big_q256 = _widen(
+        big_q.select(
+            F.col("query_id").alias("vec_id"),
+            F.col("query_vec").alias("embedding"),
+        ),
+        "embedding", "vec_id",
+    ).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    ).cache()
+    big_q256.count()
+    for nq in (2, 8):
+        qn = big_q256.limit(nq).cache()
+        qn.count()
+        _, _, c2q = _driver_probe_sets(qn, cents256, 20, "query_id", "query_vec")
+        per_query[f"ann_big256_q{nq}_probe_union"] = len(c2q)
+        per_query[f"ann_big256_q{nq}_ivf_sec"] = round(
+            _best_of(spark, 2, lambda q=qn: _noop(ivf_topk_batch_packed(
+                packed256, cents256, q, 10, nprobes=20))), 3)
+        per_query[f"ann_big256_q{nq}_brute_sec"] = round(
+            _best_of(spark, 2, lambda q=qn: _noop(
+                topk_per_query_np(big256, q, 10))), 3)
+        qn.unpersist()
+    big_q256.unpersist()
+    big256.unpersist()
+    packed256.unpersist()
+
+    big.unpersist()
+    big_q.unpersist()
     mark("ann_big_512k")
 
 
