@@ -122,7 +122,17 @@ def cycle_nodes(
     endpoints have in- and out-degree ≥ 1: a node on a directed cycle
     necessarily has both, so the trim never loses a cycle, and it
     deletes every source/sink chain — on sparse import graphs that
-    removes most of the V² pair base."""
+    removes most of the V² pair base.
+
+    The trimmed edge set and each expansion level are materialized
+    with localCheckpoint (r8): as one lazy plan, every union branch
+    and every join level re-executed its whole prefix — the
+    intersect+semi-join trim subtree appeared ~7 times in the
+    max_len=4 plan, and the hits branches re-ran each level's join
+    chain (measured 16-24 s → 2.7-3.5 s at sf0.01, identical rows).
+    Same per-round-materialization practice as `ancestry_closure` and
+    connected components; state is bounded by the V² pair table the
+    algorithm already admits."""
     e0 = edges.select(F.col(src_col).alias("_es"), F.col(dst_col).alias("_ed"))
     both = (
         e0.select(F.col("_es").alias("_n"))
@@ -134,8 +144,13 @@ def cycle_nodes(
         e0.join(both.withColumnRenamed("_n", "_es"), "_es", "left_semi")
         .join(both.withColumnRenamed("_n", "_ed"), "_ed", "left_semi")
         .select("_es", "_ed")
+        .localCheckpoint()
     )
-    pairs = e.select(F.col("_es").alias("origin"), F.col("_ed").alias("node")).distinct()
+    pairs = (
+        e.select(F.col("_es").alias("origin"), F.col("_ed").alias("node"))
+        .distinct()
+        .localCheckpoint()
+    )
     hits = pairs.filter(F.col("origin") == F.col("node")).select(F.col("origin").alias("id"))
     cur = pairs
     for _ in range(2, max_len + 1):
@@ -143,6 +158,7 @@ def cycle_nodes(
             cur.join(e, cur["node"] == e["_es"])
             .select("origin", F.col("_ed").alias("node"))
             .distinct()
+            .localCheckpoint()
         )
         hits = hits.unionByName(
             cur.filter(F.col("origin") == F.col("node")).select(F.col("origin").alias("id"))
