@@ -1223,7 +1223,14 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < BATCH_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
-    brute = topk_per_query(emb, queries, BATCH_K).select("query_id", "vec_id")
+    # materialized once (r8): the 4-path union references brute in
+    # every branch's join AND totals — 8 lazy re-executions of the
+    # full brute top-k before this localCheckpoint
+    brute = (
+        topk_per_query(emb, queries, BATCH_K)
+        .select("query_id", "vec_id")
+        .localCheckpoint()
+    )
 
     assigned, centroids = ivf_build(emb, num_clusters=16)
     ivf = ivf_topk_batch(assigned, centroids, queries, BATCH_K, nprobes=15).select(
@@ -1231,7 +1238,8 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     codebooks = pq_train(emb, m=PQ_GATE_M, k=PQ_GATE_CODES)
-    codes = pq_encode(emb, codebooks)
+    # shared by the pq AND pq5 branches — one encode pass, not four
+    codes = pq_encode(emb, codebooks).localCheckpoint()
     pq = pq_topk_refined(
         emb, codes, codebooks, queries, BATCH_K, rerank_factor=PQ_GATE_RERANK
     ).select("query_id", "vec_id")
@@ -1241,8 +1249,13 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, codes, codebooks, queries, BATCH_K, rerank_factor=PQ_REF5_RERANK
     ).select("query_id", "vec_id")
 
+    # share the coarse quantizer with the ivf row (r8): ivfpq_build
+    # would otherwise refit an IDENTICAL MLlib KMeans (same corpus,
+    # same k, same seed → same deterministic model) — one fewer fit,
+    # bit-identical rows
     encoded, ip_cents, ip_cbs = ivfpq_build(
-        emb, num_clusters=16, m=PQ_GATE_M, k_codes=PQ_GATE_CODES
+        emb, num_clusters=16, m=PQ_GATE_M, k_codes=PQ_GATE_CODES,
+        coarse=(assigned, centroids),
     )
     ivfpq = ivfpq_topk_refined(
         emb,
