@@ -132,10 +132,18 @@ class McpAdapter:
         max_rows: int = 200,
         reports_dir: str = "reports",
         model_name: str | None = None,
+        ancestry_closure_path: str | None = None,
     ):
         self.project = project
         self.repo_path = repo_path
         self.max_rows = max_rows
+        # optional persisted (commit_sha, ancestor_sha) closure table
+        # (write SparkProject.commit_ancestry_table once, offline) —
+        # the amortized monorepo path for repeated at-commit queries:
+        # each lookup becomes one filter of the table instead of a
+        # driver BFS over the parent map (r8)
+        self.ancestry_closure_path = ancestry_closure_path
+        self._ancestry_closure: DataFrame | None = None
         # query-embedding encoder. MUST name the encoder that produced
         # the corpus embeddings — with None (this container) queries
         # use the deterministic fake, which only matches corpora
@@ -186,6 +194,16 @@ class McpAdapter:
 
             self._commits = git_log_df(self.project.spark, self.repo_path)
         return self._commits
+
+    def _closure_df(self) -> DataFrame | None:
+        """The persisted ancestry closure, read once per adapter —
+        None when unconfigured (ancestor_set_df then uses the driver
+        BFS)."""
+        if self._ancestry_closure is None and self.ancestry_closure_path:
+            self._ancestry_closure = self.project.spark.read.parquet(
+                self.ancestry_closure_path
+            )
+        return self._ancestry_closure
 
     def _query_vec(self, text: str) -> DataFrame:
         """1-row (query_vec) frame for the vector legs — embeds the
@@ -463,7 +481,9 @@ class McpAdapter:
             # — one commit's ancestor set can be ~the whole history.
             from mcp_vector_search_spark.sources.git_source import ancestor_set_df
 
-            anc_df = ancestor_set_df(commits, a["commit_sha"])
+            anc_df = ancestor_set_df(
+                commits, a["commit_sha"], closure=self._closure_df()
+            )
             edges = self._edges().filter(F.col("dst") == a["entity_name"])
             live = chunks.join(anc_df, "commit_sha", "left_semi")
             edges = edges.join(

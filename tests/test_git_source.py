@@ -291,3 +291,25 @@ def test_commit_closure_routes_by_history_size(spark):
         ancestor_set_df(commits, "nope")
     with pytest.raises(ValueError, match="unknown commit"):
         ancestor_set_df(commits, "nope", closure=clo)
+
+
+def test_ancestor_set_from_persisted_closure(spark, tmp_path):
+    """r8: the amortized monorepo path round-trips — persist
+    commit_closure once, answer per-target lookups from the parquet
+    table (the shape McpAdapter's ancestry_closure_path serves)."""
+    from mcp_vector_search_spark.sources.git_source import (
+        ancestor_set_df,
+        commit_closure,
+    )
+
+    commits = spark.createDataFrame(
+        [("a", []), ("b", ["a"]), ("c", ["b"])],
+        "commit_sha string, parent_shas array<string>",
+    )
+    p = str(tmp_path / "closure.parquet")
+    commit_closure(commits).write.parquet(p)
+    clo = spark.read.parquet(p)
+    got = sorted(
+        r["commit_sha"] for r in ancestor_set_df(commits, "c", closure=clo).collect()
+    )
+    assert got == ["a", "b", "c"]
