@@ -445,8 +445,17 @@ class McpAdapter:
                 cap,
             )
         if name in ("kg_history", "kg_callers_at_commit"):
-            commits = self._commits_df()
-            if commits is None:
+            closure = self._closure_df() if name == "kg_callers_at_commit" else None
+            # kg_history (and the BFS ancestry branch) need the git
+            # log; the closure-served branch does NOT — a
+            # closure-only deployment (no repo checkout) must still
+            # answer at-commit queries, and with a checkout present
+            # the per-query path must not pay a monorepo-scale
+            # `git log` parse the closure lookup never reads (r8
+            # review). The log is loaded lazily only as the
+            # stale-closure fallback.
+            commits = None if closure is not None else self._commits_df()
+            if closure is None and commits is None:
                 return {
                     "ok": False,
                     "error": "git-temporal tool needs a repo_path configured "
@@ -477,13 +486,27 @@ class McpAdapter:
             # about closure bitsets, not ancestor sets; r8 review). A
             # deployment serving MANY at-commit queries persists
             # `commit_closure` (count-routed driver/distributed) and
-            # passes it as `closure=` to amortize. No forced broadcast
-            # — one commit's ancestor set can be ~the whole history.
+            # configures ancestry_closure_path to amortize. No forced
+            # broadcast — one commit's ancestor set can be ~the whole
+            # history.
             from mcp_vector_search_spark.sources.git_source import ancestor_set_df
 
-            anc_df = ancestor_set_df(
-                commits, a["commit_sha"], closure=self._closure_df()
-            )
+            try:
+                anc_df = ancestor_set_df(
+                    commits, a["commit_sha"], closure=closure
+                )
+            except ValueError as e:
+                if closure is None or "absent from the persisted closure" not in str(e):
+                    raise
+                # stale closure + a repo checkout available: fall back
+                # to the live git log's driver BFS (r8 review — a
+                # closure persisted at T0 must not turn a T1 commit
+                # into an 'unknown commit' error when the adapter can
+                # answer correctly)
+                commits = self._commits_df()
+                if commits is None:
+                    raise
+                anc_df = ancestor_set_df(commits, a["commit_sha"])
             edges = self._edges().filter(F.col("dst") == a["entity_name"])
             live = chunks.join(anc_df, "commit_sha", "left_semi")
             edges = edges.join(

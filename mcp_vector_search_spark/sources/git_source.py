@@ -275,7 +275,7 @@ def commit_closure(
 
 
 def ancestor_set_df(
-    commits: DataFrame,
+    commits: DataFrame | None,
     commit_sha: str,
     closure: DataFrame | None = None,
 ) -> DataFrame:
@@ -288,25 +288,41 @@ def ancestor_set_df(
     would turn an O(N) query into an O(N²) job, r8 review). For
     REPEATED at-commit queries against a monorepo-scale history, pass
     `closure` = a persisted `commit_closure` table: the set is then
-    one partition-prunable filter, cluster-side. Do NOT
+    one partition-prunable filter, cluster-side, materialized ONCE
+    (localCheckpoint) so validation and the caller's downstream join
+    don't each re-scan the closure (r8 review #2). Do NOT
     force-broadcast the result in that path: one commit's ancestor
     set can be nearly the whole history (r6 rule — never broadcast an
-    O(corpus) table in an O(query) contract). Raises on an unknown
-    sha in both branches — a typo must not become a confident empty
-    result."""
-    spark = commits.sparkSession
+    O(corpus) table in an O(query) contract).
+
+    A sha ABSENT from the closure falls back to the driver BFS over
+    `commits` when available — a closure persisted at T0 must not
+    turn commits created at T1 into 'unknown commit' errors (r8
+    review #1); the BFS still raises on a genuinely unknown sha.
+    With `commits=None` (closure-only serving, no repo checkout) the
+    absence raises with the stale-or-unknown diagnosis instead."""
     if closure is None:
-        return spark.createDataFrame(
+        if commits is None:
+            raise ValueError(
+                "ancestor_set_df needs `commits` when no closure is given"
+            )
+        return commits.sparkSession.createDataFrame(
             [(s,) for s in ancestors_of(commits, commit_sha)],
             "commit_sha string",
         )
     anc = (
         closure.filter(F.col("commit_sha") == commit_sha)
         .select(F.col("ancestor_sha").alias("commit_sha"))
+        .localCheckpoint()
     )
     # the closure is reflexive, so a known sha always has ≥1 row
     if anc.isEmpty():
-        raise ValueError(f"unknown commit: {commit_sha}")
+        if commits is not None:
+            return ancestor_set_df(commits, commit_sha, closure=None)
+        raise ValueError(
+            f"commit {commit_sha} is absent from the persisted closure — "
+            "stale closure (re-persist commit_closure) or unknown sha"
+        )
     return anc
 
 

@@ -224,3 +224,69 @@ def test_index_project_extension_filter(spark):
     ad._ext_pattern = None
     again = ad.call_tool("index_project", {"force": True})
     assert again["indexed_chunks"] == full
+
+
+def test_kg_callers_at_commit_serves_from_persisted_closure(spark, tmp_path):
+    """r8: the full closure-served temporal path — ancestor-scoped
+    callers answered from a persisted commit_closure table (no git-log
+    parse on the query path), with the stale-closure fallback to the
+    live driver BFS when the repo gains commits after the closure was
+    persisted."""
+    from tests.test_git_source import _init_repo
+
+    from mcp_vector_search_spark.sources.git_source import (
+        commit_closure,
+        git_log_df,
+    )
+
+    repo = _init_repo(tmp_path / "repo")  # linear c0 -> c1 -> c2
+    commits = git_log_df(spark, str(repo))
+    by_subject = {r.subject: r.commit_sha for r in commits.collect()}
+    closure_p = str(tmp_path / "closure.parquet")
+    commit_closure(commits).write.parquet(closure_p)
+
+    ad = _adapter(spark)
+    ad.repo_path = str(repo)
+    ad.ancestry_closure_path = closure_p
+    # chunks carrying commit_sha: f_old created at c0, f_new at c2
+    ad._chunks = spark.createDataFrame(
+        [("f_old", by_subject["c0"]), ("f_new", by_subject["c2"])],
+        "name string, commit_sha string",
+    )
+    ad.project._kg_edges = spark.createDataFrame(
+        [("f_old", "target"), ("f_new", "target")], "src string, dst string"
+    )
+
+    # at c1, only f_old (created at ancestor c0) may call target;
+    # f_new (created at the NON-ancestor c2) must be excluded
+    r = ad.call_tool(
+        "kg_callers_at_commit",
+        {"entity_name": "target", "commit_sha": by_subject["c1"]},
+    )
+    assert r["ok"]
+    srcs = {row[r["columns"].index("src")] for row in r["rows"]}
+    assert srcs == {"f_old"}
+
+    # stale closure: a commit created AFTER the closure was persisted
+    # still answers via the live-git-log fallback
+    import subprocess
+
+    (repo / "f3.txt").write_text("3")
+    subprocess.run(["git", "-C", str(repo), "add", "."], check=True,
+                   capture_output=True)
+    subprocess.run(["git", "-C", str(repo), "commit", "-q", "-m", "c3"],
+                   check=True, capture_output=True)
+    c3 = subprocess.run(["git", "-C", str(repo), "rev-parse", "HEAD"],
+                        check=True, capture_output=True, text=True).stdout.strip()
+    r2 = ad.call_tool(
+        "kg_callers_at_commit", {"entity_name": "target", "commit_sha": c3}
+    )
+    assert r2["ok"]
+    srcs2 = {row[r2["columns"].index("src")] for row in r2["rows"]}
+    assert srcs2 == {"f_old", "f_new"}  # c3 descends from everything
+
+    # a genuinely unknown sha is an error, not an empty answer
+    r3 = ad.call_tool(
+        "kg_callers_at_commit", {"entity_name": "target", "commit_sha": "dead"}
+    )
+    assert not r3["ok"] and "unknown commit" in r3["error"]
