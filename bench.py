@@ -1401,7 +1401,14 @@ def _orchestrate() -> None:
 def main():
     argv = sys.argv[1:]
     if "--section" in argv:
-        name = argv[argv.index("--section") + 1]
+        idx = argv.index("--section")
+        if idx + 1 >= len(argv) or argv[idx + 1] not in SECTIONS:
+            print(
+                f"usage: bench.py --section {{{','.join(SECTION_ORDER)}}}",
+                file=sys.stderr,
+            )
+            sys.exit(2)
+        name = argv[idx + 1]
         per_query = run_sections([name])
         # one JSON line, parsed by the orchestrator parent
         print(json.dumps(
