@@ -27,7 +27,7 @@ def bfs_min_hops(
     max_hops: int,
     src_col: str = "src",
     dst_col: str = "dst",
-    checkpoint_every: int | None = 4,
+    checkpoint_every: int | None = 2,
 ) -> DataFrame:
     """All nodes reachable from `start_ids(id)` within `max_hops` →
     (id, hop = first-discovery depth). Start nodes have hop 0.
@@ -35,8 +35,13 @@ def bfs_min_hops(
     `max_hops` rounds of join+union; each round dedupes by min hop so
     the frontier never regrows through cycles. Hops are bounded small
     (reference caps at 8), so the loop unrolls into one Catalyst plan,
-    truncated every `checkpoint_every` hops.
-    """
+    truncated every `checkpoint_every` hops. The truncation interval
+    matters because each round references `visited` TWICE (union
+    input + frontier filter), so lineage replicates ×2 per hop
+    between checkpoints — every-4 allowed 16× subtree replication and
+    measured 3.9-8.1 s on the sf0.1 call graph where every-2 (still
+    lazy) runs 2.3-2.8 s, identical rows (r8; the cycle_nodes family
+    rule in PLANS.md)."""
     visited = start_ids.select(F.col("id"), F.lit(0).alias("hop"))
     frontier = visited
     for h in range(1, max_hops + 1):
