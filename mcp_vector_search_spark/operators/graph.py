@@ -227,6 +227,11 @@ def trace_paths(
                 F.lit(d).alias("depth"),
             )
             .distinct()
+            # each level is referenced TWICE (the out union + the next
+            # level's join input) — ×2 lineage replication per depth,
+            # 256× at the reference's depth-8 cap without this lazy
+            # truncation (r8; the family rule in PLANS.md)
+            .localCheckpoint(eager=False)
         )
         out = out.unionByName(nxt.select("path", "depth"))
         cur = nxt
