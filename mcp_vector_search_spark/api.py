@@ -40,20 +40,28 @@ class SparkProject:
         is safe to probe; False opts out entirely."""
         from mcp_vector_search_spark import io as _io
 
-        if spread not in (True, False, "auto"):
+        if not (spread is True or spread is False or spread == "auto"):
             # a typo'd mode ("Auto", "off", "none") must not silently
             # take the force branch — forced spread probes partition
             # counts, which on a derived frame is the hidden double
-            # execution the auto guard exists to prevent (r8 review)
+            # execution the auto guard exists to prevent (r8 review).
+            # Identity checks, not `in`: 1 == True / 0 == False in
+            # Python, so a membership test lets ints through (r8 ADVICE)
             raise ValueError(
                 f"spread must be True, False, or 'auto', got {spread!r}"
             )
         if spread == "auto":
             docs = _io.spread_if_raw(docs)
             vectors = _io.spread_if_raw(vectors)
+            if chunk_meta is not None:
+                # chunk_meta feeds the same full-corpus Arrow kernels
+                # (search_context chunk scoring) — same trap, same fix
+                chunk_meta = _io.spread_if_raw(chunk_meta)
         elif spread:
             docs = _io.spread(docs)
             vectors = _io.spread(vectors)
+            if chunk_meta is not None:
+                chunk_meta = _io.spread(chunk_meta)
         self.spark = spark
         self.docs = docs
         self.vectors = vectors

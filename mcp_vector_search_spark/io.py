@@ -94,7 +94,14 @@ def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
 # frame is a hidden double execution.
 _RAW_SCAN_NODES = frozenset(
     {"Relation", "LogicalRelation", "Project", "Filter", "SubqueryAlias",
-     "View", "LogicalRDD"}
+     "View", "LogicalRDD",
+     # DataSourceV2 reads print as RelationV2 / DataSourceV2Relation in
+     # the analyzed plan — without them auto-spread silently no-ops for
+     # v2 sources and the single-small-file trap returns (r8 ADVICE).
+     "RelationV2", "DataSourceV2Relation",
+     # limits are narrow (no shuffle to materialize under the probe);
+     # a limited raw scan is still safe to probe and repartition
+     "GlobalLimit", "LocalLimit"}
 )
 
 

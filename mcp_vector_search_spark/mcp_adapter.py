@@ -489,20 +489,22 @@ class McpAdapter:
             # configures ancestry_closure_path to amortize. No forced
             # broadcast — one commit's ancestor set can be ~the whole
             # history.
-            from mcp_vector_search_spark.sources.git_source import ancestor_set_df
+            from mcp_vector_search_spark.sources.git_source import (
+                StaleClosureError,
+                ancestor_set_df,
+            )
 
             try:
                 anc_df = ancestor_set_df(
                     commits, a["commit_sha"], closure=closure
                 )
-            except ValueError as e:
-                if closure is None or "absent from the persisted closure" not in str(e):
-                    raise
+            except StaleClosureError:
                 # stale closure + a repo checkout available: fall back
                 # to the live git log's driver BFS (r8 review — a
                 # closure persisted at T0 must not turn a T1 commit
                 # into an 'unknown commit' error when the adapter can
-                # answer correctly)
+                # answer correctly). Typed catch, not a message
+                # substring (r8 ADVICE).
                 commits = self._commits_df()
                 if commits is None:
                     raise
@@ -512,7 +514,14 @@ class McpAdapter:
             edges = edges.join(
                 live.select(F.col("name").alias("src")).distinct(), "src", "left_semi"
             )
-            return df_payload(edges, cap)
+            try:
+                return df_payload(edges, cap)
+            finally:
+                # the closure branch returns a CACHED set — release it
+                # once the payload is materialized so a long-lived
+                # adapter doesn't accumulate per-sha cache entries
+                # (no-op on the uncached BFS branch)
+                anc_df.unpersist()
         raise ValueError(f"unhandled tool {name}")  # pragma: no cover
 
 

@@ -274,6 +274,14 @@ def commit_closure(
     return commit_ancestry_distributed(commits)
 
 
+class StaleClosureError(ValueError):
+    """The asked sha is absent from a persisted closure — stale
+    closure (re-persist `commit_closure`) or genuinely unknown sha.
+    A dedicated type so callers (mcp_adapter's live-BFS fallback)
+    catch the CONDITION, not a message substring that silently stops
+    matching on reword (r8 ADVICE)."""
+
+
 def ancestor_set_df(
     commits: DataFrame | None,
     commit_sha: str,
@@ -310,16 +318,23 @@ def ancestor_set_df(
             [(s,) for s in ancestors_of(commits, commit_sha)],
             "commit_sha string",
         )
+    # cache, NOT localCheckpoint: each filter partition is computed at
+    # most once across the isEmpty probe + the caller's join (same
+    # one-scan contract, r8 review #2), but a cache is RELEASABLE — a
+    # long-lived adapter serving many at-commit lookups unpersists
+    # after materializing its payload, where a checkpointed RDD would
+    # pin executor storage until driver GC (r8 ADVICE)
     anc = (
         closure.filter(F.col("commit_sha") == commit_sha)
         .select(F.col("ancestor_sha").alias("commit_sha"))
-        .localCheckpoint()
+        .cache()
     )
     # the closure is reflexive, so a known sha always has ≥1 row
     if anc.isEmpty():
+        anc.unpersist()
         if commits is not None:
             return ancestor_set_df(commits, commit_sha, closure=None)
-        raise ValueError(
+        raise StaleClosureError(
             f"commit {commit_sha} is absent from the persisted closure — "
             "stale closure (re-persist commit_closure) or unknown sha"
         )

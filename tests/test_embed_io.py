@@ -304,6 +304,9 @@ def test_spread_if_raw_classifies_plans(spark, tmp_path):
     joined = raw.join(raw.select("doc_id"), "doc_id")
     assert not _is_raw_scan(joined)
     assert spread_if_raw(joined) is joined
+    # limits are narrow — still probe-safe raw scans (r8 ADVICE)
+    assert _is_raw_scan(raw.limit(50))
+    assert spread_if_raw(raw.limit(50)).count() == 50
 
 
 def test_facade_ingest_spreads_one_file_corpus(spark, tmp_path):
@@ -341,6 +344,13 @@ def test_facade_ingest_spreads_one_file_corpus(spark, tmp_path):
     # spread=False opts out entirely
     proj3 = SparkProject(spark, docs, vecs, spread=False)
     assert proj3.vectors.rdd.getNumPartitions() == 1
+    # chunk_meta is ingested through the same spread path (r8 ADVICE —
+    # it feeds the same full-corpus chunk kernels as docs/vectors)
+    cm = spark.read.parquet(docs_p).select(
+        F.col("doc_id").alias("chunk_id"), "text"
+    )
+    proj4 = SparkProject(spark, docs, vecs, chunk_meta=cm)
+    assert proj4.chunk_meta.rdd.getNumPartitions() >= par
 
 
 def test_facade_spread_rejects_unknown_mode(spark):
@@ -355,3 +365,9 @@ def test_facade_spread_rejects_unknown_mode(spark):
     vecs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     with pytest.raises(ValueError, match="spread must be"):
         SparkProject(spark, docs, vecs, spread="Auto")
+    # 1 == True and 0 == False in Python: ints must NOT slip through a
+    # membership test into the force / opt-out branches (r8 ADVICE)
+    with pytest.raises(ValueError, match="spread must be"):
+        SparkProject(spark, docs, vecs, spread=1)
+    with pytest.raises(ValueError, match="spread must be"):
+        SparkProject(spark, docs, vecs, spread=0)

@@ -309,7 +309,39 @@ def test_ancestor_set_from_persisted_closure(spark, tmp_path):
     p = str(tmp_path / "closure.parquet")
     commit_closure(commits).write.parquet(p)
     clo = spark.read.parquet(p)
-    got = sorted(
-        r["commit_sha"] for r in ancestor_set_df(commits, "c", closure=clo).collect()
-    )
+    anc = ancestor_set_df(commits, "c", closure=clo)
+    got = sorted(r["commit_sha"] for r in anc.collect())
     assert got == ["a", "b", "c"]
+    # the closure branch returns a RELEASABLE cached frame, not a
+    # checkpoint that pins executor storage until driver GC (r8
+    # ADVICE) — a serving loop unpersists it after materializing
+    assert anc.storageLevel.useMemory
+    anc.unpersist()
+    assert not anc.storageLevel.useMemory
+
+
+def test_stale_closure_raises_typed_error(spark):
+    """r8 ADVICE: the stale-closure condition is a dedicated exception
+    type (StaleClosureError), so the adapter's live-BFS fallback
+    catches the CONDITION rather than a message substring."""
+    import pytest
+
+    from mcp_vector_search_spark.sources.git_source import (
+        StaleClosureError,
+        ancestor_set_df,
+        commit_closure,
+    )
+
+    commits = spark.createDataFrame(
+        [("a", []), ("b", ["a"])],
+        "commit_sha string, parent_shas array<string>",
+    )
+    clo = commit_closure(commits)
+    # closure-only serving (no commits): absence is the typed error
+    with pytest.raises(StaleClosureError):
+        ancestor_set_df(None, "fresh-sha", closure=clo)
+    assert issubclass(StaleClosureError, ValueError)
+    # with commits available the same absence falls back to live BFS,
+    # which still raises (plain ValueError) on a genuinely unknown sha
+    with pytest.raises(ValueError, match="unknown commit"):
+        ancestor_set_df(commits, "fresh-sha", closure=clo)
