@@ -56,7 +56,74 @@ EXTRA_COMPACT_KEYS = [
     "ann_big256_q8_ivf_sec",
     "ann_big256_q8_brute_sec",
     "bm25_update_delta_sec",
+    # r9: the regime-router rows (VERDICT r8 #2) — auto must read
+    # "brute" at the cached sub-crossover 512K corpus and "probe" on
+    # the persisted 4M layout, with the routed time tracking brute
+    "ann_big_auto_route_choice",
+    "ann_big_auto_route_sec",
+    "ann_huge_disk_auto_route_choice",
 ]
+
+# --- shared-box contention defense (r9, VERDICT r8 #1). The r8
+# official record was produced during neighbor contention (loadavg
+# 11.5; hybrid_scale_tbl 7.56 qps vs the 33.5-50.2 isolated band) and
+# nothing in the record said so. Every section now times a fixed
+# CPU canary (threaded-BLAS matmul — the same resource our kernels
+# contend for) before its Spark session starts and after its work
+# ends; the orchestrator compares both against a bench-start baseline.
+# A flagged serving section is re-run ONCE (first-run serving rows
+# preserved under *_run1); a still-flagged section stamps
+# section_<name>_contended into the record and the compact line, so a
+# reader can never mistake a contended population for a clean one.
+# loadavg is recorded for diagnosis but NOT used to decide: between
+# back-to-back sections the 1-minute average still carries OUR OWN
+# previous section's load, while the canary runs when nothing of ours
+# is active.
+CANARY_RATIO_MAX = 1.5
+
+# serving sections eligible for the one automatic re-run, with the
+# first-run rows worth preserving when the re-run supersedes them
+RETRY_ON_CONTENTION = {
+    "core": [
+        "hybrid_rrf_warm_served",
+        "hybrid_batch_tbl_qps",
+        "hybrid_batch_ann_qps",
+    ],
+    "hybrid_scale": ["hybrid_scale_tbl_qps", "hybrid_scale_ann_qps"],
+}
+
+
+def _canary_sec() -> float:
+    """Fixed-size matmul wall time, best of 3 — deterministic input,
+    no Spark, no JVM: inflation here can only mean the box's CPUs are
+    busy with something that isn't us."""
+    import numpy as np
+
+    a = np.full((1536, 1536), 0.5)
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        (a @ a).sum()
+        best = min(best, time.perf_counter() - t0)
+    return round(best, 4)
+
+
+def _loadavg1() -> float:
+    try:
+        return round(os.getloadavg()[0], 2)
+    except OSError:  # pragma: no cover — not available on some OSes
+        return -1.0
+
+
+def _canary_contended(qrec: dict, baseline: float) -> bool:
+    """True when either of a section's canaries ran >CANARY_RATIO_MAX
+    slower than the bench-start baseline."""
+    vals = [
+        qrec.get("sect_canary_start_sec"), qrec.get("sect_canary_end_sec")
+    ]
+    vals = [v for v in vals if v is not None]
+    return bool(vals) and baseline > 0 and max(vals) > CANARY_RATIO_MAX * baseline
+
 
 HEADLINE = [
     "bm25_topk",
@@ -272,6 +339,15 @@ def sec_core(spark, per_query, mark):
     from mcp_vector_search_spark.registry import QUERY_TERMS, SPARK_QUERIES
 
     _warm_codegen(spark, HEADLINE)
+    # r9 (VERDICT r8 #7): the heaviest headline plans get a SECOND
+    # untimed sf0.001 pass — one execution compiles their widest
+    # stages at the C1 tier, and the timed sf0.1 run was paying the
+    # C2 escalation (+8-29% headline drift in the cold-subprocess r8
+    # record). Two passes at sf0.001 cost ~2 s; the timed rows keep
+    # their cold-at-SF_DIR data semantics.
+    _warm_codegen(
+        spark, ["minhash_jaccard", "bfs", "neighbor_jaccard", "hybrid_rrf"]
+    )
     mark("warmup")
 
     # (the official headline total is derived from these keys in ONE
@@ -795,6 +871,25 @@ def sec_ann_big(spark, per_query, mark):
         len(big_truth & big_approx) / max(len(big_truth), 1), 4
     )
 
+    # --- r9 (VERDICT r8 #2): the façade's regime router on this
+    # corpus. 512K×64-d packs ~262 MB — far below the measured
+    # ~4.5 GB/node in-memory break-even — so search_batch(route=
+    # "auto") serves the brute kernel even though a float-IVF layout
+    # is memoized. The pre-r9 façade always probed here, paying
+    # ann_big_ivf_sec where ann_big_brute_sec was available; the two
+    # plans are row-identical (shared oracle), so the row below should
+    # track ann_big_brute_sec, not ann_big_ivf_sec.
+    from mcp_vector_search_spark.api import SparkProject
+
+    proj = SparkProject(spark, big, big, spread=False)
+    proj._ivf_layout = (big_packed, big_cents, "packed")
+    per_query["ann_big_auto_route_choice"] = proj.ann_serving_regime(
+        batch_size=n_big_q
+    )["regime"]
+    per_query["ann_big_auto_route_sec"] = round(
+        _best_of(spark, 2, lambda: _noop(proj.search_batch(big_q, 10))), 3
+    )
+
     # IVF-PQ on the same layout: residual-PQ encode on top of the
     # existing coarse quantizer (no KMeans refit), ADC scan of codes
     # (m bytes/vector instead of d floats) + exact rerank ×5. At 100 TB
@@ -1097,12 +1192,8 @@ def sec_ann_huge(spark, per_query, mark):
 
     from mcp_vector_search_spark import io as eio
     from mcp_vector_search_spark.operators.ivf import (
-        _driver_probe_sets,
         ivf_build_sampled_packed,
-        ivf_pack_fused,
         ivf_topk_batch_packed,
-        read_ivf_layout,
-        write_ivf_layout,
     )
     from mcp_vector_search_spark.operators.topk import topk_per_query_np
 
@@ -1128,6 +1219,57 @@ def sec_ann_huge(spark, per_query, mark):
     per_query["ann_huge_n_vectors"] = n_huge
     huge_q = _inflated_queries(huge, HUGE_INFLATE, 128).cache()
     n_huge_q = huge_q.count()
+
+    # r9 (VERDICT r8 #3): write the flat ~2.1 GB disk corpus FIRST and
+    # measure the disk-brute point LAST — in r8 the flat parquet was
+    # written moments before being read, so the "cold storage" brute
+    # side was page-cache-warm to an uncontrolled degree (3.2–19.8 s
+    # spread across runs). Everything between the write and the
+    # measurement (two 128-query brute passes, the fused build, probe
+    # runs, the f32 pack — tens of GB of heap/cache traffic) now
+    # evicts those pages; the gap is recorded alongside the number so
+    # the record names its regime.
+    import shutil as _sh
+    import tempfile as _tf
+
+    layout_dir = _tf.mkdtemp(prefix="bench_huge_layout_")
+    flat_p = f"{layout_dir}/flat"
+    huge.select("vec_id", "embedding").write.parquet(flat_p)
+    _flat_written_at = time.time()
+    try:
+        _sec_ann_huge_body(
+            spark, per_query, huge, huge_q, n_huge_q, layout_dir,
+            flat_p, _flat_written_at,
+        )
+    finally:
+        _sh.rmtree(layout_dir, ignore_errors=True)
+
+    huge.unpersist()
+    huge_q.unpersist()
+    mark("ann_huge_4m")
+
+
+def _sec_ann_huge_body(
+    spark, per_query, huge, huge_q, n_huge_q, layout_dir, flat_p,
+    _flat_written_at,
+):
+    """The ann_huge work between the early flat-corpus write and the
+    tempdir cleanup — split out so the page-cache-controlled disk
+    points sit inside one try/finally with the write (a mid-section
+    failure must not leak the ~2.1 GB tempdir)."""
+    from pyspark.sql import functions as F
+
+    from mcp_vector_search_spark.operators.ivf import (
+        _driver_probe_sets,
+        choose_ann_route,
+        ivf_build_sampled_packed,
+        ivf_pack_fused,
+        ivf_topk_batch_packed,
+        read_ivf_layout,
+        write_ivf_layout,
+    )
+    from mcp_vector_search_spark.operators.topk import topk_per_query_np
+
     per_query["ann_huge_brute_runs"] = _runs_of(
         spark, 2, lambda: _noop(topk_per_query_np(huge, huge_q, 10)))
     per_query["ann_huge_brute_sec"] = min(per_query["ann_huge_brute_runs"])
@@ -1194,38 +1336,41 @@ def sec_ann_huge(spark, per_query, mark):
     # probe filter prunes to ≤40 of 512 physical partitions. This is
     # the layout's honest win at the serving shape a 100 TB system
     # actually faces: concentrated lookups against cold storage.
-    import shutil as _sh
-    import tempfile as _tf
-
+    # r9: the flat corpus was written at SECTION START (see caller) —
+    # the disk points run here, after the section's heavy work, so
+    # the brute scan no longer reads pages the write just populated.
+    # Measurement order inside the pair: packed first, brute LAST
+    # (brute is the page-cache-sensitive side).
     _quiesce(spark)
-    layout_dir = _tf.mkdtemp(prefix="bench_huge_layout_")
-    try:
-        flat_p = f"{layout_dir}/flat"
-        huge.select("vec_id", "embedding").write.parquet(flat_p)
-        write_ivf_layout(huge_packed, huge_cents, f"{layout_dir}/packed")
-        flat_df = spark.read.parquet(flat_p)
-        pk_df, pk_cents = read_ivf_layout(spark, f"{layout_dir}/packed")
-        hq2 = huge_q.limit(2).cache()
-        hq2.count()
-        _, _, q2_probe = _driver_probe_sets(
-            hq2, pk_cents, 20, "query_id", "query_vec"
-        )
-        per_query["ann_huge_disk_q2_probed"] = len(q2_probe)  # of 512
-        t0 = time.time()
-        _noop(topk_per_query_np(flat_df, hq2, 10))
-        per_query["ann_huge_disk_brute_q2_sec"] = round(time.time() - t0, 3)
-        t0 = time.time()
-        _noop(ivf_topk_batch_packed(pk_df, pk_cents, hq2, 10, nprobes=20))
-        per_query["ann_huge_disk_packed_q2_sec"] = round(time.time() - t0, 3)
-        hq2.unpersist()
-    finally:
-        _sh.rmtree(layout_dir, ignore_errors=True)
+    write_ivf_layout(huge_packed, huge_cents, f"{layout_dir}/packed")
+    flat_df = spark.read.parquet(flat_p)
+    pk_df, pk_cents = read_ivf_layout(spark, f"{layout_dir}/packed")
+    hq2 = huge_q.limit(2).cache()
+    hq2.count()
+    _, _, q2_probe = _driver_probe_sets(
+        hq2, pk_cents, 20, "query_id", "query_vec"
+    )
+    per_query["ann_huge_disk_q2_probed"] = len(q2_probe)  # of 512
+    # r9 (VERDICT r8 #2): the route decision for a PERSISTED layout —
+    # partition pruning is physical on disk, so the router probes at
+    # any corpus size or batch shape; the brute-vs-packed pair below
+    # is exactly the cost of ignoring that decision
+    per_query["ann_huge_disk_auto_route_choice"] = choose_ann_route(
+        _du(flat_p), len(q2_probe) / 512, on_disk=True
+    )
+    t0 = time.time()
+    _noop(ivf_topk_batch_packed(pk_df, pk_cents, hq2, 10, nprobes=20))
+    per_query["ann_huge_disk_packed_q2_sec"] = round(time.time() - t0, 3)
+    per_query["ann_huge_disk_flat_write_gap_sec"] = round(
+        time.time() - _flat_written_at, 1
+    )
+    t0 = time.time()
+    _noop(topk_per_query_np(flat_df, hq2, 10))
+    per_query["ann_huge_disk_brute_q2_sec"] = round(time.time() - t0, 3)
+    hq2.unpersist()
 
-    huge.unpersist()
-    huge_q.unpersist()
     huge_packed.unpersist()
     huge_packed32.unpersist()
-    mark("ann_huge_4m")
 
 
 def sec_sf1(spark, per_query, mark):
@@ -1350,36 +1495,86 @@ def _total_of(per_query: dict) -> float:
     return total
 
 
+def _run_section_subprocess(me: str, name: str, merged: dict):
+    """Spawn one section subprocess; return its queries dict or None
+    (recording section_<name>_error on failure)."""
+    rec = None
+    try:
+        proc = subprocess.run(
+            [sys.executable, me, "--section", name],
+            capture_output=True, text=True, timeout=3600,
+        )
+        for line in reversed(proc.stdout.strip().splitlines()):
+            line = line.strip()
+            if line.startswith("{"):
+                try:
+                    rec = json.loads(line)
+                    break
+                except json.JSONDecodeError:
+                    continue
+        if proc.returncode != 0 or rec is None:
+            tail = (proc.stderr or "")[-400:].replace("\n", " | ")
+            merged[f"section_{name}_error"] = f"rc={proc.returncode} {tail}"
+            return None
+    except subprocess.TimeoutExpired:
+        merged[f"section_{name}_error"] = "timeout after 3600s"
+        return None
+    return rec.get("queries", {})
+
+
 def _orchestrate() -> None:
     """Run every section as its own subprocess (fresh JVM each) and
-    merge the per-section records — see the module docstring for why."""
+    merge the per-section records — see the module docstring for why.
+    r9 (VERDICT r8 #1): each section's canary pair is checked against
+    the bench-start baseline; a contended serving section gets ONE
+    re-run (first-run serving rows kept under *_run1), and a record
+    produced under contention says so in its own keys."""
     t_start = time.time()
     merged: dict = {}
     me = os.path.abspath(__file__)
+    baseline = _canary_sec()
+    merged["canary_baseline_sec"] = baseline
+    merged["loadavg_bench_start"] = _loadavg1()
     for name in SECTION_ORDER:
         t0 = time.time()
         print(f"[bench] section {name} ...", file=sys.stderr, flush=True)
-        rec = None
-        try:
-            proc = subprocess.run(
-                [sys.executable, me, "--section", name],
-                capture_output=True, text=True, timeout=3600,
-            )
-            for line in reversed(proc.stdout.strip().splitlines()):
-                line = line.strip()
-                if line.startswith("{"):
-                    try:
-                        rec = json.loads(line)
-                        break
-                    except json.JSONDecodeError:
-                        continue
-            if proc.returncode != 0 or rec is None:
-                tail = (proc.stderr or "")[-400:].replace("\n", " | ")
-                merged[f"section_{name}_error"] = f"rc={proc.returncode} {tail}"
-        except subprocess.TimeoutExpired:
-            merged[f"section_{name}_error"] = "timeout after 3600s"
-        if rec is not None:
-            merged.update(rec.get("queries", {}))
+        qrec = _run_section_subprocess(me, name, merged)
+        if qrec is not None and _canary_contended(qrec, baseline):
+            retry_keys = RETRY_ON_CONTENTION.get(name)
+            if retry_keys is not None:
+                print(
+                    f"[bench] section {name} CONTENDED "
+                    f"(canary {qrec.get('sect_canary_start_sec')}/"
+                    f"{qrec.get('sect_canary_end_sec')} vs baseline "
+                    f"{baseline}) — re-running once",
+                    file=sys.stderr, flush=True,
+                )
+                merged[f"section_{name}_retried"] = True
+                qrec2 = _run_section_subprocess(me, name, merged)
+                if qrec2 is not None:
+                    # both results recorded: the re-run becomes the
+                    # official rows, the contended first-run serving
+                    # rows survive under *_run1
+                    for k in retry_keys:
+                        if k in qrec:
+                            qrec2[f"{k}_run1"] = qrec[k]
+                    qrec = qrec2
+                if _canary_contended(qrec, baseline):
+                    merged[f"section_{name}_contended"] = True
+            else:
+                merged[f"section_{name}_contended"] = True
+        if qrec is not None:
+            # namespace the per-section probe keys before merging —
+            # every section reports the same four names
+            for src, dst in (
+                ("sect_canary_start_sec", f"canary_{name}_start_sec"),
+                ("sect_canary_end_sec", f"canary_{name}_end_sec"),
+                ("sect_loadavg_start", f"loadavg_{name}_start"),
+                ("sect_loadavg_end", f"loadavg_{name}_end"),
+            ):
+                if src in qrec:
+                    qrec[dst] = qrec.pop(src)
+            merged.update(qrec)
         merged[f"wall_sect_{name}_sec"] = round(time.time() - t0, 1)
         print(
             f"[bench] section {name} done in "
@@ -1409,7 +1604,16 @@ def main():
             )
             sys.exit(2)
         name = argv[idx + 1]
+        # canary BEFORE the Spark session exists and AFTER the section's
+        # work ends — both moments where nothing of ours is running, so
+        # a slow canary means a neighbor owns the cores (r9, VERDICT
+        # r8 #1)
+        canary_start, load_start = _canary_sec(), _loadavg1()
         per_query = run_sections([name])
+        per_query["sect_canary_start_sec"] = canary_start
+        per_query["sect_loadavg_start"] = load_start
+        per_query["sect_canary_end_sec"] = _canary_sec()
+        per_query["sect_loadavg_end"] = _loadavg1()
         # one JSON line, parsed by the orchestrator parent
         print(json.dumps(
             {"metric": "bench_section", "section": name, "queries": per_query}
@@ -1466,6 +1670,10 @@ def emit_results(total: float, per_query: dict) -> None:
     for k in sorted(per_query):
         if k.startswith("section_") and k.endswith("_error"):
             compact[k] = str(per_query[k])[:60]
+        # contention verdicts ride in the same line (r9): a reader of
+        # the compact record alone must know which population it is
+        if k.startswith("section_") and k.endswith(("_contended", "_retried")):
+            compact[k] = per_query[k]
     line = json.dumps(
         {
             "metric": "headline_queries_total_wall",

@@ -71,8 +71,20 @@ class SparkProject:
         self._ivf_layout: tuple[DataFrame, DataFrame, str] | None = None
         self._ivfpq_layout: tuple[DataFrame, DataFrame, DataFrame] | None = None
         self._sq_layout: tuple[DataFrame, DataFrame] | None = None
+        self._ivf_bytes: int | None = None  # lazily-measured packed bytes
         self._deferred_caches: list[DataFrame] = []
         self._hybrid_server = None
+        # serving-regime knobs for search_batch(route="auto") — the
+        # measured in-memory probe-vs-brute crossover (ivf.py
+        # choose_ann_route). Instance attrs so a deployment with a
+        # different scan rate (or a test) can move the break-even.
+        from mcp_vector_search_spark.operators.ivf import (
+            ANN_ROUTE_BYTES_PER_NODE,
+            ANN_ROUTE_UNION_MAX,
+        )
+
+        self.ann_route_bytes_per_node = ANN_ROUTE_BYTES_PER_NODE
+        self.ann_route_union_max = ANN_ROUTE_UNION_MAX
 
     def _release_later(self, df: DataFrame) -> None:
         """Register a cached frame whose consumer is a RETURNED lazy
@@ -219,6 +231,7 @@ class SparkProject:
             if layout is not None:
                 layout[cached_pos].unpersist()
                 setattr(self, attr, None)
+        self._ivf_bytes = None  # measured per layout — never carry over
 
         if kind == "ivfsq":
             from mcp_vector_search_spark.operators.sq import (
@@ -499,17 +512,60 @@ class SparkProject:
             if layout is not None:
                 layout[0].unpersist()
                 setattr(self, attr, None)
+        self._ivf_bytes = None  # measured per layout — never carry over
         setattr(self, *new)
 
-    def search_batch(self, queries: DataFrame, limit: int = 10) -> DataFrame:
+    def _ann_nodes(self) -> int:
+        """Executor count (local mode → 1): the measured in-memory
+        break-even is PER-NODE cached bytes — a 10-executor cluster
+        brute-scans 10× the corpus at the same per-node cost."""
+        size = self.spark.sparkContext._jsc.sc().getExecutorMemoryStatus().size()
+        return max(1, size - 1)
+
+    def _ivf_layout_bytes(self) -> int:
+        """Packed-block bytes of the memoized float-IVF layout, the
+        corpus-size axis of the routing decision — measured once per
+        layout (one agg over the cached block table, ~clusters·blocks
+        rows) and invalidated whenever the layout changes."""
+        if self._ivf_bytes is None:
+            layout = self._ivf_layout[0]
+            self._ivf_bytes = int(
+                layout.agg(F.sum(F.length("mat"))).collect()[0][0] or 0
+            )
+        return self._ivf_bytes
+
+    def search_batch(
+        self, queries: DataFrame, limit: int = 10, route: str = "auto"
+    ) -> DataFrame:
         """Batch ANN (tool batch search): always the Arrow-vectorized
         kernels — per-batch numpy matmul with partial top-k, so the
         shuffle carries O(batches·|Q|·k) rows, never |Q|×|V| scored
         pairs (the round-2 perf-weak HOF path is oracle-only now).
-        With an IVF layout built, scoring additionally prunes to the
-        probed clusters."""
+
+        `route` (VERDICT r8 #2 — the measured probe-vs-brute
+        crossover, decided per batch instead of by layout presence):
+
+        - "auto" (default): with a float-IVF layout built, probe it
+          ONLY in the regime the measurements say probing wins — the
+          cached corpus exceeds ~`ann_route_bytes_per_node` per node
+          AND this batch's probe-union fraction stays under
+          `ann_route_union_max` (a diffuse batch ships ~the whole
+          corpus through Arrow anyway). Otherwise the brute matmul
+          kernel serves. Both plans are result-identical for float64
+          packs (shared oracle), so routing never changes answers.
+          Quantized layouts (ivfpq/ivfsq) are explicit opt-ins —
+          "auto" always serves them as built.
+        - "probe": force the layout path (the pre-r9 behavior).
+        - "brute": force the exact Arrow kernel, ignoring ANY layout —
+          including the quantized codecs (exact scores, no codec)."""
         from mcp_vector_search_spark.operators.topk import topk_per_query_np
 
+        if route not in ("auto", "probe", "brute"):
+            raise ValueError(
+                f"route must be 'auto', 'probe', or 'brute', got {route!r}"
+            )
+        if route == "brute":
+            return topk_per_query_np(self.vectors, queries, limit)
         if self._ivfpq_layout is not None:
             from mcp_vector_search_spark.operators.ivfpq import ivfpq_topk_refined
 
@@ -533,12 +589,98 @@ class SparkProject:
             )
         if self._ivf_layout is not None:
             from mcp_vector_search_spark.operators.ivf import (
+                NPROBES,
+                _driver_probe_sets,
+                choose_ann_route,
                 ivf_topk_batch_packed,
             )
 
             layout, centroids, _ = self._ivf_layout
-            return ivf_topk_batch_packed(layout, centroids, queries, limit)
+            if route == "probe":
+                return ivf_topk_batch_packed(layout, centroids, queries, limit)
+            nodes = self._ann_nodes()
+            corpus_bytes = self._ivf_layout_bytes()
+            # union_fraction=0.0 is the most probe-favorable batch a
+            # corpus can see: if even that routes to brute, the bytes
+            # axis alone decided — skip collecting the queries for a
+            # probe map nothing will use
+            if choose_ann_route(
+                corpus_bytes, 0.0, nodes=nodes,
+                bytes_per_node=self.ann_route_bytes_per_node,
+                union_max=self.ann_route_union_max,
+            ) == "brute":
+                return topk_per_query_np(self.vectors, queries, limit)
+            probe = _driver_probe_sets(
+                queries, centroids, NPROBES, "query_id", "query_vec"
+            )
+            union_fraction = len(probe[2]) / max(1, centroids.count())
+            if choose_ann_route(
+                corpus_bytes, union_fraction, nodes=nodes,
+                bytes_per_node=self.ann_route_bytes_per_node,
+                union_max=self.ann_route_union_max,
+            ) == "probe":
+                return ivf_topk_batch_packed(
+                    layout, centroids, queries, limit, _probe_sets=probe
+                )
+            # the queries were already collected for the probe map —
+            # hand the matrix to the brute kernel rather than
+            # re-executing the query frame's lineage (a limit()/
+            # sampled frame could yield a DIFFERENT set, r8 trap)
+            return topk_per_query_np(
+                self.vectors, queries, limit, _queries_np=(probe[0], probe[1])
+            )
+        if route == "probe":
+            raise ValueError(
+                "route='probe' needs an ANN layout — call "
+                "build_ann_index or load_ann_index first"
+            )
         return topk_per_query_np(self.vectors, queries, limit)
+
+    def ann_serving_regime(self, batch_size: int = 2) -> dict:
+        """Which serving regime the memoized layout + corpus sit in —
+        the `search_batch(route="auto")` decision surfaced for
+        operators (VERDICT r8 #6): packed corpus bytes vs the measured
+        per-node in-memory break-even, cluster count, and the
+        WORST-CASE probe-union fraction of a `batch_size`-query batch
+        (`batch_size · NPROBES / clusters`, every query probing
+        disjoint clusters; a concentrated batch probes fewer).
+
+        regime — "brute": cached corpus below the bytes crossover (or
+        no float-IVF layout); auto serves the Arrow brute kernel.
+        "probe": above the crossover and a batch this size can stay
+        under the union cap. "codec": a quantized layout (ivfpq /
+        ivfsq) is an explicit opt-in, served as built. Layouts
+        persisted ON DISK are outside this call's scope: partition
+        pruning is physical there and probing always wins
+        (choose_ann_route(on_disk=True))."""
+        from mcp_vector_search_spark.operators.ivf import (
+            NPROBES,
+            choose_ann_route,
+        )
+
+        if self._ivfpq_layout is not None or self._sq_layout is not None:
+            kind = "ivfpq" if self._ivfpq_layout is not None else "ivfsq"
+            return {"kind": kind, "regime": "codec"}
+        if self._ivf_layout is None:
+            return {"kind": None, "regime": "brute"}
+        nodes = self._ann_nodes()
+        corpus_bytes = self._ivf_layout_bytes()
+        num_clusters = self._ivf_layout[1].count()
+        union_ub = min(1.0, batch_size * NPROBES / max(1, num_clusters))
+        return {
+            "kind": "ivf",
+            "corpus_bytes": corpus_bytes,
+            "num_clusters": num_clusters,
+            "nodes": nodes,
+            "bytes_per_node_breakeven": self.ann_route_bytes_per_node,
+            "batch_size": batch_size,
+            "union_fraction_worst_case": union_ub,
+            "regime": choose_ann_route(
+                corpus_bytes, union_ub, nodes=nodes,
+                bytes_per_node=self.ann_route_bytes_per_node,
+                union_max=self.ann_route_union_max,
+            ),
+        }
 
     def search_hybrid(
         self, query: str, query_vec: DataFrame, limit: int = 10, alpha: float = 0.7
@@ -626,7 +768,11 @@ class SparkProject:
         project's packed IVF layout (`build_ann_index('ivf')` /
         `load_ann_index`), probing `nprobes` clusters (None = all =
         exact): the configuration where neither corpus scan appears
-        in the per-query cost."""
+        in the per-query cost. Note the pure-vector surface
+        (`search_batch(route="auto")`) picks its serving regime
+        itself since r9 (`ann_serving_regime()` reports it); "ann"
+        here stays an explicit opt-in because its trade is
+        exactness, not only latency."""
         from mcp_vector_search_spark.functions.query import preprocess_query
 
         if method not in ("auto", "expr", "indexed", "ann"):

@@ -45,6 +45,45 @@ NPROBES = 20
 # weakly-clustered data degrades with any skipped cluster.
 ANN_ACTIVATION_MIN_ROWS = 4096
 
+# The measured in-memory probe-vs-brute crossover (BENCH_NOTES r8;
+# VERDICT r8 #2): on a CACHED corpus, probing only beats the parallel
+# Arrow-matmul brute scan when (a) the corpus is big enough that
+# skipping bytes outruns the ~1 s probe-path overhead — break-even
+# ≈4–5 GB/node against this box's ~4.4 GB/s Arrow scan rate (brute
+# wins every 512K×256-d ≈1 GB and 64-d point; a q2 probe wins 1.45×
+# at 4M×256-d ≈8.4 GB) — AND (b) the batch is concentrated enough
+# that the probe UNION stays a small fraction of the clusters (q2
+# probes ~8% and wins; q8's ~28% is already parity; q32 probes ~90%
+# — the union ships ~the whole corpus through Arrow anyway). On
+# DISK the calculus inverts: partition pruning is physical, probing
+# reads only the probed cluster partitions, and the measured win
+# (4M q2: 2.6–25×) GROWS with corpus size — always probe.
+ANN_ROUTE_BYTES_PER_NODE = int(4.5 * 1024**3)
+ANN_ROUTE_UNION_MAX = 0.25
+
+
+def choose_ann_route(
+    corpus_bytes: int,
+    union_fraction: float,
+    on_disk: bool = False,
+    nodes: int = 1,
+    bytes_per_node: int = ANN_ROUTE_BYTES_PER_NODE,
+    union_max: float = ANN_ROUTE_UNION_MAX,
+) -> str:
+    """'probe' or 'brute' for a serving batch, per the measured
+    regime curve above — the decision `SparkProject.search_batch`
+    routes on (VERDICT r8 #2: the crossover was measured in r8 but
+    layout presence alone picked the plan, losing 1.5–2× on cached
+    sub-crossover corpora and diffuse batches)."""
+    if on_disk:
+        return "probe"
+    if (
+        corpus_bytes > bytes_per_node * max(1, nodes)
+        and union_fraction <= union_max
+    ):
+        return "probe"
+    return "brute"
+
 
 def clamp_clusters(n: int) -> int:
     """Reference's adaptive partition count: clamp(√N, 16, 512)
@@ -788,10 +827,18 @@ def ivf_topk_batch_packed(
     id_col: str = "vec_id",
     round_to: int = 6,
     batch_buffer: int = 4,
+    _probe_sets=None,
 ) -> DataFrame:
     """IVF batch ANN over an `ivf_pack` layout → (query_id, vec_id,
     cos_sim, rn) — the same output contract (and, for float64 packs,
     bit-identical results) as `ivf_topk_batch_np`.
+
+    `_probe_sets` — a (Q, qids, cluster_to_q) triple already computed
+    by `_driver_probe_sets` for THIS query frame: the regime router
+    collects the queries once to measure the probe-union fraction, and
+    re-collecting here would double-execute the query frame's lineage
+    (on a limit()/sampled frame that can be a DIFFERENT query set, the
+    r8 nondeterministic-subset trap).
 
     Plan: driver-side probe assignment (shared `_driver_probe_sets`
     contract) → row filter keeps only probed blocks — a filter over
@@ -814,9 +861,12 @@ def ivf_topk_batch_packed(
 
     from mcp_vector_search_spark.operators.topk import _partial_topk, id_type
 
-    Q, qids, cluster_to_q_np = _driver_probe_sets(
-        queries, centroids, nprobes, query_id_col, query_vec_col
-    )
+    if _probe_sets is None:
+        Q, qids, cluster_to_q_np = _driver_probe_sets(
+            queries, centroids, nprobes, query_id_col, query_vec_col
+        )
+    else:
+        Q, qids, cluster_to_q_np = _probe_sets
     keep = k * batch_buffer
     out_id_t = packed.schema["vec_ids"].dataType.elementType.simpleString()
 

@@ -148,8 +148,15 @@ def topk_per_query_np(
     id_col: str = "vec_id",
     round_to: int = 6,
     batch_buffer: int = 4,
+    _queries_np=None,
 ) -> DataFrame:
     """Arrow-vectorized batch top-k: the high-throughput kernel.
+
+    `_queries_np` — a (Q_unit, qids) pair already collected from THIS
+    query frame (the regime router's probe-fraction measurement): a
+    second toPandas here would double-execute the query frame's
+    lineage, and on a limit()/sampled frame could collect a DIFFERENT
+    query set than the one the routing decision saw.
 
     Same semantics as `topk_per_query` (reference J1 batch search,
     ``vectors_backend.py:733-876``), different physical strategy: the
@@ -168,10 +175,13 @@ def topk_per_query_np(
     import numpy as np
     import pandas as pd
 
-    qpd = queries.select(query_id_col, query_vec_col).toPandas()
-    Q = np.stack(qpd[query_vec_col].to_numpy()).astype(np.float64)
-    Q /= _safe_norms(Q)
-    qids = qpd[query_id_col].to_numpy()
+    if _queries_np is None:
+        qpd = queries.select(query_id_col, query_vec_col).toPandas()
+        Q = np.stack(qpd[query_vec_col].to_numpy()).astype(np.float64)
+        Q /= _safe_norms(Q)
+        qids = qpd[query_id_col].to_numpy()
+    else:
+        Q, qids = _queries_np
     nq = len(qids)
     keep = min(k * batch_buffer, 1 << 20)
 
