@@ -1233,10 +1233,12 @@ def sec_ann_huge(spark, per_query, mark):
     import tempfile as _tf
 
     layout_dir = _tf.mkdtemp(prefix="bench_huge_layout_")
-    flat_p = f"{layout_dir}/flat"
-    huge.select("vec_id", "embedding").write.parquet(flat_p)
-    _flat_written_at = time.time()
     try:
+        # the ~2.1 GB write itself sits INSIDE the try: a half-written
+        # flat corpus (disk full, executor loss) must clean up too
+        flat_p = f"{layout_dir}/flat"
+        huge.select("vec_id", "embedding").write.parquet(flat_p)
+        _flat_written_at = time.time()
         _sec_ann_huge_body(
             spark, per_query, huge, huge_q, n_huge_q, layout_dir,
             flat_p, _flat_written_at,
@@ -1515,7 +1517,11 @@ def _run_section_subprocess(me: str, name: str, merged: dict):
         if proc.returncode != 0 or rec is None:
             tail = (proc.stderr or "")[-400:].replace("\n", " | ")
             merged[f"section_{name}_error"] = f"rc={proc.returncode} {tail}"
-            return None
+            # a record that PARSED still carries every measured row —
+            # a nonzero exit during JVM teardown must not discard the
+            # section's data (the pre-r9 orchestrator kept it; r9
+            # review). The error key stays, so the failure is loud.
+            return rec.get("queries", {}) if rec is not None else None
     except subprocess.TimeoutExpired:
         merged[f"section_{name}_error"] = "timeout after 3600s"
         return None
@@ -1553,12 +1559,28 @@ def _orchestrate() -> None:
                 qrec2 = _run_section_subprocess(me, name, merged)
                 if qrec2 is not None:
                     # both results recorded: the re-run becomes the
-                    # official rows, the contended first-run serving
-                    # rows survive under *_run1
+                    # official rows; the contended first-run serving
+                    # rows AND its canary readings survive under
+                    # *_run1, so a reader can quantify how contended
+                    # the preserved rows were (r9 review)
                     for k in retry_keys:
                         if k in qrec:
                             qrec2[f"{k}_run1"] = qrec[k]
+                    qrec2[f"canary_{name}_run1"] = [
+                        qrec.get("sect_canary_start_sec"),
+                        qrec.get("sect_canary_end_sec"),
+                    ]
                     qrec = qrec2
+                else:
+                    # the retry itself failed to produce a record: the
+                    # complete first run stays official (contended) —
+                    # move the retry's error under a key that does NOT
+                    # end in _error, so a bench whose only failure was
+                    # a doomed retry doesn't exit nonzero over data it
+                    # fully recorded (r9 review)
+                    merged[f"section_{name}_retry_failed"] = merged.pop(
+                        f"section_{name}_error", "retry produced no record"
+                    )
                 if _canary_contended(qrec, baseline):
                     merged[f"section_{name}_contended"] = True
             else:
@@ -1610,6 +1632,18 @@ def main():
         # r8 #1)
         canary_start, load_start = _canary_sec(), _loadavg1()
         per_query = run_sections([name])
+        # stop the Spark session BEFORE the end canary: a live JVM's
+        # concurrent GC (after the heavy sections churn a multi-GB
+        # heap) is our own load and would read as neighbor contention,
+        # falsely flagging a clean section (r9 review)
+        try:
+            from pyspark.sql import SparkSession
+
+            active = SparkSession.getActiveSession()
+            if active is not None:
+                active.stop()
+        except Exception:
+            pass  # best-effort: a failed stop must not lose the record
         per_query["sect_canary_start_sec"] = canary_start
         per_query["sect_loadavg_start"] = load_start
         per_query["sect_canary_end_sec"] = _canary_sec()
@@ -1674,6 +1708,8 @@ def emit_results(total: float, per_query: dict) -> None:
         # the compact record alone must know which population it is
         if k.startswith("section_") and k.endswith(("_contended", "_retried")):
             compact[k] = per_query[k]
+        if k.startswith("section_") and k.endswith("_retry_failed"):
+            compact[k] = str(per_query[k])[:60]
     line = json.dumps(
         {
             "metric": "headline_queries_total_wall",

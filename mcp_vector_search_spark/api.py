@@ -71,7 +71,9 @@ class SparkProject:
         self._ivf_layout: tuple[DataFrame, DataFrame, str] | None = None
         self._ivfpq_layout: tuple[DataFrame, DataFrame, DataFrame] | None = None
         self._sq_layout: tuple[DataFrame, DataFrame] | None = None
-        self._ivf_bytes: int | None = None  # lazily-measured packed bytes
+        # lazily-measured routing inputs, invalidated with the layout
+        self._ivf_bytes: int | None = None
+        self._ivf_nclusters: int | None = None
         self._deferred_caches: list[DataFrame] = []
         self._hybrid_server = None
         # serving-regime knobs for search_batch(route="auto") — the
@@ -232,6 +234,7 @@ class SparkProject:
                 layout[cached_pos].unpersist()
                 setattr(self, attr, None)
         self._ivf_bytes = None  # measured per layout — never carry over
+        self._ivf_nclusters = None
 
         if kind == "ivfsq":
             from mcp_vector_search_spark.operators.sq import (
@@ -513,6 +516,7 @@ class SparkProject:
                 layout[0].unpersist()
                 setattr(self, attr, None)
         self._ivf_bytes = None  # measured per layout — never carry over
+        self._ivf_nclusters = None
         setattr(self, *new)
 
     def _ann_nodes(self) -> int:
@@ -533,6 +537,14 @@ class SparkProject:
                 layout.agg(F.sum(F.length("mat"))).collect()[0][0] or 0
             )
         return self._ivf_bytes
+
+    def _ivf_layout_clusters(self) -> int:
+        """Cluster count of the memoized float-IVF layout — layout-
+        invariant, so memoized like the bytes: the auto route must not
+        pay an extra count() job per serving batch (r9 review)."""
+        if self._ivf_nclusters is None:
+            self._ivf_nclusters = self._ivf_layout[1].count()
+        return self._ivf_nclusters
 
     def search_batch(
         self, queries: DataFrame, limit: int = 10, route: str = "auto"
@@ -613,7 +625,7 @@ class SparkProject:
             probe = _driver_probe_sets(
                 queries, centroids, NPROBES, "query_id", "query_vec"
             )
-            union_fraction = len(probe[2]) / max(1, centroids.count())
+            union_fraction = len(probe[2]) / max(1, self._ivf_layout_clusters())
             if choose_ann_route(
                 corpus_bytes, union_fraction, nodes=nodes,
                 bytes_per_node=self.ann_route_bytes_per_node,
@@ -665,7 +677,7 @@ class SparkProject:
             return {"kind": None, "regime": "brute"}
         nodes = self._ann_nodes()
         corpus_bytes = self._ivf_layout_bytes()
-        num_clusters = self._ivf_layout[1].count()
+        num_clusters = self._ivf_layout_clusters()
         union_ub = min(1.0, batch_size * NPROBES / max(1, num_clusters))
         return {
             "kind": "ivf",

@@ -98,10 +98,12 @@ _RAW_SCAN_NODES = frozenset(
      # DataSourceV2 reads print as RelationV2 / DataSourceV2Relation in
      # the analyzed plan — without them auto-spread silently no-ops for
      # v2 sources and the single-small-file trap returns (r8 ADVICE).
-     "RelationV2", "DataSourceV2Relation",
-     # limits are narrow (no shuffle to materialize under the probe);
-     # a limited raw scan is still safe to probe and repartition
-     "GlobalLimit", "LocalLimit"}
+     # Limits stay EXCLUDED: GlobalLimit compiles to a single-partition
+     # collect/shuffle, so the partition probe can materialize it under
+     # AQE (the hidden-execution trap), and an unordered limit can
+     # yield a different row subset per execution — spreading one is
+     # never worth either hazard (r9 review).
+     "RelationV2", "DataSourceV2Relation"}
 )
 
 

@@ -509,18 +509,20 @@ class McpAdapter:
                 if commits is None:
                     raise
                 anc_df = ancestor_set_df(commits, a["commit_sha"])
-            edges = self._edges().filter(F.col("dst") == a["entity_name"])
-            live = chunks.join(anc_df, "commit_sha", "left_semi")
-            edges = edges.join(
-                live.select(F.col("name").alias("src")).distinct(), "src", "left_semi"
-            )
+            # the closure branch returns a CACHED set — the finally
+            # releases it whether the payload materializes or a later
+            # step raises, so a long-lived adapter never accumulates
+            # per-sha cache entries (no-op on the uncached BFS branch;
+            # the try starts HERE because anc_df exists from here)
             try:
+                edges = self._edges().filter(F.col("dst") == a["entity_name"])
+                live = chunks.join(anc_df, "commit_sha", "left_semi")
+                edges = edges.join(
+                    live.select(F.col("name").alias("src")).distinct(),
+                    "src", "left_semi",
+                )
                 return df_payload(edges, cap)
             finally:
-                # the closure branch returns a CACHED set — release it
-                # once the payload is materialized so a long-lived
-                # adapter doesn't accumulate per-sha cache entries
-                # (no-op on the uncached BFS branch)
                 anc_df.unpersist()
         raise ValueError(f"unhandled tool {name}")  # pragma: no cover
 

@@ -296,9 +296,10 @@ def ancestor_set_df(
     would turn an O(N) query into an O(N²) job, r8 review). For
     REPEATED at-commit queries against a monorepo-scale history, pass
     `closure` = a persisted `commit_closure` table: the set is then
-    one partition-prunable filter, cluster-side, materialized ONCE
-    (localCheckpoint) so validation and the caller's downstream join
-    don't each re-scan the closure (r8 review #2). Do NOT
+    one partition-prunable filter, cluster-side, CACHED so the
+    validation probe and the caller's downstream join compute each
+    filter partition at most once (r8 review #2) — and the caller can
+    `unpersist()` it after materializing (r8 ADVICE). Do NOT
     force-broadcast the result in that path: one commit's ancestor
     set can be nearly the whole history (r6 rule — never broadcast an
     O(corpus) table in an O(query) contract).

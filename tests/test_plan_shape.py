@@ -96,19 +96,26 @@ def test_api_search_batch_uses_np_kernel(spark):
     assert "MapInPandas" in plan
     assert "Join" not in plan
 
-    # with an ANN index built (r5: the PACKED block layout), serving
-    # scans the cached pack through the probe filter — the filter
+    # with an ANN index built (r5: the PACKED block layout), the probe
+    # plan scans the cached pack through the probe filter — the filter
     # lands inside the InMemoryTableScan, scoring is one shuffle-free
     # MapInPandas, and the pack's one-time FlatMapGroupsInPandas
     # build exists only BELOW the cache boundary, never re-executed
-    # per query
+    # per query. r9: route="probe" pins this layout plan explicitly —
+    # route="auto" on this sub-crossover corpus now picks the brute
+    # kernel by the measured regime curve (tests/test_ann_routing.py)
     proj.build_ann_index(num_clusters=4)
-    plan2 = _plan(proj.search_batch(q, 5))
+    plan2 = _plan(proj.search_batch(q, 5, route="probe"))
     assert "MapInPandas" in plan2
     assert "InMemoryTableScan" in plan2
     assert "CartesianProduct" not in plan2
     served = plan2.split("InMemoryRelation")[0]  # the executed portion
     assert "FlatMapGroupsInPandas" not in served
+    # auto on the same project: the routed brute plan is still the
+    # vectorized kernel, never a scored-pair join
+    plan3 = _plan(proj.search_batch(q, 5))
+    assert "MapInPandas" in plan3
+    assert "Join" not in plan3
 
 
 def test_ivf_np_kernel_is_shuffle_free_below_rank_window(spark):
