@@ -566,7 +566,11 @@ class SparkProject:
           kernel serves. Both plans are result-identical for float64
           packs (shared oracle), so routing never changes answers.
           Quantized layouts (ivfpq/ivfsq) are explicit opt-ins —
-          "auto" always serves them as built.
+          "auto" always serves them as built. Scope note: the brute
+          side of the measured curve assumed a scan-cheap corpus
+          (cached or fast storage) — if `self.vectors` sits on cold
+          slow storage, force route="probe" to serve from the cached
+          layout instead.
         - "probe": force the layout path (the pre-r9 behavior).
         - "brute": force the exact Arrow kernel, ignoring ANY layout —
           including the quantized codecs (exact scores, no codec)."""
