@@ -652,28 +652,42 @@ class SparkProject:
             )
         return topk_per_query_np(self.vectors, queries, limit)
 
-    def ann_serving_regime(self, batch_size: int = 2) -> dict:
-        """Which serving regime the memoized layout + corpus sit in —
-        the `search_batch(route="auto")` decision surfaced for
-        operators (VERDICT r8 #6): packed corpus bytes vs the measured
-        per-node in-memory break-even, cluster count, and the
-        WORST-CASE probe-union fraction of a `batch_size`-query batch
+    def ann_serving_regime(self, batch_size: int = 2, path: str | None = None) -> dict:
+        """Which serving regime a layout + corpus sit in — the
+        `search_batch(route="auto")` decision surfaced for operators
+        (VERDICT r8 #6): packed corpus bytes vs the measured per-node
+        in-memory break-even, cluster count, and the WORST-CASE
+        probe-union fraction of a `batch_size`-query batch
         (`batch_size · NPROBES / clusters`, every query probing
         disjoint clusters; a concentrated batch probes fewer).
+
+        Default scope is the MEMOIZED (cached) layout. With `path`,
+        reports the regime of a PERSISTED layout instead: on disk the
+        probe filter is physical partition pruning, so the regime is
+        "probe" at any corpus size or batch shape
+        (choose_ann_route(on_disk=True); the 4M disk-q2 bench pair
+        prices ignoring it at 2.6–25×).
 
         regime — "brute": cached corpus below the bytes crossover (or
         no float-IVF layout); auto serves the Arrow brute kernel.
         "probe": above the crossover and a batch this size can stay
-        under the union cap. "codec": a quantized layout (ivfpq /
-        ivfsq) is an explicit opt-in, served as built. Layouts
-        persisted ON DISK are outside this call's scope: partition
-        pruning is physical there and probing always wins
-        (choose_ann_route(on_disk=True))."""
+        under the union cap (always, for a persisted `path`).
+        "codec": a quantized layout (ivfpq / ivfsq) is an explicit
+        opt-in, served as built."""
         from mcp_vector_search_spark.operators.ivf import (
             NPROBES,
             choose_ann_route,
         )
 
+        if path is not None:
+            kind = self._persisted_kind(path)
+            if kind in ("ivfpq", "ivfsq"):
+                return {"kind": kind, "on_disk": True, "regime": "codec"}
+            return {
+                "kind": kind or "ivf",
+                "on_disk": True,
+                "regime": choose_ann_route(0, 0.0, on_disk=True),
+            }
         if self._ivfpq_layout is not None or self._sq_layout is not None:
             kind = "ivfpq" if self._ivfpq_layout is not None else "ivfsq"
             return {"kind": kind, "regime": "codec"}

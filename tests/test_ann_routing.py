@@ -145,3 +145,14 @@ def test_ann_serving_regime_reports(spark):
     # quantized codecs are explicit opt-ins — reported, not routed
     p.build_ann_index(num_clusters=8, kind="ivfsq")
     assert p.ann_serving_regime() == {"kind": "ivfsq", "regime": "codec"}
+
+
+def test_ann_serving_regime_persisted_path(spark, tmp_path):
+    """With `path`, the regime of a PERSISTED layout is reported: on
+    disk partition pruning is physical, so probing always wins."""
+    p = _project(spark)
+    p.build_ann_index(num_clusters=8, kind="ivf")
+    d = str(tmp_path / "layout")
+    p.save_ann_index(d)
+    r = p.ann_serving_regime(path=d)
+    assert r == {"kind": "ivf", "on_disk": True, "regime": "probe"}
