@@ -32,9 +32,11 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 BENCH_NPROBES = 36
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
-# round-6 metrics that must survive into the compact last-line summary
-# (kept separate so adding keys can't silently push the line past the
-# driver's tail window — the assert below guards the total length)
+# round-6 metrics that must survive into the compact last-line summary.
+# The emitter SHEDS from the TAIL of this list when section flags push
+# the line past the driver's 1500-char tail window (no assert since
+# r9) — order keys by importance, and check the full record if a new
+# key doesn't appear in the compact line.
 EXTRA_COMPACT_KEYS = [
     "hybrid_rrf_warm_served",
     "hybrid_batch_tbl_qps",
@@ -1661,7 +1663,13 @@ def main():
             pass  # best-effort: a failed stop must not lose the record
         per_query["sect_canary_start_sec"] = canary_start
         per_query["sect_loadavg_start"] = load_start
-        per_query["sect_canary_end_sec"] = _canary_sec()
+        # same two-attempt damping as the start: the just-stopped
+        # session's heap reclaim is the same transient class (the r9
+        # run-2 ann_big end canary read 8.4x baseline on a clean box
+        # and burned a full section re-run)
+        canary_end = _canary_sec()
+        time.sleep(2)
+        per_query["sect_canary_end_sec"] = min(canary_end, _canary_sec())
         per_query["sect_loadavg_end"] = _loadavg1()
         # one JSON line, parsed by the orchestrator parent
         print(json.dumps(
@@ -1740,10 +1748,16 @@ def emit_results(total: float, per_query: dict) -> None:
     # old assert when three section flags joined the line — the full
     # record printed but the driver-parsed compact line was lost, the
     # exact r5 failure this function exists to prevent): if the line
-    # outgrows the tail window, shed the LAST metric keys (section
-    # flags and error keys are never shed — population honesty beats
-    # one more metric) and say how many were dropped.
+    # outgrows the tail window, shed the LAST metric keys first
+    # (population honesty beats one more metric) and say how many were
+    # dropped; flags/errors go only after every metric is gone.
     sheddable = [k for k in reversed(compact_keys) if k in compact]
+    # absolute last resort, so the line ALWAYS fits: after every metric,
+    # shed error detail strings (their presence stays visible as
+    # compact_dropped), then flags — a truncated-but-parseable record
+    # beats a full line the driver's tail window cuts mid-JSON
+    sheddable += [k for k in sorted(compact) if k.endswith(("_error", "_retry_failed"))]
+    sheddable += [k for k in sorted(compact) if k.endswith(("_contended", "_retried"))]
     dropped = 0
     line = _line()
     while len(line) >= 1500 and sheddable:
@@ -1751,6 +1765,8 @@ def emit_results(total: float, per_query: dict) -> None:
         dropped += 1
         compact["compact_dropped"] = dropped
         line = _line()
+    if len(line) >= 1500:  # pragma: no cover — ~120-char base object
+        print(f"[bench] compact line still {len(line)} chars", file=sys.stderr)
     print(line)
 
 

@@ -681,10 +681,18 @@ class SparkProject:
 
         if path is not None:
             kind = self._persisted_kind(path)
+            if kind is None:
+                # a typo'd/absent path or a torn save must not get a
+                # confident healthy-probe report (r9 review) — mirror
+                # load_ann_index's refusal
+                raise ValueError(
+                    f"no ANN layout kind manifest at {path} — nothing "
+                    "to report a serving regime for"
+                )
             if kind in ("ivfpq", "ivfsq"):
                 return {"kind": kind, "on_disk": True, "regime": "codec"}
             return {
-                "kind": kind or "ivf",
+                "kind": kind,
                 "on_disk": True,
                 "regime": choose_ann_route(0, 0.0, on_disk=True),
             }

@@ -156,3 +156,6 @@ def test_ann_serving_regime_persisted_path(spark, tmp_path):
     p.save_ann_index(d)
     r = p.ann_serving_regime(path=d)
     assert r == {"kind": "ivf", "on_disk": True, "regime": "probe"}
+    # an absent/typo'd path must refuse, not report a healthy layout
+    with pytest.raises(ValueError, match="no ANN layout kind manifest"):
+        p.ann_serving_regime(path=str(tmp_path / "nope"))
