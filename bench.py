@@ -215,6 +215,23 @@ def _runs_of(spark, n_runs, fn):
     return runs
 
 
+def _runs_until_stable(spark, n_runs, fn, max_runs=4, ratio=1.5):
+    """`_runs_of`, extended while the recorded runs disagree by more
+    than `ratio` (max/min): a decaying sequence means a transient (GC,
+    page reclaim, a neighbor's burst) hit the early runs — one more
+    run costs seconds and recovers the steady-state point, where a
+    best-of-2 whose BOTH runs were hit publishes the transient as the
+    official number with no flag (r9 run-3: hybrid_scale_ann runs
+    [37.3, 19.9] on a clean-canary box vs the 6-8 s band — the
+    mid-section window the start/end canary bracket cannot see). A
+    PERSISTENTLY slow point still shows itself: all runs land slow,
+    and all are recorded."""
+    runs = _runs_of(spark, n_runs, fn)
+    while max(runs) / max(min(runs), 1e-9) > ratio and len(runs) < max_runs:
+        runs += _runs_of(spark, 1, fn)
+    return runs
+
+
 def _best_of(spark, n_runs, fn):
     return min(_runs_of(spark, n_runs, fn))
 
@@ -403,7 +420,17 @@ def sec_core(spark, per_query, mark):
     with HybridServer(docs_w, emb_w) as _srv:
         _noop(_srv.search(["data", "query"], qv_w))
         served_runs = []
-        for _terms in (["window", "merge"], ["stream", "filter"]):
+        # r9: a third query when the first two disagree >1.5x — same
+        # stability rule as _runs_until_stable (this row is in the
+        # verdict's within-band contract; distinct terms each time so
+        # no run serves a prior run's exact result)
+        for _terms in (
+            ["window", "merge"], ["stream", "filter"], ["index", "hash"]
+        ):
+            if len(served_runs) >= 2 and (
+                max(served_runs) / max(min(served_runs), 1e-9) <= 1.5
+            ):
+                break
             t0 = time.time()
             _noop(_srv.search(_terms, qv_w))
             served_runs.append(round(time.time() - t0, 3))
@@ -470,12 +497,15 @@ def sec_core(spark, per_query, mark):
             F.col("embedding").alias("query_vec"),
         )
         postings_i, doc_stats_i, term_stats_i = read_bm25_index(spark, idx)
-        t0 = time.time()
-        _noop(hybrid_search_batch_indexed(
-            postings_i, doc_stats_i, term_stats_i, emb_w, hbt_terms,
-            hbt_qvecs, k=10,
-        ))
-        hbt_sec = time.time() - t0
+        # r9: stability-retried best-of-2 (was single-run) — these two
+        # qps rows are in the verdict's within-1.5x-of-band contract,
+        # and a single run publishes whatever transient hits it
+        per_query["hybrid_batch_tbl_runs"] = _runs_until_stable(
+            spark, 2, lambda: _noop(hybrid_search_batch_indexed(
+                postings_i, doc_stats_i, term_stats_i, emb_w, hbt_terms,
+                hbt_qvecs, k=10,
+            )))
+        hbt_sec = min(per_query["hybrid_batch_tbl_runs"])
         per_query["hybrid_batch_tbl256_sec"] = round(hbt_sec, 3)
         per_query["hybrid_batch_tbl_qps"] = round(HBT_N / hbt_sec, 2)
 
@@ -493,12 +523,12 @@ def sec_core(spark, per_query, mark):
         hba_assigned, hba_cents = ivf_build_sampled(emb_w, num_clusters=16)
         hba_packed = ivf_pack(hba_assigned).cache()
         hba_packed.count()
-        t0 = time.time()
-        _noop(hybrid_search_batch_ann(
-            postings_i, doc_stats_i, term_stats_i, hba_packed, hba_cents,
-            hbt_terms, hbt_qvecs, k=10, nprobes=4,
-        ))
-        hba_sec = time.time() - t0
+        per_query["hybrid_batch_ann_runs"] = _runs_until_stable(
+            spark, 2, lambda: _noop(hybrid_search_batch_ann(
+                postings_i, doc_stats_i, term_stats_i, hba_packed, hba_cents,
+                hbt_terms, hbt_qvecs, k=10, nprobes=4,
+            )))
+        hba_sec = min(per_query["hybrid_batch_ann_runs"])
         per_query["hybrid_batch_ann256_sec"] = round(hba_sec, 3)
         per_query["hybrid_batch_ann_qps"] = round(HBT_N / hba_sec, 2)
         hba_packed.unpersist()
@@ -1162,14 +1192,14 @@ def sec_hybrid_scale(spark, per_query, mark):
         # partition-prune the postings scan (the at-scale config the
         # layout exists for) — without it the shared BM25 leg reads
         # all 64 partitions and dominates both measurements
-        per_query["hybrid_scale_tbl_runs"] = _runs_of(
+        per_query["hybrid_scale_tbl_runs"] = _runs_until_stable(
             spark, 2, lambda: _noop(hybrid_search_batch_indexed(
                 hp, hds, hts, big, hs_terms, hs_qvecs, k=10, term_buckets=64
             )))
         tbl_sec = min(per_query["hybrid_scale_tbl_runs"])
         per_query["hybrid_scale_tbl_sec"] = round(tbl_sec, 3)
         per_query["hybrid_scale_tbl_qps"] = round(HS_N / tbl_sec, 2)
-        per_query["hybrid_scale_ann_runs"] = _runs_of(
+        per_query["hybrid_scale_ann_runs"] = _runs_until_stable(
             spark, 2, lambda: _noop(hybrid_search_batch_ann(
                 hp, hds, hts, big_packed, big_cents, hs_terms, hs_qvecs,
                 k=10, nprobes=20, term_buckets=64,
