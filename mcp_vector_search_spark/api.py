@@ -88,6 +88,59 @@ class SparkProject:
         self.ann_route_bytes_per_node = ANN_ROUTE_BYTES_PER_NODE
         self.ann_route_union_max = ANN_ROUTE_UNION_MAX
 
+    @classmethod
+    def from_corpus(
+        cls,
+        spark: SparkSession,
+        path: str,
+        fmt: str = "auto",
+        *,
+        vectors: DataFrame | None = None,
+        embed: bool = False,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+        schema=None,
+        options: dict | None = None,
+        **kwargs,
+    ) -> "SparkProject":
+        """Open a project directly over a corpus in any ingestion
+        format (sources/corpus.py — JSONL[.gz], CSV, line-per-doc
+        text, one-file-per-doc text trees, parquet, ORC). The reader
+        normalizes to the documents contract and applies the ingest
+        spread, so a single-shard corpus still fans out.
+
+        `vectors`: an existing embeddings frame (vec_id, embedding).
+        `embed=True` instead embeds the corpus through the F11
+        pipeline (Arrow mapInPandas; real model when importable) so
+        the vector/hybrid search legs work out of the box. Default is
+        a docs-only project: the curation surface (dedup, quality,
+        sampling, BM25) needs no vectors, and vector entry points fail
+        on the empty frame rather than silently returning nothing.
+        """
+        from mcp_vector_search_spark.sources.corpus import read_corpus
+
+        docs = read_corpus(
+            spark, path, fmt,
+            text_col=text_col, id_col=id_col, schema=schema, options=options,
+        )
+        if vectors is None:
+            if embed:
+                from mcp_vector_search_spark.functions.embed import embed_batch
+
+                vectors = embed_batch(docs, id_col, text_col).withColumnRenamed(
+                    id_col, "vec_id"
+                )
+            else:
+                vectors = spark.createDataFrame(
+                    [], "vec_id long, embedding array<double>"
+                )
+        # the default spread="auto" is still right here: docs came back
+        # from read_corpus already spread (its Repartition node makes
+        # the plan non-raw, so the auto pass leaves it untouched — no
+        # double probe), derived/empty vectors pass through, and a
+        # user-supplied raw one-file vectors frame gets the fan-out
+        return cls(spark, docs, vectors, **kwargs)
+
     def _release_later(self, df: DataFrame) -> None:
         """Register a cached frame whose consumer is a RETURNED lazy
         DataFrame: it cannot be unpersisted here (the caller hasn't

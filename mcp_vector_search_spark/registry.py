@@ -4375,6 +4375,16 @@ SELECT shard, bin_id, count(*)::BIGINT AS n_docs, sum(tok)::BIGINT AS total_tok,
 FROM fold JOIN documents USING (doc_id)
 GROUP BY shard, bin_id"""
 
+    # corpus_jsonl: the oracle reads the parquet the JSONL shards were
+    # written from — equality proves the write→read cycle lossless
+    o["corpus_jsonl"] = """
+SELECT lang, count(*)::BIGINT AS n_docs,
+       count(DISTINCT doc_id)::BIGINT AS n_ids,
+       sum(doc_id)::BIGINT AS id_sum,
+       sum(length(text))::BIGINT AS text_chars,
+       sum(n_chars)::BIGINT AS meta_chars
+FROM documents GROUP BY lang"""
+
     # absorbed into the merged gates above — drop the standalone keys
     # so queries()/oracle_sql() stay exactly key-aligned
     for absorbed in (
@@ -4393,6 +4403,37 @@ GROUP BY shard, bin_id"""
         del o[absorbed]
 
     return o
+
+
+def q_corpus_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL ingestion round-trip (sources/corpus.py:read_corpus, the
+    SURVEY §2.1 S1/S3 training-pipeline extension): documents → gzipped
+    JSONL shards under /tmp → read back (schema inferred) → per-lang
+    fidelity aggregate. Matching the oracle computed on the PARQUET
+    the shards came from proves the whole write→read cycle preserves
+    ids, text (newline/quote/unicode escaping), and metadata through
+    gzip framing. Overflow gate: writes a temp dir (idempotent
+    overwrite, keyed by sf_dir)."""
+    import hashlib
+    import os
+    import tempfile
+
+    from mcp_vector_search_spark.sources.corpus import read_corpus, write_corpus
+
+    docs = _docs(spark, sf_dir)
+    dst = os.path.join(
+        tempfile.gettempdir(),
+        "msvs_corpus_gate_" + hashlib.md5(sf_dir.encode()).hexdigest()[:12],
+    )
+    write_corpus(docs, dst, "jsonl", compression="gzip", shards=4)
+    back = read_corpus(spark, dst, "jsonl")
+    return back.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.countDistinct("doc_id").cast("long").alias("n_ids"),
+        F.sum("doc_id").cast("long").alias("id_sum"),
+        F.sum(F.length("text")).cast("long").alias("text_chars"),
+        F.sum("n_chars").cast("long").alias("meta_chars"),
+    )
 
 
 # ---------------------------------------------------------------- public registry
@@ -4540,6 +4581,10 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # r9: the rotated-out twin — still oracle-scored every round by
     # tools/verify_local.py (identical oracle rows to ivf_fixed)
     "ivf_packed": q_ivf_packed,
+    # r9: multi-format ingestion round-trip (sources/corpus.py) —
+    # overflow because it writes a temp dir per run; scored every
+    # round by verify_local like the rest of the overflow set
+    "corpus_jsonl": q_corpus_jsonl,
 }
 
 ORACLE_SQL: dict[str, str] = _oracles()

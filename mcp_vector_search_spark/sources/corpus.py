@@ -1,0 +1,234 @@
+"""Multi-format corpus ingestion → the engine's documents contract.
+
+Training corpora arrive as JSONL shards (often gzipped), CSV dumps,
+one-file-per-document text trees, flat line-per-doc text, or columnar
+parquet/ORC. One reader normalizes them all to the documents contract
+(``doc_id`` + ``text`` + passthrough metadata) so every downstream
+operator — dedup, quality signals, sampling, packing, BM25, ANN —
+runs unchanged regardless of what format the corpus landed in.
+
+Reference parity: mcp-vector-search ingests a project directory
+(``core/indexer.py`` file walk → parse); this module is the
+training-pipeline generalization of that boundary for document
+corpora (SURVEY §2.1 S1/S3 extension over the driver's ``documents``
+table).
+
+100 TB notes — the part of ingestion that actually decides wall-clock:
+
+- **Splittability.** Parquet/ORC split by row group; uncompressed
+  JSONL/CSV/text split by line ranges. A ``.gz`` member is ONE task no
+  matter its size — Spark cannot split gzip — so 1000 × 100 GB .gz
+  shards pin 1000 cores for hours while the rest of the cluster
+  idles. Re-shard gzip corpora to ≤ ~256 MB per member, or convert to
+  parquet+zstd at the first touch (``write_corpus``).
+- **multiLine is per-file too.** ``multiLine=True`` JSON and
+  quoted-newline CSV disable line splitting; JSONL keeps newlines
+  *escaped inside the JSON string*, which is why it is the lingua
+  franca — splittable AND newline-safe. The CSV reader here defaults
+  to ``multiLine=True`` because round-tripping real documents (which
+  contain newlines) is the common case; pass
+  ``options={"multiLine": "false"}`` for newline-free corpora to get
+  splittable scans back.
+- **Schema inference costs a pass.** JSONL/CSV without an explicit
+  ``schema`` sample the data first; at 100 TB that pass reads real
+  money. Pass ``schema=`` in production (the default sampling ratio
+  is still applied, but explicit schema skips the job entirely).
+- **Partition fan-out.** The reader ends with ``io.spread_if_raw`` so
+  a one-file corpus still fans out to the cluster's parallelism
+  (the single-small-file one-core trap, VERDICT r7 #2).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mcp_vector_search_spark.io import spread_if_raw
+
+# formats read_corpus understands; "auto" resolves from the path suffix
+CORPUS_FORMATS = ("parquet", "orc", "jsonl", "csv", "text", "text_tree")
+
+_SUFFIX_FMT = {
+    ".parquet": "parquet",
+    ".orc": "orc",
+    ".jsonl": "jsonl",
+    ".json": "jsonl",
+    ".jsonl.gz": "jsonl",
+    ".json.gz": "jsonl",
+    ".ndjson": "jsonl",
+    ".csv": "csv",
+    ".csv.gz": "csv",
+    ".txt": "text",
+    ".txt.gz": "text",
+}
+
+# JSON-encoding overhead over raw text bytes (escaping + key/metadata
+# framing), measured ~1.15-1.25 on prose; used only to SIZE shards
+_JSONL_OVERHEAD = 1.2
+
+
+def _infer_format(path: str) -> str:
+    low = path.rstrip("/").lower()
+    for suffix, fmt in sorted(_SUFFIX_FMT.items(), key=lambda kv: -len(kv[0])):
+        if low.endswith(suffix):
+            return fmt
+    raise ValueError(
+        f"cannot infer corpus format from {path!r} — pass fmt= one of "
+        f"{CORPUS_FORMATS} (directories have no telling suffix)"
+    )
+
+
+def read_corpus(
+    spark: SparkSession,
+    path: str,
+    fmt: str = "auto",
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    schema=None,
+    options: dict | None = None,
+    min_partitions: int | None = None,
+) -> DataFrame:
+    """Read a corpus in any supported format and normalize it to the
+    documents contract: ``id_col`` first, ``text_col`` (string)
+    second, every other source column passed through untouched.
+
+    - ``fmt="auto"`` resolves from the path suffix (directories need
+      an explicit fmt).
+    - ``text``: one document per LINE (``spark.read.text``).
+    - ``text_tree``: one document per FILE, recursively — doc_id is
+      the content hash, and a ``source`` column carries the file URI
+      (matching the documents table's ``source`` metadata role).
+    - Missing ``id_col`` → synthesized as ``xxhash64(text)``: a
+      deterministic 64-bit content hash, so identical texts share an
+      id — exactly what the dedup pipeline treats as an exact dup
+      anyway. Birthday bound: ~50% collision odds near 5B DISTINCT
+      docs; corpora past that should carry their own ids or use
+      ``F.sha2`` string ids upstream.
+    - ``schema``: explicit StructType/DDL for jsonl/csv (skips the
+      inference pass — pass it at scale).
+    """
+    if fmt == "auto":
+        fmt = _infer_format(path)
+    if fmt not in CORPUS_FORMATS:
+        raise ValueError(f"unknown corpus format {fmt!r}; expected one of {CORPUS_FORMATS}")
+
+    reader = spark.read
+    if options:
+        reader = reader.options(**{k: str(v) for k, v in options.items()})
+    if schema is not None and fmt in ("jsonl", "csv"):
+        reader = reader.schema(schema)
+
+    source_col = None
+    if fmt == "parquet":
+        df = reader.parquet(path)
+    elif fmt == "orc":
+        df = reader.orc(path)
+    elif fmt == "jsonl":
+        df = reader.json(path)
+    elif fmt == "csv":
+        # multiLine + quote-as-escape: RFC-4180 quoting, so embedded
+        # newlines/quotes written by write_corpus round-trip. Header on
+        # by default. All overridable via options.
+        defaults = {"header": "true", "multiLine": "true",
+                    "quote": '"', "escape": '"'}
+        for k, v in defaults.items():
+            if not options or k not in options:
+                reader = reader.option(k, v)
+        df = reader.csv(path)
+    elif fmt == "text":
+        df = reader.text(path).withColumnRenamed("value", text_col)
+    else:  # text_tree
+        # kwargs, not .option(): PySpark's DataFrameReader.text()
+        # re-applies its own keyword defaults (wholetext=False) over
+        # any previously-set reader options
+        df = reader.text(
+            path, wholetext=True, recursiveFileLookup=True
+        ).withColumnRenamed("value", text_col)
+        # capture the path AT READ: input_file_name() is only defined
+        # directly over the scan, before any join/agg erases lineage
+        source_col = F.input_file_name()
+
+    if text_col not in df.columns:
+        raise ValueError(
+            f"corpus at {path!r} ({fmt}) has no {text_col!r} column; "
+            f"found {df.columns} — pass text_col= or fix the schema"
+        )
+    df = df.withColumn(text_col, F.col(text_col).cast("string"))
+    if source_col is not None and "source" not in df.columns:
+        df = df.withColumn("source", source_col)
+    if id_col not in df.columns:
+        df = df.withColumn(id_col, F.xxhash64(F.col(text_col)))
+
+    rest = [c for c in df.columns if c not in (id_col, text_col)]
+    df = df.select(id_col, text_col, *rest)
+    return spread_if_raw(df, min_partitions)
+
+
+def write_corpus(
+    df: DataFrame,
+    path: str,
+    fmt: str = "jsonl",
+    *,
+    compression: str | None = None,
+    shards: int | None = None,
+    options: dict | None = None,
+) -> None:
+    """Write a corpus for downstream (training-loader) consumption.
+
+    ``shards`` controls output file count via a round-robin
+    repartition — size shards with :func:`shard_count_for` so each
+    lands near the loader's sweet spot (and so gzip members stay
+    small enough that a future re-read isn't one-task-per-100GB).
+    ``compression``: any Spark codec name ("gzip", "bzip2", "zstd",
+    "snappy", "none"); for text formats prefer small-membered gzip or
+    splittable-at-rest parquet+zstd over giant .gz files.
+    """
+    if fmt not in ("jsonl", "csv", "parquet", "orc", "text"):
+        raise ValueError(f"unknown corpus write format {fmt!r}")
+    if shards is not None:
+        df = df.repartition(int(shards))
+    writer = df.write.mode("overwrite")
+    if compression:
+        writer = writer.option("compression", compression)
+    if options:
+        writer = writer.options(**{k: str(v) for k, v in options.items()})
+    if fmt == "jsonl":
+        writer.json(path)
+    elif fmt == "csv":
+        # quote-as-escape mirrors read_corpus so embedded "..." and
+        # newlines survive the round trip
+        writer.option("header", "true").option("quote", '"').option(
+            "escape", '"'
+        ).csv(path)
+    elif fmt == "parquet":
+        writer.parquet(path)
+    elif fmt == "orc":
+        writer.orc(path)
+    else:  # text: single string column required by the writer
+        writer.text(path)
+
+
+def shard_count_for(
+    df: DataFrame,
+    target_mb: int = 256,
+    *,
+    text_col: str = "text",
+    sample_fraction: float | None = None,
+) -> int:
+    """Shard count that puts ~``target_mb`` of JSONL per output file.
+
+    One aggregate over ``octet_length(text)`` (scaled up from a
+    ``sample_fraction`` when given — at 100 TB, sample; the estimate
+    needs one significant digit, not a full scan). The ~1.2× JSONL
+    framing overhead is folded in. Conservative on purpose: a shard
+    landing at 300 MB is fine, a 100 GB gzip member is not.
+    """
+    probe = df.sample(fraction=sample_fraction, seed=13) if sample_fraction else df
+    row = probe.select(
+        F.sum(F.octet_length(F.col(text_col))).alias("b")
+    ).collect()[0]
+    total = (row["b"] or 0) / (sample_fraction or 1.0) * _JSONL_OVERHEAD
+    return max(1, math.ceil(total / (target_mb * 1024 * 1024)))
