@@ -90,6 +90,7 @@ def read_corpus(
     schema=None,
     options: dict | None = None,
     min_partitions: int | None = None,
+    on_corrupt: str = "drop",
 ) -> DataFrame:
     """Read a corpus in any supported format and normalize it to the
     documents contract: ``id_col`` first, ``text_col`` (string)
@@ -109,13 +110,31 @@ def read_corpus(
       ``F.sha2`` string ids upstream.
     - ``schema``: explicit StructType/DDL for jsonl/csv (skips the
       inference pass — pass it at scale).
+    - ``on_corrupt`` (jsonl/csv): a 100 TB crawl WILL contain mangled
+      records, and Spark's PERMISSIVE default turns each into an
+      all-null row that flows silently into dedup/quality stats.
+      "drop" (default) uses DROPMALFORMED — bad records vanish, count
+      the attrition against the source if you need it; "fail" uses
+      FAILFAST — first bad record aborts the read (right for curated
+      inputs where corruption means a broken producer). An explicit
+      ``options={"mode": ...}`` wins over this parameter.
     """
     if fmt == "auto":
         fmt = _infer_format(path)
     if fmt not in CORPUS_FORMATS:
         raise ValueError(f"unknown corpus format {fmt!r}; expected one of {CORPUS_FORMATS}")
+    if on_corrupt not in ("drop", "fail", "permissive"):
+        raise ValueError(
+            f"on_corrupt must be 'drop', 'fail', or 'permissive', got {on_corrupt!r}"
+        )
 
     reader = spark.read
+    if fmt in ("jsonl", "csv") and (not options or "mode" not in options):
+        reader = reader.option(
+            "mode",
+            {"drop": "DROPMALFORMED", "fail": "FAILFAST",
+             "permissive": "PERMISSIVE"}[on_corrupt],
+        )
     if options:
         reader = reader.options(**{k: str(v) for k, v in options.items()})
     if schema is not None and fmt in ("jsonl", "csv"):

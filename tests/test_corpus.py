@@ -150,6 +150,23 @@ def test_gzip_members_written(spark, tmp_path):
     assert parts and all(f.endswith(".gz") for f in parts)
 
 
+def test_corrupt_jsonl_handling(spark, tmp_path):
+    """A mangled record must not become a silent all-null row."""
+    p = tmp_path / "mixed.jsonl"
+    p.write_text(
+        '{"doc_id": 1, "text": "good one"}\n'
+        "{this is not json at all\n"
+        '{"doc_id": 2, "text": "good two"}\n'
+    )
+    schema = "doc_id long, text string"
+    dropped = read_corpus(spark, str(p), "jsonl", schema=schema)
+    assert sorted(r["text"] for r in dropped.collect()) == ["good one", "good two"]
+    with pytest.raises(Exception):  # FAILFAST surfaces as a Spark error
+        read_corpus(spark, str(p), "jsonl", schema=schema, on_corrupt="fail").collect()
+    with pytest.raises(ValueError, match="on_corrupt"):
+        read_corpus(spark, str(p), "jsonl", on_corrupt="ignore")
+
+
 def test_from_corpus_docs_only(spark, tmp_path):
     """Docs-only project over a JSONL corpus: the curation surface
     works; exact dedup sees the content-hash id collision semantics."""
