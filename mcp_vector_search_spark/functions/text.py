@@ -173,6 +173,70 @@ def symbol_word_ratio(text: Column | str, tokens: Column) -> Column:
     return F.when(
         F.size(tokens) > 0, (hashes + dots).cast("double") / F.size(tokens)
     ).otherwise(F.lit(0.0))
+def _run_fold(grams: Column, finish) -> Column:
+    """Linear fold over a SORTED gram array tracking equal-run
+    lengths — the O(L log L) way to get per-doc n-gram multiplicities
+    without an explode+groupBy shuffle (the same trick q_text_quality
+    uses inline for its bigram mode). The accumulator carries
+    (prev gram, current run, best run, total occurrences inside
+    runs ≥ 2); `finish` folds the last open run in and picks the
+    statistic."""
+    return F.aggregate(
+        grams,
+        F.struct(
+            F.lit("").alias("prev"),
+            F.lit(0).cast("long").alias("run"),
+            F.lit(0).cast("long").alias("best"),
+            F.lit(0).cast("long").alias("dup"),
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1).cast("long")).alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1).cast("long")),
+            ).alias("best"),
+            # close the PREVIOUS run when the gram changes: runs of
+            # length ≥ 2 contribute all their occurrences
+            (
+                acc["dup"]
+                + F.when(
+                    (x != acc["prev"]) & (acc["run"] >= 2), acc["run"]
+                ).otherwise(F.lit(0).cast("long"))
+            ).alias("dup"),
+        ),
+        finish,
+    )
+
+
+def top_ngram_fraction(grams: Column) -> Column:
+    """Fraction of a doc's n-gram occurrences taken by its single most
+    frequent n-gram (Gopher Table A1 "top n-gram" repetition filter,
+    occurrence-weighted form — the char-weighted variant differs only
+    by a length factor). `grams` from `word_ngrams`; 0.0 for docs with
+    fewer than n tokens."""
+    top = _run_fold(F.array_sort(grams), lambda acc: acc["best"])
+    return F.when(
+        F.size(grams) > 0, F.round(top.cast("double") / F.size(grams), 6)
+    ).otherwise(F.lit(0.0))
+
+
+def dup_ngram_fraction(grams: Column) -> Column:
+    """Fraction of a doc's n-gram occurrences that belong to n-grams
+    appearing MORE THAN ONCE in the doc (Gopher Table A1 "duplicate
+    n-grams" filter, occurrence-weighted: Gopher drops docs whose
+    dup-5..10-gram fraction exceeds ~0.10-0.15). A doc that repeats a
+    sentence scores high here even when no single n-gram dominates —
+    the signal `top_ngram_fraction` misses."""
+    dup = _run_fold(
+        F.array_sort(grams),
+        # the final open run never hits the x != prev close — add it
+        lambda acc: acc["dup"]
+        + F.when(acc["run"] >= 2, acc["run"]).otherwise(F.lit(0).cast("long")),
+    )
+    return F.when(
+        F.size(grams) > 0, F.round(dup.cast("double") / F.size(grams), 6)
+    ).otherwise(F.lit(0.0))
 
 
 # F6 NLP entity extraction (reference ``core/nlp_extractor.py``, invoked

@@ -4375,6 +4375,35 @@ SELECT shard, bin_id, count(*)::BIGINT AS n_docs, sum(tok)::BIGINT AS total_tok,
 FROM fold JOIN documents USING (doc_id)
 GROUP BY shard, bin_id"""
 
+    # repetition_signals: per-doc n-gram multiplicity replayed the SQL
+    # way (explode + GROUP BY) against the engine's sorted-fold form
+    _g = lambda span, last: (  # noqa: E731 — local SQL template
+        f"SELECT doc_id, unnest(list_transform("
+        f"range(1, greatest(len(toks) - {last}, 1)), "
+        f"i -> array_to_string(toks[i:i+{span}], '_'))) AS gram FROM t"
+    )
+    o["repetition_signals"] = f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+g3 AS ({_g(2, 1)}), g5 AS ({_g(4, 3)}), g10 AS ({_g(9, 8)}),
+c3 AS (SELECT doc_id, max(cnt)::DOUBLE / sum(cnt) AS f
+       FROM (SELECT doc_id, gram, count(*) AS cnt FROM g3 GROUP BY doc_id, gram)
+       GROUP BY doc_id),
+c5 AS (SELECT doc_id,
+              coalesce(sum(cnt) FILTER (WHERE cnt >= 2), 0)::DOUBLE / sum(cnt) AS f
+       FROM (SELECT doc_id, gram, count(*) AS cnt FROM g5 GROUP BY doc_id, gram)
+       GROUP BY doc_id),
+c10 AS (SELECT doc_id,
+               coalesce(sum(cnt) FILTER (WHERE cnt >= 2), 0)::DOUBLE / sum(cnt) AS f
+        FROM (SELECT doc_id, gram, count(*) AS cnt FROM g10 GROUP BY doc_id, gram)
+        GROUP BY doc_id)
+SELECT d.doc_id,
+       round(coalesce(c3.f, 0.0), 6) AS top_3gram_frac,
+       round(coalesce(c5.f, 0.0), 6) AS dup_5gram_frac,
+       round(coalesce(c10.f, 0.0), 6) AS dup_10gram_frac
+FROM documents d
+LEFT JOIN c3 USING (doc_id) LEFT JOIN c5 USING (doc_id)
+LEFT JOIN c10 USING (doc_id)"""
+
     # corpus_jsonl: the oracle reads the parquet the JSONL shards were
     # written from — equality proves the write→read cycle lossless
     o["corpus_jsonl"] = """
@@ -4403,6 +4432,30 @@ FROM documents GROUP BY lang"""
         del o[absorbed]
 
     return o
+
+
+def q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher Table A1 repetition filters beyond the in-window bigram
+    mode (`text_quality.top_2gram_frac`): per-doc top-3-gram fraction
+    and duplicate-5/10-gram fractions (occurrence-weighted — Gopher
+    drops docs above ~0.10-0.15 on the dup-n-gram family). Zero
+    shuffle: each signal is a sorted-array linear fold
+    (functions/text.py:_run_fold), so the scan stays one pass per doc
+    at any corpus size; the oracle replays via explode+GROUP BY."""
+    from mcp_vector_search_spark.functions.text import (
+        dup_ngram_fraction,
+        top_ngram_fraction,
+        tokenize,
+        word_ngrams,
+    )
+
+    d = _docs(spark, sf_dir).select("doc_id", tokenize("text").alias("_toks"))
+    return d.select(
+        "doc_id",
+        top_ngram_fraction(word_ngrams(F.col("_toks"), 3)).alias("top_3gram_frac"),
+        dup_ngram_fraction(word_ngrams(F.col("_toks"), 5)).alias("dup_5gram_frac"),
+        dup_ngram_fraction(word_ngrams(F.col("_toks"), 10)).alias("dup_10gram_frac"),
+    )
 
 
 def q_corpus_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4585,6 +4638,10 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # overflow because it writes a temp dir per run; scored every
     # round by verify_local like the rest of the overflow set
     "corpus_jsonl": q_corpus_jsonl,
+    # r9: Gopher dup-n-gram repetition family (top_2gram_frac's
+    # in-window sibling covers the bigram mode; this gate adds the
+    # 3/5/10-gram signals) — overflow, scored every round
+    "repetition_signals": q_repetition_signals,
 }
 
 ORACLE_SQL: dict[str, str] = _oracles()

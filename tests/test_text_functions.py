@@ -239,3 +239,50 @@ def test_redact_pii_bare_digit_runs(spark):
     assert out[1] == "call <PHONE> today"
     assert out[2] == "or <PHONE> with country code"
     assert out[3] == "order 123456789 shipped 2026 count 123456789012"
+
+
+def test_top_and_dup_ngram_fractions(spark):
+    from mcp_vector_search_spark.functions.text import (
+        dup_ngram_fraction,
+        top_ngram_fraction,
+    )
+
+    rows = [
+        # bigrams: ab ba ab ba ab bc -> top ab=3/6, dup (3+2)/6
+        ("a b a b a b c",),
+        # all-unique bigrams -> top 1/3, dup 0
+        ("p q r s",),
+        # bigrams az za az za -> sorted [az az za za]: the za run is
+        # still open when the fold ends — exercises the finish-lambda
+        ("a z a z a",),
+        # fewer tokens than n -> empty grams -> 0.0
+        ("lone",),
+        ("",),
+    ]
+    df = spark.createDataFrame(rows, "text string").select(
+        word_ngrams(tokenize("text"), 2).alias("g")
+    )
+    out = df.select(
+        top_ngram_fraction(F.col("g")).alias("top"),
+        dup_ngram_fraction(F.col("g")).alias("dup"),
+    ).collect()
+    assert [(r["top"], r["dup"]) for r in out] == [
+        (0.5, 0.833333),
+        (round(1 / 3, 6), 0.0),
+        (0.5, 1.0),
+        (0.0, 0.0),
+        (0.0, 0.0),
+    ]
+
+
+def test_dup_ngram_fraction_run_in_middle(spark):
+    from mcp_vector_search_spark.functions.text import dup_ngram_fraction
+
+    # sorted trigram array has its duplicated run in the MIDDLE, with
+    # unique grams on both sides — the x != prev close path
+    df = spark.createDataFrame([("x a b c a b c a b y",)], "text string").select(
+        word_ngrams(tokenize("text"), 3).alias("g")
+    )
+    # trigrams: xab abc bca cab abc bca cab aby -> dup: abc,bca,cab each x2
+    out = df.select(dup_ngram_fraction(F.col("g"))).collect()[0][0]
+    assert out == 0.75
