@@ -1171,10 +1171,16 @@ class SparkProject:
         n_shards: int = 32,
         collect_report: bool = True,
         redact: bool = False,
+        quality_filter: str | Column | None = None,
     ) -> tuple[DataFrame, DataFrame | None]:
         """The end-to-end training-corpus pipeline this engine exists
         for, composed from the individually oracle-gated stages:
 
+        0. quality filter (`quality_filter` set) — per-row keep/drop
+           BEFORE any shuffle-bearing stage: "gopher" applies the
+           canonical Gopher bands via `analytics.text_quality_frame`
+           (the text_quality gate's exact definition), or pass any
+           boolean Column over that frame's signal columns;
         1. exact dedup — drop every doc whose normalized fingerprint
            already appeared at a lower id;
         2. near-dedup — MinHash-LSH candidates, exact-Jaccard
@@ -1259,6 +1265,41 @@ class SparkProject:
         if collect_report:
             stages.append(("input", self.docs.count()))
 
+        # 0. quality filter — FIRST, like the production pipelines it
+        # mirrors (RefinedWeb/Gopher order: cheap per-row rules cut
+        # volume before any shuffle-bearing dedup stage pays for the
+        # dropped rows). `quality_filter="gopher"` keeps docs passing
+        # the canonical Gopher bands — the SAME
+        # `analytics.text_quality_frame` definition the text_quality
+        # oracle gate scores; any other boolean Column is applied over
+        # that frame's signal columns (n_tokens, mean_word_len,
+        # dup_line_frac, top_2gram_frac, quality, ...), so custom
+        # thresholds compose from gated signals.
+        docs0 = self.docs
+        if quality_filter is not None:
+            from mcp_vector_search_spark.operators.analytics import (
+                text_quality_frame,
+            )
+
+            predicate = (
+                F.col("passes_gopher")
+                if isinstance(quality_filter, str) and quality_filter == "gopher"
+                else quality_filter
+            )
+            if isinstance(predicate, str):
+                raise ValueError(
+                    f"quality_filter must be 'gopher' or a boolean Column, "
+                    f"got {quality_filter!r}"
+                )
+            keep = (
+                text_quality_frame(docs0)
+                .filter(predicate)
+                .select("doc_id")
+            )
+            docs0 = checkpoint(
+                "quality_filter", docs0.join(keep, "doc_id", "left_semi")
+            )
+
         # 1. exact: keep the lowest id per fingerprint — one full-row
         # shuffle on the fingerprint key (any id-level filter of the
         # corpus moves the rows once; a slim window + semi-join would
@@ -1267,7 +1308,7 @@ class SparkProject:
 
         w = Window.partitionBy("_fp").orderBy("doc_id")
         docs = (
-            self.docs.withColumn("_fp", doc_fingerprint("text"))
+            docs0.withColumn("_fp", doc_fingerprint("text"))
             .withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") == 1)
             .drop("_fp", "_rn")

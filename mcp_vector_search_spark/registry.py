@@ -625,88 +625,14 @@ def q_embedding_near_dups_multiprobe(spark: SparkSession, sf_dir: str) -> DataFr
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text metrics (S4/F1/LLM-pipeline) + the F15 quality score + the
     Gopher repetition/quality filter signals (Rae et al. 2021 Table
-    A1) in one gate. EVERY signal — including top_2gram_frac — is a
-    per-row column expr, so the whole gate is one shuffle-free scan.
-    top_2gram_frac sorts the doc's bigram array and folds the max
-    equal-run length (O(L log L) per doc; the round-3 explode → two
-    keyed groupBys dominated the gate — VERDICT r3 #2, 0.4 s → 4.1 s).
-    `passes_gopher` is the standard pretraining keep/drop decision."""
-    from mcp_vector_search_spark.functions.text import (
-        alpha_word_fraction,
-        bullet_line_fraction,
-        doc_lines,
-        dup_line_fraction,
-        ellipsis_line_fraction,
-        fingerprint_from_tokens,
-        mean_word_length,
-        symbol_word_ratio,
-    )
-    from mcp_vector_search_spark.operators.analytics import quality_expr
+    A1) in one gate — the single-scan frame is now the package
+    operator `analytics.text_quality_frame` (r9: `curate_corpus`'s
+    quality_filter stage drops on the SAME definition, so the gate
+    and the pipeline cannot drift); this gate scores it against the
+    SQL replay unchanged."""
+    from mcp_vector_search_spark.operators.analytics import text_quality_frame
 
-    docs = _docs(spark, sf_dir)
-    # stage the tokenize / line-split / sorted-bigram arrays as
-    # intermediate columns: CollapseProject keeps the projections
-    # separate when a non-cheap column is referenced more than once, so
-    # each array is computed ONCE per row instead of re-inlined into
-    # every downstream signal (~10 tokenize evaluations in round 3)
-    staged = docs.select(
-        "doc_id",
-        "text",
-        tokenize("text").alias("_toks"),
-        doc_lines("text").alias("_lines"),
-    ).select(
-        "*",
-        F.array_sort(word_ngrams(F.col("_toks"), 2)).alias("_grams"),
-    )
-    tk, ln, gr = F.col("_toks"), F.col("_lines"), F.col("_grams")
-    # max bigram multiplicity == max equal-run length in the SORTED
-    # bigram array — a linear fold after an O(L log L) per-row sort
-    max_run = F.aggregate(
-        gr,
-        F.struct(F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")),
-        lambda acc, x: F.struct(
-            x.alias("prev"),
-            F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)).alias("run"),
-            F.greatest(
-                acc["best"],
-                F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)),
-            ).alias("best"),
-        ),
-        lambda acc: acc["best"],
-    )
-    top_2gram = F.when(
-        F.size(gr) > 0,
-        F.round(max_run.cast("double") / F.size(gr), 6),
-    ).otherwise(F.lit(0.0))
-    metrics = staged.select(
-        "doc_id",
-        F.size(tk).cast("long").alias("n_tokens"),
-        F.round(punct_ratio("text"), 6).alias("punct_ratio"),
-        F.round(distinct_token_ratio(tk), 6).alias("distinct_ratio"),
-        fingerprint_from_tokens(tk).alias("fingerprint"),
-        F.round(dup_line_fraction(ln), 6).alias("dup_line_frac"),
-        F.round(bullet_line_fraction(ln), 6).alias("bullet_line_frac"),
-        F.round(ellipsis_line_fraction(ln), 6).alias("ellipsis_line_frac"),
-        F.round(mean_word_length(tk), 6).alias("mean_word_len"),
-        F.round(alpha_word_fraction(tk), 6).alias("alpha_word_frac"),
-        F.round(symbol_word_ratio("text", tk), 6).alias("symbol_word_ratio"),
-        top_2gram.alias("top_2gram_frac"),
-        # F15 quality over the already-tokenized array (a join with
-        # quality_score(docs) would shuffle two scans of the same
-        # table); the formula itself lives in ONE place
-        quality_expr(tk, "text").alias("quality"),
-    )
-    return metrics.withColumn(
-        "passes_gopher",
-        F.col("n_tokens").between(50, 100000)
-        & F.col("mean_word_len").between(3.0, 10.0)
-        & (F.col("symbol_word_ratio") <= 0.1)
-        & (F.col("bullet_line_frac") <= 0.9)
-        & (F.col("ellipsis_line_frac") <= 0.3)
-        & (F.col("alpha_word_frac") >= 0.8)
-        & (F.col("dup_line_frac") <= 0.3)
-        & (F.col("top_2gram_frac") <= 0.2),
-    )
+    return text_quality_frame(_docs(spark, sf_dir))
 
 
 def q_ngram_top50(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -461,3 +461,40 @@ def test_api_serving_mode_and_indexed_batch(spark):
         p.search_hybrid_batch(qs, qvb, limit=5, method="indexed", nprobes=4)
     with pytest.raises(ValueError, match="nprobes must be >= 1"):
         p.search_hybrid_batch(qs, qvb, limit=5, method="ann", nprobes=0).collect()
+
+
+def test_api_curate_corpus_quality_filter(spark):
+    """Stage 0 drops on the gated text_quality_frame definition:
+    'gopher' uses the canonical bands; a custom Column composes from
+    the same signal columns; a typo'd string is loud."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from mcp_vector_search_spark.api import SparkProject
+
+    base = [
+        (i, f"doc number {i} talks about topic {i % 7} in some detail here", "en")
+        for i in range(20)
+    ]
+    base += [(50, "x y", "en")]  # 2 tokens — fails any length rule
+    docs = spark.createDataFrame(base, "doc_id long, text string, lang string")
+    p = SparkProject(spark, docs, docs.limit(0))
+
+    # custom predicate: these 11-token docs can't pass gopher's
+    # n_tokens >= 50, so thresholds compose from the signal columns
+    bins, report = p.curate_corpus(
+        max_tokens=64, n_shards=2, quality_filter=F.col("n_tokens") >= 5
+    )
+    rep = {r["stage"]: r["n_docs"] for r in report.collect()}
+    assert rep["quality_filter"] == rep["input"] - 1  # doc 50 dropped
+    assert rep["exact_dedup"] == rep["quality_filter"]
+
+    # gopher bands drop every tiny doc here — pipeline stays sound
+    _, report2 = p.curate_corpus(
+        max_tokens=64, n_shards=2, quality_filter="gopher"
+    )
+    rep2 = {r["stage"]: r["n_docs"] for r in report2.collect()}
+    assert rep2["quality_filter"] == 0
+
+    with pytest.raises(ValueError, match="quality_filter"):
+        p.curate_corpus(quality_filter="gopherr")
