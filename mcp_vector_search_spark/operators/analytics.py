@@ -162,19 +162,11 @@ def text_quality_frame(
     tk, ln, gr = F.col("_toks"), F.col("_lines"), F.col("_grams")
     # max bigram multiplicity == max equal-run length in the SORTED
     # bigram array — a linear fold after an O(L log L) per-row sort
-    max_run = F.aggregate(
-        gr,
-        F.struct(F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")),
-        lambda acc, x: F.struct(
-            x.alias("prev"),
-            F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)).alias("run"),
-            F.greatest(
-                acc["best"],
-                F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)),
-            ).alias("best"),
-        ),
-        lambda acc: acc["best"],
-    )
+    # (the shared `_run_fold` kernel; its top-fraction wrapper
+    # `top_ngram_fraction` re-sorts, and _grams is pre-sorted here)
+    from mcp_vector_search_spark.functions.text import _run_fold
+
+    max_run = _run_fold(gr, lambda acc: acc["best"])
     top_2gram = F.when(
         F.size(gr) > 0,
         F.round(max_run.cast("double") / F.size(gr), 6),
