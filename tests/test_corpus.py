@@ -178,6 +178,10 @@ def test_from_corpus_docs_only(spark, tmp_path):
     assert proj.docs.columns[:2] == ["doc_id", "text"]
     assert proj.docs.count() == 5
     assert proj.vectors.count() == 0
+    # the BM25 leg needs no vectors: a docs-only project serves
+    # keyword search out of the box
+    hits = proj.search_code("plain single line", limit=3).collect()
+    assert hits and hits[0]["doc_id"] == 5  # the "plain single line" doc
 
 
 def test_from_corpus_embedded(spark, tmp_path):

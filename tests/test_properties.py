@@ -225,3 +225,39 @@ def test_serving_stats_match_oneshot(spark, texts, terms):
     assert set(a["idf"]) == set(b["idf"])
     for t in a["idf"]:
         assert abs(a["idf"][t] - b["idf"][t]) < 1e-12
+
+
+@given(st.lists(st.integers(0, 5), min_size=0, max_size=30), st.integers(2, 4))
+@_settings
+def test_ngram_repetition_fractions_match_counter(spark, xs, n):
+    """The sorted-run-fold repetition signals equal a Counter-based
+    reference on arbitrary token streams (small alphabet → dense
+    collisions, the regime the fold's run bookkeeping must get
+    right)."""
+    from collections import Counter
+
+    from mcp_vector_search_spark.functions.text import (
+        dup_ngram_fraction,
+        top_ngram_fraction,
+        word_ngrams,
+    )
+
+    toks = [f"t{x}" for x in xs]
+    grams = ["_".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+    if grams:
+        counts = Counter(grams)
+        want_top = round(max(counts.values()) / len(grams), 6)
+        want_dup = round(
+            sum(c for c in counts.values() if c >= 2) / len(grams), 6
+        )
+    else:
+        want_top = want_dup = 0.0
+
+    df = spark.createDataFrame([(" ".join(toks),)], "text string")
+    from mcp_vector_search_spark.functions.text import tokenize
+
+    g = word_ngrams(tokenize("text"), n)
+    got = df.select(
+        top_ngram_fraction(g).alias("t"), dup_ngram_fraction(g).alias("d")
+    ).collect()[0]
+    assert (got["t"], got["d"]) == (want_top, want_dup)
