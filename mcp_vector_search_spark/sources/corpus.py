@@ -36,6 +36,11 @@ table).
 - **Partition fan-out.** The reader ends with ``io.spread_if_raw`` so
   a one-file corpus still fans out to the cluster's parallelism
   (the single-small-file one-core trap, VERDICT r7 #2).
+- **text_tree is one ROW per file.** A multi-GB single file becomes
+  one task and one row (Spark caps a string near 2 GB) — pre-split
+  such files or use ``text``; and millions of tiny files pay driver
+  listing time before the first task runs — batch small-file corpora
+  into JSONL shards at the first touch.
 """
 
 from __future__ import annotations
