@@ -1291,14 +1291,17 @@ class SparkProject:
                     f"quality_filter must be 'gopher' or a boolean Column, "
                     f"got {quality_filter!r}"
                 )
-            keep = (
-                text_quality_frame(docs0)
+            # per-row keep/drop must stay a FILTER over the scan:
+            # signals_only=False carries the original columns through
+            # the signal projection, so no doc_id semi-join back to
+            # the corpus (that join would shuffle both sides of a
+            # decision that is per-row by construction)
+            kept = (
+                text_quality_frame(docs0, signals_only=False)
                 .filter(predicate)
-                .select("doc_id")
+                .select(*docs0.columns)
             )
-            docs0 = checkpoint(
-                "quality_filter", docs0.join(keep, "doc_id", "left_semi")
-            )
+            docs0 = checkpoint("quality_filter", kept)
 
         # 1. exact: keep the lowest id per fingerprint — one full-row
         # shuffle on the fingerprint key (any id-level filter of the

@@ -120,7 +120,10 @@ def quality_expr(toks, text_col) -> "F.Column":
 
 
 def text_quality_frame(
-    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    signals_only: bool = True,
 ) -> DataFrame:
     """Per-doc text metrics + the F15 quality score + the Gopher
     repetition/quality signals (Rae et al. 2021 Table A1) in ONE
@@ -131,7 +134,13 @@ def text_quality_frame(
     the doc's bigram array and folds the max equal-run length
     (O(L log L) per doc; the round-3 explode → two keyed groupBys
     dominated the gate — VERDICT r3 #2, 0.4 s → 4.1 s).
-    `passes_gopher` is the standard pretraining keep/drop decision."""
+    `passes_gopher` is the standard pretraining keep/drop decision.
+
+    `signals_only=False` keeps EVERY original column alongside the
+    signals (the curation filter's form: a per-row keep/drop must be
+    a filter over the scan, never a doc_id semi-join back to the
+    corpus — that join shuffles both sides of a decision that is
+    per-row by construction)."""
     from mcp_vector_search_spark.functions.text import (
         alpha_word_fraction,
         bullet_line_fraction,
@@ -150,11 +159,18 @@ def text_quality_frame(
     # separate when a non-cheap column is referenced more than once, so
     # each array is computed ONCE per row instead of re-inlined into
     # every downstream signal (~10 tokenize evaluations in round 3)
+    if signals_only:
+        base = [F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")]
+        base_names = ["doc_id"]
+        txt = "text"
+    else:
+        base = [F.col(c) for c in docs.columns]
+        base_names = list(docs.columns)
+        txt = text_col
     staged = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.col(text_col).alias("text"),
-        tokenize(text_col).alias("_toks"),
-        doc_lines(text_col).alias("_lines"),
+        *base,
+        tokenize(txt).alias("_toks"),
+        doc_lines(txt).alias("_lines"),
     ).select(
         "*",
         F.array_sort(word_ngrams(F.col("_toks"), 2)).alias("_grams"),
@@ -172,9 +188,9 @@ def text_quality_frame(
         F.round(max_run.cast("double") / F.size(gr), 6),
     ).otherwise(F.lit(0.0))
     metrics = staged.select(
-        "doc_id",
+        *base_names,
         F.size(tk).cast("long").alias("n_tokens"),
-        F.round(punct_ratio("text"), 6).alias("punct_ratio"),
+        F.round(punct_ratio(txt), 6).alias("punct_ratio"),
         F.round(distinct_token_ratio(tk), 6).alias("distinct_ratio"),
         fingerprint_from_tokens(tk).alias("fingerprint"),
         F.round(dup_line_fraction(ln), 6).alias("dup_line_frac"),
@@ -182,12 +198,12 @@ def text_quality_frame(
         F.round(ellipsis_line_fraction(ln), 6).alias("ellipsis_line_frac"),
         F.round(mean_word_length(tk), 6).alias("mean_word_len"),
         F.round(alpha_word_fraction(tk), 6).alias("alpha_word_frac"),
-        F.round(symbol_word_ratio("text", tk), 6).alias("symbol_word_ratio"),
+        F.round(symbol_word_ratio(txt, tk), 6).alias("symbol_word_ratio"),
         top_2gram.alias("top_2gram_frac"),
         # F15 quality over the already-tokenized array (a join with
         # quality_score(docs) would shuffle two scans of the same
         # table); the formula itself lives in ONE place
-        quality_expr(tk, "text").alias("quality"),
+        quality_expr(tk, txt).alias("quality"),
     )
     return metrics.withColumn(
         "passes_gopher",
