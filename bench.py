@@ -111,6 +111,47 @@ RETRY_ON_CONTENTION = {
     ],
 }
 
+# Isolated-band provenance check (r9 runs 5-6): SUSTAINED neighbor
+# load that depresses every run of a serving row consistently passes
+# both the canary bracket (clean section boundaries) and the
+# stability test (the runs agree with each other) — in-run it is
+# indistinguishable from a slow engine. What the record CAN do is
+# disagree with itself loudly: these are the same-day isolated bands
+# BENCH_NOTES documents per round (measured on this box across the
+# round's clean runs; maintained alongside the notes), and a
+# published row landing outside its band by >1.5x stamps
+# `<row>_outside_band: [value, low, high]` into the record and the
+# compact line. A label, not a retry: the row stays official, the
+# reader knows which population produced it. Direction matters —
+# qps rows flag LOW (contention depresses them), seconds rows flag
+# HIGH. Rows beating their band are left alone (warm caches and a
+# quiet box legitimately land above).
+ISOLATED_BANDS_QPS = {
+    "hybrid_scale_tbl_qps": (33.5, 50.8),
+    "hybrid_scale_ann_qps": (32.5, 43.5),
+    "hybrid_batch_tbl_qps": (76.8, 109.6),
+    "hybrid_batch_ann_qps": (56.7, 74.7),
+}
+ISOLATED_BANDS_SEC = {
+    "hybrid_rrf_warm_served": (0.69, 0.96),
+    "ann_huge_ivf_build_sec": (9.2, 19.6),
+}
+BAND_RATIO = 1.5
+
+
+def stamp_band_outliers(merged: dict) -> None:
+    """Label rows that contradict their documented isolated band —
+    the sustained-contention population the in-run defenses cannot
+    see (run-5/6 blind spot)."""
+    for row, (lo, hi) in ISOLATED_BANDS_QPS.items():
+        v = merged.get(row)
+        if isinstance(v, (int, float)) and v < lo / BAND_RATIO:
+            merged[f"{row}_outside_band"] = [v, lo, hi]
+    for row, (lo, hi) in ISOLATED_BANDS_SEC.items():
+        v = merged.get(row)
+        if isinstance(v, (int, float)) and v > hi * BAND_RATIO:
+            merged[f"{row}_outside_band"] = [v, lo, hi]
+
 
 def _canary_sec() -> float:
     """Fixed-size matmul wall time, best of 3 — deterministic input,
@@ -1682,6 +1723,7 @@ def _orchestrate() -> None:
             file=sys.stderr, flush=True,
         )
     merged["wall_total_sec"] = round(time.time() - t_start, 1)
+    stamp_band_outliers(merged)
     emit_results(_total_of(merged), merged)
     errors = {k: v for k, v in merged.items() if k.endswith("_error")}
     if errors:
@@ -1804,6 +1846,10 @@ def emit_results(total: float, per_query: dict) -> None:
         if k.startswith("section_") and k.endswith("_retry_failed"):
             compact[k] = str(per_query[k])[:60]
         if k.endswith("_unstable"):
+            compact[k] = per_query[k]
+        # a row contradicting its documented isolated band is a
+        # population caveat the compact-line reader must see too
+        if k.endswith("_outside_band"):
             compact[k] = per_query[k]
     def _line() -> str:
         return json.dumps(

@@ -56,3 +56,37 @@ def test_emit_results_surfaces_section_errors_truncated():
 def test_section_registry_covers_order():
     assert set(bench.SECTION_ORDER) == set(bench.SECTIONS)
     assert bench.SECTION_ORDER[0] == "core"  # headline keys feed `value`
+
+
+def test_stamp_band_outliers_directions():
+    """qps rows flag LOW, seconds rows flag HIGH, in-band and
+    above-band(qps)/below-band(sec) rows are left alone — replayed on
+    the round's own run-5/6 populations."""
+    merged = {
+        # run-5 contended core: tbl depressed, ann in band
+        "hybrid_scale_tbl_qps": 21.92,
+        "hybrid_scale_ann_qps": 37.56,
+        # beating the band is fine (run-5 tbl batch hit 108.75)
+        "hybrid_batch_tbl_qps": 108.75,
+        # run-5 contended build
+        "ann_huge_ivf_build_sec": 128.849,
+        # fast build is fine
+        "hybrid_rrf_warm_served": 0.5,
+        # non-numeric values never stamp
+        "hybrid_batch_ann_qps": None,
+    }
+    bench.stamp_band_outliers(merged)
+    assert merged["hybrid_scale_tbl_qps_outside_band"][0] == 21.92
+    assert merged["ann_huge_ivf_build_sec_outside_band"][0] == 128.849
+    assert "hybrid_scale_ann_qps_outside_band" not in merged
+    assert "hybrid_batch_tbl_qps_outside_band" not in merged
+    assert "hybrid_rrf_warm_served_outside_band" not in merged
+    assert "hybrid_batch_ann_qps_outside_band" not in merged
+
+
+def test_outside_band_rides_the_compact_line():
+    pq = {"bm25_topk": 1.0,
+          "hybrid_scale_tbl_qps_outside_band": [17.41, 33.5, 50.8]}
+    _full, compact = _emit_capture(1.0, pq)
+    assert compact["queries"]["hybrid_scale_tbl_qps_outside_band"] == [
+        17.41, 33.5, 50.8]
