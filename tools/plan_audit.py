@@ -14,6 +14,9 @@ sys.path.insert(0, "/root/repo")
 
 SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 
+# PLANS.md content from this line on survives regeneration verbatim
+HAND_MARKER = "<!-- hand-written audits below: preserved across plan_audit regenerations -->"
+
 AUDIT = [
     ("bm25_topk", "one-shot: per-row tf exprs, zero shuffles, single corpus scan under TakeOrderedAndProject"),
     ("knn_topk", "broadcast 1-row query; TakeOrderedAndProject — no full sort"),
@@ -40,6 +43,7 @@ AUDIT = [
     ("hybrid_batch_tbl", "r6: table-driven batch — query set broadcast-joined to postings; only union-term idf rows broadcast; plan width independent of batch size"),
     ("hybrid_batch_ann", "r6: serving-from-artifacts batch — postings-index BM25 leg + packed-IVF vector leg (probe filter prunes non-probed blocks before any deserialize)"),
     ("ml_chunks", "r6: typed multilang chunking — boundary + kind + name all when-chain column exprs in one pass, one groupBy(doc,chunk) shuffle"),
+    ("repetition_signals", "r9: Gopher dup-n-gram family — every signal a sorted-array fold per row; zero shuffles, one corpus scan"),
 ]
 
 
@@ -98,9 +102,23 @@ def main():
         lines.append(tree[:3000])
         lines.append("```")
         lines.append("")
+    # everything from HAND_MARKER on is hand-written audit prose
+    # (fused-build shapes, lineage rules, routing audits) — a
+    # regeneration must carry it forward, not drop it (r9: a rerun
+    # silently erased three rounds of hand audits)
+    hand = ""
+    try:
+        prev = open("/root/repo/PLANS.md").read()
+        idx = prev.find(HAND_MARKER)
+        if idx >= 0:
+            hand = "\n" + prev[idx:]
+    except FileNotFoundError:
+        pass
+    if not hand:
+        hand = "\n" + HAND_MARKER + "\n"
     with open("/root/repo/PLANS.md", "w") as f:
-        f.write("\n".join(lines))
-    print(f"wrote PLANS.md ({len(lines)} lines)")
+        f.write("\n".join(lines) + hand)
+    print(f"wrote PLANS.md ({len(lines)} generated lines + hand audits)")
 
 
 if __name__ == "__main__":
