@@ -90,3 +90,16 @@ def test_outside_band_rides_the_compact_line():
     _full, compact = _emit_capture(1.0, pq)
     assert compact["queries"]["hybrid_scale_tbl_qps_outside_band"] == [
         17.41, 33.5, 50.8]
+
+
+def test_is_stable_two_smallest_rule():
+    # fewer than 2 runs can never be stable
+    assert not bench._is_stable([1.0])
+    # two agreeing fast runs pin the cost no matter the outliers
+    assert bench._is_stable([6.648, 7.592, 17.777])
+    # a decaying sequence with no agreeing pair keeps retrying
+    assert not bench._is_stable([5.567, 1.885])
+    # the r9 run-3 signature that motivated the rule: both runs hit
+    assert bench._is_stable([37.3, 19.9]) is False
+    # equal runs are trivially stable
+    assert bench._is_stable([2.0, 2.0, 9.0])
