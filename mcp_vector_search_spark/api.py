@@ -123,12 +123,29 @@ class SparkProject:
             spark, path, fmt,
             text_col=text_col, id_col=id_col, schema=schema, options=options,
         )
+        # Normalize to the documents CONTRACT before constructing the
+        # project: every SparkProject method hard-codes 'doc_id'/'text'
+        # (doc_fingerprint("text"), token_count("text"), ...), so a
+        # corpus read with custom column names would fail deep inside
+        # curate_corpus/search with a missing-column AnalysisException
+        # (ADVICE r9 medium). read_corpus keeps its name-preserving
+        # behavior for standalone use; the rename happens only here,
+        # at the project boundary.
+        for src, dst in ((id_col, "doc_id"), (text_col, "text")):
+            if src != dst:
+                if dst in docs.columns:
+                    raise ValueError(
+                        f"corpus already has a {dst!r} column alongside "
+                        f"{src!r}; rename or drop one before from_corpus "
+                        f"(the project contract reserves {dst!r})"
+                    )
+                docs = docs.withColumnRenamed(src, dst)
         if vectors is None:
             if embed:
                 from mcp_vector_search_spark.functions.embed import embed_batch
 
-                vectors = embed_batch(docs, id_col, text_col).withColumnRenamed(
-                    id_col, "vec_id"
+                vectors = embed_batch(docs, "doc_id", "text").withColumnRenamed(
+                    "doc_id", "vec_id"
                 )
             else:
                 vectors = spark.createDataFrame(

@@ -119,6 +119,17 @@ def quality_expr(toks, text_col) -> "F.Column":
     return F.round(F.greatest(F.lit(0.0), F.least(F.lit(100.0), raw)), 4)
 
 
+# every column text_quality_frame appends beyond the originals — kept
+# in ONE place so the collision check and the select list cannot drift
+_SIGNAL_COLS = frozenset({
+    "n_tokens", "punct_ratio", "distinct_ratio", "fingerprint",
+    "dup_line_frac", "bullet_line_frac", "ellipsis_line_frac",
+    "mean_word_len", "alpha_word_frac", "symbol_word_ratio",
+    "top_2gram_frac", "quality", "passes_gopher",
+    "_toks", "_lines", "_grams",
+})
+
+
 def text_quality_frame(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -164,6 +175,18 @@ def text_quality_frame(
         base_names = ["doc_id"]
         txt = "text"
     else:
+        # the signal columns are appended to EVERY original column; a
+        # metadata column already named n_tokens/quality/... would
+        # produce a duplicate name and an ambiguous-reference failure
+        # deep inside curate_corpus's quality filter (ADVICE r9 low) —
+        # fail here, at the boundary, with the actual collision named
+        clash = sorted(set(docs.columns) & _SIGNAL_COLS)
+        if clash:
+            raise ValueError(
+                f"corpus columns collide with text-quality signal names "
+                f"{clash}; rename them before text_quality_frame("
+                f"signals_only=False) — the signal columns are reserved"
+            )
         base = [F.col(c) for c in docs.columns]
         base_names = list(docs.columns)
         txt = text_col

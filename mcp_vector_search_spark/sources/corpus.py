@@ -126,6 +126,26 @@ def read_corpus(
     """
     if fmt == "auto":
         fmt = _infer_format(path)
+        low = path.rstrip("/").lower()
+        if low.endswith(".json") or low.endswith(".json.gz"):
+            # '.json' is AMBIGUOUS: this reader treats it as JSONL
+            # (one object per line). A pretty-printed / multi-line
+            # JSON file parses as all-malformed, and the default
+            # on_corrupt="drop" makes that corruption SILENT — total
+            # failure is loud (text_col check below) but partial loss
+            # is not (ADVICE r9 low). Warn so the caller knows to pass
+            # options={"multiLine": "true"} (one doc per FILE) or
+            # on_corrupt="fail" to make corruption abort instead.
+            import warnings
+
+            warnings.warn(
+                f"{path!r} auto-inferred as JSONL (one JSON object per "
+                "line); multi-line/pretty-printed JSON records will be "
+                "dropped silently under on_corrupt='drop' — pass "
+                "on_corrupt='fail' to abort on malformed records, or "
+                "fmt='jsonl' to silence this warning",
+                stacklevel=2,
+            )
     if fmt not in CORPUS_FORMATS:
         raise ValueError(f"unknown corpus format {fmt!r}; expected one of {CORPUS_FORMATS}")
     if on_corrupt not in ("drop", "fail", "permissive"):
@@ -189,6 +209,63 @@ def read_corpus(
     rest = [c for c in df.columns if c not in (id_col, text_col)]
     df = df.select(id_col, text_col, *rest)
     return spread_if_raw(df, min_partitions)
+
+
+def malformed_count(
+    spark: SparkSession,
+    path: str,
+    fmt: str = "auto",
+    *,
+    schema=None,
+    options: dict | None = None,
+) -> int:
+    """Count records the default ``on_corrupt="drop"`` read would
+    silently discard — the attrition number ADVICE r9 asked for.
+
+    One PERMISSIVE pass with a ``_corrupt_record`` column; at 100 TB
+    run it on a sample of shards, not the corpus (it is a full scan).
+    Only meaningful for jsonl/csv (the formats with a parse step).
+    """
+    if fmt == "auto":
+        fmt = _infer_format(path)
+    if fmt not in ("jsonl", "csv"):
+        return 0
+    reader = (
+        spark.read.option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+    )
+    if options:
+        reader = reader.options(
+            **{k: str(v) for k, v in options.items() if k != "mode"}
+        )
+    if schema is not None:
+        reader = reader.schema(schema)
+        df = reader.json(path) if fmt == "jsonl" else reader.csv(path)
+        if "_corrupt_record" not in df.columns:
+            # explicit schema without the corrupt column: re-read with
+            # it appended so PERMISSIVE has somewhere to put bad rows
+            from pyspark.sql import types as T
+
+            s = df.schema.add(T.StructField("_corrupt_record", T.StringType()))
+            reader = reader.schema(s)
+            df = reader.json(path) if fmt == "jsonl" else reader.csv(path)
+    else:
+        if fmt == "csv":
+            for k, v in {"header": "true", "multiLine": "true",
+                         "quote": '"', "escape": '"'}.items():
+                if not options or k not in options:
+                    reader = reader.option(k, v)
+        df = reader.json(path) if fmt == "jsonl" else reader.csv(path)
+    if "_corrupt_record" not in df.columns:
+        return 0
+    # Spark refuses to filter on ONLY the corrupt column of an
+    # un-cached frame (internal-row referential restriction) — cache
+    # scoped to the count
+    df = df.cache()
+    try:
+        return df.filter(F.col("_corrupt_record").isNotNull()).count()
+    finally:
+        df.unpersist()
 
 
 def write_corpus(

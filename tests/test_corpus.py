@@ -198,6 +198,100 @@ def test_from_corpus_embedded(spark, tmp_path):
     assert ids == {r["doc_id"] for r in proj.docs.select("doc_id").collect()}
 
 
+def test_from_corpus_custom_columns(spark, tmp_path):
+    """ADVICE r9 medium: custom text_col/id_col must be normalized to
+    the doc_id/text contract at the project boundary — every
+    SparkProject method hard-codes those names."""
+    from mcp_vector_search_spark.api import SparkProject
+
+    src = spark.createDataFrame(
+        [(10, "alpha beta gamma", "en"), (11, "delta epsilon", "de")],
+        "ident long, body string, lang string",
+    )
+    dst = str(tmp_path / "proj_custom")
+    write_corpus(src, dst, "jsonl")
+    proj = SparkProject.from_corpus(
+        spark, dst, "jsonl", text_col="body", id_col="ident"
+    )
+    assert proj.docs.columns[:2] == ["doc_id", "text"]
+    # the hard-coded-name surface actually works now
+    hits = proj.search_code("delta epsilon", limit=1).collect()
+    assert hits and hits[0]["doc_id"] == 11
+    curated, _ = proj.curate_corpus(collect_report=False)
+    assert curated.count() == 2
+
+
+def test_from_corpus_custom_columns_collision(spark, tmp_path):
+    """A corpus carrying BOTH the custom name and the reserved
+    contract name must fail loudly, not silently shadow."""
+    from mcp_vector_search_spark.api import SparkProject
+
+    src = spark.createDataFrame(
+        [(1, "body text", "shadow")], "ident long, body string, text string"
+    )
+    dst = str(tmp_path / "proj_clash")
+    write_corpus(src, dst, "jsonl")
+    with pytest.raises(ValueError, match="reserves 'text'"):
+        SparkProject.from_corpus(
+            spark, dst, "jsonl", text_col="body", id_col="ident"
+        )
+
+
+def test_json_suffix_auto_infer_warns(spark, tmp_path):
+    """ADVICE r9 low: '.json' + auto-infer + DROPMALFORMED can vanish
+    multi-line JSON records silently — the auto path must warn."""
+    import warnings
+
+    p = tmp_path / "corpus.json"
+    p.write_text('{"doc_id": 1, "text": "one line"}\n')
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        read_corpus(spark, str(p), "auto").collect()
+    assert any("JSONL" in str(w.message) for w in caught)
+    # an explicit fmt is trusted — no warning
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        read_corpus(spark, str(p), "jsonl").collect()
+    assert not any("JSONL" in str(w.message) for w in caught)
+
+
+def test_malformed_count(spark, tmp_path):
+    """The attrition counter: reports exactly how many records the
+    default drop-mode read discards."""
+    from mcp_vector_search_spark.sources.corpus import malformed_count
+
+    p = tmp_path / "mixed.jsonl"
+    p.write_text(
+        '{"doc_id": 1, "text": "good one"}\n'
+        "{broken json\n"
+        '{"doc_id": 2, "text": "good two"}\n'
+        "also not json\n"
+    )
+    assert malformed_count(spark, str(p), "jsonl") == 2
+    assert malformed_count(
+        spark, str(p), "jsonl", schema="doc_id long, text string"
+    ) == 2
+    # formats without a parse step have no malformed notion
+    assert malformed_count(spark, str(p), "parquet") == 0
+    kept = read_corpus(spark, str(p), "jsonl")
+    assert kept.count() == 2
+
+
+def test_quality_signal_collision(spark):
+    """ADVICE r9 low: a metadata column named like a signal column
+    must raise a clear error, not an ambiguous-reference failure deep
+    in curate_corpus."""
+    from mcp_vector_search_spark.operators.analytics import text_quality_frame
+
+    docs = spark.createDataFrame(
+        [(1, "some text here", 0.5)], "doc_id long, text string, quality double"
+    )
+    with pytest.raises(ValueError, match="quality"):
+        text_quality_frame(docs, signals_only=False)
+    # signals_only=True projects doc_id/text only — no collision
+    assert text_quality_frame(docs, signals_only=True).columns[0] == "doc_id"
+
+
 def test_registry_gate_runs(spark):
     """The corpus_jsonl overflow gate at sf0.001 — same shape the
     driver/verify_local scores at sf0.01."""
