@@ -27,6 +27,7 @@ class SparkProject:
         vectors: DataFrame,
         chunk_meta: DataFrame | None = None,
         spread: bool | str = "auto",
+        corpus_cold: bool = False,
     ):
         """`spread` controls the single-small-file ingest trap
         (io.spread docstring; VERDICT r7 #2): a one-file corpus is ONE
@@ -76,6 +77,10 @@ class SparkProject:
         self._ivf_nclusters: int | None = None
         self._deferred_caches: list[DataFrame] = []
         self._hybrid_server = None
+        # the last search_batch routing decision, for operators (the
+        # MCP ann_serving_regime tool reports it — VERDICT r9 #4):
+        # {"requested", "served", "reason", ...measured inputs}
+        self.last_route: dict | None = None
         # serving-regime knobs for search_batch(route="auto") — the
         # measured in-memory probe-vs-brute crossover (ivf.py
         # choose_ann_route). Instance attrs so a deployment with a
@@ -87,6 +92,13 @@ class SparkProject:
 
         self.ann_route_bytes_per_node = ANN_ROUTE_BYTES_PER_NODE
         self.ann_route_union_max = ANN_ROUTE_UNION_MAX
+        # storage-latency hint (VERDICT r9 #8): True declares that the
+        # raw `vectors` frame lives on cold/slow storage, so the brute
+        # side of the routing curve (which priced a scan-cheap corpus)
+        # is off the table whenever a cached layout can serve instead.
+        # A deployment fact, not something the engine can probe —
+        # settable at construction or any time after.
+        self.corpus_cold = bool(corpus_cold)
 
     @classmethod
     def from_corpus(
@@ -636,11 +648,13 @@ class SparkProject:
           kernel serves. Both plans are result-identical for float64
           packs (shared oracle), so routing never changes answers.
           Quantized layouts (ivfpq/ivfsq) are explicit opt-ins —
-          "auto" always serves them as built. Scope note: the brute
-          side of the measured curve assumed a scan-cheap corpus
-          (cached or fast storage) — if `self.vectors` sits on cold
-          slow storage, force route="probe" to serve from the cached
-          layout instead.
+          "auto" always serves them as built. The brute side of the
+          measured curve priced a scan-cheap corpus (cached or fast
+          storage); construct the project with `corpus_cold=True`
+          (or set the attribute) when `self.vectors` sits on cold
+          slow storage and auto will serve from the cached layout at
+          any corpus size (VERDICT r9 #8 — no manual route="probe"
+          override needed).
         - "probe": force the layout path (the pre-r9 behavior).
         - "brute": force the exact Arrow kernel, ignoring ANY layout —
           including the quantized codecs (exact scores, no codec)."""
@@ -651,10 +665,17 @@ class SparkProject:
                 f"route must be 'auto', 'probe', or 'brute', got {route!r}"
             )
         if route == "brute":
+            self.last_route = {
+                "requested": route, "served": "brute", "reason": "forced",
+            }
             return topk_per_query_np(self.vectors, queries, limit)
         if self._ivfpq_layout is not None:
             from mcp_vector_search_spark.operators.ivfpq import ivfpq_topk_refined
 
+            self.last_route = {
+                "requested": route, "served": "codec:ivfpq",
+                "reason": "quantized layout is an explicit opt-in",
+            }
             packed_codes, cents, codebooks = self._ivfpq_layout
             return ivfpq_topk_refined(
                 self.vectors,
@@ -668,6 +689,10 @@ class SparkProject:
         if self._sq_layout is not None:
             from mcp_vector_search_spark.operators.sq import sq_topk_refined
 
+            self.last_route = {
+                "requested": route, "served": "codec:ivfsq",
+                "reason": "quantized layout is an explicit opt-in",
+            }
             packed_codes, bounds = self._sq_layout
             return sq_topk_refined(
                 self.vectors, None, bounds, queries, limit,
@@ -683,6 +708,9 @@ class SparkProject:
 
             layout, centroids, _ = self._ivf_layout
             if route == "probe":
+                self.last_route = {
+                    "requested": route, "served": "probe", "reason": "forced",
+                }
                 return ivf_topk_batch_packed(layout, centroids, queries, limit)
             nodes = self._ann_nodes()
             corpus_bytes = self._ivf_layout_bytes()
@@ -694,7 +722,13 @@ class SparkProject:
                 corpus_bytes, 0.0, nodes=nodes,
                 bytes_per_node=self.ann_route_bytes_per_node,
                 union_max=self.ann_route_union_max,
+                corpus_cold=self.corpus_cold,
             ) == "brute":
+                self.last_route = {
+                    "requested": route, "served": "brute",
+                    "reason": "corpus below bytes-per-node break-even",
+                    "corpus_bytes": corpus_bytes, "nodes": nodes,
+                }
                 return topk_per_query_np(self.vectors, queries, limit)
             probe = _driver_probe_sets(
                 queries, centroids, NPROBES, "query_id", "query_vec"
@@ -704,7 +738,17 @@ class SparkProject:
                 corpus_bytes, union_fraction, nodes=nodes,
                 bytes_per_node=self.ann_route_bytes_per_node,
                 union_max=self.ann_route_union_max,
+                corpus_cold=self.corpus_cold,
             ) == "probe":
+                self.last_route = {
+                    "requested": route, "served": "probe",
+                    "reason": (
+                        "corpus is cold storage" if self.corpus_cold
+                        else "above break-even with concentrated batch"
+                    ),
+                    "corpus_bytes": corpus_bytes, "nodes": nodes,
+                    "union_fraction": round(union_fraction, 4),
+                }
                 return ivf_topk_batch_packed(
                     layout, centroids, queries, limit, _probe_sets=probe
                 )
@@ -712,6 +756,12 @@ class SparkProject:
             # hand the matrix to the brute kernel rather than
             # re-executing the query frame's lineage (a limit()/
             # sampled frame could yield a DIFFERENT set, r8 trap)
+            self.last_route = {
+                "requested": route, "served": "brute",
+                "reason": "diffuse batch: probe union above the cap",
+                "corpus_bytes": corpus_bytes, "nodes": nodes,
+                "union_fraction": round(union_fraction, 4),
+            }
             return topk_per_query_np(
                 self.vectors, queries, limit, _queries_np=(probe[0], probe[1])
             )
@@ -720,6 +770,9 @@ class SparkProject:
                 "route='probe' needs an ANN layout — call "
                 "build_ann_index or load_ann_index first"
             )
+        self.last_route = {
+            "requested": route, "served": "brute", "reason": "no ANN layout",
+        }
         return topk_per_query_np(self.vectors, queries, limit)
 
     def ann_serving_regime(self, batch_size: int = 2, path: str | None = None) -> dict:
@@ -783,10 +836,12 @@ class SparkProject:
             "bytes_per_node_breakeven": self.ann_route_bytes_per_node,
             "batch_size": batch_size,
             "union_fraction_worst_case": union_ub,
+            "corpus_cold": self.corpus_cold,
             "regime": choose_ann_route(
                 corpus_bytes, union_ub, nodes=nodes,
                 bytes_per_node=self.ann_route_bytes_per_node,
                 union_max=self.ann_route_union_max,
+                corpus_cold=self.corpus_cold,
             ),
         }
 

@@ -62,6 +62,11 @@ TOOL_SCHEMAS: dict[str, dict[str, Any]] = {
         "required": ["entity_name", "commit_sha"],
         "args": ["entity_name", "commit_sha"],
     },
+    # Engine extension (no reference counterpart): the serving-regime
+    # facade + the last search_batch routing decision, so an operator
+    # of a deployed index can see WHICH physical plan auto-routing
+    # picks and why (VERDICT r9 #4)
+    "ann_serving_regime": {"required": [], "args": ["batch_size", "path"]},
     # LLM-orchestration surface (declined with pointers):
     "interpret_analysis": {"required": ["analysis_json"], "args": ["analysis_json"]},
     "review_repository": {"required": ["review_type"], "args": ["review_type"]},
@@ -278,6 +283,19 @@ class McpAdapter:
             return df_payload(p.search_context(a["description"], qv, limit=k), cap)
         if name == "get_project_status":
             return df_payload(p.get_project_status(), cap)
+        if name == "ann_serving_regime":
+            out = {
+                "ok": True,
+                "regime": p.ann_serving_regime(
+                    batch_size=int(a.get("batch_size", 2)),
+                    path=a.get("path"),
+                ),
+            }
+            # the decision the LAST search_batch actually took (None
+            # until one has run) — regime says what auto WOULD do,
+            # last_route says what it DID
+            out["last_route"] = p.last_route
+            return out
         if name == "index_project":
             exts = a.get("file_extensions")
             if a.get("force") or exts is not None:

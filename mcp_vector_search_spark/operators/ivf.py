@@ -69,13 +69,24 @@ def choose_ann_route(
     nodes: int = 1,
     bytes_per_node: int = ANN_ROUTE_BYTES_PER_NODE,
     union_max: float = ANN_ROUTE_UNION_MAX,
+    corpus_cold: bool = False,
 ) -> str:
     """'probe' or 'brute' for a serving batch, per the measured
     regime curve above — the decision `SparkProject.search_batch`
     routes on (VERDICT r8 #2: the crossover was measured in r8 but
     layout presence alone picked the plan, losing 1.5–2× on cached
-    sub-crossover corpora and diffuse batches)."""
-    if on_disk:
+    sub-crossover corpora and diffuse batches).
+
+    `corpus_cold` (VERDICT r9 #8): the brute side of the measured
+    curve priced a scan-cheap corpus — cached, or storage near the
+    box's ~4.4 GB/s Arrow rate. When the raw-vectors frame instead
+    sits on cold/slow object storage, every brute batch re-reads it
+    at storage latency while the probe path serves from the already-
+    cached packed layout, so probing wins at ANY corpus size or batch
+    shape (same inversion as `on_disk`, seen from the other side).
+    Callers set it from what they know about where `vectors` lives;
+    previously this required a manual route="probe" override."""
+    if on_disk or corpus_cold:
         return "probe"
     if (
         corpus_bytes > bytes_per_node * max(1, nodes)

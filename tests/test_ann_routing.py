@@ -118,6 +118,74 @@ def test_search_batch_auto_routes_probe_above_crossover(spark, monkeypatch):
     assert auto == forced
 
 
+def test_corpus_cold_routes_probe(spark, monkeypatch):
+    """VERDICT r9 #8: the brute side of the measured curve priced a
+    scan-cheap corpus — declaring the raw vectors cold (slow object
+    storage) routes auto to the cached layout at ANY corpus size or
+    batch shape, no manual route='probe' override."""
+    import mcp_vector_search_spark.operators.ivf as ivf_mod
+    from mcp_vector_search_spark.operators.ivf import choose_ann_route
+
+    GB = 1024**3
+    # cold inverts every brute verdict of the in-memory curve
+    assert choose_ann_route(1 * GB, 0.0, corpus_cold=True) == "probe"
+    assert choose_ann_route(int(8.4 * GB), 0.9, corpus_cold=True) == "probe"
+    assert choose_ann_route(0, 1.0, corpus_cold=True) == "probe"
+
+    p = _project(spark)
+    p.build_ann_index(num_clusters=8, kind="ivf")
+    p.corpus_cold = True  # also settable at construction
+    q = _queries(p)
+    calls = []
+    real_packed = ivf_mod.ivf_topk_batch_packed
+    monkeypatch.setattr(
+        ivf_mod,
+        "ivf_topk_batch_packed",
+        lambda *a, **k: calls.append("probe") or real_packed(*a, **k),
+    )
+    cold = sorted(map(tuple, p.search_batch(q, limit=5).collect()))
+    assert calls == ["probe"]  # sub-crossover corpus, but cold → probe
+    assert p.last_route["served"] == "probe"
+    assert "cold" in p.last_route["reason"]
+    assert p.ann_serving_regime()["regime"] == "probe"
+    assert p.ann_serving_regime()["corpus_cold"] is True
+    p.corpus_cold = False
+    warm = sorted(map(tuple, p.search_batch(q, limit=5).collect()))
+    assert calls == ["probe"]  # warm sub-crossover: back to brute
+    assert p.last_route["served"] == "brute"
+    assert cold == warm  # routing never changes answers
+
+
+def test_last_route_records_every_branch(spark):
+    """`last_route` (VERDICT r9 #4) names the decision each
+    search_batch actually took, with the measured inputs."""
+    p = _project(spark)
+    q = _queries(p)
+    assert p.last_route is None
+    p.search_batch(q, limit=3, route="brute").count()
+    assert p.last_route == {
+        "requested": "brute", "served": "brute", "reason": "forced",
+    }
+    p.search_batch(q, limit=3).count()
+    assert p.last_route["reason"] == "no ANN layout"
+    p.build_ann_index(num_clusters=8, kind="ivf")
+    p.search_batch(q, limit=3).count()
+    assert p.last_route["served"] == "brute"
+    assert p.last_route["corpus_bytes"] == 500 * 64 * 8
+    p.ann_route_bytes_per_node = 0
+    p.ann_route_union_max = 1.0
+    p.search_batch(q, limit=3).count()
+    assert p.last_route["served"] == "probe"
+    assert 0.0 < p.last_route["union_fraction"] <= 1.0
+    p.ann_route_union_max = 0.0  # every batch is now "diffuse"
+    p.search_batch(q, limit=3).count()
+    assert p.last_route["served"] == "brute"
+    assert "union" in p.last_route["reason"]
+    p.build_ann_index(num_clusters=8, kind="ivfsq")
+    p.search_batch(q, limit=3).count()
+    assert p.last_route["served"] == "codec:ivfsq"
+
+
 def test_search_batch_route_validation(spark):
     p = _project(spark)
     q = _queries(p)

@@ -38,7 +38,9 @@ def test_tool_listing_matches_reference_surface(spark):
         "story_generate",
     ):
         assert expected in names
-    assert len(TOOL_SCHEMAS) == 27
+    # 27 reference tools + the ann_serving_regime engine extension
+    assert "ann_serving_regime" in names
+    assert len(TOOL_SCHEMAS) == 28
 
 
 def test_data_tools_end_to_end(spark):
@@ -123,7 +125,7 @@ def test_cli_front_end(spark, capsys):
 
     rc = main(["list-tools"], adapter=ad)
     tools = json.loads(capsys.readouterr().out)
-    assert rc == 0 and len(tools) == 27
+    assert rc == 0 and len(tools) == 28
 
     rc = main(["search_code"], adapter=ad)  # missing required arg
     err = json.loads(capsys.readouterr().out)

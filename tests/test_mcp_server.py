@@ -127,3 +127,43 @@ def test_malformed_arguments_and_idless_call_do_not_kill_server(spark):
         )
         is None
     )
+
+
+def test_ann_serving_regime_roundtrip(spark):
+    """VERDICT r9 #4: the serving-regime facade dict and the last
+    search_batch route decision round-trip over the JSON-RPC server."""
+    from pyspark.sql import functions as F
+
+    from mcp_vector_search_spark.mcp_server import handle_message
+
+    ad = _adapter(spark)
+    tools = handle_message(ad, _rpc("tools/list", 1))["result"]["tools"]
+    assert "ann_serving_regime" in {t["name"] for t in tools}
+
+    resp = handle_message(
+        ad, _rpc("tools/call", 2, {"name": "ann_serving_regime", "arguments": {}})
+    )
+    payload = json.loads(resp["result"]["content"][0]["text"])
+    assert payload["ok"] is True
+    assert payload["regime"] == {"kind": None, "regime": "brute"}
+    assert payload["last_route"] is None
+
+    # with a layout and a served batch, both halves carry real state
+    ad.project.build_ann_index(num_clusters=8, kind="ivf")
+    q = ad.project.vectors.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    ad.project.search_batch(q, limit=3).count()
+    resp = handle_message(
+        ad,
+        _rpc(
+            "tools/call", 3,
+            {"name": "ann_serving_regime", "arguments": {"batch_size": 2}},
+        ),
+    )
+    payload = json.loads(resp["result"]["content"][0]["text"])
+    assert payload["regime"]["kind"] == "ivf"
+    assert payload["regime"]["regime"] in ("brute", "probe")
+    assert payload["last_route"]["served"] in ("brute", "probe")
+    assert payload["last_route"]["requested"] == "auto"
