@@ -63,6 +63,8 @@ EXTRA_COMPACT_KEYS = [
     # them once the section flags joined it, and the 512K disk points
     # sit at the job-overhead floor anyway (the 4M pair is the claim).
     "ann_big_auto_route_sec",
+    # r10 (VERDICT r9 #7): the composed curation pipeline wall row
+    "curate_sf01_sec",
 ]
 
 # --- shared-box contention defense (r9, VERDICT r8 #1). The r8
@@ -95,6 +97,19 @@ RETRY_ON_CONTENTION = {
         "hybrid_batch_tbl_runs",
         "hybrid_batch_ann_qps",
         "hybrid_batch_ann_runs",
+        # r10: the newly stability-covered serving rows (VERDICT r9 #1)
+        "bm25_topk_warm",
+        "bm25_topk_warm_runs",
+        "hybrid_rrf_warm",
+        "hybrid_rrf_warm_runs",
+        "hybrid_batch_qps",
+        "hybrid_batch_runs",
+        "bm25_update_delta_sec",
+        "bm25_update_delta_runs",
+    ],
+    "curate": [
+        "curate_sf01_sec",
+        "curate_sf01_runs",
     ],
     "hybrid_scale": [
         "hybrid_scale_tbl_qps",
@@ -116,41 +131,73 @@ RETRY_ON_CONTENTION = {
 # both the canary bracket (clean section boundaries) and the
 # stability test (the runs agree with each other) — in-run it is
 # indistinguishable from a slow engine. What the record CAN do is
-# disagree with itself loudly: these are the same-day isolated bands
-# BENCH_NOTES documents per round (measured on this box across the
-# round's clean runs; maintained alongside the notes), and a
-# published row landing outside its band by >1.5x stamps
+# disagree with itself loudly: a published row landing outside the
+# same-day isolated band by >1.5x stamps
 # `<row>_outside_band: [value, low, high]` into the record and the
 # compact line. A label, not a retry: the row stays official, the
 # reader knows which population produced it. Direction matters —
 # qps rows flag LOW (contention depresses them), seconds rows flag
 # HIGH. Rows beating their band are left alone (warm caches and a
 # quiet box legitimately land above).
-ISOLATED_BANDS_QPS = {
-    "hybrid_scale_tbl_qps": (33.5, 50.8),
-    "hybrid_scale_ann_qps": (32.5, 43.5),
-    "hybrid_batch_tbl_qps": (76.8, 109.6),
-    "hybrid_batch_ann_qps": (56.7, 74.7),
-}
-ISOLATED_BANDS_SEC = {
-    "hybrid_rrf_warm_served": (0.69, 0.96),
-    "ann_huge_ivf_build_sec": (9.2, 19.6),
-}
+#
+# r10 (VERDICT r9 #2): the bands are no longer source constants —
+# they live in BANDS.json beside this file, regenerated each round
+# from the round's clean standalone section runs with provenance
+# (round, date, source runs). A bands file from another round is
+# REFUSED at bench start: after a hardware change or a real perf
+# shift, stale bands would stamp legitimate rows (or stop catching
+# contention), and nothing in the stamp would say so.
+BANDS_FILE = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "BANDS.json"
+)
+BANDS_EXPECTED_ROUND = 10
 BAND_RATIO = 1.5
 
 
-def stamp_band_outliers(merged: dict) -> None:
+def _load_bands() -> dict:
+    """The isolated-band artifact: {"round", "date", "source_runs",
+    "qps": {row: [lo, hi]}, "sec": {row: [lo, hi]}} — refusing stale
+    provenance with a clear error instead of silently mis-stamping."""
+    try:
+        with open(BANDS_FILE) as f:
+            bands = json.load(f)
+    except FileNotFoundError:
+        raise RuntimeError(
+            f"missing {BANDS_FILE}: regenerate it from this round's clean "
+            "standalone section runs (BENCH_NOTES documents them) before "
+            "publishing a record"
+        )
+    if bands.get("round") != BANDS_EXPECTED_ROUND:
+        raise RuntimeError(
+            f"BANDS.json carries round {bands.get('round')!r} bands but "
+            f"bench.py expects round {BANDS_EXPECTED_ROUND}: stale bands "
+            "stamp legitimate rows after a perf shift (or miss real "
+            "contention) — regenerate BANDS.json from this round's clean "
+            "standalone runs and bump its round field"
+        )
+    return bands
+
+
+def stamp_band_outliers(merged: dict, bands: dict | None = None) -> None:
     """Label rows that contradict their documented isolated band —
     the sustained-contention population the in-run defenses cannot
-    see (run-5/6 blind spot)."""
-    for row, (lo, hi) in ISOLATED_BANDS_QPS.items():
+    see (run-5/6 blind spot). Band provenance rides in the record so
+    a reader knows WHICH round's population the bands describe."""
+    if bands is None:
+        bands = _load_bands()
+    for row, (lo, hi) in bands.get("qps", {}).items():
         v = merged.get(row)
         if isinstance(v, (int, float)) and v < lo / BAND_RATIO:
             merged[f"{row}_outside_band"] = [v, lo, hi]
-    for row, (lo, hi) in ISOLATED_BANDS_SEC.items():
+    for row, (lo, hi) in bands.get("sec", {}).items():
         v = merged.get(row)
         if isinstance(v, (int, float)) and v > hi * BAND_RATIO:
             merged[f"{row}_outside_band"] = [v, lo, hi]
+    merged["bands_provenance"] = {
+        "round": bands.get("round"),
+        "date": bands.get("date"),
+        "source_runs": bands.get("source_runs"),
+    }
 
 
 def _canary_sec() -> float:
@@ -214,7 +261,10 @@ _POOL = [
 SCALE_QS = ["bm25_topk", "minhash_jaccard", "text_quality", "dup_clusters", "bfs"]
 
 # subprocess execution order — one fresh JVM each (see module docstring)
-SECTION_ORDER = ["core", "ann_small", "ann_big", "hybrid_scale", "ann_huge", "sf1"]
+SECTION_ORDER = [
+    "core", "ann_small", "ann_big", "hybrid_scale", "curate", "ann_huge",
+    "sf1",
+]
 
 
 def _tiny_dir() -> str:
@@ -459,9 +509,20 @@ def sec_core(spark, per_query, mark):
 
     docs_w = eio.table(spark, SF_DIR, "documents")
     _noop(_bm25_topk(docs_w, QUERY_TERMS, 20, cache_index=True))
-    t0 = time.time()
-    _noop(_bm25_topk(docs_w, ["window", "merge"], 20, cache_index=True))
-    per_query["bm25_topk_warm"] = round(time.time() - t0, 3)
+    # r10 (VERDICT r9 #1): stability-retried — the r9 official record
+    # published this row at 5.59 s (vs ~1.2 clean) from one run that a
+    # neighbor-load wave hit, with no in-record flag. Same query each
+    # run: the postings cache is what's being measured, and Spark
+    # re-executes the plan every time (no result cache).
+    per_query["bm25_topk_warm_runs"] = _runs_until_stable(
+        spark, 2,
+        lambda: _noop(_bm25_topk(docs_w, ["window", "merge"], 20,
+                                 cache_index=True)),
+        max_runs=3,
+    )
+    if not _is_stable(per_query["bm25_topk_warm_runs"]):
+        per_query["bm25_topk_warm_unstable"] = True
+    per_query["bm25_topk_warm"] = min(per_query["bm25_topk_warm_runs"])
 
     # warm hybrid serving: a second hybrid query in the same session
     # reuses the postings cache, so this is what interactive search
@@ -472,12 +533,19 @@ def sec_core(spark, per_query, mark):
     qv_w = emb_w.filter(F.col("vec_id") == 3).select(
         F.col("embedding").alias("query_vec")
     )
-    t0 = time.time()
-    _noop(_hybrid(
-        docs_w, emb_w, ["window", "merge"], qv_w, k=10, alpha=0.7,
-        bm25_cache_index=True,
-    ))
-    per_query["hybrid_rrf_warm"] = round(time.time() - t0, 3)
+    # r10 (VERDICT r9 #1): stability-retried — r9 published 17.6 s
+    # (vs ~2.6 clean) unflagged from this row's single run
+    per_query["hybrid_rrf_warm_runs"] = _runs_until_stable(
+        spark, 2,
+        lambda: _noop(_hybrid(
+            docs_w, emb_w, ["window", "merge"], qv_w, k=10, alpha=0.7,
+            bm25_cache_index=True,
+        )),
+        max_runs=3,
+    )
+    if not _is_stable(per_query["hybrid_rrf_warm_runs"]):
+        per_query["hybrid_rrf_warm_unstable"] = True
+    per_query["hybrid_rrf_warm"] = min(per_query["hybrid_rrf_warm_runs"])
 
     # r6 warm SERVING hybrid (VERDICT r5 #6): the HybridServer state
     # (cached tokenized corpus + memoized stats + serving session
@@ -521,9 +589,17 @@ def sec_core(spark, per_query, mark):
     hb_qvecs = emb_w.filter(F.col("vec_id") < HB_N).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
-    t0 = time.time()
-    _noop(hybrid_search_batch(docs_w, emb_w, hb_terms, hb_qvecs, k=10))
-    hb_sec = time.time() - t0
+    # r10 (VERDICT r9 #1): stability-retried — r9 published 7.05 qps
+    # (vs ~11-13.5 clean) unflagged from this row's single run
+    per_query["hybrid_batch_runs"] = _runs_until_stable(
+        spark, 2,
+        lambda: _noop(hybrid_search_batch(docs_w, emb_w, hb_terms,
+                                          hb_qvecs, k=10)),
+        max_runs=3,
+    )
+    if not _is_stable(per_query["hybrid_batch_runs"]):
+        per_query["hybrid_batch_unstable"] = True
+    hb_sec = max(min(per_query["hybrid_batch_runs"]), 1e-3)
     per_query["hybrid_batch64_sec"] = round(hb_sec, 3)
     per_query["hybrid_batch_qps"] = round(HB_N / hb_sec, 2)
     mark("warm_serving")
@@ -614,13 +690,30 @@ def sec_core(spark, per_query, mark):
     # full-rebuild cost measured above
     from mcp_vector_search_spark.operators.bm25 import update_bm25_index
 
-    with tempfile.TemporaryDirectory() as idx2:
-        base = docs.filter(F.col("doc_id") % 100 != 0)
-        delta = docs.filter(F.col("doc_id") % 100 == 0).select("doc_id", "text")
-        write_bm25_index(base, idx2)
-        t0 = time.time()
-        update_bm25_index(spark, idx2, delta)
-        per_query["bm25_update_delta_sec"] = round(time.time() - t0, 3)
+    # r10 (VERDICT r9 #1): stability-retried — but each run needs a
+    # FRESH index dir (updating an already-updated index would measure
+    # a different segment count), so the retry loop is hand-rolled:
+    # the base build is untimed per run, only the delta upsert counts
+    base = docs.filter(F.col("doc_id") % 100 != 0)
+    delta = docs.filter(F.col("doc_id") % 100 == 0).select("doc_id", "text")
+    upd_runs: list = []
+
+    def _one_update_run() -> None:
+        with tempfile.TemporaryDirectory() as idx2:
+            write_bm25_index(base, idx2)
+            _quiesce(spark)
+            t0 = time.time()
+            update_bm25_index(spark, idx2, delta)
+            upd_runs.append(round(time.time() - t0, 3))
+
+    _one_update_run()
+    _one_update_run()
+    while not _is_stable(upd_runs) and len(upd_runs) < 3:
+        _one_update_run()
+    per_query["bm25_update_delta_runs"] = upd_runs
+    if not _is_stable(upd_runs):
+        per_query["bm25_update_delta_unstable"] = True
+    per_query["bm25_update_delta_sec"] = min(upd_runs)
 
     # term-bucketed postings layout (r6): the same index partitioned
     # by term-hash bucket — the query's IN-filter becomes physical
@@ -1488,6 +1581,11 @@ def _sec_ann_huge_body(
     t0 = time.time()
     _noop(topk_per_query_np(flat_df, hq2, 10))
     per_query["ann_huge_disk_brute_q2_sec"] = round(time.time() - t0, 3)
+    # r10 (VERDICT r9 #1): this pair gets BAND coverage (BANDS.json)
+    # but deliberately NO stability retries — a second run of a disk
+    # point reads the pages the first run just pulled into the page
+    # cache, which is a different (warm) population, not a re-sample
+    # of the cold one. The band stamp is the only honest flag here.
     hq2.unpersist()
 
     huge_packed.unpersist()
@@ -1574,11 +1672,66 @@ def sec_sf1(spark, per_query, mark):
     mark("sf1_scale")
 
 
+def sec_curate(spark, per_query, mark):
+    """The composed curation pipeline as a per-round wall row
+    (VERDICT r9 #7): `curate_corpus` — gopher quality filter → exact
+    dedup → MinHash-LSH near-dedup → decontaminate → split → pack →
+    bins — at SF_DIR, the same chain tools/measure_curate_scale.py
+    measured one-off across a data decade in r9 (12.1 s at sf0.1,
+    1.78x at 10x). Promoting the 1x side to the bench pins the
+    composed pipeline against regression every round instead of once.
+    Plan shapes are warmed untimed at sf0.001 so the timed runs
+    measure execution, not first-compile (the same C1/C2 treatment
+    the headline queries get)."""
+    from mcp_vector_search_spark import io as eio
+    from mcp_vector_search_spark.api import SparkProject
+
+    par = spark.sparkContext.defaultParallelism
+
+    def _curate_wall(sf_dir):
+        docs = eio.table(spark, sf_dir, "documents").repartition(par).cache()
+        docs.count()
+        bench_docs = docs.limit(8).select("doc_id", "text").cache()
+        bench_docs.count()
+        p = SparkProject(spark, docs, docs.limit(0), spread=False)
+
+        def _run():
+            bins, _ = p.curate_corpus(
+                max_tokens=2048,
+                benchmark=bench_docs,
+                quality_filter="gopher",
+                n_shards=32,
+                collect_report=False,
+            )
+            bins.count()
+
+        return docs, bench_docs, _run
+
+    # untimed warmup at sf0.001: same expression trees → compiled cache
+    tiny = _tiny_dir()
+    if os.path.isdir(tiny):
+        tdocs, tbench, trun = _curate_wall(tiny)
+        trun()
+        tdocs.unpersist()
+        tbench.unpersist()
+    docs, bench_docs, run = _curate_wall(SF_DIR)
+    per_query["curate_sf01_runs"] = _runs_until_stable(
+        spark, 2, run, max_runs=3
+    )
+    if not _is_stable(per_query["curate_sf01_runs"]):
+        per_query["curate_sf01_unstable"] = True
+    per_query["curate_sf01_sec"] = min(per_query["curate_sf01_runs"])
+    docs.unpersist()
+    bench_docs.unpersist()
+    mark("curate")
+
+
 SECTIONS = {
     "core": sec_core,
     "ann_small": sec_ann_small,
     "ann_big": sec_ann_big,
     "hybrid_scale": sec_hybrid_scale,
+    "curate": sec_curate,
     "ann_huge": sec_ann_huge,
     "sf1": sec_sf1,
 }
@@ -1655,6 +1808,9 @@ def _orchestrate() -> None:
     re-run (first-run serving rows kept under *_run1), and a record
     produced under contention says so in its own keys."""
     t_start = time.time()
+    # fail fast on a stale/missing bands artifact — BEFORE any section
+    # burns wall-clock on a record whose stamps would be wrong (r10)
+    bands = _load_bands()
     merged: dict = {}
     me = os.path.abspath(__file__)
     baseline = _canary_sec()
@@ -1723,7 +1879,7 @@ def _orchestrate() -> None:
             file=sys.stderr, flush=True,
         )
     merged["wall_total_sec"] = round(time.time() - t_start, 1)
-    stamp_band_outliers(merged)
+    stamp_band_outliers(merged, bands)
     emit_results(_total_of(merged), merged)
     errors = {k: v for k, v in merged.items() if k.endswith("_error")}
     if errors:
@@ -1792,6 +1948,7 @@ def main():
         # real elapsed wall, not a sum of section marks (which would
         # drop any interval not covered by a mark — r8 review)
         per_query["wall_total_sec"] = round(time.time() - t0, 1)
+        stamp_band_outliers(per_query)
         emit_results(_total_of(per_query), per_query)
         return
     _orchestrate()

@@ -103,3 +103,62 @@ def test_is_stable_two_smallest_rule():
     assert bench._is_stable([37.3, 19.9]) is False
     # equal runs are trivially stable
     assert bench._is_stable([2.0, 2.0, 9.0])
+
+
+def test_bands_artifact_loads_and_carries_provenance():
+    """r10 (VERDICT r9 #2): the bands live in BANDS.json with
+    provenance, and every stamped record names the band population."""
+    bands = bench._load_bands()
+    assert bands["round"] == bench.BANDS_EXPECTED_ROUND
+    assert bands["date"] and bands["source_runs"]
+    # every covered row from the verdict's done-criterion is present
+    for row in ("hybrid_batch_qps",):
+        assert row in bands["qps"]
+    for row in ("bm25_topk_warm", "hybrid_rrf_warm",
+                "bm25_update_delta_sec", "ann_huge_disk_brute_q2_sec",
+                "ann_huge_disk_packed_q2_sec", "curate_sf01_sec"):
+        assert row in bands["sec"]
+    merged = {}
+    bench.stamp_band_outliers(merged)
+    assert merged["bands_provenance"]["round"] == bench.BANDS_EXPECTED_ROUND
+
+
+def test_bands_stale_round_refused(tmp_path, monkeypatch):
+    """A bands file from another round must be refused with a clear
+    error, not silently mis-stamp (the stale-band risk)."""
+    import pytest
+
+    p = tmp_path / "BANDS.json"
+    p.write_text('{"round": 9, "qps": {}, "sec": {}}')
+    monkeypatch.setattr(bench, "BANDS_FILE", str(p))
+    with pytest.raises(RuntimeError, match="round"):
+        bench._load_bands()
+    monkeypatch.setattr(bench, "BANDS_FILE", str(tmp_path / "missing.json"))
+    with pytest.raises(RuntimeError, match="missing"):
+        bench._load_bands()
+
+
+def test_r9_record_would_have_carried_four_more_stamps():
+    """The r10 coverage extension replayed on the r9 official record:
+    the four depressed core-section rows the r9 verdict could only
+    read via BENCH_NOTES now stamp themselves (given the bands the
+    r9 notes document)."""
+    r9_official = {
+        "bm25_topk_warm": 5.587,
+        "hybrid_rrf_warm": 17.619,
+        "hybrid_batch_qps": 7.05,
+        "bm25_update_delta_sec": 5.198,
+    }
+    r9_bands = {
+        "round": bench.BANDS_EXPECTED_ROUND, "date": "replay",
+        "source_runs": "r9 clean values per VERDICT/BENCH_NOTES",
+        "qps": {"hybrid_batch_qps": [11.0, 13.5]},
+        "sec": {"bm25_topk_warm": [1.0, 1.8],
+                "hybrid_rrf_warm": [2.2, 3.2],
+                "bm25_update_delta_sec": [1.5, 3.4]},
+    }
+    bench.stamp_band_outliers(r9_official, r9_bands)
+    assert r9_official["bm25_topk_warm_outside_band"][0] == 5.587
+    assert r9_official["hybrid_rrf_warm_outside_band"][0] == 17.619
+    assert r9_official["hybrid_batch_qps_outside_band"][0] == 7.05
+    assert r9_official["bm25_update_delta_sec_outside_band"][0] == 5.198
