@@ -1813,7 +1813,20 @@ def _orchestrate() -> None:
     bands = _load_bands()
     merged: dict = {}
     me = os.path.abspath(__file__)
-    baseline = _canary_sec()
+    # the r10 run-1 failure mode this clamp exists for: the bench-start
+    # baseline canary itself landed inside a contention burst (0.1647
+    # vs the box's same-day 0.029 floor), so every section's 2.5-7x
+    # inflated canaries read "clean" against it and no flag fired —
+    # the band stamps were the only defense left standing. The floor
+    # comes from BANDS.json (same-day clean standalone runs, same
+    # provenance rules as the bands), so a contended bench start can
+    # never silently disarm the per-section contention machinery.
+    # min(), not replacement: a genuinely faster box keeps its own
+    # measured baseline.
+    measured = _canary_sec()
+    merged["canary_baseline_measured_sec"] = measured
+    floor = bands.get("canary_floor_sec")
+    baseline = min(measured, floor) if floor else measured
     merged["canary_baseline_sec"] = baseline
     merged["loadavg_bench_start"] = _loadavg1()
     for name in SECTION_ORDER:

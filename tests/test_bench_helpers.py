@@ -162,3 +162,15 @@ def test_r9_record_would_have_carried_four_more_stamps():
     assert r9_official["hybrid_rrf_warm_outside_band"][0] == 17.619
     assert r9_official["hybrid_batch_qps_outside_band"][0] == 7.05
     assert r9_official["bm25_update_delta_sec_outside_band"][0] == 5.198
+
+
+def test_canary_floor_in_bands():
+    """The same-day canary floor rides in BANDS.json so a contended
+    bench-start baseline cannot disarm the per-section contention
+    flags (r10 run-1: baseline 0.1647 vs floor 0.029 — every inflated
+    section canary read 'clean' against it)."""
+    bands = bench._load_bands()
+    assert 0.0 < bands["canary_floor_sec"] < 0.1
+    # the clamp rule: min(measured, floor) — a fast box keeps its own
+    assert min(0.1647, bands["canary_floor_sec"]) == bands["canary_floor_sec"]
+    assert min(0.02, bands["canary_floor_sec"]) == 0.02
