@@ -37,25 +37,28 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # the line past the driver's 1500-char tail window (no assert since
 # r9) — order keys by importance, and check the full record if a new
 # key doesn't appear in the compact line.
+# Order = shed priority, LAST keys shed FIRST when flags crowd the
+# 1500-char compact line (r10: a flag-heavy run shed 8 keys and the
+# tail happened to hold the verdict-graded rows — curate, the disk
+# pair, the delta upsert — so the graded rows now sit at the front
+# and the secondary 256-d/route diagnostics at the sheddable tail).
 EXTRA_COMPACT_KEYS = [
     "hybrid_rrf_warm_served",
     "hybrid_batch_tbl_qps",
     "hybrid_batch_ann_qps",
     "hybrid_scale_tbl_qps",
     "hybrid_scale_ann_qps",
+    # r10 (VERDICT r9 #7): the composed curation pipeline wall row
+    "curate_sf01_sec",
+    "bm25_update_delta_sec",
+    "ann_huge_disk_brute_q2_sec",
+    "ann_huge_disk_packed_q2_sec",
     "ann_huge_brute_sec",
     "ann_huge_ivf_sec",
     "ann_huge_ivf_f32_sec",
     "ann_huge_ivf_build_sec",
     "ann_huge_recall_at_10",
     "ann_big_ivfpq_fused_build_sec",
-    "ann_huge_disk_brute_q2_sec",
-    "ann_huge_disk_packed_q2_sec",
-    # (the q8 256-d pair and the 512K disk-q2 pair moved to the full
-    # record only — compact-line headroom for the r9 section flags)
-    "ann_big256_q2_ivf_sec",
-    "ann_big256_q2_brute_sec",
-    "bm25_update_delta_sec",
     # r9: the regime-router row (VERDICT r8 #2) — auto must track the
     # brute time at the cached sub-crossover 512K corpus. The string
     # *_choice rows and the 512K disk-q2 pair live in the FULL record
@@ -63,8 +66,10 @@ EXTRA_COMPACT_KEYS = [
     # them once the section flags joined it, and the 512K disk points
     # sit at the job-overhead floor anyway (the 4M pair is the claim).
     "ann_big_auto_route_sec",
-    # r10 (VERDICT r9 #7): the composed curation pipeline wall row
-    "curate_sf01_sec",
+    # (the q8 256-d pair and the 512K disk-q2 pair moved to the full
+    # record only — compact-line headroom for the r9 section flags)
+    "ann_big256_q2_ivf_sec",
+    "ann_big256_q2_brute_sec",
 ]
 
 # --- shared-box contention defense (r9, VERDICT r8 #1). The r8
@@ -2010,9 +2015,19 @@ def emit_results(total: float, per_query: dict) -> None:
         # contention verdicts ride in the same line (r9): a reader of
         # the compact record alone must know which population it is —
         # including a serving row whose stability retries exhausted
-        # their cap without two agreeing runs
-        if k.startswith("section_") and k.endswith(("_contended", "_retried")):
-            compact[k] = per_query[k]
+        # their cap without two agreeing runs. r10: AGGREGATED — a
+        # noisy run carries 8+ individual section flags (~40 chars
+        # each), which crowded 8 metric keys out of the line; one
+        # list per verdict kind says the same thing in a third of the
+        # budget (the FULL record keeps the individual keys).
+        if k.startswith("section_") and k.endswith("_contended"):
+            compact.setdefault("sections_contended", []).append(
+                k[len("section_"):-len("_contended")]
+            )
+        if k.startswith("section_") and k.endswith("_retried"):
+            compact.setdefault("sections_retried", []).append(
+                k[len("section_"):-len("_retried")]
+            )
         if k.startswith("section_") and k.endswith("_retry_failed"):
             compact[k] = str(per_query[k])[:60]
         if k.endswith("_unstable"):
@@ -2045,7 +2060,9 @@ def emit_results(total: float, per_query: dict) -> None:
     # compact_dropped), then flags — a truncated-but-parseable record
     # beats a full line the driver's tail window cuts mid-JSON
     sheddable += [k for k in sorted(compact) if k.endswith(("_error", "_retry_failed"))]
-    sheddable += [k for k in sorted(compact) if k.endswith(("_contended", "_retried"))]
+    sheddable += [
+        k for k in ("sections_contended", "sections_retried") if k in compact
+    ]
     dropped = 0
     line = _line()
     while len(line) >= 1500 and sheddable:

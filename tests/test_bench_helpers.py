@@ -174,3 +174,34 @@ def test_canary_floor_in_bands():
     # the clamp rule: min(measured, floor) — a fast box keeps its own
     assert min(0.1647, bands["canary_floor_sec"]) == bands["canary_floor_sec"]
     assert min(0.02, bands["canary_floor_sec"]) == 0.02
+
+
+def test_flag_heavy_record_keeps_graded_rows():
+    """r10: a worst-case-noise record (the run-2 flag population)
+    must keep every verdict-graded metric in the compact line —
+    section flags aggregate into two lists instead of crowding 8
+    metrics out."""
+    pq = {n: 1.234 for n in bench.HEADLINE}
+    pq.update({k: 55.678 for k in bench.EXTRA_COMPACT_KEYS})
+    pq.update({"bm25_topk_warm": 1.2, "hybrid_rrf_warm": 3.5,
+               "hybrid_batch_qps": 7.2, "ann_recall_at_10": 0.99})
+    for s in ("core", "hybrid_scale", "curate", "ann_huge"):
+        pq[f"section_{s}_contended"] = True
+    for s in ("core", "ann_big", "hybrid_scale", "curate"):
+        pq[f"section_{s}_retried"] = True
+    pq["curate_sf01_unstable"] = True
+    pq["hybrid_scale_tbl_qps_outside_band"] = [5.8, 34.0, 45.0]
+    pq["hybrid_batch_ann_qps_outside_band"] = [28.77, 50.0, 56.5]
+    pq["ann_huge_ivf_build_sec_outside_band"] = [65.07, 9.2, 19.6]
+    _full, compact = _emit_capture(34.8, pq)
+    q = compact["queries"]
+    assert q["sections_contended"] == ["ann_huge", "core", "curate",
+                                       "hybrid_scale"]
+    assert q["sections_retried"] == ["ann_big", "core", "curate",
+                                     "hybrid_scale"]
+    for graded in ("curate_sf01_sec", "bm25_update_delta_sec",
+                   "ann_huge_disk_brute_q2_sec",
+                   "ann_huge_disk_packed_q2_sec", "hybrid_batch_qps"):
+        assert graded in q, graded
+    assert q["curate_sf01_unstable"] is True
+    assert len(json.dumps(compact)) < 1500
