@@ -158,6 +158,46 @@ BANDS_FILE = os.path.join(
 BANDS_EXPECTED_ROUND = 10
 BAND_RATIO = 1.5
 
+# --- global wall-clock budget (r11, VERDICT r10 #1). BENCH_r10.json is
+# rc=124 parsed:null because the contention-retry machinery pushed the
+# run past the driver's outer timeout (ann_big 1468 s with retry,
+# hybrid_scale 1170 s, curate mid-retry at ~3100 s elapsed) and the
+# one-shot final emission lost every measured row. Two structural
+# fixes: (a) the orchestrator tracks elapsed-vs-budget and SKIPS any
+# section or retry that cannot fit (stamping
+# section_<name>_skipped_budget / section_<name>_retry_skipped_budget
+# with [estimated_cost, remaining] so the record says why a row is
+# absent or unretried); (b) the merged record is emitted after EVERY
+# section — the driver parses the LAST JSON line, so each emission
+# supersedes the previous and a kill loses only the in-flight section,
+# never the run.
+BENCH_BUDGET_SEC = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_SEC",
+                                        "3300"))
+# Per-section single-run wall estimates, seconds — deliberately the
+# WORST-CASE (contended) walls observed in r9/r10 (BENCH_NOTES: r10
+# contended singles ann_big ~730 s / hybrid_scale ~585 s; clean r9
+# full runs were 859-1209 s total), so the pre-section fit check
+# refuses work that only fits if the box stays clean. A retry's
+# estimate is max(table, the first run's ACTUAL wall) — the measured
+# wall of the same section minutes earlier is the best predictor.
+SECTION_EST_SEC = {
+    "core": 450.0,
+    "ann_small": 150.0,
+    "ann_big": 740.0,
+    "hybrid_scale": 590.0,
+    "curate": 250.0,
+    "ann_huge": 650.0,
+    "sf1": 250.0,
+}
+DEFAULT_SECTION_EST_SEC = 300.0
+# Sections that persist their expensive built artifacts (×256 corpus,
+# packed IVF layout, BM25 postings index) into an orchestrator-owned
+# reuse dir on their first run, so a contention retry re-measures ONLY
+# the serving rows instead of repeating ~400 s of builds (r11, VERDICT
+# r10 #4). The retry's budget estimate drops accordingly.
+REUSE_SECTIONS = ("ann_big", "hybrid_scale")
+RETRY_EST_SEC = {"ann_big": 330.0, "hybrid_scale": 330.0}
+
 
 def _load_bands() -> dict:
     """The isolated-band artifact: {"round", "date", "source_runs",
@@ -898,6 +938,107 @@ def sec_ann_small(spark, per_query, mark):
     mark("ann_q1024")
 
 
+def _warm_ann_kernels(spark, emb):
+    """Warm the sampled-build/pack/scoring kernels untimed on the tiny
+    raw corpus — ann_big_ivf_build_sec, the pack point, and the
+    256-d fused build are single-run in a cold subprocess (r8
+    review; 2x run-to-run spread observed on the build before this).
+    Both build shapes are warmed: staged (the timed 64-d build) AND
+    fused (the timed 256-d build). Shared by the full ann_big section
+    and its serving-only retry path (r11)."""
+    from pyspark.sql import functions as F
+
+    from mcp_vector_search_spark.operators.ivf import (
+        ivf_build_sampled,
+        ivf_build_sampled_packed,
+        ivf_pack,
+        ivf_topk_batch_packed,
+    )
+    from mcp_vector_search_spark.operators.topk import topk_per_query_np
+
+    wa, wc = ivf_build_sampled(emb, num_clusters=4)
+    wp = ivf_pack(wa).cache()
+    wp.count()
+    wpf, _ = ivf_build_sampled_packed(emb, num_clusters=4)
+    wpf.count()
+    wq = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    _noop(ivf_topk_batch_packed(wp, wc, wq, 10, nprobes=4))
+    _noop(topk_per_query_np(emb, wq, 10))
+    wp.unpersist()
+
+
+def _reuse_512k_dir():
+    """The shared ×256-corpus artifact dir under the orchestrator's
+    per-run reuse root (r11, VERDICT r10 #4), or None standalone."""
+    root = os.environ.get("SPARK_GRAFT_BENCH_REUSE_DIR")
+    return os.path.join(root, "shared512k") if root else None
+
+
+def _sec_ann_big_retry(spark, per_query, mark, reuse_dir):
+    """Serving-only ann_big re-run (r11, VERDICT r10 #4): the contended
+    first run already built AND persisted the ×256 corpus, packed
+    layout, and query batch (~400 s of a ~730 s section) — the retry
+    loads them and re-measures only the serving rows the orchestrator
+    replaces (RETRY_ON_CONTENTION["ann_big"]). Build rows stay from
+    run 1: they are band-stamped independently, and re-measuring them
+    is exactly the wall-clock that killed the r10 record."""
+    from mcp_vector_search_spark import io as eio
+    from mcp_vector_search_spark.api import SparkProject
+    from mcp_vector_search_spark.operators.ivf import (
+        ivf_topk_batch_packed,
+        read_ivf_layout,
+    )
+    from mcp_vector_search_spark.operators.topk import topk_per_query_np
+
+    emb = eio.table(spark, SF_DIR, "embeddings").cache()
+    emb.count()
+    _warm_ann_kernels(spark, emb)
+    mark("warmup_ann_big")
+
+    ncpu = spark.sparkContext.defaultParallelism
+    # repartition to the full-section shape: the persisted flat corpus
+    # would otherwise read back in fewer, larger scan partitions and
+    # the brute kernel would run on fewer cores than run 1 did
+    big = spark.read.parquet(f"{reuse_dir}/flat").repartition(ncpu).cache()
+    n_big = big.count()
+    per_query["ann_big_n_vectors"] = n_big
+    big_q = spark.read.parquet(f"{reuse_dir}/queries").cache()
+    n_big_q = big_q.count()
+    big_packed, big_cents = read_ivf_layout(spark, f"{reuse_dir}/packed")
+    big_packed = big_packed.cache()
+    big_packed.count()
+    per_query["ann_big_retry_reused_layout"] = True
+
+    per_query["ann_big_brute_runs"] = _runs_of(
+        spark, 2, lambda: _noop(topk_per_query_np(big, big_q, 10)))
+    per_query["ann_big_brute_sec"] = min(per_query["ann_big_brute_runs"])
+    per_query["ann_big_brute_ms_per_query"] = round(
+        per_query["ann_big_brute_sec"] * 1000 / n_big_q, 2
+    )
+    per_query["ann_big_ivf_runs"] = _runs_of(
+        spark, 2, lambda: _noop(ivf_topk_batch_packed(
+            big_packed, big_cents, big_q, 10, nprobes=20)))
+    per_query["ann_big_ivf_sec"] = min(per_query["ann_big_ivf_runs"])
+    per_query["ann_big_ivf_ms_per_query"] = round(
+        per_query["ann_big_ivf_sec"] * 1000 / n_big_q, 2
+    )
+    proj = SparkProject(spark, big, big, spread=False)
+    proj._ivf_layout = (big_packed, big_cents, "packed")
+    per_query["ann_big_auto_route_choice"] = proj.ann_serving_regime(
+        batch_size=n_big_q
+    )["regime"]
+    per_query["ann_big_auto_route_sec"] = round(
+        _best_of(spark, 2, lambda: _noop(proj.search_batch(big_q, 10))), 3
+    )
+    big.unpersist()
+    big_q.unpersist()
+    big_packed.unpersist()
+    emb.unpersist()
+    mark("ann_big_512k")
+
+
 def sec_ann_big(spark, per_query, mark):
     """ANN one decade above the activation threshold: the ×256 inflated
     512K corpus — brute vs packed-IVF in memory, the on-disk
@@ -919,25 +1060,13 @@ def sec_ann_big(spark, per_query, mark):
     from mcp_vector_search_spark.operators.topk import topk_per_query_np
 
     INFLATE = 256
+    reuse_dir = _reuse_512k_dir()
+    if reuse_dir and os.path.isdir(os.path.join(reuse_dir, "packed")):
+        _sec_ann_big_retry(spark, per_query, mark, reuse_dir)
+        return
     emb = eio.table(spark, SF_DIR, "embeddings").cache()
     emb.count()
-    # warm the sampled-build/pack/scoring kernels untimed on the tiny
-    # raw corpus — ann_big_ivf_build_sec, the pack point, and the
-    # 256-d fused build are single-run in a cold subprocess (r8
-    # review; 2x run-to-run spread observed on the build before this).
-    # Both build shapes are warmed: staged (the timed 64-d build) AND
-    # fused (the timed 256-d build).
-    wa, wc = ivf_build_sampled(emb, num_clusters=4)
-    wp = ivf_pack(wa).cache()
-    wp.count()
-    wpf, _ = ivf_build_sampled_packed(emb, num_clusters=4)
-    wpf.count()
-    wq = emb.filter(F.col("vec_id") < 4).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
-    )
-    _noop(ivf_topk_batch_packed(wp, wc, wq, 10, nprobes=4))
-    _noop(topk_per_query_np(emb, wq, 10))
-    wp.unpersist()
+    _warm_ann_kernels(spark, emb)
     mark("warmup_ann_big")
 
     big = _inflate_embeddings(spark, emb, INFLATE).cache()
@@ -1017,11 +1146,22 @@ def sec_ann_big(spark, per_query, mark):
     import tempfile as _tf
 
     _quiesce(spark)
-    layout_dir = _tf.mkdtemp(prefix="bench_ivf_layout_")
+    # under the orchestrator (reuse_dir set) the disk artifacts land in
+    # the per-run reuse dir and SURVIVE the section: a contention retry
+    # (and the hybrid_scale section, same ×256 corpus + layout) loads
+    # them instead of rebuilding (r11, VERDICT r10 #4). Standalone runs
+    # keep the self-cleaning tempdir.
+    persist = reuse_dir is not None
+    layout_dir = reuse_dir if persist else _tf.mkdtemp(prefix="bench_ivf_layout_")
+    if persist:
+        os.makedirs(layout_dir, exist_ok=True)
     try:
         flat_p = f"{layout_dir}/flat"
         part_p = f"{layout_dir}/by_cluster"
         big.select("vec_id", "embedding").write.parquet(flat_p)
+        # the exact query batch, so the retry re-measures the SAME rows
+        # (_inflated_queries' limit() is plan-order-dependent)
+        big_q.write.mode("overwrite").parquet(f"{layout_dir}/queries")
         big_assigned.select("vec_id", "unit", "cluster_id").write.partitionBy(
             "cluster_id"
         ).parquet(part_p)
@@ -1058,7 +1198,8 @@ def sec_ann_big(spark, per_query, mark):
         per_query["ann_big_disk_packed_q2_sec"] = round(time.time() - t0, 3)
         q2.unpersist()
     finally:
-        _sh.rmtree(layout_dir, ignore_errors=True)
+        if not persist:
+            _sh.rmtree(layout_dir, ignore_errors=True)
 
     # (no in-memory small-batch latency point: below ~32 queries that
     # measurement is fixed job-launch overhead divided by batch size —
@@ -1299,34 +1440,89 @@ def sec_hybrid_scale(spark, per_query, mark):
 
     mark("warmup_hybrid_scale")
     INFLATE = 256
-    emb = eio.table(spark, SF_DIR, "embeddings").cache()
-    emb.count()
     # untimed setup: the same ×256 corpus + packed layout the ann_big
     # section measures (the fused build is bit-identical to the staged
-    # ivf_build_sampled+ivf_pack layout — pinned in tests/test_ivf.py)
-    big = _inflate_embeddings(spark, emb, INFLATE).cache()
-    big.count()
-    big_q = _inflated_queries(big, INFLATE, 256).cache()
-    big_q.count()
-    big_packed, big_cents = ivf_build_sampled_packed(big, num_clusters=256)
-    big_packed = big_packed.cache()
-    big_packed.count()
+    # ivf_build_sampled+ivf_pack layout — pinned in tests/test_ivf.py).
+    # Under the orchestrator, ann_big has usually already PERSISTED
+    # exactly these artifacts into the per-run reuse dir — load them
+    # instead of rebuilding (r11, VERDICT r10 #4); the serving rows
+    # measure the same cached frames either way.
+    from mcp_vector_search_spark.operators.ivf import read_ivf_layout
 
-    docs01 = eio.table(spark, SF_DIR, "documents")
-    dv = F.broadcast(
-        spark.range(INFLATE).select(F.col("id").cast("int").alias("_v"))
-    )
-    _ncpu = spark.sparkContext.defaultParallelism
-    # repartition BEFORE the 26-branch translate chain (same
-    # one-file-scan trap): the shift itself then runs on every core
-    docs_big = docs01.crossJoin(dv).repartition(_ncpu).select(
-        (F.col("doc_id") * INFLATE + F.col("_v")).cast("long").alias("doc_id"),
-        _caesar_shift_expr("text", 26, "_v").alias("text"),
-    )
-    with tempfile.TemporaryDirectory() as hidx:
-        t0 = time.time()
-        write_bm25_index(docs_big, hidx, term_buckets=64)
-        per_query["hybrid_scale_index_build_sec"] = round(time.time() - t0, 3)
+    reuse_dir = _reuse_512k_dir()
+    if reuse_dir and os.path.isdir(os.path.join(reuse_dir, "packed")):
+        ncpu = spark.sparkContext.defaultParallelism
+        big = spark.read.parquet(f"{reuse_dir}/flat").repartition(ncpu).cache()
+        big.count()
+        big_q = spark.read.parquet(f"{reuse_dir}/queries").cache()
+        big_q.count()
+        big_packed, big_cents = read_ivf_layout(
+            spark, f"{reuse_dir}/packed")
+        big_packed = big_packed.cache()
+        big_packed.count()
+        per_query["hybrid_scale_reused_512k"] = True
+    else:
+        emb = eio.table(spark, SF_DIR, "embeddings").cache()
+        emb.count()
+        big = _inflate_embeddings(spark, emb, INFLATE).cache()
+        big.count()
+        big_q = _inflated_queries(big, INFLATE, 256).cache()
+        big_q.count()
+        big_packed, big_cents = ivf_build_sampled_packed(big, num_clusters=256)
+        big_packed = big_packed.cache()
+        big_packed.count()
+        if reuse_dir:
+            # ann_big didn't run (budget-skipped/crashed) but we're
+            # orchestrated: persist for OUR OWN potential retry.
+            # packed is written LAST — its presence is the
+            # artifacts-complete marker the readers check.
+            from mcp_vector_search_spark.operators.ivf import (
+                write_ivf_layout as _wl,
+            )
+
+            os.makedirs(reuse_dir, exist_ok=True)
+            big.select("vec_id", "embedding").write.mode(
+                "overwrite").parquet(f"{reuse_dir}/flat")
+            big_q.write.mode("overwrite").parquet(f"{reuse_dir}/queries")
+            _wl(big_packed, big_cents, f"{reuse_dir}/packed")
+
+    # the postings index: built (timed) on the first run; a contention
+    # retry reads the index the first run persisted under the reuse
+    # root instead of re-inflating 128K docs and rebuilding (~the
+    # section's build half) — the build row then stays from run 1,
+    # which is the honest population for it anyway (r11, VERDICT
+    # r10 #4). Standalone runs keep the self-cleaning tempdir.
+    root = os.environ.get("SPARK_GRAFT_BENCH_REUSE_DIR")
+    hidx_persist = os.path.join(root, "hybrid_scale_bm25") if root else None
+    tmp_ctx = None
+    if hidx_persist is None:
+        tmp_ctx = tempfile.TemporaryDirectory()
+        hidx = tmp_ctx.name
+        index_ready = False
+    else:
+        hidx = hidx_persist
+        index_ready = os.path.isdir(hidx)
+    try:
+        if not index_ready:
+            docs01 = eio.table(spark, SF_DIR, "documents")
+            dv = F.broadcast(
+                spark.range(INFLATE).select(F.col("id").cast("int").alias("_v"))
+            )
+            _ncpu = spark.sparkContext.defaultParallelism
+            # repartition BEFORE the 26-branch translate chain (same
+            # one-file-scan trap): the shift itself then runs on every
+            # core
+            docs_big = docs01.crossJoin(dv).repartition(_ncpu).select(
+                (F.col("doc_id") * INFLATE + F.col("_v")).cast("long").alias(
+                    "doc_id"),
+                _caesar_shift_expr("text", 26, "_v").alias("text"),
+            )
+            t0 = time.time()
+            write_bm25_index(docs_big, hidx, term_buckets=64)
+            per_query["hybrid_scale_index_build_sec"] = round(
+                time.time() - t0, 3)
+        else:
+            per_query["hybrid_scale_reused_bm25_index"] = True
         hp, hds, hts = read_bm25_index(spark, hidx)
         HS_N = 256
         hs_terms = [(i, _POOL[i % len(_POOL)]) for i in range(HS_N)]
@@ -1385,6 +1581,9 @@ def sec_hybrid_scale(spark, per_query, mark):
         per_query["hybrid_scale_ann_sec"] = round(ann_sec, 3)
         per_query["hybrid_scale_ann_qps"] = round(HS_N / ann_sec, 2)
         hs_qvecs.unpersist()
+    finally:
+        if tmp_ctx is not None:
+            tmp_ctx.cleanup()
     big.unpersist()
     big_q.unpersist()
     big_packed.unpersist()
@@ -1774,14 +1973,21 @@ def _total_of(per_query: dict) -> float:
     return total
 
 
-def _run_section_subprocess(me: str, name: str, merged: dict):
+def _run_section_subprocess(me: str, name: str, merged: dict,
+                            timeout: float = 3600.0,
+                            extra_env: dict | None = None):
     """Spawn one section subprocess; return its queries dict or None
-    (recording section_<name>_error on failure)."""
+    (recording section_<name>_error on failure). `timeout` is capped
+    by the orchestrator to the remaining global budget so one stuck
+    section can never consume the emission window (r11). `extra_env`
+    carries the retry-reuse dir for sections that persist their built
+    layouts (r11, VERDICT r10 #4)."""
     rec = None
     try:
         proc = subprocess.run(
             [sys.executable, me, "--section", name],
-            capture_output=True, text=True, timeout=3600,
+            capture_output=True, text=True, timeout=timeout,
+            env={**os.environ, **extra_env} if extra_env else None,
         )
         for line in reversed(proc.stdout.strip().splitlines()):
             line = line.strip()
@@ -1800,9 +2006,22 @@ def _run_section_subprocess(me: str, name: str, merged: dict):
             # review). The error key stays, so the failure is loud.
             return rec.get("queries", {}) if rec is not None else None
     except subprocess.TimeoutExpired:
-        merged[f"section_{name}_error"] = "timeout after 3600s"
+        merged[f"section_{name}_error"] = f"timeout after {timeout:.0f}s"
         return None
     return rec.get("queries", {})
+
+
+def _emit_partial(merged: dict, bands: dict, t_start: float) -> None:
+    """Stamp + emit the merged record as it stands NOW. Called after
+    every section (r11, VERDICT r10 #1): the driver parses the LAST
+    JSON line, so each emission supersedes the previous — a mid-run
+    kill loses only the in-flight section instead of the whole run
+    (the r10 rc=124 failure lost 100% of a ~95%-complete run).
+    stamp_band_outliers is idempotent (re-stamps compute the same
+    values), so repeated calls on the growing dict are safe."""
+    merged["wall_total_sec"] = round(time.time() - t_start, 1)
+    stamp_band_outliers(merged, bands)
+    emit_results(_total_of(merged), merged)
 
 
 def _orchestrate() -> None:
@@ -1811,7 +2030,11 @@ def _orchestrate() -> None:
     r9 (VERDICT r8 #1): each section's canary pair is checked against
     the bench-start baseline; a contended serving section gets ONE
     re-run (first-run serving rows kept under *_run1), and a record
-    produced under contention says so in its own keys."""
+    produced under contention says so in its own keys.
+    r11 (VERDICT r10 #1): a global wall-clock budget bounds the whole
+    run — sections and retries that cannot fit are skipped with an
+    in-record stamp, and the merged record is re-emitted after every
+    section so the official record survives any outer kill."""
     t_start = time.time()
     # fail fast on a stale/missing bands artifact — BEFORE any section
     # burns wall-clock on a record whose stamps would be wrong (r10)
@@ -1834,13 +2057,81 @@ def _orchestrate() -> None:
     baseline = min(measured, floor) if floor else measured
     merged["canary_baseline_sec"] = baseline
     merged["loadavg_bench_start"] = _loadavg1()
+    merged["bench_budget_sec"] = BENCH_BUDGET_SEC
+
+    def _remaining() -> float:
+        return BENCH_BUDGET_SEC - (time.time() - t_start)
+
+    # one reuse root per run: REUSE_SECTIONS persist their built
+    # layouts under it on first run; a contention retry (and the
+    # hybrid_scale section, which shares ann_big's ×256 corpus +
+    # packed layout) loads instead of rebuilding (r11, VERDICT r10 #4)
+    import shutil as _sh_orch
+    import tempfile as _tf_orch
+
+    reuse_root = _tf_orch.mkdtemp(prefix="bench_reuse_")
+    try:
+        _orchestrate_sections(merged, bands, me, t_start, baseline,
+                              _remaining, reuse_root)
+    finally:
+        _sh_orch.rmtree(reuse_root, ignore_errors=True)
+    _emit_partial(merged, bands, t_start)
+    errors = {k: v for k, v in merged.items() if k.endswith("_error")}
+    if errors:
+        # a crashed/timed-out section must be LOUD: the record above
+        # still parses (the error keys ride in the compact line), but
+        # a silently smaller headline total exiting 0 would read as a
+        # speedup (r8 review)
+        print(f"[bench] FAILED sections: {sorted(errors)}", file=sys.stderr)
+        sys.exit(1)
+
+
+def _orchestrate_sections(merged, bands, me, t_start, baseline,
+                          _remaining, reuse_root) -> None:
     for name in SECTION_ORDER:
+        est = SECTION_EST_SEC.get(name, DEFAULT_SECTION_EST_SEC)
+        if est > _remaining():
+            # the section cannot fit: skip it LOUDLY rather than let
+            # the driver's outer timeout kill the run (r10's rc=124) —
+            # absent rows with a stamped reason beat a lost record
+            merged[f"section_{name}_skipped_budget"] = [
+                round(est, 1), round(_remaining(), 1)]
+            print(f"[bench] section {name} SKIPPED (est {est:.0f}s > "
+                  f"remaining {_remaining():.0f}s of budget "
+                  f"{BENCH_BUDGET_SEC:.0f}s)", file=sys.stderr, flush=True)
+            _emit_partial(merged, bands, t_start)
+            continue
         t0 = time.time()
         print(f"[bench] section {name} ...", file=sys.stderr, flush=True)
-        qrec = _run_section_subprocess(me, name, merged)
+        # cap the subprocess at the remaining budget (minus an emission
+        # margin) so a hung section dies under OUR control, with the
+        # partial record already on stdout
+        sect_timeout = min(3600.0, max(120.0, _remaining() - 30.0))
+        extra_env = (
+            {"SPARK_GRAFT_BENCH_REUSE_DIR": reuse_root}
+            if name in REUSE_SECTIONS else None
+        )
+        qrec = _run_section_subprocess(me, name, merged,
+                                       timeout=sect_timeout,
+                                       extra_env=extra_env)
+        first_wall = time.time() - t0
         if qrec is not None and _canary_contended(qrec, baseline):
             retry_keys = RETRY_ON_CONTENTION.get(name)
-            if retry_keys is not None:
+            # reuse-enabled sections retry serving-only off persisted
+            # layouts — far cheaper than the first run's build+serve
+            retry_est = RETRY_EST_SEC.get(name, max(est, first_wall))
+            if retry_keys is not None and retry_est > _remaining():
+                # a retry that cannot fit is not taken (the r10 killer:
+                # retries were taken unconditionally and blew the
+                # driver's window) — the contended first run stays
+                # official, stamped both contended and retry-skipped
+                merged[f"section_{name}_retry_skipped_budget"] = [
+                    round(retry_est, 1), round(_remaining(), 1)]
+                merged[f"section_{name}_contended"] = True
+                print(f"[bench] section {name} contended but retry "
+                      f"SKIPPED (est {retry_est:.0f}s > remaining "
+                      f"{_remaining():.0f}s)", file=sys.stderr, flush=True)
+            elif retry_keys is not None:
                 print(
                     f"[bench] section {name} CONTENDED "
                     f"(canary {qrec.get('sect_canary_start_sec')}/"
@@ -1849,7 +2140,10 @@ def _orchestrate() -> None:
                     file=sys.stderr, flush=True,
                 )
                 merged[f"section_{name}_retried"] = True
-                qrec2 = _run_section_subprocess(me, name, merged)
+                qrec2 = _run_section_subprocess(
+                    me, name, merged,
+                    timeout=min(3600.0, max(120.0, _remaining() - 30.0)),
+                    extra_env=extra_env)
                 if qrec2 is not None:
                     # both results recorded: the re-run becomes the
                     # official rows; the contended first-run serving
@@ -1896,17 +2190,10 @@ def _orchestrate() -> None:
             f"{merged[f'wall_sect_{name}_sec']}s",
             file=sys.stderr, flush=True,
         )
-    merged["wall_total_sec"] = round(time.time() - t_start, 1)
-    stamp_band_outliers(merged, bands)
-    emit_results(_total_of(merged), merged)
-    errors = {k: v for k, v in merged.items() if k.endswith("_error")}
-    if errors:
-        # a crashed/timed-out section must be LOUD: the record above
-        # still parses (the error keys ride in the compact line), but
-        # a silently smaller headline total exiting 0 would read as a
-        # speedup (r8 review)
-        print(f"[bench] FAILED sections: {sorted(errors)}", file=sys.stderr)
-        sys.exit(1)
+        # incremental emission (r11): the record so far, superseded by
+        # the next section's emission — the LAST JSON line always holds
+        # the most complete record the run produced
+        _emit_partial(merged, bands, t_start)
 
 
 def main():
@@ -1966,7 +2253,18 @@ def main():
         # real elapsed wall, not a sum of section marks (which would
         # drop any interval not covered by a mark — r8 review)
         per_query["wall_total_sec"] = round(time.time() - t0, 1)
-        stamp_band_outliers(per_query)
+        # stamping must never lose a measured record (r10 ADVICE): this
+        # is the path SKILL.md prescribes while REGENERATING next
+        # round's bands, when BANDS.json is legitimately stale/absent —
+        # a post-measurement RuntimeError here would discard the very
+        # measurements the new bands need. Emit unstamped with the
+        # reason in-record instead. The orchestrator path keeps its
+        # fail-fast (there the bands must be valid BEFORE any section
+        # burns wall-clock).
+        try:
+            stamp_band_outliers(per_query)
+        except RuntimeError as e:
+            per_query["bands_error"] = str(e)[:200]
         emit_results(_total_of(per_query), per_query)
         return
     _orchestrate()

@@ -67,6 +67,11 @@ TOOL_SCHEMAS: dict[str, dict[str, Any]] = {
     # of a deployed index can see WHICH physical plan auto-routing
     # picks and why (VERDICT r9 #4)
     "ann_serving_regime": {"required": [], "args": ["batch_size", "path"]},
+    # Engine extension: the ingest attrition audit — how many records
+    # the drop-mode corpus read discarded (from_corpus
+    # report_attrition=True records it; r10 VERDICT #8 asked for a
+    # surface beyond the raw sources.corpus import)
+    "corpus_attrition": {"required": [], "args": []},
     # LLM-orchestration surface (declined with pointers):
     "interpret_analysis": {"required": ["analysis_json"], "args": ["analysis_json"]},
     "review_repository": {"required": ["review_type"], "args": ["review_type"]},
@@ -296,6 +301,15 @@ class McpAdapter:
             # last_route says what it DID
             out["last_route"] = p.last_route
             return out
+        if name == "corpus_attrition":
+            if p.corpus_attrition is None:
+                return {
+                    "ok": True, "attrition": None,
+                    "hint": "open the project with "
+                            "from_corpus(report_attrition=True) to run "
+                            "the malformed-record audit pass",
+                }
+            return {"ok": True, "attrition": p.corpus_attrition}
         if name == "index_project":
             exts = a.get("file_extensions")
             if a.get("force") or exts is not None:

@@ -4394,8 +4394,11 @@ def q_corpus_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
     fidelity aggregate. Matching the oracle computed on the PARQUET
     the shards came from proves the whole write→read cycle preserves
     ids, text (newline/quote/unicode escaping), and metadata through
-    gzip framing. Overflow gate: writes a temp dir (idempotent
-    overwrite, keyed by sf_dir)."""
+    gzip framing. Overflow gate: writes a temp dir keyed by sf_dir
+    AND pid (r10 ADVICE low: two concurrent gate runs against the same
+    sf_dir — verify_local alongside the driver — must not overwrite
+    each other's shards mid-read; per-pid dirs are overwrite-idempotent
+    within a run and a few MB of /tmp debris across runs)."""
     import hashlib
     import os
     import tempfile
@@ -4405,7 +4408,9 @@ def q_corpus_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     dst = os.path.join(
         tempfile.gettempdir(),
-        "msvs_corpus_gate_" + hashlib.md5(sf_dir.encode()).hexdigest()[:12],
+        "msvs_corpus_gate_"
+        + hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+        + f"_p{os.getpid()}",
     )
     write_corpus(docs, dst, "jsonl", compression="gzip", shards=4)
     back = read_corpus(spark, dst, "jsonl")
@@ -4426,8 +4431,8 @@ def q_corpus_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
     the source parquet proves the quoting survives. Schema is passed
     explicitly (the production shape — CSV inference would read every
     column as string and silently change the aggregate types).
-    Overflow gate: writes a temp dir (idempotent overwrite, keyed by
-    sf_dir)."""
+    Overflow gate: writes a temp dir keyed by sf_dir AND pid (see
+    q_corpus_jsonl — the concurrent-runner collision, r10 ADVICE)."""
     import hashlib
     import os
     import tempfile
@@ -4437,7 +4442,9 @@ def q_corpus_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     dst = os.path.join(
         tempfile.gettempdir(),
-        "msvs_corpus_csv_gate_" + hashlib.md5(sf_dir.encode()).hexdigest()[:12],
+        "msvs_corpus_csv_gate_"
+        + hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+        + f"_p{os.getpid()}",
     )
     write_corpus(docs, dst, "csv", shards=4)
     back = read_corpus(spark, dst, "csv", schema=docs.schema)

@@ -238,6 +238,18 @@ def malformed_count(
         reader = reader.options(
             **{k: str(v) for k, v in options.items() if k != "mode"}
         )
+    # the same CSV reader defaults read_corpus always applies
+    # (corpus.py read path) must apply in BOTH branches below — the
+    # schema branch previously skipped them, so this audit parsed the
+    # files differently than the read it audits: the header row and
+    # every embedded-newline document counted as corrupt, overstating
+    # attrition exactly on the documented at-scale path (explicit
+    # schema) — r10 ADVICE medium
+    if fmt == "csv":
+        for k, v in {"header": "true", "multiLine": "true",
+                     "quote": '"', "escape": '"'}.items():
+            if not options or k not in options:
+                reader = reader.option(k, v)
     if schema is not None:
         reader = reader.schema(schema)
         df = reader.json(path) if fmt == "jsonl" else reader.csv(path)
@@ -250,11 +262,6 @@ def malformed_count(
             reader = reader.schema(s)
             df = reader.json(path) if fmt == "jsonl" else reader.csv(path)
     else:
-        if fmt == "csv":
-            for k, v in {"header": "true", "multiLine": "true",
-                         "quote": '"', "escape": '"'}.items():
-                if not options or k not in options:
-                    reader = reader.option(k, v)
         df = reader.json(path) if fmt == "jsonl" else reader.csv(path)
     if "_corrupt_record" not in df.columns:
         return 0

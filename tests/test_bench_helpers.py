@@ -205,3 +205,187 @@ def test_flag_heavy_record_keeps_graded_rows():
         assert graded in q, graded
     assert q["curate_sf01_unstable"] is True
     assert len(json.dumps(compact)) < 1500
+
+
+# --- r11 (VERDICT r10 #1): global budget + incremental emission.
+# BENCH_r10.json was rc=124 parsed:null — contention retries pushed the
+# run past the driver's outer timeout and the one-shot final emission
+# lost every measured row. These tests drive _orchestrate() with a
+# deterministic fake clock and scripted per-section costs, pinning the
+# two structural guarantees: unaffordable work is SKIPPED (never
+# overruns the budget), and the record on stdout grows monotonically
+# section by section (a kill loses only the in-flight section).
+
+
+class _FakeTime:
+    """Deterministic clock: the fake section runner advances it by the
+    scripted cost, so the budget math sees exactly what we script."""
+
+    def __init__(self, t0=1000.0):
+        self.t = t0
+
+    def time(self):
+        return self.t
+
+    def sleep(self, s):
+        self.t += s
+
+
+def _drive_orchestrate(monkeypatch, costs, budget, contended=(),
+                       retry_map=None, baseline=0.03, estimates=None):
+    """Run bench._orchestrate() with simulated section walls.
+
+    costs: {section: wall_sec} — also installed as SECTION_EST_SEC so
+    the fit check sees honest estimates. contended: sections whose
+    canaries read 10x the baseline. Returns (emissions, calls, ft):
+    every emit_results per_query snapshot (json-roundtripped, so each
+    must be serializable), the per-section subprocess call count, and
+    the fake clock.
+    """
+    ft = _FakeTime()
+    emissions = []
+    calls = {}
+
+    def fake_run(me, name, merged, timeout=3600.0, extra_env=None):
+        calls[name] = calls.get(name, 0) + 1
+        cost = costs[name]
+        if cost > timeout:
+            ft.t += timeout
+            merged[f"section_{name}_error"] = f"timeout after {timeout:.0f}s"
+            return None
+        ft.t += cost
+        canary = baseline * 10 if name in contended else baseline
+        return {f"{name}_row_sec": round(cost, 1),
+                "sect_canary_start_sec": canary,
+                "sect_canary_end_sec": canary}
+
+    monkeypatch.setattr(bench, "time", ft)
+    monkeypatch.setattr(bench, "_run_section_subprocess", fake_run)
+    monkeypatch.setattr(
+        bench, "emit_results",
+        lambda total, pq: emissions.append(json.loads(json.dumps(pq))))
+    monkeypatch.setattr(bench, "_canary_sec", lambda: baseline)
+    monkeypatch.setattr(bench, "_loadavg1", lambda: 1.0)
+    monkeypatch.setattr(bench, "_load_bands", lambda: {
+        "round": bench.BANDS_EXPECTED_ROUND, "date": "sim",
+        "source_runs": "sim", "canary_floor_sec": baseline,
+        "qps": {}, "sec": {}})
+    monkeypatch.setattr(bench, "BENCH_BUDGET_SEC", float(budget))
+    monkeypatch.setattr(bench, "SECTION_EST_SEC",
+                        dict(estimates if estimates is not None else costs))
+    if retry_map is not None:
+        monkeypatch.setattr(bench, "RETRY_ON_CONTENTION", retry_map)
+    bench._orchestrate()
+    return emissions, calls, ft
+
+
+_WORST = {  # the r10 worst-case (contended) walls, per section
+    "core": 450.0, "ann_small": 150.0, "ann_big": 740.0,
+    "hybrid_scale": 590.0, "curate": 250.0, "ann_huge": 650.0,
+    "sf1": 250.0,
+}
+
+
+def test_budget_skips_unaffordable_sections(monkeypatch):
+    """Worst-case costs vs a tight budget: the run must come in UNDER
+    budget by skipping tail sections with in-record stamps — never
+    overrun (the r10 rc=124)."""
+    emissions, calls, ft = _drive_orchestrate(monkeypatch, _WORST, 2000.0)
+    assert ft.t - 1000.0 <= 2000.0  # hard guarantee: never overruns
+    final = emissions[-1]
+    ran = [s for s in bench.SECTION_ORDER if calls.get(s)]
+    skipped = [s for s in bench.SECTION_ORDER
+               if f"section_{s}_skipped_budget" in final]
+    assert skipped, "tight budget must skip something"
+    assert ran and set(ran).isdisjoint(skipped)
+    for s in skipped:  # stamp carries [estimate, remaining] for audit
+        est, rem = final[f"section_{s}_skipped_budget"]
+        assert est > rem
+    # every section either ran or is stamped-skipped — none vanished
+    assert set(ran) | set(skipped) == set(bench.SECTION_ORDER)
+
+
+def test_budget_skips_unaffordable_retry(monkeypatch):
+    """A contended section whose retry cannot fit keeps its first-run
+    rows official, stamped contended + retry_skipped_budget, and the
+    subprocess is NOT respawned (the r10 killer: unconditional
+    retries)."""
+    costs = {s: 10.0 for s in bench.SECTION_ORDER}
+    costs["ann_big"] = 700.0
+    # budget: everything fits once, but a 700s ann_big retry does not
+    emissions, calls, ft = _drive_orchestrate(
+        monkeypatch, costs, 900.0, contended=("ann_big",),
+        retry_map={"ann_big": ["ann_big_row_sec"]})
+    final = emissions[-1]
+    assert calls["ann_big"] == 1
+    assert final["section_ann_big_contended"] is True
+    est, rem = final["section_ann_big_retry_skipped_budget"]
+    # ann_big is reuse-enabled: the retry estimate is the serving-only
+    # cost (RETRY_EST_SEC), not the full build+serve first-run wall
+    assert est == bench.RETRY_EST_SEC["ann_big"] and est > rem
+    assert final["ann_big_row_sec"] == 700.0  # first run stays official
+    assert "section_ann_big_retried" not in final
+    assert ft.t - 1000.0 <= 900.0
+
+
+def test_retry_taken_when_it_fits(monkeypatch):
+    """With budget headroom the r9 retry contract is unchanged: one
+    re-run, first-run rows preserved under *_run1."""
+    costs = {s: 10.0 for s in bench.SECTION_ORDER}
+    emissions, calls, _ = _drive_orchestrate(
+        monkeypatch, costs, 3300.0, contended=("core",),
+        retry_map={"core": ["core_row_sec"]})
+    final = emissions[-1]
+    assert calls["core"] == 2
+    assert final["section_core_retried"] is True
+    assert final["core_row_sec_run1"] == 10.0
+    assert "section_core_retry_skipped_budget" not in final
+
+
+def test_incremental_emission_grows_monotonically(monkeypatch):
+    """The record is emitted after EVERY section, each a superset of
+    the previous — the driver's last-JSON-line parse finds the most
+    complete record no matter when the process dies."""
+    emissions, calls, _ = _drive_orchestrate(monkeypatch, _WORST, 99999.0)
+    # one emission per section + the final one
+    assert len(emissions) == len(bench.SECTION_ORDER) + 1
+    prev = set()
+    for e in emissions:
+        assert prev <= set(e)  # strictly growing key set
+        assert "wall_total_sec" in e
+        assert e["bands_provenance"]["round"] == bench.BANDS_EXPECTED_ROUND
+        prev = set(e)
+    for i, s in enumerate(bench.SECTION_ORDER):
+        assert f"{s}_row_sec" in emissions[i]  # section i's rows are
+        # already on stdout before section i+1 starts
+
+
+def test_hung_section_dies_under_budget_with_record(monkeypatch):
+    """A section that would hang past the remaining budget is killed by
+    OUR capped subprocess timeout; its error is stamped, the later
+    sections still run, the record still emits — and _orchestrate
+    exits nonzero so the failure is loud."""
+    import pytest
+
+    costs = dict(_WORST)
+    costs["ann_big"] = 99999.0  # hangs: exceeds any timeout cap
+    with pytest.raises(SystemExit):
+        _drive_orchestrate(monkeypatch, costs, 2600.0, estimates=_WORST)
+
+
+def test_inproc_stamp_failure_emits_with_bands_error(monkeypatch):
+    """r10 ADVICE: a stale BANDS.json must not discard an INPROC
+    record post-measurement — the band-regeneration path publishes
+    unstamped with bands_error in-record."""
+    pq = {n: 1.0 for n in bench.HEADLINE}
+    monkeypatch.setattr(bench, "run_sections", lambda names: dict(pq))
+    monkeypatch.setattr(bench, "_load_bands", lambda: (_ for _ in ()).throw(
+        RuntimeError("stale bands round 9")))
+    monkeypatch.setenv("SPARK_GRAFT_BENCH_INPROC", "1")
+    monkeypatch.setattr(bench.sys, "argv", ["bench.py"])
+    buf = _io.StringIO()
+    with redirect_stdout(buf):
+        bench.main()
+    lines = [l for l in buf.getvalue().splitlines() if l.strip()]
+    full = json.loads(lines[0])
+    assert "stale bands" in full["queries"]["bands_error"]

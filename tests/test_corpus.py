@@ -277,6 +277,34 @@ def test_malformed_count(spark, tmp_path):
     assert kept.count() == 2
 
 
+def test_malformed_count_csv_schema_applies_reader_defaults(spark, tmp_path):
+    """r10 ADVICE medium: the csv+explicit-schema branch must audit
+    with the SAME header/multiLine/quote defaults read_corpus applies —
+    a header row and a quoted-newline document are not attrition."""
+    from mcp_vector_search_spark.sources.corpus import malformed_count
+
+    p = tmp_path / "docs.csv"
+    p.write_text(
+        'doc_id,text\n'
+        '1,"line one\nstill doc one"\n'
+        '2,plain doc two\n'
+    )
+    schema = "doc_id long, text string"
+    # clean file: zero attrition under BOTH schema modes, and the
+    # audited read keeps both documents
+    assert malformed_count(spark, str(p), "csv", schema=schema) == 0
+    assert malformed_count(spark, str(p), "csv") == 0
+    assert read_corpus(spark, str(p), "csv", schema=schema).count() == 2
+    # a genuinely corrupt row (too many unquoted columns) still counts
+    bad = tmp_path / "bad.csv"
+    bad.write_text(
+        'doc_id,text\n'
+        'notanumber_with,extra,columns,here\n'
+        '2,fine\n'
+    )
+    assert malformed_count(spark, str(bad), "csv", schema=schema) == 1
+
+
 def test_quality_signal_collision(spark):
     """ADVICE r9 low: a metadata column named like a signal column
     must raise a clear error, not an ambiguous-reference failure deep

@@ -38,9 +38,11 @@ def test_tool_listing_matches_reference_surface(spark):
         "story_generate",
     ):
         assert expected in names
-    # 27 reference tools + the ann_serving_regime engine extension
+    # 27 reference tools + the ann_serving_regime + corpus_attrition
+    # engine extensions
     assert "ann_serving_regime" in names
-    assert len(TOOL_SCHEMAS) == 28
+    assert "corpus_attrition" in names
+    assert len(TOOL_SCHEMAS) == 29
 
 
 def test_data_tools_end_to_end(spark):
@@ -292,3 +294,29 @@ def test_kg_callers_at_commit_serves_from_persisted_closure(spark, tmp_path):
         "kg_callers_at_commit", {"entity_name": "target", "commit_sha": "dead"}
     )
     assert not r3["ok"] and "unknown commit" in r3["error"]
+
+
+def test_corpus_attrition_round_trips(spark, tmp_path):
+    """r10 VERDICT #8: the ingest attrition number reaches an operator
+    through the facade (from_corpus report_attrition=True) and the MCP
+    tool — no hand import of sources.corpus required."""
+    from mcp_vector_search_spark.api import SparkProject
+    from mcp_vector_search_spark.mcp_adapter import McpAdapter
+
+    p = tmp_path / "mixed.jsonl"
+    p.write_text(
+        '{"doc_id": 1, "text": "good one"}\n'
+        "{broken json\n"
+        '{"doc_id": 2, "text": "good two"}\n'
+    )
+    proj = SparkProject.from_corpus(
+        spark, str(p), "jsonl", report_attrition=True
+    )
+    assert proj.corpus_attrition["malformed_dropped"] == 1
+    assert proj.corpus_attrition["fmt"] == "jsonl"
+    out = McpAdapter(proj).call_tool("corpus_attrition", {})
+    assert out["ok"] and out["attrition"]["malformed_dropped"] == 1
+    # a project opened without the audit points at the knob instead
+    proj2 = SparkProject.from_corpus(spark, str(p), "jsonl")
+    out2 = McpAdapter(proj2).call_tool("corpus_attrition", {})
+    assert out2["ok"] and out2["attrition"] is None and "hint" in out2
