@@ -4515,11 +4515,21 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # CORRECTNESS_r09), its float sibling ivf_fused stays in-window,
     # and its ivfpq+sq equality legs remain scored every round by
     # tools/verify_local.py like every overflow gate.
+    # r11 rotation (VERDICT r10 #7): corpus_csv (the multiLine
+    # quoted-newline CSV round-trip, new in r10 — the riskiest ingest
+    # path) takes its driver-window tour. Rotated out:
+    # hybrid_batch_tbl — its SQL oracle is shared verbatim by BOTH
+    # overflow batch gates (o["hybrid_batch"] and
+    # o["hybrid_batch_ann"] reuse it), so the window loses no oracle
+    # coverage; all three stay scored every round by
+    # tools/verify_local.py. sq_fixed STAYS in-window (the r9 note
+    # holds: its SQ-top-k-vs-SQL oracle is not what fused_family's
+    # layout-equality booleans assert).
     "bm25_topk": q_bm25_topk,
     "knn_topk": q_knn_topk,
     "hybrid_rrf": q_hybrid_rrf,
     "corpus_jsonl": q_corpus_jsonl,
-    "hybrid_batch_tbl": q_hybrid_batch_tbl,
+    "corpus_csv": q_corpus_csv,
     "sq_fixed": q_sq_fixed,
     "embedding_near_dups_multiprobe": q_embedding_near_dups_multiprobe,
     "dup_clusters": q_dup_clusters,
@@ -4616,9 +4626,10 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # twin and fused_family (r9 tour complete) live here now
     "hybrid_batch": q_hybrid_batch,
     "fused_family": q_fused_family,
-    # r10 (VERDICT r9 #5): the CSV round-trip beside corpus_jsonl —
-    # multiLine quoted-newline documents, the riskiest ingest path
-    "corpus_csv": q_corpus_csv,
+    # r11 rotation (see the window comment): the table-driven batch
+    # pipeline — same SQL oracle as both hybrid_batch gates above,
+    # still scored every round by tools/verify_local.py
+    "hybrid_batch_tbl": q_hybrid_batch_tbl,
 }
 
 ORACLE_SQL: dict[str, str] = _oracles()

@@ -389,3 +389,18 @@ def test_inproc_stamp_failure_emits_with_bands_error(monkeypatch):
     lines = [l for l in buf.getvalue().splitlines() if l.strip()]
     full = json.loads(lines[0])
     assert "stale bands" in full["queries"]["bands_error"]
+
+
+def test_ratio_band_flags_low():
+    """r11 (VERDICT r10 #5): the disk-pruning RATIO is banded like a
+    qps row — a depressed ratio (pruning win evaporating) stamps; a
+    ratio beating its band does not."""
+    bands = {"round": bench.BANDS_EXPECTED_ROUND, "date": "x",
+             "source_runs": "sim", "qps": {}, "sec": {},
+             "ratio": {"ann_huge_disk_prune_ratio": [3.0, 6.0]}}
+    low = {"ann_huge_disk_prune_ratio": 1.7}
+    bench.stamp_band_outliers(low, bands)
+    assert low["ann_huge_disk_prune_ratio_outside_band"] == [1.7, 3.0, 6.0]
+    hi = {"ann_huge_disk_prune_ratio": 12.8}
+    bench.stamp_band_outliers(hi, bands)
+    assert "ann_huge_disk_prune_ratio_outside_band" not in hi
