@@ -127,7 +127,7 @@ def test_cli_front_end(spark, capsys):
 
     rc = main(["list-tools"], adapter=ad)
     tools = json.loads(capsys.readouterr().out)
-    assert rc == 0 and len(tools) == 28
+    assert rc == 0 and len(tools) == 29
 
     rc = main(["search_code"], adapter=ad)  # missing required arg
     err = json.loads(capsys.readouterr().out)
