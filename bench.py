@@ -157,7 +157,7 @@ RETRY_ON_CONTENTION = {
 BANDS_FILE = os.path.join(
     os.path.dirname(os.path.abspath(__file__)), "BANDS.json"
 )
-BANDS_EXPECTED_ROUND = 10
+BANDS_EXPECTED_ROUND = 11
 BAND_RATIO = 1.5
 
 # --- global wall-clock budget (r11, VERDICT r10 #1). BENCH_r10.json is
@@ -250,6 +250,26 @@ def stamp_band_outliers(merged: dict, bands: dict | None = None) -> None:
         "date": bands.get("date"),
         "source_runs": bands.get("source_runs"),
     }
+
+
+def _drop_page_cache() -> bool:
+    """Evict the OS page cache so a "cold storage" read is actually
+    cold (r11). With 128 GiB RAM the ~2.1 GB flat corpus NEVER leaves
+    the cache naturally — the disk-brute side of the 4M pruning pair
+    read either page-cache-warm (~2.5 s) or neighbor-wave-hit
+    (10-27 s), bimodal across r9-r11 runs, and the r10 band spanned
+    6.7x because of it. A real eviction makes the pair measure what
+    the 100 TB claim actually prices: cold-scan bytes vs partition-
+    pruned bytes. Container-root only; returns False (and the pair
+    keeps its legacy gap-controlled population, flagged in-record)
+    where /proc/sys/vm/drop_caches is not writable."""
+    try:
+        os.sync()
+        with open("/proc/sys/vm/drop_caches", "w") as f:
+            f.write("1")
+        return True
+    except OSError:
+        return False
 
 
 def _canary_sec() -> float:
@@ -1776,6 +1796,10 @@ def _sec_ann_huge_body(
         hq2, pk_cents, 20, "query_id", "query_vec"
     )
     per_query["ann_huge_disk_q2_probed"] = len(q2_probe)  # of 512
+    # r11: make BOTH sides of the pair actually cold (see
+    # _drop_page_cache) — the flag says which population this record
+    # measured, and the r11 band is derived from dropped-cache runs
+    per_query["ann_huge_disk_cache_dropped"] = _drop_page_cache()
     # r9 (VERDICT r8 #2): the route decision for a PERSISTED layout —
     # partition pruning is physical on disk, so the router probes at
     # any corpus size or batch shape; the brute-vs-packed pair below

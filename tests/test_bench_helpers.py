@@ -61,7 +61,9 @@ def test_section_registry_covers_order():
 def test_stamp_band_outliers_directions():
     """qps rows flag LOW, seconds rows flag HIGH, in-band and
     above-band(qps)/below-band(sec) rows are left alone — replayed on
-    the round's own run-5/6 populations."""
+    the r9 run-5/6 populations against the r9-era bands (explicit
+    bands dict: the live artifact is re-derived every round, and this
+    test pins the DIRECTION logic, not a round's values)."""
     merged = {
         # run-5 contended core: tbl depressed, ann in band
         "hybrid_scale_tbl_qps": 21.92,
@@ -75,7 +77,17 @@ def test_stamp_band_outliers_directions():
         # non-numeric values never stamp
         "hybrid_batch_ann_qps": None,
     }
-    bench.stamp_band_outliers(merged)
+    r9_bands = {
+        "round": bench.BANDS_EXPECTED_ROUND, "date": "replay",
+        "source_runs": "r9 clean standalone values",
+        "qps": {"hybrid_scale_tbl_qps": [33.5, 50.2],
+                "hybrid_scale_ann_qps": [32.5, 43.5],
+                "hybrid_batch_tbl_qps": [69.7, 121.2],
+                "hybrid_batch_ann_qps": [50.0, 56.5]},
+        "sec": {"ann_huge_ivf_build_sec": [9.2, 19.6],
+                "hybrid_rrf_warm_served": [0.69, 0.96]},
+    }
+    bench.stamp_band_outliers(merged, r9_bands)
     assert merged["hybrid_scale_tbl_qps_outside_band"][0] == 21.92
     assert merged["ann_huge_ivf_build_sec_outside_band"][0] == 128.849
     assert "hybrid_scale_ann_qps_outside_band" not in merged
