@@ -1217,6 +1217,10 @@ def sec_ann_big(spark, per_query, mark):
         # lookups, not 8-wide batches, from cold storage)
         q2 = big_q.limit(2).cache()
         q2.count()
+        # r11: same real-cold treatment as the 4M pair (see
+        # _drop_page_cache) — the 512K flat corpus also never left the
+        # 123 GiB page cache naturally
+        per_query["ann_big_disk_cache_dropped"] = _drop_page_cache()
         t0 = time.time()
         _noop(topk_per_query_np(flat_df, q2, 10))
         per_query["ann_big_disk_brute_q2_sec"] = round(time.time() - t0, 3)
