@@ -186,9 +186,16 @@ SECTION_EST_SEC = {
     "core": 450.0,
     "ann_small": 150.0,
     "ann_big": 740.0,
-    "hybrid_scale": 590.0,
+    # r11 observed worst walls under the hypervisor-wave mode
+    # (BENCH_NOTES r11): hybrid_scale 850.7/927.2, ann_huge 763 —
+    # the estimates track the slowest single run seen, so a fit check
+    # passes only when the section could complete even if the waves
+    # stay. The sum exceeding the budget is intentional: under
+    # sustained worst-case, the tail sections skip-with-stamp instead
+    # of the whole record dying (the r10 failure).
+    "hybrid_scale": 930.0,
     "curate": 250.0,
-    "ann_huge": 650.0,
+    "ann_huge": 770.0,
     "sf1": 250.0,
 }
 DEFAULT_SECTION_EST_SEC = 300.0
