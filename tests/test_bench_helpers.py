@@ -244,7 +244,8 @@ class _FakeTime:
 
 
 def _drive_orchestrate(monkeypatch, costs, budget, contended=(),
-                       retry_map=None, baseline=0.03, estimates=None):
+                       retry_map=None, baseline=0.03, estimates=None,
+                       run2_records=None):
     """Run bench._orchestrate() with simulated section walls.
 
     costs: {section: wall_sec} — also installed as SECTION_EST_SEC so
@@ -267,6 +268,13 @@ def _drive_orchestrate(monkeypatch, costs, budget, contended=(),
             return None
         ft.t += cost
         canary = baseline * 10 if name in contended else baseline
+        if (run2_records is not None and calls[name] == 2
+                and name in run2_records):
+            # a serving-only retry re-produces only SOME rows (the
+            # real _sec_ann_big_retry shape — r11 ADVICE high)
+            return {**run2_records[name],
+                    "sect_canary_start_sec": canary,
+                    "sect_canary_end_sec": canary}
         return {f"{name}_row_sec": round(cost, 1),
                 "sect_canary_start_sec": canary,
                 "sect_canary_end_sec": canary}
@@ -403,10 +411,11 @@ def test_inproc_stamp_failure_emits_with_bands_error(monkeypatch):
     assert "stale bands" in full["queries"]["bands_error"]
 
 
-def test_ratio_band_flags_low():
-    """r11 (VERDICT r10 #5): the disk-pruning RATIO is banded like a
-    qps row — a depressed ratio (pruning win evaporating) stamps; a
-    ratio beating its band does not."""
+def test_ratio_band_flags_both_sides():
+    """r12 (r11 ADVICE low): the disk-pruning RATIO stamps on BOTH
+    sides — depressed (pruning win evaporating) AND inflated (a wave
+    hitting only the cold-brute numerator publishes a fake headline
+    pruning claim). In-band values do not stamp."""
     bands = {"round": bench.BANDS_EXPECTED_ROUND, "date": "x",
              "source_runs": "sim", "qps": {}, "sec": {},
              "ratio": {"ann_huge_disk_prune_ratio": [3.0, 6.0]}}
@@ -415,4 +424,32 @@ def test_ratio_band_flags_low():
     assert low["ann_huge_disk_prune_ratio_outside_band"] == [1.7, 3.0, 6.0]
     hi = {"ann_huge_disk_prune_ratio": 12.8}
     bench.stamp_band_outliers(hi, bands)
-    assert "ann_huge_disk_prune_ratio_outside_band" not in hi
+    assert hi["ann_huge_disk_prune_ratio_outside_band"] == [12.8, 3.0, 6.0]
+    mid = {"ann_huge_disk_prune_ratio": 7.5}  # within hi*BAND_RATIO
+    bench.stamp_band_outliers(mid, bands)
+    assert "ann_huge_disk_prune_ratio_outside_band" not in mid
+
+
+def test_retry_subset_record_keeps_run1_rows(monkeypatch):
+    """r11 ADVICE high: a serving-only retry record that is a strict
+    SUBSET of run 1's (the real _sec_ann_big_retry shape — build rows,
+    cold pairs, recall rows exist only in run 1) must not drop the
+    run-1-only rows when the retry overlays: they are backfilled, so
+    band-tracked rows never silently vanish from the record."""
+    costs = {s: 10.0 for s in bench.SECTION_ORDER}
+    costs["ann_big"] = 700.0
+    emissions, calls, _ = _drive_orchestrate(
+        monkeypatch, costs, 99999.0, contended=("ann_big",),
+        retry_map={"ann_big": ["ann_big_row_sec"]},
+        run2_records={"ann_big": {"ann_big_serve2_sec": 5.0}})
+    final = emissions[-1]
+    assert calls["ann_big"] == 2
+    assert final["section_ann_big_retried"] is True
+    # the retry's own row is official
+    assert final["ann_big_serve2_sec"] == 5.0
+    # the run-1-only row SURVIVES the overlay (pre-fix it vanished)
+    assert final["ann_big_row_sec"] == 700.0
+    # and the explicit *_run1 preservation for retry_keys still works
+    assert final["ann_big_row_sec_run1"] == 700.0
+    # run-1 canaries preserved under the namespaced run1 key
+    assert final["canary_ann_big_run1"] == [0.3, 0.3]
