@@ -48,6 +48,10 @@ EXTRA_COMPACT_KEYS = [
     "hybrid_batch_ann_qps",
     "hybrid_scale_tbl_qps",
     "hybrid_scale_ann_qps",
+    # r12 (VERDICT r11 #7): the adversarial hot-shard serving row and
+    # its uniform control
+    "hybrid_scale_skew_qps",
+    "hybrid_scale_vec_uniform_qps",
     # r10 (VERDICT r9 #7): the composed curation pipeline wall row
     "curate_sf01_sec",
     "bm25_update_delta_sec",
@@ -1643,6 +1647,46 @@ def sec_hybrid_scale(spark, per_query, mark):
         ann_sec = max(min(per_query["hybrid_scale_ann_runs"]), 1e-3)
         per_query["hybrid_scale_ann_sec"] = round(ann_sec, 3)
         per_query["hybrid_scale_ann_qps"] = round(HS_N / ann_sec, 2)
+
+        # --- adversarial probe-skew serving (r12, VERDICT r11 #7):
+        # the one 100 TB serving risk not yet measured. All 256
+        # queries are ONE vector (distinct ids), so every query probes
+        # the SAME 20/256 clusters — maximal hot-shard concentration:
+        # the probe filter keeps ~20 block rows and the whole batch's
+        # matmul work lands on them. The uniform pair (same kernel,
+        # same batch size, the diverse hs_qvecs batch) isolates the
+        # skew delta from the BM25 leg and fusion. If skew collapses
+        # throughput, ivf_topk_batch_packed grows a query-split salt;
+        # if the layout absorbs it (bigger per-block matmuls are
+        # BLAS-friendlier and 20 tasks still cover local[32]'s
+        # cores at this block count), this row is the evidence.
+        from mcp_vector_search_spark.operators.ivf import (
+            ivf_topk_batch_packed as _itbp,
+        )
+
+        skew_q = (
+            hs_qvecs.filter(F.col("query_id") == 0)
+            .select("query_vec")
+            .crossJoin(spark.range(HS_N).select(
+                F.col("id").cast("int").alias("query_id")))
+            .select("query_id", "query_vec")
+            .cache()
+        )
+        skew_q.count()
+        _noop(_itbp(big_packed, big_cents, skew_q, 10, nprobes=20))
+        per_query["hybrid_scale_vec_uniform_runs"] = _runs_until_stable(
+            spark, 2, lambda: _noop(_itbp(
+                big_packed, big_cents, hs_qvecs, 10, nprobes=20)))
+        vu_sec = max(min(per_query["hybrid_scale_vec_uniform_runs"]), 1e-3)
+        per_query["hybrid_scale_vec_uniform_qps"] = round(HS_N / vu_sec, 2)
+        per_query["hybrid_scale_skew_runs"] = _runs_until_stable(
+            spark, 2, lambda: _noop(_itbp(
+                big_packed, big_cents, skew_q, 10, nprobes=20)))
+        sk_sec = max(min(per_query["hybrid_scale_skew_runs"]), 1e-3)
+        per_query["hybrid_scale_skew_qps"] = round(HS_N / sk_sec, 2)
+        if not _is_stable(per_query["hybrid_scale_skew_runs"]):
+            per_query["hybrid_scale_skew_unstable"] = True
+        skew_q.unpersist()
         hs_qvecs.unpersist()
     finally:
         if tmp_ctx is not None:

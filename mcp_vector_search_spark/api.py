@@ -80,12 +80,19 @@ class SparkProject:
         # the last search_batch routing decision, for operators (the
         # MCP ann_serving_regime tool reports it — VERDICT r9 #4):
         # {"requested", "served", "reason", ...measured inputs}.
-        # Stamped AFTER the serving kernel returns (r10 ADVICE), so a
-        # failed batch never records a route that didn't serve. Shared
-        # instance state under ONE driver thread per project — the
-        # JSON-RPC MCP server dispatches sequentially; a caller running
-        # concurrent batches on one SparkProject must read the route
-        # from its own call context, not this attribute.
+        # Stamped after the serving kernel CONSTRUCTS its plan (r10
+        # ADVICE, scope corrected r12 per VERDICT r11 #3): the kernels
+        # return LAZY DataFrames, so a route that fails at plan
+        # construction (bad layout, schema mismatch, empty batch
+        # collect) leaves no stamp — but a plan that fails later at
+        # ACTION time (executor OOM, corrupt partition) does leave the
+        # stamp, and that is the documented semantics: last_route
+        # records which plan was handed to the caller, not that its
+        # execution succeeded. Shared instance state under ONE driver
+        # thread per project — the JSON-RPC MCP server dispatches
+        # sequentially; a caller running concurrent batches on one
+        # SparkProject must read the route from its own call context,
+        # not this attribute.
         self.last_route: dict | None = None
         # serving-regime knobs for search_batch(route="auto") — the
         # measured in-memory probe-vs-brute crossover (ivf.py
@@ -699,8 +706,13 @@ class SparkProject:
             )
         if route == "brute":
             # every site below stamps last_route AFTER its kernel call
-            # returns (r10 ADVICE low): a batch that raises must not
-            # leave last_route describing a route that never served
+            # returns (r10 ADVICE low): a batch whose PLAN CONSTRUCTION
+            # raises must not leave last_route describing a route that
+            # never produced a plan. The kernels return lazy frames, so
+            # this guards construction-time failures only — an
+            # action-time failure on the returned frame keeps the stamp
+            # (by design: the route DID construct and was handed out;
+            # see the attribute comment in __init__)
             result = topk_per_query_np(self.vectors, queries, limit)
             self.last_route = {
                 "requested": route, "served": "brute", "reason": "forced",

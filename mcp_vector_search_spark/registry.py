@@ -4525,10 +4525,21 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # tools/verify_local.py. sq_fixed STAYS in-window (the r9 note
     # holds: its SQ-top-k-vs-SQL oracle is not what fused_family's
     # layout-equality booleans assert).
+    # r12 rotation (VERDICT r11 #8): hybrid_batch_tbl returns after
+    # its one-round rest (the table-driven batch is the serving path
+    # past ~100 queries — the strongest batch gate belongs in-window),
+    # and redact_pii takes its FIRST driver-window tour (never
+    # windowed before; the PII regex ladder is a first-class
+    # LLM-pipeline op). Rotated out to overflow: corpus_jsonl (toured
+    # r10-r11, its riskier csv sibling stays in-window) and
+    # repetition_signals (toured r10-r11; its fold kernels are also
+    # exercised by text_quality's signal frame, which stays). All
+    # rotated-out gates remain oracle-scored every round by
+    # tools/verify_local.py.
     "bm25_topk": q_bm25_topk,
     "knn_topk": q_knn_topk,
     "hybrid_rrf": q_hybrid_rrf,
-    "corpus_jsonl": q_corpus_jsonl,
+    "hybrid_batch_tbl": q_hybrid_batch_tbl,
     "corpus_csv": q_corpus_csv,
     "sq_fixed": q_sq_fixed,
     "embedding_near_dups_multiprobe": q_embedding_near_dups_multiprobe,
@@ -4542,7 +4553,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "source_rollup": q_source_rollup,
     "packed_shards": q_packed_shards,
     "chunk_windows": q_chunk_windows,
-    "repetition_signals": q_repetition_signals,
+    "redact_pii": q_redact_pii,
     "sessionize": q_sessionize,
     "incremental_delta": q_incremental_delta,
     "ann_recall": q_ann_recall,
@@ -4596,7 +4607,6 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_lag_delta": q_events_lag_delta,
     "kg_views": q_kg_views,
     "token_estimate": q_token_estimate,
-    "redact_pii": q_redact_pii,
     "knn_batch_np": q_knn_batch_np,
     "ngram_top50": q_ngram_top50,
     "exact_dups": q_exact_dups,
@@ -4626,10 +4636,11 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # twin and fused_family (r9 tour complete) live here now
     "hybrid_batch": q_hybrid_batch,
     "fused_family": q_fused_family,
-    # r11 rotation (see the window comment): the table-driven batch
-    # pipeline — same SQL oracle as both hybrid_batch gates above,
-    # still scored every round by tools/verify_local.py
-    "hybrid_batch_tbl": q_hybrid_batch_tbl,
+    # r12 rotation (see the window comment): corpus_jsonl and
+    # repetition_signals rest here after their r10-r11 tours — still
+    # oracle-scored every round by tools/verify_local.py
+    "corpus_jsonl": q_corpus_jsonl,
+    "repetition_signals": q_repetition_signals,
 }
 
 ORACLE_SQL: dict[str, str] = _oracles()

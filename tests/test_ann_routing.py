@@ -227,3 +227,42 @@ def test_ann_serving_regime_persisted_path(spark, tmp_path):
     # an absent/typo'd path must refuse, not report a healthy layout
     with pytest.raises(ValueError, match="no ANN layout kind manifest"):
         p.ann_serving_regime(path=str(tmp_path / "nope"))
+
+
+def test_last_route_stamp_is_construction_deep(spark, monkeypatch):
+    """VERDICT r11 #3: the kernels return LAZY frames, so the stamp
+    guards plan-construction failures only. A kernel that raises at
+    construction leaves last_route untouched; a plan that fails later
+    at action time keeps the stamp (the route DID construct and was
+    handed to the caller) — the documented attribute semantics."""
+    import mcp_vector_search_spark.operators.topk as topk_mod
+
+    p = _project(spark)
+    q = _queries(p)
+    sentinel = {"requested": "x", "served": "x", "reason": "sentinel"}
+    p.last_route = dict(sentinel)
+
+    # construction-time failure: no stamp
+    def boom_construct(*a, **kw):
+        raise RuntimeError("construction-time")
+
+    monkeypatch.setattr(topk_mod, "topk_per_query_np", boom_construct)
+    with pytest.raises(RuntimeError, match="construction-time"):
+        p.search_batch(q, limit=5, route="brute")
+    assert p.last_route == sentinel
+
+    # action-time failure: the stamp stays (by design)
+    def lazy_action_bomb(*a, **kw):
+        from pyspark.sql.functions import udf
+
+        def _blow(x):
+            raise RuntimeError("action-time")
+
+        return spark.range(1).select(udf(_blow)("id").alias("x"))
+
+    monkeypatch.setattr(topk_mod, "topk_per_query_np", lazy_action_bomb)
+    frame = p.search_batch(q, limit=5, route="brute")
+    assert p.last_route["served"] == "brute"  # stamped at hand-off
+    with pytest.raises(Exception):
+        frame.collect()
+    assert p.last_route["served"] == "brute"  # and it stays
