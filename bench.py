@@ -127,6 +127,12 @@ RETRY_ON_CONTENTION = {
         "hybrid_scale_tbl_runs",
         "hybrid_scale_ann_qps",
         "hybrid_scale_ann_runs",
+        # r12: the hot-shard pair is serving-only — re-measured by the
+        # reuse retry like its siblings
+        "hybrid_scale_skew_qps",
+        "hybrid_scale_skew_runs",
+        "hybrid_scale_vec_uniform_qps",
+        "hybrid_scale_vec_uniform_runs",
     ],
     "ann_big": [
         "ann_big_brute_sec",
@@ -1679,6 +1685,8 @@ def sec_hybrid_scale(spark, per_query, mark):
                 big_packed, big_cents, hs_qvecs, 10, nprobes=20)))
         vu_sec = max(min(per_query["hybrid_scale_vec_uniform_runs"]), 1e-3)
         per_query["hybrid_scale_vec_uniform_qps"] = round(HS_N / vu_sec, 2)
+        if not _is_stable(per_query["hybrid_scale_vec_uniform_runs"]):
+            per_query["hybrid_scale_vec_uniform_unstable"] = True
         per_query["hybrid_scale_skew_runs"] = _runs_until_stable(
             spark, 2, lambda: _noop(_itbp(
                 big_packed, big_cents, skew_q, 10, nprobes=20)))
