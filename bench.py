@@ -167,7 +167,7 @@ RETRY_ON_CONTENTION = {
 BANDS_FILE = os.path.join(
     os.path.dirname(os.path.abspath(__file__)), "BANDS.json"
 )
-BANDS_EXPECTED_ROUND = 11
+BANDS_EXPECTED_ROUND = 12
 BAND_RATIO = 1.5
 
 # --- global wall-clock budget (r11, VERDICT r10 #1). BENCH_r10.json is
@@ -215,7 +215,9 @@ DEFAULT_SECTION_EST_SEC = 300.0
 # the serving rows instead of repeating ~400 s of builds (r11, VERDICT
 # r10 #4). The retry's budget estimate drops accordingly.
 REUSE_SECTIONS = ("ann_big", "hybrid_scale")
-RETRY_EST_SEC = {"ann_big": 330.0, "hybrid_scale": 330.0}
+# hybrid_scale's serving-only retry re-measures the r12 hot-shard pair
+# too (~+40 s over the r11 shape)
+RETRY_EST_SEC = {"ann_big": 330.0, "hybrid_scale": 370.0}
 
 
 def _load_bands() -> dict:

@@ -176,6 +176,39 @@ def test_r9_record_would_have_carried_four_more_stamps():
     assert r9_official["bm25_update_delta_sec_outside_band"][0] == 5.198
 
 
+def test_r12_headline_ann_rows_are_banded():
+    """r12 (VERDICT r11 #3): every headline ANN serving row is
+    row-banded against the shipped artifact — replaying the r12
+    wave-mode standalone readings stamps them individually (they
+    previously rode only under section-level contended flags), while
+    the clean-window readings pass unflagged."""
+    bands = bench._load_bands()
+    for row in ("ann_big_brute_sec", "ann_big_ivf_sec",
+                "ann_huge_ivf_sec", "hybrid_scale_index_build_sec"):
+        assert row in bands["sec"]
+    for row in ("hybrid_scale_skew_qps", "hybrid_scale_vec_uniform_qps"):
+        assert row in bands["qps"]
+    wave = {  # r12 standalone attempt 1/2 readings (BENCH_NOTES r12)
+        "ann_big_brute_sec": 4.585,
+        "ann_huge_ivf_sec": 6.245,
+        "hybrid_scale_index_build_sec": 161.62,
+    }
+    bench.stamp_band_outliers(wave, bands)
+    for row in ("ann_big_brute_sec", "ann_huge_ivf_sec",
+                "hybrid_scale_index_build_sec"):
+        assert f"{row}_outside_band" in wave
+    clean = {  # r9 clean ANN rows + r12 clean-window serving rows
+        "ann_big_brute_sec": 1.335,
+        "ann_big_ivf_sec": 1.522,
+        "ann_huge_ivf_sec": 2.27,
+        "hybrid_scale_index_build_sec": 78.3,
+        "hybrid_scale_skew_qps": 234.22,
+        "hybrid_scale_vec_uniform_qps": 212.27,
+    }
+    bench.stamp_band_outliers(clean, bands)
+    assert not [k for k in clean if k.endswith("_outside_band")]
+
+
 def test_canary_floor_in_bands():
     """The same-day canary floor rides in BANDS.json so a contended
     bench-start baseline cannot disarm the per-section contention
