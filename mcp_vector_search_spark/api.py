@@ -1450,6 +1450,18 @@ class SparkProject:
         # 2. near-dup: verified LSH pairs; the higher id drops (hashed
         # shingle form: longs in the shuffle/cache, never the strings)
         sh = shingle_index(docs)
+        if not collect_report:
+            # lazy mode (the benched single-plan path): the shingle
+            # index is referenced FOUR times in the one end-to-end
+            # plan (both sides of the candidate band self-join + both
+            # sides of jaccard_verify), and everything upstream of the
+            # exact-dedup exchange is deduplicated by ReusedExchange
+            # but the post-exchange work — window filter + tokenize +
+            # per-shingle md5 over the full text — re-executes per
+            # reference (guide §7.2). One eager localCheckpoint of the
+            # slim hash-pair frame (longs, never text) pins it; the
+            # report path already caches stage boundaries.
+            sh = sh.localCheckpoint(eager=True)
         pairs = jaccard_verify(
             minhash_candidates(docs, shingles=sh), sh, threshold=near_dup_jaccard
         )

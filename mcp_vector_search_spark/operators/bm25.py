@@ -318,14 +318,13 @@ def write_bm25_index(
     ever being rewritten; `update_bm25_index` appends segments and
     `compact_bm25_index` folds them back to one.
     """
+    from pyspark.errors import AnalysisException
+
     from mcp_vector_search_spark.io import atomic_swap_dir, recover_swap
 
+    spark = docs.sparkSession
     postings = build_postings(docs, id_col, text_col).withColumn("seg", F.lit(0))
-    doc_stats = doc_stats_from_postings(postings).withColumn("seg", F.lit(0))
-    term_stats = build_term_stats(postings, doc_stats)
     postings, part_cols = _with_tbucket(postings, term_buckets)
-    if doc_buckets:
-        doc_stats = doc_stats.withColumn("dbucket", _dbucket_expr(doc_buckets))
     # staged + root-swapped (same contract as compact_bm25_index): an
     # in-place rebuild crashing between the four table overwrites
     # could leave a postings partition scheme that contradicts meta,
@@ -337,10 +336,35 @@ def write_bm25_index(
     postings.sortWithinPartitions("term").write.partitionBy(*part_cols).mode(
         "overwrite"
     ).parquet(f"{stage}/postings")
+    # derive doc_stats/term_stats from the postings JUST WRITTEN: the
+    # corpus is tokenized exactly once (the write above). The previous
+    # shape derived both from the lazy postings lineage, so the
+    # tokenize+explode+groupBy pipeline re-executed for every
+    # downstream action — doc_stats write, and THREE actions inside
+    # term_stats (broadcast n_docs, broadcast avg_idf, final write):
+    # five full corpus passes per build (guide §1.2/§5 — don't
+    # recompute what one pass already produced; same read-back pattern
+    # update_bm25_index has always used for its delta segment).
+    try:
+        post_rb = spark.read.parquet(f"{stage}/postings")
+    except AnalysisException:
+        # empty corpus: partitionBy over zero rows writes no files —
+        # keep the (empty) lazy frames; nothing to re-derive cheaply
+        post_rb = postings
+    doc_stats = doc_stats_from_postings(post_rb).withColumn("seg", F.lit(0))
+    if doc_buckets:
+        doc_stats = doc_stats.withColumn("dbucket", _dbucket_expr(doc_buckets))
     dsw = doc_stats.write.mode("overwrite")
     if doc_buckets:
         dsw = dsw.partitionBy("dbucket")
     dsw.parquet(f"{stage}/doc_stats")
+    # term_stats' doc_stats input also reads back the staged parquet
+    # (its n_docs aggregate is an action of its own)
+    try:
+        ds_rb = spark.read.parquet(f"{stage}/doc_stats")
+    except AnalysisException:
+        ds_rb = doc_stats
+    term_stats = build_term_stats(post_rb, ds_rb)
     term_stats.write.mode("overwrite").parquet(f"{stage}/term_stats")
     _write_meta(
         docs.sparkSession, stage, term_buckets, doc_buckets,
@@ -651,11 +675,22 @@ def compact_bm25_index(spark, path: str) -> tuple[int, int]:
     if m_buckets:
         dsww = dsww.partitionBy("dbucket")
     dsww.parquet(os.path.join(stage, "doc_stats"))
-    # REBUILD term_stats rather than copying it verbatim: postings and
-    # doc_stats are already in hand, so this is nearly free, and it
-    # makes compaction double as the repair path for an idf left one
-    # update stale by a crash between the update's two swaps (r6 review)
-    build_term_stats(postings, doc_stats).write.mode("overwrite").parquet(
+    # REBUILD term_stats rather than copying it verbatim: it makes
+    # compaction double as the repair path for an idf left one update
+    # stale by a crash between the update's two swaps (r6 review).
+    # Inputs are the STAGED tables just written: the in-hand `postings`
+    # frame is the lazy segment-resolution join, which build_term_stats
+    # would re-execute three times (two broadcast scalars + the write);
+    # the staged parquet is that join's result, already folded.
+    from pyspark.errors import AnalysisException
+
+    try:
+        post_rb = spark.read.parquet(os.path.join(stage, "postings"))
+        ds_rb = spark.read.parquet(os.path.join(stage, "doc_stats"))
+    except AnalysisException:
+        # empty index: partitioned writes emitted no files
+        post_rb, ds_rb = postings, doc_stats
+    build_term_stats(post_rb, ds_rb).write.mode("overwrite").parquet(
         os.path.join(stage, "term_stats")
     )
     atomic_swap_dir(stage, path)

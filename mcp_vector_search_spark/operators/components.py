@@ -58,6 +58,28 @@ def connected_components(
         .withColumn("component", F.col("node"))
         .cache()
     )
+    # Convergence check: labels are MONOTONE NON-INCREASING under
+    # min-propagation (each round takes min over {old label} ∪
+    # neighbor labels), so Σ component strictly decreases until the
+    # fixpoint and "sum unchanged ⟺ no label changed". For numeric
+    # ids that turns the per-round convergence test into ONE aggregate
+    # over the already-cached new labels instead of a join of the new
+    # and old label frames + count (guide §2.4 — one less shuffle per
+    # round; decimal(38,0) so billions of bigint ids cannot overflow
+    # the running sum). Non-numeric ids keep the join-based check.
+    numeric_ids = dict(sym.dtypes)["a"] in (
+        "tinyint", "smallint", "int", "bigint",
+    )
+
+    def _label_sum(frame: DataFrame):
+        return frame.agg(
+            F.coalesce(
+                F.sum(F.col("component").cast("decimal(38,0)")), F.lit(0)
+            ).alias("s"),
+            F.count("*").alias("n"),
+        ).first()
+
+    prev_sig = _label_sum(labels) if numeric_ids else None
     is_ckpt = False
     for it in range(max_iters):
         # neighbor labels: node b receives a's current label
@@ -79,12 +101,17 @@ def connected_components(
             .agg(F.min("component").alias("component"))
             .cache()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .count()
-        )
+        if numeric_ids:
+            sig = _label_sum(new_labels)
+            changed = int(sig != prev_sig)
+            prev_sig = sig
+        else:
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "node")
+                .filter(F.col("n.component") != F.col("o.component"))
+                .count()
+            )
         is_ckpt = (it + 1) % 8 == 0
         if is_ckpt:
             ckpt = new_labels.localCheckpoint(eager=True)

@@ -44,15 +44,25 @@ def rrf_fuse(
             + F.coalesce(F.lit(1.0 - alpha) / (F.lit(k) + F.col("_rank_b")), F.lit(0.0)),
         )
     )
-    # Max-normalization via a broadcast scalar aggregate, NOT a global
-    # window (Window.partitionBy() would funnel every fused row through
-    # one partition — harmless on pre-limited top-N inputs, a stall on
-    # anything unbounded).
-    mx = fused.agg(F.max("_raw").alias("_max_raw"))
+    # Max-normalization via a GLOBAL WINDOW over the fused rows. The
+    # pre-r12 shape — fused.agg(max) broadcast-joined back — planned
+    # the entire fused subtree TWICE (the scalar-aggregate branch and
+    # the row branch are separate subtrees; no exchange reuse), so
+    # both retrieval legs re-executed per action: hybrid_rrf's plan
+    # carried 2 doc scans + 4 embedding scans for one query (guide
+    # §7.2 "duplicated subtrees", measured 4.4 s → 2.3 s at sf0.1).
+    # The single-partition funnel the old comment feared is void
+    # under this operator's documented contract — inputs are
+    # pre-limited top-N lists (≤ 2·over_retrieve·k rows total), which
+    # one window task handles for free at any corpus scale.
+    from pyspark.sql.window import Window
+
     # max can be exactly 0.0 at an alpha extreme with an empty weighted
     # leg (alpha=1.0, empty vector leg): score 0, don't raise an ANSI
     # DIVIDE_BY_ZERO (r6 review #5)
-    out = fused.join(F.broadcast(mx)).withColumn(
+    out = fused.withColumn(
+        "_max_raw", F.max("_raw").over(Window.partitionBy())
+    ).withColumn(
         "rrf_score",
         F.when(
             F.col("_max_raw") > 0, F.col("_raw") / F.col("_max_raw")

@@ -28,9 +28,20 @@ def bfs_min_hops(
     src_col: str = "src",
     dst_col: str = "dst",
     checkpoint_every: int | None = 2,
+    materialize_edges: bool = True,
 ) -> DataFrame:
     """All nodes reachable from `start_ids(id)` within `max_hops` →
     (id, hop = first-discovery depth). Start nodes have hop 0.
+
+    `materialize_edges` (r12): the edge frame is referenced by EVERY
+    hop's join, so an unmaterialized lineage — typically a projection
+    + direction-union over a fact table — re-executes once per hop
+    inside the unrolled plan (3 hops over the lineitem-derived graph
+    = 6 fact scans; guide §5 — reuse beats recompute when the reused
+    thing is slim). One eager localCheckpoint pins the SLIM projected
+    edge list (two ids per row, not the fact table) and every hop
+    re-reads blocks. Pass False for an edges frame that is already a
+    bare table scan.
 
     `max_hops` rounds of join+union; each round dedupes by min hop so
     the frontier never regrows through cycles. Hops are bounded small
@@ -42,6 +53,8 @@ def bfs_min_hops(
     measured 3.9-8.1 s on the sf0.1 call graph where every-2 (still
     lazy) runs 2.3-2.8 s, identical rows (r8; the cycle_nodes family
     rule in PLANS.md)."""
+    if materialize_edges:
+        edges = edges.select(src_col, dst_col).localCheckpoint(eager=True)
     visited = start_ids.select(F.col("id"), F.lit(0).alias("hop"))
     frontier = visited
     for h in range(1, max_hops + 1):
@@ -68,7 +81,18 @@ def bfs_min_hops(
 
 def degree(edges: DataFrame, src_col: str = "src", dst_col: str = "dst") -> DataFrame:
     """(id, out_degree, in_degree) — coupling-style metrics (reference
-    A7 efferent/afferent, ``analysis/collectors/coupling.py``)."""
+    A7 efferent/afferent, ``analysis/collectors/coupling.py``).
+
+    Shape note (r12 optimization pass): an explode-based single-scan
+    single-aggregate variant (each edge emitting (src,1,0)+(dst,0,1)
+    into one groupBy) was measured best-of-4 at 1.5-1.9 s vs
+    1.0-1.5 s for this form at sf0.1 — doubling the rows through one
+    hash aggregate costs more than two narrow partial aggregates plus
+    a post-aggregate join of two small keyed sides. Kept as-is; at
+    cluster scale the two fact-table scans, not the aggregates, would
+    dominate and the trade could flip — re-measure there before
+    changing (guide §1.1: the first-principles win must survive the
+    empirical check)."""
     out_d = edges.groupBy(F.col(src_col).alias("id")).agg(F.count("*").alias("out_degree"))
     in_d = edges.groupBy(F.col(dst_col).alias("id")).agg(F.count("*").alias("in_degree"))
     return (

@@ -255,10 +255,17 @@ def _batch_fuse(
             ),
         )
     )
-    mx = fused.groupBy(query_id_col).agg(F.max("_raw").alias("_mx"))
+    # Per-query max as a WINDOW over the same query_id partitioning the
+    # ranking window below already establishes — the pre-r12 shape
+    # (groupBy(query_id).max broadcast-joined back) planned the entire
+    # fused subtree twice, so BOTH legs of every query in the batch
+    # re-executed for the scalar branch (guide §7.2 duplicated
+    # subtrees; the single-query twin had the same bug in rrf_fuse).
+    # One exchange now feeds max-window + rank-window back to back.
+    mw = Window.partitionBy(query_id_col)
     fw = Window.partitionBy(query_id_col).orderBy(F.desc("rrf_score"), F.asc("doc_id"))
     return (
-        fused.join(F.broadcast(mx), query_id_col)
+        fused.withColumn("_mx", F.max("_raw").over(mw))
         # per-query max can be exactly 0.0 (alpha extreme + a query
         # with an empty weighted leg): score 0 like rrf_fuse does, not
         # an ANSI DIVIDE_BY_ZERO that kills the whole batch
