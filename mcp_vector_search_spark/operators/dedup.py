@@ -424,6 +424,10 @@ def embedding_near_dups_clustered(
     slim = assigned.select(
         F.col("cluster_id"), F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")
     )
+    # both sides of the self-join re-execute `assigned`'s lineage —
+    # typically the map-side assignment scan over the full vector
+    # table — so materialize it once (r12; guide §7.2)
+    slim = slim.localCheckpoint(eager=True)
     a, b = slim.alias("a"), slim.alias("b")
     sim = F.round(cosine_sim(F.col("a._v"), F.col("b._v")), round_to)
     return (
@@ -481,6 +485,11 @@ def embedding_near_dups_multiprobe(
         .filter(F.col("_rn") <= nprobe)
         .select("_id", "cluster_id")
     )
+    # the self-join references the probe subtree twice, and that
+    # subtree is the expensive part (N×|centroids| broadcast-join rows
+    # through a per-id rank window) — materialize the slim
+    # (_id, cluster_id) result once (r12; guide §7.2)
+    probes = probes.localCheckpoint(eager=True)
     a, b = probes.alias("a"), probes.alias("b")
     pairs = (
         a.join(
@@ -605,6 +614,13 @@ def duplicate_spans(
         ).alias("w"),
     ).select("doc_id", F.col("w.pos").alias("pos"), F.col("w.wh").alias("wh"))
 
+    # `wins` feeds BOTH the corpus-wide count and the semi-join back,
+    # and the two consumers shuffle different payloads, so no exchange
+    # is reused — unmaterialized, the expensive window-hash pass (one
+    # k-token hash per token position) executed twice per action
+    # (r12; guide §7.2). One eager localCheckpoint of the slim
+    # (doc_id, pos, wh) rows halves the hashing work.
+    wins = wins.localCheckpoint(eager=True)
     dup_hashes = (
         wins.groupBy("wh").agg(F.count("*").alias("c")).filter(F.col("c") >= min_count)
     )

@@ -39,6 +39,7 @@ def hybrid_search(
     bm25_cache_index: bool = False,
     bm25_stats: dict | None = None,
     bm25_tokenized: DataFrame | None = None,
+    vec_leg_ranked: DataFrame | None = None,
 ) -> DataFrame:
     """(doc_id, rrf_score) — top-k fused results.
 
@@ -49,7 +50,13 @@ def hybrid_search(
     terms) lets multi-variant callers pay the corpus stats scan once;
     `bm25_tokenized` (from `Bm25ServingStats.tokenized`) additionally
     reuses a cached tokenized corpus — the warm-serving pieces
-    `HybridServer` wires together.
+    `HybridServer` wires together. `vec_leg_ranked` (r12) is the
+    vector-leg twin of `bm25_stats` for multi-variant callers: the
+    vector leg depends only on (query vector, k·over_retrieve), so
+    query-expansion re-derived an IDENTICAL knn subtree per variant —
+    pass `rank_by(knn_brute_force(vectors, query, k·over_retrieve))`
+    once instead (`full_search` materializes it: ≤ k·over_retrieve
+    rows).
     """
     n_leg = k * over_retrieve
 
@@ -67,13 +74,15 @@ def hybrid_search(
         "score",
         "doc_id",
     )
-    vec_leg = rank_by(
-        knn_brute_force(vectors, query, n_leg, vec_col=vec_col, id_col=vec_id_col)
-        .withColumnRenamed(vec_id_col, "doc_id")
-        .select("doc_id", "cos_sim"),
-        "cos_sim",
-        "doc_id",
-    )
+    vec_leg = vec_leg_ranked
+    if vec_leg is None:
+        vec_leg = rank_by(
+            knn_brute_force(vectors, query, n_leg, vec_col=vec_col, id_col=vec_id_col)
+            .withColumnRenamed(vec_id_col, "doc_id")
+            .select("doc_id", "cos_sim"),
+            "cos_sim",
+            "doc_id",
+        )
     fused = rrf_fuse(vec_leg, bm_leg, id_col="doc_id", alpha=alpha)
     return fused.orderBy(F.desc("rrf_score"), F.asc("doc_id")).limit(k)
 

@@ -145,11 +145,25 @@ def full_search(
 
     union_terms = list(dict.fromkeys(t for v in variants for t in v.split()))
     stats = bm25_oneshot_stats(docs, union_terms)
+    # ONE vector leg for every variant leg, same reasoning as the
+    # shared stats above: the knn subtree depends only on the query
+    # VECTOR, not the term variant, so per-variant legs re-scanned the
+    # embeddings with an identical plan (r12; guide §7.2). Materialize
+    # the ≤ k·3·2-row ranked list once and fuse it into each variant.
+    from mcp_vector_search_spark.operators.topk import knn_brute_force, rank_by
+
+    vec_ranked = rank_by(
+        knn_brute_force(vectors, query_vec, k * 3 * 2)
+        .withColumnRenamed("vec_id", "doc_id")
+        .select("doc_id", "cos_sim"),
+        "cos_sim",
+        "doc_id",
+    ).localCheckpoint(eager=True)
     legs = None
     for v in variants:
         leg = hybrid_search(
             docs, vectors, v.split(), query_vec, k=k * 3, alpha=alpha,
-            bm25_stats=stats,
+            bm25_stats=stats, vec_leg_ranked=vec_ranked,
         )
         legs = leg if legs is None else legs.unionByName(leg)
     merged = max_score_merge(legs, "doc_id", "rrf_score")
