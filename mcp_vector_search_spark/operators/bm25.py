@@ -734,6 +734,7 @@ def bm25_oneshot_stats(
     id_col: str = "doc_id",
     text_col: str = "text",
     epsilon: float = EPSILON,
+    tokenized: DataFrame | None = None,
 ) -> dict:
     """Corpus scalars + per-query-term idf for the one-shot scoring
     path, from ONE corpus scan:
@@ -757,7 +758,16 @@ def bm25_oneshot_stats(
     # '#' can never appear in a token (tokenize splits on non-[a-z0-9])
     # so the sentinel term is collision-free by construction
     SENTINEL = "#doc#"
-    toks = docs.select(tokenize(text_col).alias("toks")).filter(F.size("toks") > 0)
+    # `tokenized` (r12): a caller-materialized (doc_id, toks, _dl)
+    # frame — the same contract as bm25_topk's param — so a
+    # multi-variant caller that already shares one tokenize pass for
+    # scoring also feeds the stats scan from it (guide §1.2: the
+    # corpus is then tokenized exactly once per query, not once per
+    # consumer). Same tokenize expr → identical stats by construction.
+    if tokenized is not None:
+        toks = tokenized.select("toks").filter(F.size("toks") > 0)
+    else:
+        toks = docs.select(tokenize(text_col).alias("toks")).filter(F.size("toks") > 0)
     grouped = (
         toks.select(
             F.explode(

@@ -142,9 +142,20 @@ def full_search(
     # way; rebuilding stats per variant re-tokenized the corpus
     # max_variants times per call).
     from mcp_vector_search_spark.operators.bm25 import bm25_oneshot_stats
+    from mcp_vector_search_spark.functions.text import tokenize as _tok
 
     union_terms = list(dict.fromkeys(t for v in variants for t in v.split()))
-    stats = bm25_oneshot_stats(docs, union_terms)
+    # ONE tokenize pass for the whole call (r12; guide §1.2): the
+    # stats scan and every variant's scoring scan previously each
+    # re-tokenized the corpus (1 + max_variants passes). Materialize
+    # the (doc_id, toks, _dl) frame once — the exact
+    # `Bm25ServingStats.tokenized` contract — and feed both.
+    tok = (
+        docs.select(F.col("doc_id"), _tok("text").alias("toks"))
+        .withColumn("_dl", F.size("toks").cast("double"))
+        .localCheckpoint()
+    )
+    stats = bm25_oneshot_stats(docs, union_terms, tokenized=tok)
     # ONE vector leg for every variant leg, same reasoning as the
     # shared stats above: the knn subtree depends only on the query
     # VECTOR, not the term variant, so per-variant legs re-scanned the
@@ -163,7 +174,7 @@ def full_search(
     for v in variants:
         leg = hybrid_search(
             docs, vectors, v.split(), query_vec, k=k * 3, alpha=alpha,
-            bm25_stats=stats, vec_leg_ranked=vec_ranked,
+            bm25_stats=stats, bm25_tokenized=tok, vec_leg_ranked=vec_ranked,
         )
         legs = leg if legs is None else legs.unionByName(leg)
     merged = max_score_merge(legs, "doc_id", "rrf_score")

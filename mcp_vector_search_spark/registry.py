@@ -198,6 +198,25 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return io.table(spark, sf_dir, "documents")
 
 
+def _docs_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`_docs` repartitioned to the session's parallelism
+    (`io.spread` — guide §2.5 input skew: a single parquet file under
+    maxPartitionBytes is ONE scan partition, so per-row expression
+    work runs on one core regardless of cluster size; the corpus
+    fixtures here are exactly that shape, and so is any small-corpus
+    ingest). Scale-adaptive by construction: the target is
+    defaultParallelism, not a constant.
+
+    Wired ONLY where an interleaved fresh-session A/B at sf0.1
+    measured a win (r12, tools/ab_r12.py; table in
+    OPTIMIZATION_r12.md): expression-heavy scans (ngram folds,
+    window-hashing, shingle/simhash fingerprints) win 1.3-2.7x;
+    shuffle-dominated or sink-bound gates (bm25 lifecycle writes,
+    scoring, lm_perplexity, ml_chunks) LOSE from the extra exchange
+    and stay on the plain scan."""
+    return io.spread(_docs(spark, sf_dir))
+
+
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return io.table(spark, sf_dir, "embeddings")
 
@@ -522,20 +541,22 @@ def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_neighbor_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return neighbor_jaccard(
-        _docs(spark, sf_dir), window=NEIGHBOR_WINDOW, threshold=NEIGHBOR_T
+        _docs_spread(spark, sf_dir), window=NEIGHBOR_WINDOW, threshold=NEIGHBOR_T
     )
 
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mcp_vector_search_spark.operators.dedup import simhash_fingerprints
 
-    return simhash_fingerprints(_docs(spark, sf_dir))
+    return simhash_fingerprints(_docs_spread(spark, sf_dir))
 
 
 def q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mcp_vector_search_spark.operators.dedup import simhash_near_dups
 
-    return simhash_near_dups(_docs(spark, sf_dir), max_hamming=SIMHASH_MAX_HAMMING).select(
+    return simhash_near_dups(
+        _docs_spread(spark, sf_dir), max_hamming=SIMHASH_MAX_HAMMING
+    ).select(
         "doc_a", "doc_b", F.col("hamming").cast("long").alias("hamming")
     )
 
@@ -632,12 +653,12 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     SQL replay unchanged."""
     from mcp_vector_search_spark.operators.analytics import text_quality_frame
 
-    return text_quality_frame(_docs(spark, sf_dir))
+    return text_quality_frame(_docs_spread(spark, sf_dir))
 
 
 def q_ngram_top50(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
-        _docs(spark, sf_dir)
+        _docs_spread(spark, sf_dir)
         .select(F.explode(word_ngrams(tokenize("text"), 3)).alias("gram"))
         .groupBy("gram")
         .agg(F.count("*").alias("cnt"))
@@ -1003,7 +1024,15 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ivf = ivf_topk_batch(assigned, centroids, queries, BATCH_K, nprobes=15).select(
         "query_id", "vec_id"
     )
-    brute = topk_per_query(emb, queries, BATCH_K).select("query_id", "vec_id")
+    # _recall_row references brute twice (hits join + totals), so the
+    # full brute top-k lineage executed twice per action — same
+    # defect q_ann_recall fixed in r8; ≤ |Q|·k slim rows (r12;
+    # guide §7.2)
+    brute = (
+        topk_per_query(emb, queries, BATCH_K)
+        .select("query_id", "vec_id")
+        .localCheckpoint()
+    )
     return _recall_row(ivf, brute, IVF_RECALL_FLOOR)
 
 
@@ -1159,6 +1188,10 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     assigned, centroids = ivf_build(emb, num_clusters=16)
+    # the assignment scan (normalize + KMeans transform over the full
+    # vector table) feeds BOTH the ivf branch and ivfpq_build's coarse
+    # reuse — materialize it once (r12; guide §7.2)
+    assigned = assigned.localCheckpoint()
     ivf = ivf_topk_batch(assigned, centroids, queries, BATCH_K, nprobes=15).select(
         "query_id", "vec_id"
     )
@@ -1230,10 +1263,20 @@ def q_bm25_expanded(spark: SparkSession, sf_dir: str) -> DataFrame:
     variants = expand_query(EXPAND_QUERY)
     # corpus stats + idf for the UNION of variant terms: ONE build
     # shared by every leg (the per-leg scoring plans stay shuffle-free)
-    stats = bm25_oneshot_stats(docs, [t for v in variants for t in v.split()])
+    # — and ONE tokenize pass for stats + every leg's scoring scan
+    # (r12; guide §1.2): the materialized (doc_id, toks, _dl) frame is
+    # the `Bm25ServingStats.tokenized` contract both consumers accept
+    tok = (
+        docs.select("doc_id", tokenize("text").alias("toks"))
+        .withColumn("_dl", F.size("toks").cast("double"))
+        .localCheckpoint()
+    )
+    stats = bm25_oneshot_stats(
+        docs, [t for v in variants for t in v.split()], tokenized=tok
+    )
     legs = None
     for v in variants:
-        leg = bm25_topk(docs, v.split(), KNN_K, stats=stats)
+        leg = bm25_topk(docs, v.split(), KNN_K, stats=stats, tokenized=tok)
         legs = leg if legs is None else legs.unionByName(leg)
     return (
         max_score_merge(legs, "doc_id", "score")
@@ -1242,12 +1285,23 @@ def q_bm25_expanded(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _kg_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _kg_chunks(spark: SparkSession, sf_dir: str, spread: bool = True) -> DataFrame:
     """Chunk frame with a synthetic `calls` list (tokens 2-4) so the
     KG construction ops have a deterministic, oracle-reproducible
     input."""
     toks = tokenize("text")
-    return _docs(spark, sf_dir).select(
+    # spread base (guide §2.5): the edge-derivation consumers
+    # (kg_edges/related/stats via call_edges) tokenize + explode this
+    # frame into the name self-join; measured kg_edges 2.5 → 1.4 s,
+    # kg_stats 2.8 → 1.9 s, kg_related 3.6 → 2.9 s (r12;
+    # OPTIMIZATION_r12.md). `spread=False` for q_kg_boost, whose
+    # broadcast-heavy multi-join plan measured a consistent 2x LOSS
+    # with the extra exchange under it (3.9 → 7.9 s).
+    if not spread:
+        base = _docs(spark, sf_dir)
+    else:
+        base = _docs_spread(spark, sf_dir)
+    return base.select(
         "doc_id",
         F.col("source"),
         F.get(toks, 0).alias("name"),
@@ -1770,7 +1824,7 @@ def q_kg_boost(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``core/search.py:885-936``)."""
     from mcp_vector_search_spark.operators.kg import call_edges, kg_boost
 
-    chunks = _kg_chunks(spark, sf_dir)
+    chunks = _kg_chunks(spark, sf_dir, spread=False)
     edges = call_edges(
         chunks, id_col="doc_id", name_col="name", calls_col="calls", path_col="source"
     )
@@ -2369,7 +2423,7 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ids, never text."""
     from mcp_vector_search_spark.operators.dedup import contaminated_docs
 
-    docs = _docs(spark, sf_dir)
+    docs = _docs_spread(spark, sf_dir)
     bench = docs.filter(F.col("doc_id") % DECONTAM_MOD == 0)
     out = contaminated_docs(docs, bench, n=DECONTAM_N)
     return out.select(
@@ -2438,7 +2492,7 @@ def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranges whose every k-window hash repeats corpus-wide."""
     from mcp_vector_search_spark.operators.dedup import duplicate_spans
 
-    return duplicate_spans(_docs(spark, sf_dir), k=DUP_SPAN_K)
+    return duplicate_spans(_docs_spread(spark, sf_dir), k=DUP_SPAN_K)
 
 
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4378,7 +4432,9 @@ def q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
         word_ngrams,
     )
 
-    d = _docs(spark, sf_dir).select("doc_id", tokenize("text").alias("_toks"))
+    d = _docs_spread(spark, sf_dir).select(
+        "doc_id", tokenize("text").alias("_toks")
+    )
     return d.select(
         "doc_id",
         top_ngram_fraction(word_ngrams(F.col("_toks"), 3)).alias("top_3gram_frac"),
