@@ -48,6 +48,10 @@ def main() -> None:
         base_docs, base_emb = registry._docs, registry._emb
         registry._docs = lambda s, d: io.spread(base_docs(s, d))
         registry._emb = lambda s, d: io.spread(base_emb(s, d))
+    elif spread_flag == "spreadall":
+        # spread EVERY raw table scan (lineitem/orders/events too)
+        orig_table = io.table
+        io.table = lambda s, d, n: io.spread(orig_table(s, d, n))
 
     out: dict[str, float] = {}
     for name in subset:
