@@ -205,12 +205,20 @@ def unreachable_nodes(
     """A11 dead-code detection: nodes not reachable from the entry
     points within `max_hops` (reference ``analysis/dead_code.py``
     reachability over call edges). BFS + one left-anti join."""
+    # the slim edge list is materialized HERE (r12) and shared by the
+    # node-universe union AND the BFS (told not to re-materialize):
+    # unshared, the all-nodes union re-executed the edge lineage twice
+    # more on top of the BFS's own checkpoint
+    edges = edges.select(src_col, dst_col).localCheckpoint(eager=True)
     all_nodes = (
         edges.select(F.col(src_col).alias("id"))
         .unionByName(edges.select(F.col(dst_col).alias("id")))
         .distinct()
     )
-    reached = bfs_min_hops(edges, entry_points, max_hops, src_col, dst_col)
+    reached = bfs_min_hops(
+        edges, entry_points, max_hops, src_col, dst_col,
+        materialize_edges=False,
+    )
     return all_nodes.join(reached.select("id"), "id", "left_anti")
 
 
@@ -220,6 +228,7 @@ def trace_paths(
     max_depth: int = 3,
     src_col: str = "src",
     dst_col: str = "dst",
+    materialize_edges: bool = True,
 ) -> DataFrame:
     """G4 trace_execution_flow: enumerate simple paths from `start_id`
     up to `max_depth` hops with per-path cycle rejection (reference
@@ -227,8 +236,17 @@ def trace_paths(
 
     Paths are pipe-delimited strings ('|a|b|c|'); the cycle check is a
     delimited-substring test, so ids that prefix other ids can't false-
-    positive. Returns (path, depth)."""
+    positive. Returns (path, depth).
+
+    `materialize_edges` (r12): same contract as `bfs_min_hops` — the
+    edge frame is joined at every depth level, so an unmaterialized
+    lineage (here typically a projection + direction-union over a fact
+    table, i.e. TWO fact scans per reference) re-executes per level.
+    One eager localCheckpoint pins the slim two-column edge list. Pass
+    False for an edges frame that is already a bare table scan."""
     e = edges.select(F.col(src_col).alias("_es"), F.col(dst_col).alias("_ed"))
+    if materialize_edges and max_depth >= 2:
+        e = e.localCheckpoint(eager=True)
     # the first hop needs the same cycle rejection as every later hop:
     # a self-loop on the start node would otherwise emit the non-simple
     # path |a|a| and extend it at every depth (r6 review #4)

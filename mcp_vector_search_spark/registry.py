@@ -269,7 +269,17 @@ def _bm25_lifecycle_result(
     try:
         idx = f"{tmp}/idx"
         write_bm25_index(docs.filter(F.col("doc_id") % 3 != 0), idx, **build_kwargs)
-        update_bm25_index(spark, idx, docs.filter(F.col("doc_id") % 3 == 0))
+        # refresh_term_stats=False (r12; guide §1.2): nothing queries
+        # the index between these updates, and `compact_bm25_index`
+        # REBUILDS term_stats from its staged tables anyway — the two
+        # intermediate idf rebuilds (each a segment-resolution join +
+        # three aggregates + a swap) were computed only to be thrown
+        # away. This is the operator's documented high-frequency-batch
+        # knob, and the final index is bit-identical (same oracle).
+        update_bm25_index(
+            spark, idx, docs.filter(F.col("doc_id") % 3 == 0),
+            refresh_term_stats=False,
+        )
         upserts = docs.filter(
             (F.col("doc_id") % 5 == 0) & (F.col("doc_id") % 7 != 0)
         ).select(
@@ -277,7 +287,9 @@ def _bm25_lifecycle_result(
             F.concat(F.col("text"), F.lit(" incremental segment overlay")).alias("text"),
         )
         dels = docs.filter(F.col("doc_id") % 7 == 0).select("doc_id")
-        update_bm25_index(spark, idx, upserts, deleted_ids=dels)
+        update_bm25_index(
+            spark, idx, upserts, deleted_ids=dels, refresh_term_stats=False,
+        )
         compact_bm25_index(spark, idx)
         res = bm25_topk_indexed(spark, idx, INCR_TERMS, KNN_K)
         # materialize before the index dir is removed — the returned
