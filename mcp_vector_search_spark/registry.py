@@ -869,25 +869,43 @@ def _layout_equal_row(codec, staged, fused, keys, payload_cols, serve):
     """(codec, has_blocks, blocks_equal, serve_equal) for one fused
     codec: full-outer join on the block keys, any payload inequality
     (or a one-sided block) is a mismatch; `serve` maps a layout frame
-    → result frame for the serving-parity leg."""
-    j = staged.alias("a").join(fused.alias("b"), keys, "full_outer")
+    → result frame for the serving-parity leg.
+
+    r12 action-count cut (guide §1.2, §7.2): block mismatch + block
+    count fold into ONE aggregate over the join (the staged-side
+    presence indicator counts staged rows — the emitted booleans are
+    unchanged even if a side ever carried duplicate keys), and the two
+    exceptAll counts fold into ONE symmetric multiset difference (±1
+    weights summed per distinct result row: all-zero iff the multisets
+    match, the exact truth exceptAll×2 asserted). Each serve pipeline
+    now executes exactly once inside one job — whose two sides are
+    independent stages Spark runs concurrently — so the serve caches
+    (r7) are obsolete: nothing consumes a side twice."""
+    j = staged.withColumn("_pa", F.lit(1)).alias("a").join(
+        fused.alias("b"), keys, "full_outer"
+    )
     neq = F.col(f"a.{payload_cols[0]}").isNull() | F.col(
         f"b.{payload_cols[0]}"
     ).isNull()
     for c in payload_cols:
         neq = neq | (F.col(f"a.{c}") != F.col(f"b.{c}"))
-    n_mismatch = j.filter(neq).count()
-    n_blocks = staged.count()
-    # serve frames cached: both exceptAll counts consume each side, so
-    # uncached they'd execute every serve pipeline twice (r7 review)
-    a, b = serve(staged).cache(), serve(fused).cache()
-    serve_mismatch = a.exceptAll(b).count() + b.exceptAll(a).count()
-    a.unpersist()
-    b.unpersist()
+    blocks = j.agg(
+        F.count(F.when(neq, True)).alias("n_mismatch"),
+        F.count("a._pa").alias("n_blocks"),
+    ).collect()[0]
+    a, b = serve(staged), serve(fused)
+    serve_mismatch = (
+        a.withColumn("_w", F.lit(1))
+        .unionByName(b.withColumn("_w", F.lit(-1)))
+        .groupBy(*a.columns)
+        .agg(F.sum("_w").alias("_d"))
+        .filter(F.col("_d") != 0)
+        .count()
+    )
     return (
         codec,
-        bool(n_blocks > 0),
-        bool(n_mismatch == 0),
+        bool(blocks["n_blocks"] > 0),
+        bool(blocks["n_mismatch"] == 0),
         bool(serve_mismatch == 0),
     )
 
@@ -921,60 +939,86 @@ def _fused_family_rows(spark, sf_dir, codecs):
     )
 
     emb = _emb(spark, sf_dir)
+    # pinned once (r12; guide §7.2): every serve-parity leg collects
+    # the query block driver-side for its LUT/GEMM prep, so an
+    # unmaterialized lineage re-scans the vector table per leg
     queries = emb.filter(F.col("vec_id") % 37 == 0).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
-    )
-    rows = []
-    # caches: each codec's comparison runs ~5 actions (block compare,
-    # count, two exceptAll counts) — without them every action would
-    # re-execute the sample fit + corpus pass end to end (r7 review)
-    assigned = cents = None
-    if "ivf" in codecs or "ivfpq" in codecs:
-        assigned, cents = ivf_build_sampled(emb, num_clusters=16)
-        assigned = assigned.cache()
-    if "ivf" in codecs:
-        two = ivf_pack(assigned).cache()
-        fused = ivf_pack_fused(emb, cents).cache()
-        rows.append(_layout_equal_row(
-            "ivf", two, fused, ["cluster_id", "block_id"],
-            ["n", "dtype", "vec_ids", "mat"],
-            lambda p: ivf_topk_batch_packed(
-                p, cents, queries, BATCH_K, nprobes=4
-            ),
-        ))
-        two.unpersist()
-        fused.unpersist()
+    ).localCheckpoint(eager=True)
+    # caches: each codec's comparison runs 2 actions (merged block
+    # aggregate, symmetric serve difference) — without them the second
+    # action would re-execute the sample fit + corpus pack end to end
+    # (r7 review; r12 cut the action count from ~5)
 
-    if "ivfpq" in codecs:
-        enc, _, cbs = ivfpq_build(
-            emb, m=16, k_codes=64, coarse=(assigned, cents)
-        )
-        pq_two = ivfpq_pack(enc).cache()
-        pq_fused = ivfpq_pack_fused(emb, cents, cbs).cache()
-        rows.append(_layout_equal_row(
-            "ivfpq", pq_two, pq_fused, ["cluster_id", "block_id"],
-            ["n", "dtype", "vec_ids", "codes"],
-            lambda p: ivfpq_topk_packed(
-                p, cents, cbs, queries, BATCH_K, nprobes=4
-            ),
-        ))
-        pq_two.unpersist()
-        pq_fused.unpersist()
-    if assigned is not None:
-        assigned.unpersist()
+    def _coarse_rows():
+        """ivf and/or ivfpq legs — they share the coarse quantizer."""
+        out = []
+        assigned = cents = None
+        if "ivf" in codecs or "ivfpq" in codecs:
+            assigned, cents = ivf_build_sampled(emb, num_clusters=16)
+            assigned = assigned.cache()
+        if "ivf" in codecs:
+            two = ivf_pack(assigned).cache()
+            fused = ivf_pack_fused(emb, cents).cache()
+            out.append(_layout_equal_row(
+                "ivf", two, fused, ["cluster_id", "block_id"],
+                ["n", "dtype", "vec_ids", "mat"],
+                lambda p: ivf_topk_batch_packed(
+                    p, cents, queries, BATCH_K, nprobes=4
+                ),
+            ))
+            two.unpersist()
+            fused.unpersist()
 
-    if "sq" in codecs:
+        if "ivfpq" in codecs:
+            enc, _, cbs = ivfpq_build(
+                emb, m=16, k_codes=64, coarse=(assigned, cents)
+            )
+            pq_two = ivfpq_pack(enc).cache()
+            pq_fused = ivfpq_pack_fused(emb, cents, cbs).cache()
+            out.append(_layout_equal_row(
+                "ivfpq", pq_two, pq_fused, ["cluster_id", "block_id"],
+                ["n", "dtype", "vec_ids", "codes"],
+                lambda p: ivfpq_topk_packed(
+                    p, cents, cbs, queries, BATCH_K, nprobes=4
+                ),
+            ))
+            pq_two.unpersist()
+            pq_fused.unpersist()
+        if assigned is not None:
+            assigned.unpersist()
+        return out
+
+    def _sq_rows():
+        if "sq" not in codecs:
+            return []
         bounds = sq_train(emb)
         bounds = spark.createDataFrame(bounds.collect(), bounds.schema)
         sq_two = sq_pack(sq_encode(emb, bounds)).cache()
         sq_fused_df = sq_pack_fused(emb, bounds).cache()
-        rows.append(_layout_equal_row(
+        row = _layout_equal_row(
             "sq", sq_two, sq_fused_df, ["bucket", "block_id"],
             ["n", "vec_ids", "codes"],
             lambda p: sq_topk_packed(p, bounds, queries, BATCH_K),
-        ))
+        )
         sq_two.unpersist()
         sq_fused_df.unpersist()
+        return [row]
+
+    if "sq" in codecs and ("ivf" in codecs or "ivfpq" in codecs):
+        # the sq family is independent of the coarse-quantizer family:
+        # overlap the two chains of blocking driver actions so the sq
+        # leg back-fills executors idled by the other leg's driver-side
+        # steps (guide §2.6). Row order stays deterministic — results
+        # are assembled [coarse..., sq] regardless of finish order.
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            f_coarse = pool.submit(_coarse_rows)
+            f_sq = pool.submit(_sq_rows)
+            rows = f_coarse.result() + f_sq.result()
+    else:
+        rows = _coarse_rows() + _sq_rows()
 
     return spark.createDataFrame(
         rows,
@@ -1120,6 +1164,12 @@ def q_sq_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _emb(spark, sf_dir)
     bounds = sq_train(emb)
+    # literal-ized once (r12; guide §1.2): BOTH sq_encode and sq_topk
+    # collect the bounds for their kernels' numpy prep, and the lazy
+    # bounds lineage (interpreted HigherOrderFunction normalization +
+    # posexplode over the full corpus) re-executed per collect — the
+    # same pin _fused_family_rows already used. Values unchanged.
+    bounds = spark.createDataFrame(bounds.collect(), bounds.schema)
     codes = sq_encode(emb, bounds)
     queries = emb.filter(F.col("vec_id") < BATCH_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
@@ -1187,30 +1237,49 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = _emb(spark, sf_dir)
+    # pinned once (r12; guide §7.2): the brute kernel, both refined
+    # paths and the probe join each collect/scan the query block —
+    # ~6 re-scans of the vector table without this
     queries = emb.filter(F.col("vec_id") < BATCH_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
-    )
-    # materialized once (r8): the 4-path union references brute in
-    # every branch's join AND totals — 8 lazy re-executions of the
-    # full brute top-k before this localCheckpoint
-    brute = (
-        topk_per_query(emb, queries, BATCH_K)
-        .select("query_id", "vec_id")
-        .localCheckpoint()
-    )
+    ).localCheckpoint(eager=True)
 
-    assigned, centroids = ivf_build(emb, num_clusters=16)
-    # the assignment scan (normalize + KMeans transform over the full
-    # vector table) feeds BOTH the ivf branch and ivfpq_build's coarse
-    # reuse — materialize it once (r12; guide §7.2)
-    assigned = assigned.localCheckpoint()
+    # Three independent blocking materializations — the brute top-k
+    # checkpoint (r8: the 4-path union references brute in every
+    # branch's join AND totals), the KMeans fit + assignment scan
+    # checkpoint (r12: feeds BOTH the ivf branch and ivfpq_build's
+    # coarse reuse), and the PQ fit + encode checkpoint (shared by the
+    # pq AND pq5 branches — one encode pass, not four). Sequentially
+    # each leaves the cluster mostly idle during the others' driver
+    # steps; overlap them (r12; guide §2.6).
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _brute():
+        return (
+            topk_per_query(emb, queries, BATCH_K)
+            .select("query_id", "vec_id")
+            .localCheckpoint()
+        )
+
+    def _coarse():
+        a, c = ivf_build(emb, num_clusters=16)
+        return a.localCheckpoint(), c
+
+    def _pq():
+        cb = pq_train(emb, m=PQ_GATE_M, k=PQ_GATE_CODES)
+        return pq_encode(emb, cb).localCheckpoint(), cb
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        f_brute, f_coarse, f_pq = (
+            pool.submit(_brute), pool.submit(_coarse), pool.submit(_pq)
+        )
+        brute = f_brute.result()
+        assigned, centroids = f_coarse.result()
+        codes, codebooks = f_pq.result()
+
     ivf = ivf_topk_batch(assigned, centroids, queries, BATCH_K, nprobes=15).select(
         "query_id", "vec_id"
     )
-
-    codebooks = pq_train(emb, m=PQ_GATE_M, k=PQ_GATE_CODES)
-    # shared by the pq AND pq5 branches — one encode pass, not four
-    codes = pq_encode(emb, codebooks).localCheckpoint()
     pq = pq_topk_refined(
         emb, codes, codebooks, queries, BATCH_K, rerank_factor=PQ_GATE_RERANK
     ).select("query_id", "vec_id")
