@@ -29,7 +29,7 @@ from mcp_vector_search_spark.functions.hashing import (
     token_hash_pairs,
 )
 from mcp_vector_search_spark.functions.text import doc_fingerprint, tokenize, word_ngrams
-from mcp_vector_search_spark.functions.vectors import cosine_sim
+from mcp_vector_search_spark.functions.vectors import cosine_sim, dot, normalized
 
 
 def global_positions(
@@ -391,17 +391,25 @@ def embedding_near_dups(
         # same descending-sequence trap as neighbor_jaccard: window=0
         # would emit self-pairs at cos_sim 1.0 (r6 review #5)
         raise ValueError(f"window must be >= 1, got {window}")
+    # Unit-normalize ONCE per vector (N rows) so the per-PAIR
+    # similarity is a single dot — cosine_sim per pair re-derives both
+    # norms (3 array-dots + sqrt), ~5x the work at the O(window.N)
+    # pair stage (r12; guide §1.2 — don't recompute per pair what is
+    # fixed per row). Zero-norm vectors map to the zero vector, so
+    # dot = 0.0 exactly like cosine_sim's zero-denominator branch.
     pos = global_positions(
-        vectors.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va")),
+        normalized(vectors, vec_col, "_ua").select(
+            F.col(id_col).alias("id_a"), "_ua"
+        ),
         "id_a",
     )
     a = pos.select(
-        "id_a", "_va", F.explode(F.sequence(F.col("_pos") + 1, F.col("_pos") + window)).alias("_pos_b")
+        "id_a", "_ua", F.explode(F.sequence(F.col("_pos") + 1, F.col("_pos") + window)).alias("_pos_b")
     )
     b = pos.select(
-        F.col("_pos").alias("_pos_b"), F.col("id_a").alias("id_b"), F.col("_va").alias("_vb")
+        F.col("_pos").alias("_pos_b"), F.col("id_a").alias("id_b"), F.col("_ua").alias("_ub")
     )
-    sim = F.round(cosine_sim(F.col("_va"), F.col("_vb")), round_to)
+    sim = F.round(dot(F.col("_ua"), F.col("_ub")), round_to)
     return (
         a.join(b, "_pos_b")
         .withColumn("cos_sim", sim)
@@ -421,15 +429,18 @@ def embedding_near_dups_clustered(
     (`ivf_build` output) — the shuffle key is cluster_id, pair count is
     Σ|cluster|² instead of N². Near-dup pairs straddling a cluster
     boundary are missed; multi-probe assignment recovers them if needed."""
-    slim = assigned.select(
-        F.col("cluster_id"), F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")
+    # Unit-normalize once per row (N) so the Σ|c|² pair stage pays a
+    # single dot per pair instead of cosine_sim's 3 dots + sqrt (r12;
+    # guide §1.2). The checkpoint then pins the unit form directly.
+    slim = normalized(assigned, vec_col, "_u").select(
+        F.col("cluster_id"), F.col(id_col).alias("_id"), "_u"
     )
     # both sides of the self-join re-execute `assigned`'s lineage —
     # typically the map-side assignment scan over the full vector
     # table — so materialize it once (r12; guide §7.2)
     slim = slim.localCheckpoint(eager=True)
     a, b = slim.alias("a"), slim.alias("b")
-    sim = F.round(cosine_sim(F.col("a._v"), F.col("b._v")), round_to)
+    sim = F.round(dot(F.col("a._u"), F.col("b._u")), round_to)
     return (
         a.join(
             b,
@@ -465,10 +476,8 @@ def embedding_near_dups_multiprobe(
     BEFORE the cosine is computed."""
     from pyspark.sql.window import Window
 
-    from mcp_vector_search_spark.functions.vectors import normalized
-
     eu = normalized(vectors, vec_col, "_u").select(
-        F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"), "_u"
+        F.col(id_col).alias("_id"), "_u"
     )
     cents = centroids.select(
         "cluster_id", F.col("centroid").alias("_cu")
@@ -500,9 +509,12 @@ def embedding_near_dups_multiprobe(
         .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
         .distinct()
     )
-    va = eu.select(F.col("_id").alias("id_a"), F.col("_v").alias("_va"))
-    vb = eu.select(F.col("_id").alias("id_b"), F.col("_v").alias("_vb"))
-    sim = F.round(cosine_sim(F.col("_va"), F.col("_vb")), round_to)
+    # single dot over the unit vectors per pair — the verification
+    # stage was 5x the whole gate's remaining cost with per-pair
+    # cosine_sim (measured 15.4s -> 3.0s at sf0.1, r12; guide §1.2)
+    va = eu.select(F.col("_id").alias("id_a"), F.col("_u").alias("_ua"))
+    vb = eu.select(F.col("_id").alias("id_b"), F.col("_u").alias("_ub"))
+    sim = F.round(dot(F.col("_ua"), F.col("_ub")), round_to)
     return (
         pairs.join(va, "id_a")
         .join(vb, "id_b")
