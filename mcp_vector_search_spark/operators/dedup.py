@@ -231,13 +231,25 @@ def neighbor_jaccard(
     (`global_positions` — distributed, never a single-partition
     window), so string or sparse ids work (round 1 assumed dense
     monotone int ids and silently compared nothing on gaps).
+
+    Shingles are carried as xxhash64 longs, not strings (r12; guide
+    §2.3 — narrower types through every exchange, and primitive-array
+    intersects): Jaccard over the hashes equals string Jaccard up to
+    64-bit collisions (~L²/2⁶⁴ per pair), and an exhaustive check of
+    EVERY window pair at sf0.001/0.01/0.1 measured 0 mismatches at
+    round-6 (/tmp/ab_jacc.py, r12). The positioned frame is pinned
+    once so the two join legs share one window pass instead of each
+    re-sorting the array-laden frame (guide §7.2).
     """
     if window < 1:
         # sequence(pos+1, pos+0) counts DOWN to [pos+1, pos]: window=0
         # would pair every doc with itself at jaccard 1.0 instead of
         # comparing nothing (r6 review #5)
         raise ValueError(f"window must be >= 1, got {window}")
-    sh = global_positions(shingle_sets(docs, shingle_n, id_col, text_col), "doc_id")
+    hashed = shingle_sets(docs, shingle_n, id_col, text_col).select(
+        "doc_id", F.transform("shingles", lambda s: F.xxhash64(s)).alias("shingles")
+    )
+    sh = global_positions(hashed, "doc_id").localCheckpoint(eager=True)
     # Explode each doc's neighbor-position list so the pairing is an
     # *equi-join* on _pos (shuffle-hash/sort-merge at scale), not a
     # broadcast-nested-loop range join.
