@@ -942,7 +942,20 @@ def bm25_topk(
 
     q = list(dict.fromkeys(query_terms))
     if stats is None:
-        stats = bm25_oneshot_stats(docs, q, id_col, text_col)
+        if tokenized is None:
+            # the one-shot path otherwise tokenizes the corpus TWICE —
+            # once in the stats scan, once in the scoring scan (r12;
+            # guide §1.2: don't compute things twice). Materialize the
+            # tokenized form once and feed both passes; identical
+            # results by construction (same tokenize expr both sides).
+            tokenized = (
+                docs.select(
+                    F.col(id_col).alias("doc_id"), tokenize(text_col).alias("toks")
+                )
+                .withColumn("_dl", F.size("toks").cast("double"))
+                .localCheckpoint()
+            )
+        stats = bm25_oneshot_stats(docs, q, id_col, text_col, tokenized=tokenized)
     idf, avgdl = stats["idf"], stats["avgdl"]
     terms = [t for t in q if t in idf]  # absent terms: df=0, no contribution
     if not terms or avgdl == 0:
