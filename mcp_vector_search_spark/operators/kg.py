@@ -320,10 +320,23 @@ def call_edges(
     calls_col: str = "calls",
     path_col: str = "file_path",
     cross_file_only: bool = True,
+    callee_names: list[str] | None = None,
 ) -> DataFrame:
     """kg_edges(src, dst) from exploded call names joined to chunk
     names (reference J12: caller-relationship join with the
-    ``file_path != file_path`` theta predicate)."""
+    ``file_path != file_path`` theta predicate).
+
+    `callee_names` (r12; guide §3.2 in spirit — reduce both join
+    sides before the shuffle): when the CALLER only consumes edges
+    whose target name matches a known set (the J9 boost lookup),
+    pass that set here — both join sides are pre-filtered
+    case-insensitively at the scan, so the full edge set is never
+    built. Equivalent by construction for such callers: the join key
+    is the exact name, so a pair survives the downstream
+    lower(name)-match iff both sides pass this filter."""
+    lowered = (
+        [n.lower() for n in callee_names] if callee_names is not None else None
+    )
     callers = chunks.select(
         F.col(id_col).alias("src"),
         F.col(path_col).alias("_src_path"),
@@ -334,6 +347,9 @@ def call_edges(
         F.col(name_col).alias("_callee"),
         F.col(path_col).alias("_dst_path"),
     )
+    if lowered is not None:
+        callers = callers.filter(F.lower(F.col("_callee")).isin(lowered))
+        targets = targets.filter(F.lower(F.col("_callee")).isin(lowered))
     joined = callers.join(targets, "_callee")
     if cross_file_only:
         joined = joined.filter(F.col("_src_path") != F.col("_dst_path"))

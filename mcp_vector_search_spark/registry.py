@@ -1912,8 +1912,16 @@ def q_kg_boost(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mcp_vector_search_spark.operators.kg import call_edges, kg_boost
 
     chunks = _kg_chunks(spark, sf_dir, spread=False)
+    # callee_names pushdown (r12): kg_boost only consumes edges whose
+    # dst name matches a query term — prefilter both edge-join sides
+    # at the scan instead of building the full edge set and joining
+    # it to the matched-name list afterwards. Identical boosted-id
+    # set: edges ⨝ matched(dst) ≡ callers ⨝ (targets WHERE name
+    # matches), and kg_boost's own matched join still runs (now over
+    # the tiny pre-filtered edge set).
     edges = call_edges(
-        chunks, id_col="doc_id", name_col="name", calls_col="calls", path_col="source"
+        chunks, id_col="doc_id", name_col="name", calls_col="calls",
+        path_col="source", callee_names=list(QUERY_TERMS),
     )
     nodes = chunks.select(F.col("doc_id").alias("id"), "name")
     hits = bm25_topk(_docs(spark, sf_dir), QUERY_TERMS, KNN_K)
