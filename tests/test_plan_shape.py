@@ -141,9 +141,16 @@ def test_ivf_np_kernel_is_shuffle_free_below_rank_window(spark):
 
 def test_bm25_oneshot_zero_shuffle_single_scan(spark):
     """VERDICT r3 #1: the default (one-shot) BM25 scoring plan is ONE
-    corpus scan of per-row tf expressions under TakeOrderedAndProject —
-    no exchange, no materialized postings, nothing cached. The
-    query-term restriction never pays for a full postings build."""
+    corpus pass of per-row tf expressions under TakeOrderedAndProject —
+    no exchange, no materialized postings, nothing session-cached. The
+    query-term restriction never pays for a full postings build.
+
+    r12: the one-shot path now materializes the tokenized corpus ONCE
+    (localCheckpoint) and feeds the stats scan AND the scoring scan
+    from it (guide §1.2 — the corpus used to be tokenized twice per
+    query), so the scoring plan reads the checkpointed RDD instead of
+    the parquet directly. The invariant stays: exactly ONE scan node
+    of either kind, zero Exchange."""
     import re
 
     from mcp_vector_search_spark.operators.bm25 import bm25_topk
@@ -154,7 +161,8 @@ def test_bm25_oneshot_zero_shuffle_single_scan(spark):
     assert "InMemoryTableScan" not in plan
     assert "TakeOrderedAndProject" in plan
     assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 0, plan
-    assert len(set(re.findall(r"^\((\d+)\) Scan parquet", plan, re.M))) == 1, plan
+    scans = re.findall(r"^\(\d+\) Scan (?:parquet|ExistingRDD)", plan, re.M)
+    assert len(scans) == 1, plan
 
 
 def test_bm25_cached_index_single_tokenize_pass(spark):
