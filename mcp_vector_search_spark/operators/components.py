@@ -30,21 +30,89 @@ unique regardless of iteration order; ties cannot occur.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import StructField, StructType
 from pyspark.sql.window import Window
+
+# Count-routing bound for the driver-side union-find (the
+# `commit_closure` pattern, sources/git_source.py:260): a SYMMETRIZED
+# edge list at or under this many rows is collected (Arrow, two id
+# columns only — the text never leaves the cluster) and closed in one
+# pass driver-side; above it the distributed min-label propagation
+# runs unchanged. 500k symmetrized rows ≈ a few MB through Arrow —
+# far under driver memory, while a duplicate-pair graph that big is
+# already far above anything the detectors emit at bench scale.
+CC_DRIVER_MAX_EDGES = int(
+    os.environ.get("SPARK_GRAFT_CC_DRIVER_MAX_EDGES", "500000")
+)
+
+
+def _cc_driver(sym: DataFrame) -> DataFrame:
+    """Union-find over a collected symmetric edge list → the same
+    (node, component = min reachable id) rows the distributed loop
+    yields. O(E·α(E)) single-pass, zero shuffle rounds, zero
+    per-round driver actions."""
+    pdf = sym.toPandas()
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for a, b in zip(pdf["a"], pdf["b"]):
+        if a not in parent:
+            parent[a] = a
+        if b not in parent:
+            parent[b] = b
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    # min reachable id per root — identical labeling to the
+    # distributed min-propagation fixpoint
+    comp_min: dict = {}
+    for n in parent:
+        r = find(n)
+        m = comp_min.get(r)
+        if m is None or n < m:
+            comp_min[r] = n
+    id_type = sym.schema["a"].dataType
+    schema = StructType([
+        StructField("node", id_type), StructField("component", id_type),
+    ])
+    rows = [(n, comp_min[find(n)]) for n in parent]
+    return sym.sparkSession.createDataFrame(rows, schema)
+
 
 def connected_components(
     pairs: DataFrame,
     src: str = "doc_a",
     dst: str = "doc_b",
     max_iters: int = 25,
+    driver_max_edges: int | None = None,
 ) -> DataFrame:
     """Pair list → (node, component) where component = min reachable
     node id. Every node appearing in `pairs` is labeled; isolated
     nodes (not in any pair) are by definition not duplicates and are
     not emitted — union them in with component = own id if needed.
-    """
+
+    Count-routed (r12, guide §1.2 — the per-round driver actions were
+    the cost, not the data): at or under `driver_max_edges`
+    symmetrized rows (default `CC_DRIVER_MAX_EDGES`, env
+    SPARK_GRAFT_CC_DRIVER_MAX_EDGES) the closure is one driver-side
+    union-find pass over the already-materialized slim edge list —
+    the duplicate graphs the detectors emit are tiny relative to the
+    corpus, and the propagation loop's ~2 shuffles + 1 collect PER
+    ROUND cost ~6 s at sf0.1 on 45 output rows. Above the bound the
+    distributed loop runs unchanged (cluster-memory-bounded, the
+    100 TB path). Both branches produce identical rows
+    (tests/test_components.py cross-checks)."""
     sym = pairs.select(
         F.col(src).alias("a"), F.col(dst).alias("b")
     ).unionByName(pairs.select(F.col(dst).alias("a"), F.col(src).alias("b")))
@@ -52,6 +120,10 @@ def connected_components(
     # candidate detector, which every propagation round would
     # otherwise re-execute
     sym = sym.distinct().localCheckpoint(eager=True)
+    bound = CC_DRIVER_MAX_EDGES if driver_max_edges is None else driver_max_edges
+    # count on the checkpointed slim RDD: one cheap job, no recompute
+    if sym.count() <= bound:
+        return _cc_driver(sym)
     labels = (
         sym.select(F.col("a").alias("node"))
         .distinct()

@@ -21,10 +21,10 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from mcp_vector_search_spark.functions.hashing import (
+    SIMHASH_BITS,
     band_keys,
     hamming64,
     minhash_from_pairs,
-    simhash,
     token_hash60,
     token_hash_pairs,
 )
@@ -275,13 +275,61 @@ def neighbor_jaccard(
 def simhash_fingerprints(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
-    """(doc_id, simhash) — 60-bit SimHash over the token set. Two
-    row-local projections (hash array, then bit majority); no shuffle."""
+    """(doc_id, simhash) — 60-bit SimHash over the token set. Still no
+    shuffle: the token hashes are a row-local JVM projection (one md5
+    per token, oracle-portable), and the bit-majority fold runs as ONE
+    vectorized Arrow pass (guide §4.2).
+
+    r12: the expression form (``hashing.simhash`` — kept as the
+    semantic reference and used by the equivalence test) evaluates 60
+    `size(filter(hashes, bit i set))` passes per row, each allocating
+    a filtered array — measured 6.7-7.5 s at sf0.1 where the numpy
+    kernel (per-bit masked cumsum over the flattened values, sliced at
+    the list offsets) runs 2.0-3.5 s, bit-identical output at
+    sf0.001/0.01 (0 diffs, /tmp/exp_simhash.log; a packed-counter
+    SWAR aggregate was also measured and LOST — struct accumulators
+    leave whole-stage codegen). Only (id, hashes) cross the Python
+    boundary — the text never does."""
+    import numpy as np
+    import pyarrow as pa
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    id_type = docs.schema[id_col].dataType
+    out_schema = StructType([
+        StructField("doc_id", id_type), StructField("simhash", LongType()),
+    ])
+
+    def _fold(it):
+        for batch in it:
+            lst = batch.column(1)
+            arr = lst.combine_chunks() if isinstance(lst, pa.ChunkedArray) else lst
+            offsets = arr.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+            values = arr.values.to_numpy(zero_copy_only=False).astype(np.uint64)
+            lo, hi = offsets[:-1], offsets[1:]
+            n = (hi - lo).astype(np.int64)
+            fp = np.zeros(len(n), dtype=np.uint64)
+            cs = np.empty(len(values) + 1, dtype=np.int64)
+            cs[0] = 0
+            for i in range(SIMHASH_BITS):
+                b = (values >> np.uint64(i)) & np.uint64(1)
+                np.cumsum(b, out=cs[1:])
+                cnt = cs[hi] - cs[lo]
+                fp |= ((cnt * 2 > n).astype(np.uint64)) << np.uint64(i)
+            # a null token array (null text upstream) fingerprints to 0,
+            # exactly like the expression form (its per-bit
+            # when(null).otherwise(0) folds every bit to 0); a null
+            # entry's offsets are empty, so n=0 lands there already
+            yield pa.RecordBatch.from_arrays(
+                [batch.column(0), pa.array(fp.astype(np.int64))],
+                names=["doc_id", "simhash"],
+            )
+
     hashed = docs.select(
         F.col(id_col).alias("doc_id"),
         F.transform(tokenize(text_col), token_hash60).alias("_hashes"),
     )
-    return hashed.select("doc_id", simhash(F.col("_hashes")).alias("simhash"))
+    return hashed.mapInArrow(_fold, out_schema)
 
 
 def simhash_near_dups(

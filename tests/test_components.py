@@ -44,3 +44,35 @@ def test_dup_clusters_keeper(spark):
     # dedup action: exactly one keeper per cluster
     keepers = [r for r in rows.values() if r.is_keeper]
     assert len(keepers) == 2
+
+
+def test_driver_and_distributed_paths_agree(spark):
+    """r12 count-routing: the driver-side union-find (small graphs)
+    and the distributed min-label loop must produce identical rows —
+    the commit_closure cross-check pattern. Random-ish graph with
+    chains, a cycle, self-contained pairs, and string ids too."""
+    from mcp_vector_search_spark.operators.components import connected_components
+
+    edges = (
+        [(i, i + 1) for i in range(0, 30, 3)]
+        + [(100, 101), (101, 102), (102, 100)]  # cycle
+        + [(7, 200), (200, 7)]  # mutual pair
+        + [(500, 500)]  # self-loop
+    )
+    pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    drv = {(r.node, r.component)
+           for r in connected_components(pairs, driver_max_edges=10**6).collect()}
+    dist = {(r.node, r.component)
+            for r in connected_components(pairs, driver_max_edges=0).collect()}
+    assert drv == dist and drv
+
+    spairs = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("x", "y")], "doc_a string, doc_b string"
+    )
+    drv_s = {(r.node, r.component)
+             for r in connected_components(spairs, driver_max_edges=10**6).collect()}
+    dist_s = {(r.node, r.component)
+              for r in connected_components(spairs, driver_max_edges=0).collect()}
+    assert drv_s == dist_s == {
+        ("a", "a"), ("b", "a"), ("c", "a"), ("x", "x"), ("y", "x")
+    }

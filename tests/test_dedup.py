@@ -219,3 +219,39 @@ def test_cosine_sim_zero_vector_scores_zero(spark):
         [([0.0, 0.0], [1.0, 0.0])], "a array<double>, b array<double>"
     )
     assert df.select(cosine_sim(F.col("a"), F.col("b"))).first()[0] == 0.0
+
+
+def test_simhash_arrow_kernel_matches_expression_form(spark):
+    """r12: simhash_fingerprints folds bit majorities in ONE Arrow
+    pass; `hashing.simhash` (the 60-filter-pass expression) stays the
+    semantic reference. The two must agree bit-for-bit, including the
+    empty-token and null-text edges."""
+    from pyspark.sql import functions as F
+
+    from mcp_vector_search_spark.functions.hashing import simhash, token_hash60
+    from mcp_vector_search_spark.functions.text import tokenize
+    from mcp_vector_search_spark.operators.dedup import simhash_fingerprints
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma alpha"),
+            (2, "alpha beta gamma alpha"),  # identical -> same fp
+            (3, "totally different words here"),
+            (4, ""),  # empty token set -> fp 0
+            (5, None),  # null text -> fp 0 (the expression form's
+            # per-bit when(null).otherwise(0) folds to 0, not null)
+            (6, "x " * 500),  # long repeated doc
+        ],
+        "doc_id long, text string",
+    )
+    expr = docs.select(
+        "doc_id",
+        simhash(
+            F.transform(tokenize("text"), token_hash60)
+        ).alias("simhash"),
+    )
+    got = {r["doc_id"]: r["simhash"] for r in simhash_fingerprints(docs).collect()}
+    want = {r["doc_id"]: r["simhash"] for r in expr.collect()}
+    assert got == want
+    assert got[1] == got[2] and got[1] != got[3]
+    assert got[4] == 0 and got[5] == 0
