@@ -150,26 +150,36 @@ def full_search(
     # re-tokenized the corpus (1 + max_variants passes). Materialize
     # the (doc_id, toks, _dl) frame once — the exact
     # `Bm25ServingStats.tokenized` contract — and feed both.
-    tok = (
-        docs.select(F.col("doc_id"), _tok("text").alias("toks"))
-        .withColumn("_dl", F.size("toks").cast("double"))
-        .localCheckpoint()
-    )
-    stats = bm25_oneshot_stats(docs, union_terms, tokenized=tok)
     # ONE vector leg for every variant leg, same reasoning as the
     # shared stats above: the knn subtree depends only on the query
     # VECTOR, not the term variant, so per-variant legs re-scanned the
     # embeddings with an identical plan (r12; guide §7.2). Materialize
     # the ≤ k·3·2-row ranked list once and fuse it into each variant.
+    # The vector-leg checkpoint and the tokenize+stats chain touch
+    # different tables and block sequentially for no reason — overlap
+    # them with a driver thread (r12; guide §2.6), results identical.
+    from concurrent.futures import ThreadPoolExecutor
+
     from mcp_vector_search_spark.operators.topk import knn_brute_force, rank_by
 
-    vec_ranked = rank_by(
-        knn_brute_force(vectors, query_vec, k * 3 * 2)
-        .withColumnRenamed("vec_id", "doc_id")
-        .select("doc_id", "cos_sim"),
-        "cos_sim",
-        "doc_id",
-    ).localCheckpoint(eager=True)
+    def _vec_leg():
+        return rank_by(
+            knn_brute_force(vectors, query_vec, k * 3 * 2)
+            .withColumnRenamed("vec_id", "doc_id")
+            .select("doc_id", "cos_sim"),
+            "cos_sim",
+            "doc_id",
+        ).localCheckpoint(eager=True)
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_vec = pool.submit(_vec_leg)
+        tok = (
+            docs.select(F.col("doc_id"), _tok("text").alias("toks"))
+            .withColumn("_dl", F.size("toks").cast("double"))
+            .localCheckpoint()
+        )
+        stats = bm25_oneshot_stats(docs, union_terms, tokenized=tok)
+        vec_ranked = f_vec.result()
     legs = None
     for v in variants:
         leg = hybrid_search(

@@ -1076,24 +1076,37 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     clearing the 0.975 band needs 15/16 probes (fixed KMeans seed →
     deterministic). At real scale the ratio drops (bench measures
     recall ≥ band at 128K vectors with 20/128 probes)."""
+    from concurrent.futures import ThreadPoolExecutor
+
     from mcp_vector_search_spark.operators.ivf import ivf_build, ivf_topk_batch
 
     emb = _emb(spark, sf_dir)
-    assigned, centroids = ivf_build(emb, num_clusters=16)
     queries = emb.filter(F.col("vec_id") < BATCH_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
-    ivf = ivf_topk_batch(assigned, centroids, queries, BATCH_K, nprobes=15).select(
-        "query_id", "vec_id"
-    )
+
     # _recall_row references brute twice (hits join + totals), so the
     # full brute top-k lineage executed twice per action — same
     # defect q_ann_recall fixed in r8; ≤ |Q|·k slim rows (r12;
-    # guide §7.2)
-    brute = (
-        topk_per_query(emb, queries, BATCH_K)
-        .select("query_id", "vec_id")
-        .localCheckpoint()
+    # guide §7.2). The brute checkpoint and the MLlib KMeans fit are
+    # independent blocking chains — phase-timed ~2 s and ~5-6 s of the
+    # gate; overlapped with driver threads like q_ann_recall (r12;
+    # guide §2.6). Deterministic: both results are exactly what the
+    # sequential form computed.
+    def _brute():
+        return (
+            topk_per_query(emb, queries, BATCH_K)
+            .select("query_id", "vec_id")
+            .localCheckpoint()
+        )
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_brute = pool.submit(_brute)
+        assigned, centroids = ivf_build(emb, num_clusters=16)
+        brute = f_brute.result()
+
+    ivf = ivf_topk_batch(assigned, centroids, queries, BATCH_K, nprobes=15).select(
+        "query_id", "vec_id"
     )
     return _recall_row(ivf, brute, IVF_RECALL_FLOOR)
 
