@@ -32,6 +32,16 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 BENCH_NPROBES = 36
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+# Compact-line length guard. The driver captures the LAST 2000 chars of
+# stdout and parses the final JSON line, so the line survives whole iff
+# it is under that window (BENCH_r12.json: tail field = exactly 2000
+# chars, the 1486-char compact line rode whole). The historical 1500
+# guard was conservative enough that the r12 run shed three
+# band-tracked DATA rows to stay under it (VERDICT r12 #2 sanctioned
+# raising it); 1900 keeps a 100-char margin for the newline/driver
+# framing while fitting every tracked row plus the stamp lists.
+COMPACT_GUARD = 1900
+
 # round-6 metrics that must survive into the compact last-line summary.
 # The emitter SHEDS from the TAIL of this list when section flags push
 # the line past the driver's 1500-char tail window (no assert since
@@ -636,8 +646,7 @@ def sec_core(spark, per_query, mark):
                                  cache_index=True)),
         max_runs=3,
     )
-    if not _is_stable(per_query["bm25_topk_warm_runs"]):
-        per_query["bm25_topk_warm_unstable"] = True
+    per_query["bm25_topk_warm_unstable"] = not _is_stable(per_query["bm25_topk_warm_runs"])
     per_query["bm25_topk_warm"] = min(per_query["bm25_topk_warm_runs"])
 
     # warm hybrid serving: a second hybrid query in the same session
@@ -659,8 +668,7 @@ def sec_core(spark, per_query, mark):
         )),
         max_runs=3,
     )
-    if not _is_stable(per_query["hybrid_rrf_warm_runs"]):
-        per_query["hybrid_rrf_warm_unstable"] = True
+    per_query["hybrid_rrf_warm_unstable"] = not _is_stable(per_query["hybrid_rrf_warm_runs"])
     per_query["hybrid_rrf_warm"] = min(per_query["hybrid_rrf_warm_runs"])
 
     # r6 warm SERVING hybrid (VERDICT r5 #6): the HybridServer state
@@ -687,8 +695,7 @@ def sec_core(spark, per_query, mark):
                 served_runs.append(round(time.time() - t0, 3))
             if _is_stable(served_runs):
                 break
-        if not _is_stable(served_runs):
-            per_query["hybrid_rrf_warm_served_unstable"] = True
+        per_query["hybrid_rrf_warm_served_unstable"] = not _is_stable(served_runs)
         per_query["hybrid_warm_served_runs"] = served_runs
         per_query["hybrid_rrf_warm_served"] = min(served_runs)
 
@@ -713,8 +720,7 @@ def sec_core(spark, per_query, mark):
                                           hb_qvecs, k=10)),
         max_runs=3,
     )
-    if not _is_stable(per_query["hybrid_batch_runs"]):
-        per_query["hybrid_batch_unstable"] = True
+    per_query["hybrid_batch_unstable"] = not _is_stable(per_query["hybrid_batch_runs"])
     hb_sec = max(min(per_query["hybrid_batch_runs"]), 1e-3)
     per_query["hybrid_batch64_sec"] = round(hb_sec, 3)
     per_query["hybrid_batch_qps"] = round(HB_N / hb_sec, 2)
@@ -768,8 +774,7 @@ def sec_core(spark, per_query, mark):
                 postings_i, doc_stats_i, term_stats_i, emb_w, hbt_terms,
                 hbt_qvecs, k=10,
             )))
-        if not _is_stable(per_query["hybrid_batch_tbl_runs"]):
-            per_query["hybrid_batch_tbl_unstable"] = True
+        per_query["hybrid_batch_tbl_unstable"] = not _is_stable(per_query["hybrid_batch_tbl_runs"])
         hbt_sec = max(min(per_query["hybrid_batch_tbl_runs"]), 1e-3)
         per_query["hybrid_batch_tbl256_sec"] = round(hbt_sec, 3)
         per_query["hybrid_batch_tbl_qps"] = round(HBT_N / hbt_sec, 2)
@@ -793,8 +798,7 @@ def sec_core(spark, per_query, mark):
                 postings_i, doc_stats_i, term_stats_i, hba_packed, hba_cents,
                 hbt_terms, hbt_qvecs, k=10, nprobes=4,
             )))
-        if not _is_stable(per_query["hybrid_batch_ann_runs"]):
-            per_query["hybrid_batch_ann_unstable"] = True
+        per_query["hybrid_batch_ann_unstable"] = not _is_stable(per_query["hybrid_batch_ann_runs"])
         hba_sec = max(min(per_query["hybrid_batch_ann_runs"]), 1e-3)
         per_query["hybrid_batch_ann256_sec"] = round(hba_sec, 3)
         per_query["hybrid_batch_ann_qps"] = round(HBT_N / hba_sec, 2)
@@ -827,8 +831,7 @@ def sec_core(spark, per_query, mark):
     while not _is_stable(upd_runs) and len(upd_runs) < 3:
         _one_update_run()
     per_query["bm25_update_delta_runs"] = upd_runs
-    if not _is_stable(upd_runs):
-        per_query["bm25_update_delta_unstable"] = True
+    per_query["bm25_update_delta_unstable"] = not _is_stable(upd_runs)
     per_query["bm25_update_delta_sec"] = min(upd_runs)
 
     # term-bucketed postings layout (r6): the same index partitioned
@@ -1640,8 +1643,7 @@ def sec_hybrid_scale(spark, per_query, mark):
             spark, 2, lambda: _noop(hybrid_search_batch_indexed(
                 hp, hds, hts, big, hs_terms, hs_qvecs, k=10, term_buckets=64
             )))
-        if not _is_stable(per_query["hybrid_scale_tbl_runs"]):
-            per_query["hybrid_scale_tbl_unstable"] = True
+        per_query["hybrid_scale_tbl_unstable"] = not _is_stable(per_query["hybrid_scale_tbl_runs"])
         tbl_sec = max(min(per_query["hybrid_scale_tbl_runs"]), 1e-3)
         per_query["hybrid_scale_tbl_sec"] = round(tbl_sec, 3)
         per_query["hybrid_scale_tbl_qps"] = round(HS_N / tbl_sec, 2)
@@ -1650,8 +1652,7 @@ def sec_hybrid_scale(spark, per_query, mark):
                 hp, hds, hts, big_packed, big_cents, hs_terms, hs_qvecs,
                 k=10, nprobes=20, term_buckets=64,
             )))
-        if not _is_stable(per_query["hybrid_scale_ann_runs"]):
-            per_query["hybrid_scale_ann_unstable"] = True
+        per_query["hybrid_scale_ann_unstable"] = not _is_stable(per_query["hybrid_scale_ann_runs"])
         ann_sec = max(min(per_query["hybrid_scale_ann_runs"]), 1e-3)
         per_query["hybrid_scale_ann_sec"] = round(ann_sec, 3)
         per_query["hybrid_scale_ann_qps"] = round(HS_N / ann_sec, 2)
@@ -1687,15 +1688,13 @@ def sec_hybrid_scale(spark, per_query, mark):
                 big_packed, big_cents, hs_qvecs, 10, nprobes=20)))
         vu_sec = max(min(per_query["hybrid_scale_vec_uniform_runs"]), 1e-3)
         per_query["hybrid_scale_vec_uniform_qps"] = round(HS_N / vu_sec, 2)
-        if not _is_stable(per_query["hybrid_scale_vec_uniform_runs"]):
-            per_query["hybrid_scale_vec_uniform_unstable"] = True
+        per_query["hybrid_scale_vec_uniform_unstable"] = not _is_stable(per_query["hybrid_scale_vec_uniform_runs"])
         per_query["hybrid_scale_skew_runs"] = _runs_until_stable(
             spark, 2, lambda: _noop(_itbp(
                 big_packed, big_cents, skew_q, 10, nprobes=20)))
         sk_sec = max(min(per_query["hybrid_scale_skew_runs"]), 1e-3)
         per_query["hybrid_scale_skew_qps"] = round(HS_N / sk_sec, 2)
-        if not _is_stable(per_query["hybrid_scale_skew_runs"]):
-            per_query["hybrid_scale_skew_unstable"] = True
+        per_query["hybrid_scale_skew_unstable"] = not _is_stable(per_query["hybrid_scale_skew_runs"])
         skew_q.unpersist()
         hs_qvecs.unpersist()
     finally:
@@ -2052,8 +2051,7 @@ def sec_curate(spark, per_query, mark):
     per_query["curate_sf01_runs"] = _runs_until_stable(
         spark, 2, run, max_runs=3
     )
-    if not _is_stable(per_query["curate_sf01_runs"]):
-        per_query["curate_sf01_unstable"] = True
+    per_query["curate_sf01_unstable"] = not _is_stable(per_query["curate_sf01_runs"])
     per_query["curate_sf01_sec"] = min(per_query["curate_sf01_runs"])
     docs.unpersist()
     bench_docs.unpersist()
@@ -2222,8 +2220,29 @@ def _orchestrate() -> None:
         sys.exit(1)
 
 
+def _namespace_probes(name: str, qrec: dict) -> None:
+    """Rename a section record's raw sect_* probe keys to per-section
+    names before merging — every section reports the same four."""
+    for src, dst in (
+        ("sect_canary_start_sec", f"canary_{name}_start_sec"),
+        ("sect_canary_end_sec", f"canary_{name}_end_sec"),
+        ("sect_loadavg_start", f"loadavg_{name}_start"),
+        ("sect_loadavg_end", f"loadavg_{name}_end"),
+    ):
+        if src in qrec:
+            qrec[dst] = qrec.pop(src)
+
+
 def _orchestrate_sections(merged, bands, me, t_start, baseline,
                           _remaining, reuse_root) -> None:
+    # r13 (VERDICT r12 #6): contention retries are DEFERRED until every
+    # section — including the sf1 scale block, the repo's best 100 TB
+    # parallelism evidence — has had its first run. The r12 orchestrated
+    # run spent its budget retrying already-measured sections and then
+    # skipped sf1 at the boundary (section_sf1_error: timeout after
+    # 256s); a first measurement of new rows outranks a second
+    # measurement of rows the record already holds (both band-stamped).
+    pending_retries: list[str] = []
     for name in SECTION_ORDER:
         est = SECTION_EST_SEC.get(name, DEFAULT_SECTION_EST_SEC)
         if est > _remaining():
@@ -2254,87 +2273,17 @@ def _orchestrate_sections(merged, bands, me, t_start, baseline,
         qrec = _run_section_subprocess(me, name, merged,
                                        timeout=sect_timeout,
                                        extra_env=extra_env)
-        first_wall = time.time() - t0
         if qrec is not None and _canary_contended(qrec, baseline):
-            retry_keys = RETRY_ON_CONTENTION.get(name)
-            # reuse-enabled sections retry serving-only off persisted
-            # layouts — far cheaper than the first run's build+serve
-            retry_est = RETRY_EST_SEC.get(name, max(est, first_wall))
-            if retry_keys is not None and retry_est > _remaining():
-                # a retry that cannot fit is not taken (the r10 killer:
-                # retries were taken unconditionally and blew the
-                # driver's window) — the contended first run stays
-                # official, stamped both contended and retry-skipped
-                merged[f"section_{name}_retry_skipped_budget"] = [
-                    round(retry_est, 1), round(_remaining(), 1)]
-                merged[f"section_{name}_contended"] = True
-                print(f"[bench] section {name} contended but retry "
-                      f"SKIPPED (est {retry_est:.0f}s > remaining "
-                      f"{_remaining():.0f}s)", file=sys.stderr, flush=True)
-            elif retry_keys is not None:
-                print(
-                    f"[bench] section {name} CONTENDED "
-                    f"(canary {qrec.get('sect_canary_start_sec')}/"
-                    f"{qrec.get('sect_canary_end_sec')} vs baseline "
-                    f"{baseline}) — re-running once",
-                    file=sys.stderr, flush=True,
-                )
-                merged[f"section_{name}_retried"] = True
-                qrec2 = _run_section_subprocess(
-                    me, name, merged,
-                    timeout=min(3600.0, max(30.0, _remaining() - 30.0)),
-                    extra_env=extra_env)
-                if qrec2 is not None:
-                    # both results recorded: the re-run becomes the
-                    # official rows; the contended first-run serving
-                    # rows AND its canary readings survive under
-                    # *_run1, so a reader can quantify how contended
-                    # the preserved rows were (r9 review)
-                    for k in retry_keys:
-                        if k in qrec:
-                            qrec2[f"{k}_run1"] = qrec[k]
-                    qrec2[f"canary_{name}_run1"] = [
-                        qrec.get("sect_canary_start_sec"),
-                        qrec.get("sect_canary_end_sec"),
-                    ]
-                    # a serving-only retry (REUSE_SECTIONS) re-produces
-                    # only the serving rows — every run-1 row the retry
-                    # did not re-measure (build rows, cold pairs, the
-                    # qps-vs-batch curve, recalls) must survive the
-                    # overlay, or the record silently loses band-tracked
-                    # rows with no stamp saying why (r11 ADVICE high).
-                    # Raw sect_* probe keys are excluded: the retry's
-                    # own probes are the ones that describe the rows it
-                    # produced, and run 1's are preserved above.
-                    for k, v in qrec.items():
-                        if not k.startswith("sect_"):
-                            qrec2.setdefault(k, v)
-                    qrec = qrec2
-                else:
-                    # the retry itself failed to produce a record: the
-                    # complete first run stays official (contended) —
-                    # move the retry's error under a key that does NOT
-                    # end in _error, so a bench whose only failure was
-                    # a doomed retry doesn't exit nonzero over data it
-                    # fully recorded (r9 review)
-                    merged[f"section_{name}_retry_failed"] = merged.pop(
-                        f"section_{name}_error", "retry produced no record"
-                    )
-                if _canary_contended(qrec, baseline):
-                    merged[f"section_{name}_contended"] = True
-            else:
-                merged[f"section_{name}_contended"] = True
+            # stamped NOW (the record must say which population these
+            # rows came from even if the run dies before the deferred
+            # retry); a clean retry later flips it to False — an
+            # overwrite, never a key removal, so incremental emissions
+            # stay monotonic
+            merged[f"section_{name}_contended"] = True
+            if RETRY_ON_CONTENTION.get(name) is not None:
+                pending_retries.append(name)
         if qrec is not None:
-            # namespace the per-section probe keys before merging —
-            # every section reports the same four names
-            for src, dst in (
-                ("sect_canary_start_sec", f"canary_{name}_start_sec"),
-                ("sect_canary_end_sec", f"canary_{name}_end_sec"),
-                ("sect_loadavg_start", f"loadavg_{name}_start"),
-                ("sect_loadavg_end", f"loadavg_{name}_end"),
-            ):
-                if src in qrec:
-                    qrec[dst] = qrec.pop(src)
+            _namespace_probes(name, qrec)
             merged.update(qrec)
         merged[f"wall_sect_{name}_sec"] = round(time.time() - t0, 1)
         print(
@@ -2346,6 +2295,83 @@ def _orchestrate_sections(merged, bands, me, t_start, baseline,
         # the next section's emission — the LAST JSON line always holds
         # the most complete record the run produced
         _emit_partial(merged, bands, t_start)
+    for name in pending_retries:
+        _take_deferred_retry(merged, bands, me, t_start, baseline,
+                             _remaining, reuse_root, name)
+
+
+def _take_deferred_retry(merged, bands, me, t_start, baseline,
+                         _remaining, reuse_root, name) -> None:
+    """One deferred contention retry (r13): the run-1 rows are already
+    merged and emitted; the retry record overlays the serving rows it
+    re-measures (run-1 values preserved under *_run1, exactly the r9
+    contract), and every run-1-only row survives because the overlay
+    only writes the keys the retry produced (r11 ADVICE high)."""
+    retry_keys = RETRY_ON_CONTENTION[name]
+    first_wall = merged.get(f"wall_sect_{name}_sec",
+                            SECTION_EST_SEC.get(name, DEFAULT_SECTION_EST_SEC))
+    # reuse-enabled sections retry serving-only off persisted
+    # layouts — far cheaper than the first run's build+serve
+    retry_est = RETRY_EST_SEC.get(
+        name, max(SECTION_EST_SEC.get(name, DEFAULT_SECTION_EST_SEC),
+                  first_wall))
+    if retry_est > _remaining():
+        # a retry that cannot fit is not taken (the r10 killer: retries
+        # were taken unconditionally and blew the driver's window) —
+        # the contended first run stays official, stamped both
+        # contended and retry-skipped
+        merged[f"section_{name}_retry_skipped_budget"] = [
+            round(retry_est, 1), round(_remaining(), 1)]
+        print(f"[bench] section {name} contended but retry "
+              f"SKIPPED (est {retry_est:.0f}s > remaining "
+              f"{_remaining():.0f}s)", file=sys.stderr, flush=True)
+        return
+    t0 = time.time()
+    print(f"[bench] section {name} CONTENDED on run 1 — deferred "
+          f"re-run now (after all first runs)", file=sys.stderr,
+          flush=True)
+    merged[f"section_{name}_retried"] = True
+    extra_env = (
+        {"SPARK_GRAFT_BENCH_REUSE_DIR": reuse_root}
+        if name in REUSE_SECTIONS else None
+    )
+    qrec2 = _run_section_subprocess(
+        me, name, merged,
+        timeout=min(3600.0, max(30.0, _remaining() - 30.0)),
+        extra_env=extra_env)
+    if qrec2 is None:
+        # the retry itself failed to produce a record: the complete
+        # first run stays official (contended) — move the retry's
+        # error under a key that does NOT end in _error, so a bench
+        # whose only failure was a doomed retry doesn't exit nonzero
+        # over data it fully recorded (r9 review)
+        merged[f"section_{name}_retry_failed"] = merged.pop(
+            f"section_{name}_error", "retry produced no record"
+        )
+        merged[f"wall_retry_{name}_sec"] = round(time.time() - t0, 1)
+        _emit_partial(merged, bands, t_start)
+        return
+    # both results recorded: the re-run becomes the official rows; the
+    # contended first-run serving rows AND its canary readings survive
+    # under *_run1, so a reader can quantify how contended the
+    # preserved rows were (r9 review). Rows the serving-only retry did
+    # not re-measure (build rows, cold pairs, recalls) keep their
+    # merged run-1 values untouched (r11 ADVICE high).
+    for k in retry_keys:
+        if k in merged:
+            qrec2[f"{k}_run1"] = merged[k]
+    qrec2[f"canary_{name}_run1"] = [
+        merged.get(f"canary_{name}_start_sec"),
+        merged.get(f"canary_{name}_end_sec"),
+    ]
+    merged[f"section_{name}_contended"] = _canary_contended(qrec2, baseline)
+    _namespace_probes(name, qrec2)
+    merged.update(qrec2)
+    merged[f"wall_retry_{name}_sec"] = round(time.time() - t0, 1)
+    print(f"[bench] section {name} retry done in "
+          f"{merged[f'wall_retry_{name}_sec']}s", file=sys.stderr,
+          flush=True)
+    _emit_partial(merged, bands, t_start)
 
 
 def main():
@@ -2422,8 +2448,29 @@ def main():
     _orchestrate()
 
 
+def _units_of(per_query: dict) -> dict:
+    """Unit + better-direction per numeric metric row, derived from
+    the row-naming convention (r13, VERDICT r12 minor #6): PERF_r12
+    computed speedup = prev/now uniformly and reported five improved
+    qps rows (and the pruning ratio) as regressions. The record now
+    says which rows are rates so no reader has to guess."""
+    units = {}
+    for k, v in per_query.items():
+        if not isinstance(v, (int, float)) or isinstance(v, bool):
+            continue
+        if k.endswith("_qps"):
+            units[k] = "qps_higher_better"
+        elif k.endswith("_ratio") or "_prune_ratio" in k:
+            units[k] = "ratio_higher_better"
+        elif "_recall_at_" in k:
+            units[k] = "fraction_higher_better"
+        elif k.endswith("_ms_per_query"):
+            units[k] = "ms_lower_better"
+    return units
+
+
 def emit_results(total: float, per_query: dict) -> None:
-    """Print the full record, then a compact (<1500 char) summary as the
+    """Print the full record, then a compact (<COMPACT_GUARD char) summary as the
     guaranteed-LAST stdout line.
 
     Round 5's single giant json.dumps outgrew the driver's tail capture
@@ -2440,6 +2487,11 @@ def emit_results(total: float, per_query: dict) -> None:
                 "value": round(total, 3),
                 "unit": "sec",
                 "queries": per_query,
+                # r13 (VERDICT r12 minor #6): rate/ratio rows are
+                # machine-identifiable — a cross-round comparator that
+                # computes prev/now on every row inverts the direction
+                # of qps/ratio/recall rows unless it knows their units
+                "units": _units_of(per_query),
                 "sf": float(sf),
             }
         )
@@ -2470,7 +2522,11 @@ def emit_results(total: float, per_query: dict) -> None:
         # each), which crowded 8 metric keys out of the line; one
         # list per verdict kind says the same thing in a third of the
         # budget (the FULL record keeps the individual keys).
-        if k.startswith("section_") and k.endswith("_contended"):
+        # truthiness check (r13): a deferred retry that came back clean
+        # flips the stamp to False (an overwrite, for emission
+        # monotonicity) — only the True stamps name a contended section
+        if (k.startswith("section_") and k.endswith("_contended")
+                and per_query[k]):
             compact.setdefault("sections_contended", []).append(
                 k[len("section_"):-len("_contended")]
             )
@@ -2501,26 +2557,44 @@ def emit_results(total: float, per_query: dict) -> None:
     # old assert when three section flags joined the line — the full
     # record printed but the driver-parsed compact line was lost, the
     # exact r5 failure this function exists to prevent): if the line
-    # outgrows the tail window, shed the LAST metric keys first
-    # (population honesty beats one more metric) and say how many were
-    # dropped; flags/errors go only after every metric is gone.
-    sheddable = [k for k in reversed(compact_keys) if k in compact]
-    # absolute last resort, so the line ALWAYS fits: after every metric,
-    # shed error detail strings (their presence stays visible as
-    # compact_dropped), then flags — a truncated-but-parseable record
-    # beats a full line the driver's tail window cuts mid-JSON
+    # outgrows the tail window, make room in this order (r13, VERDICT
+    # r12 #2 — the r12 run shed three band-tracked DATA rows while
+    # verbose [value, lo, hi] stamps stayed):
+    #   1. false `_unstable` flags (a stable row loses nothing);
+    #   2. `*_outside_band` stamps COMPRESSED into one
+    #      `outside_band_rows` name list (the stamped value is already
+    #      in the row's own data key; [lo, hi] stays in the full
+    #      record) — honesty kept at ~1/3 the chars;
+    #   3. only then metric keys, LAST of compact_keys first;
+    #   4. error detail strings, then the flag lists — a truncated-
+    #      but-parseable record beats a line the driver's tail window
+    #      cuts mid-JSON.
+    sheddable = [
+        k for k in sorted(compact)
+        if k.endswith("_unstable") and compact[k] is False
+    ]
+    sheddable += [k for k in sorted(compact) if k.endswith("_outside_band")]
+    sheddable += [k for k in reversed(compact_keys) if k in compact]
     sheddable += [k for k in sorted(compact) if k.endswith(("_error", "_retry_failed"))]
     sheddable += [
         k for k in ("sections_contended", "sections_retried") if k in compact
     ]
     dropped = 0
     line = _line()
-    while len(line) >= 1500 and sheddable:
-        compact.pop(sheddable.pop(0), None)
-        dropped += 1
-        compact["compact_dropped"] = dropped
+    while len(line) >= COMPACT_GUARD and sheddable:
+        k = sheddable.pop(0)
+        compact.pop(k, None)
+        if k.endswith("_outside_band"):
+            # compressed, not dropped: the row NAME still rides the
+            # line (value in its data key, band in the full record)
+            compact.setdefault("outside_band_rows", []).append(
+                k[: -len("_outside_band")]
+            )
+        else:
+            dropped += 1
+            compact["compact_dropped"] = dropped
         line = _line()
-    if len(line) >= 1500:  # pragma: no cover — ~120-char base object
+    if len(line) >= COMPACT_GUARD:  # pragma: no cover — ~120-char base object
         print(f"[bench] compact line still {len(line)} chars", file=sys.stderr)
     print(line)
 

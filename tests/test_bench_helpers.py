@@ -41,7 +41,7 @@ def test_emit_results_compact_line_is_last_and_bounded():
     # every extra compact key survives into the parsed line
     for k in bench.EXTRA_COMPACT_KEYS:
         assert compact["queries"][k] == 5.678
-    assert len(json.dumps(compact)) < 1500
+    assert len(json.dumps(compact)) < bench.COMPACT_GUARD
 
 
 def test_emit_results_surfaces_section_errors_truncated():
@@ -50,7 +50,7 @@ def test_emit_results_surfaces_section_errors_truncated():
     _, compact = _emit_capture(1.0, pq)
     err = compact["queries"]["section_ann_big_error"]
     assert err.startswith("rc=1") and len(err) <= 60
-    assert len(json.dumps(compact)) < 1500
+    assert len(json.dumps(compact)) < bench.COMPACT_GUARD
 
 
 def test_section_registry_covers_order():
@@ -102,6 +102,78 @@ def test_outside_band_rides_the_compact_line():
     _full, compact = _emit_capture(1.0, pq)
     assert compact["queries"]["hybrid_scale_tbl_qps_outside_band"] == [
         17.41, 33.5, 50.8]
+
+
+def test_shed_policy_keeps_every_data_row_before_stamps():
+    """r13 (VERDICT r12 #2) replay of the r12 driver run's shed event:
+    the compact line crowded by band stamps + flags shed THREE
+    band-tracked data rows (ann_big_auto_route_sec,
+    ann_huge_recall_at_10, bm25_update_delta_unstable) while verbose
+    [value, lo, hi] stamps stayed. The policy now sheds false
+    stability flags first, then COMPRESSES stamps into a
+    outside_band_rows name list — every metric key must survive."""
+    pq = {n: 11.234 for n in bench.HEADLINE}
+    pq.update({k: 155.678 for k in bench.EXTRA_COMPACT_KEYS})
+    pq.update({"bm25_topk_warm": 11.2, "hybrid_rrf_warm": 13.5,
+               "hybrid_batch_qps": 17.2, "ann_recall_at_10": 0.9938,
+               "ann_brute_ms_per_query": 11.98,
+               "ann_ivf_ms_per_query": 14.0,
+               "ann_big_brute_sec": 12.191, "ann_big_ivf_sec": 11.803,
+               "ann_big_recall_at_10": 1.0, "ann_big_ivfpq_sec": 13.592})
+    # the r12 run's flag population, and then some: contended/retried
+    # sections, one true + many false stability flags, and SIX verbose
+    # band stamps
+    for s in ("core", "hybrid_scale", "curate", "ann_huge", "ann_big"):
+        pq[f"section_{s}_contended"] = True
+        pq[f"section_{s}_retried"] = True
+    pq["hybrid_batch_unstable"] = True
+    for row in ("bm25_update_delta", "hybrid_scale_ann",
+                "hybrid_scale_tbl", "bm25_topk_warm", "hybrid_rrf_warm",
+                "curate_sf01", "hybrid_scale_skew"):
+        pq[f"{row}_unstable"] = False
+    for row, lohi in (
+        ("ann_huge_ivf_build_sec", [9.2, 19.6]),
+        ("hybrid_scale_index_build_sec", [63.0, 90.0]),
+        ("hybrid_scale_tbl_qps", [30.7, 45.0]),
+        ("ann_big_brute_sec", [1.33, 2.0]),
+        ("ann_huge_disk_brute_q2_sec", [2.55, 19.7]),
+        ("bm25_topk_warm", [0.848, 1.51]),
+    ):
+        pq[f"{row}_outside_band"] = [pq.get(row, 999.9)] + lohi
+    _full, compact = _emit_capture(134.8, pq)
+    q = compact["queries"]
+    assert len(json.dumps(compact)) < bench.COMPACT_GUARD
+    # THE contract: every metric data row rides the line — none shed
+    for k in bench.HEADLINE + bench.EXTRA_COMPACT_KEYS:
+        assert k in q, f"data row {k} shed from the compact line"
+    for k in ("ann_big_auto_route_sec", "ann_huge_recall_at_10",
+              "bm25_topk_warm", "ann_brute_ms_per_query",
+              "ann_ivf_ms_per_query"):
+        assert k in q, k
+    # a true instability flag is never silently lost
+    assert q["hybrid_batch_unstable"] is True
+    # any compressed stamp still names its row on the line
+    full_stamps = [k for k in q if k.endswith("_outside_band")]
+    compressed = q.get("outside_band_rows", [])
+    assert len(full_stamps) + len(compressed) == 6
+
+
+def test_units_map_marks_rate_rows():
+    """r13 (VERDICT r12 minor #6): the full record carries a units map
+    so rate rows are machine-identifiable (PERF r12 inverted five qps
+    improvements into regressions)."""
+    pq = {"bm25_topk": 1.0, "hybrid_batch_qps": 12.5,
+          "ann_huge_disk_prune_ratio": 2.19, "ann_recall_at_10": 0.99,
+          "ann_brute_ms_per_query": 1.98,
+          "hybrid_batch_unstable": True}
+    full, _compact = _emit_capture(1.0, pq)
+    units = full["units"]
+    assert units["hybrid_batch_qps"] == "qps_higher_better"
+    assert units["ann_huge_disk_prune_ratio"] == "ratio_higher_better"
+    assert units["ann_recall_at_10"] == "fraction_higher_better"
+    assert units["ann_brute_ms_per_query"] == "ms_lower_better"
+    assert "bm25_topk" not in units  # plain seconds rows stay implicit
+    assert "hybrid_batch_unstable" not in units  # booleans never
 
 
 def test_is_stable_two_smallest_rule():
@@ -249,7 +321,7 @@ def test_flag_heavy_record_keeps_graded_rows():
                    "ann_huge_disk_packed_q2_sec", "hybrid_batch_qps"):
         assert graded in q, graded
     assert q["curate_sf01_unstable"] is True
-    assert len(json.dumps(compact)) < 1500
+    assert len(json.dumps(compact)) < bench.COMPACT_GUARD
 
 
 # --- r11 (VERDICT r10 #1): global budget + incremental emission.
@@ -294,6 +366,7 @@ def _drive_orchestrate(monkeypatch, costs, budget, contended=(),
 
     def fake_run(me, name, merged, timeout=3600.0, extra_env=None):
         calls[name] = calls.get(name, 0) + 1
+        calls.setdefault("_seq", []).append(name)
         cost = costs[name]
         if cost > timeout:
             ft.t += timeout
@@ -486,3 +559,84 @@ def test_retry_subset_record_keeps_run1_rows(monkeypatch):
     assert final["ann_big_row_sec_run1"] == 700.0
     # run-1 canaries preserved under the namespaced run1 key
     assert final["canary_ann_big_run1"] == [0.3, 0.3]
+
+
+def test_retries_deferred_until_after_sf1_first_run(monkeypatch):
+    """r13 (VERDICT r12 #6): the sf1 scale block's FIRST run outranks
+    retries of already-measured sections — the r12 orchestrated run
+    burned its budget on retries and skipped sf1 at the boundary. A
+    contended early section must be re-run only after every section
+    (sf1 included) has run once; its stamp flips to False when the
+    deferred retry comes back clean."""
+    costs = {s: 10.0 for s in bench.SECTION_ORDER}
+    emissions, calls, _ = _drive_orchestrate(
+        monkeypatch, costs, 3300.0, contended=("core",),
+        retry_map={"core": ["core_row_sec"]},
+        # contended only on run 1: the fake keys contention on the
+        # section name, so flip it off before the retry fires
+        run2_records={"core": {"core_row_sec": 9.0}})
+    seq = calls["_seq"]
+    assert calls["core"] == 2
+    assert seq.index("sf1") < len(seq) - 1 - seq[::-1].index("core"), (
+        "core's retry ran before sf1's first run: " + str(seq))
+    final = emissions[-1]
+    assert final["section_core_retried"] is True
+    assert final["core_row_sec_run1"] == 10.0
+    # sf1's rows are in the record even though a retry was pending
+    assert "sf1_row_sec" in final
+
+
+def test_deferred_clean_retry_flips_contended_to_false(monkeypatch):
+    """The deferred retry's canary verdict is the official one: clean
+    retry => section_<name>_contended becomes False (an overwrite, so
+    emissions stay key-monotonic) and the compact line's
+    sections_contended list omits it."""
+    costs = {s: 10.0 for s in bench.SECTION_ORDER}
+
+    # contended= keys contention on the NAME for every run; simulate
+    # run-1-only contention via a wrapper around the scripted runner
+    ft = _FakeTime()
+    emissions = []
+    calls = {}
+
+    def fake_run(me, name, merged, timeout=3600.0, extra_env=None):
+        calls[name] = calls.get(name, 0) + 1
+        ft.t += costs[name]
+        canary = 0.3 if (name == "core" and calls[name] == 1) else 0.03
+        return {f"{name}_row_sec": costs[name],
+                "sect_canary_start_sec": canary,
+                "sect_canary_end_sec": canary}
+
+    monkeypatch.setattr(bench, "time", ft)
+    monkeypatch.setattr(bench, "_run_section_subprocess", fake_run)
+    monkeypatch.setattr(
+        bench, "emit_results",
+        lambda total, pq: emissions.append(json.loads(json.dumps(pq))))
+    monkeypatch.setattr(bench, "_canary_sec", lambda: 0.03)
+    monkeypatch.setattr(bench, "_loadavg1", lambda: 1.0)
+    monkeypatch.setattr(bench, "_load_bands", lambda: {
+        "round": bench.BANDS_EXPECTED_ROUND, "date": "sim",
+        "source_runs": "sim", "canary_floor_sec": 0.03,
+        "qps": {}, "sec": {}})
+    monkeypatch.setattr(bench, "BENCH_BUDGET_SEC", 3300.0)
+    monkeypatch.setattr(bench, "SECTION_EST_SEC", dict(costs))
+    monkeypatch.setattr(bench, "RETRY_ON_CONTENTION",
+                        {"core": ["core_row_sec"]})
+    bench._orchestrate()
+    final = emissions[-1]
+    assert calls["core"] == 2
+    assert final["section_core_contended"] is False
+    assert final["section_core_retried"] is True
+    # mid-run emissions carried the honest True stamp before the retry
+    assert any(e.get("section_core_contended") is True for e in emissions)
+    # the compact aggregation lists only True stamps
+    import io as _io2
+    from contextlib import redirect_stdout as _rs
+    buf = _io2.StringIO()
+    with _rs(buf):
+        # restore the real emitter for this check
+        import importlib
+        importlib.reload(bench)
+        bench.emit_results(1.0, final)
+    compact = json.loads(buf.getvalue().splitlines()[-1])
+    assert "core" not in compact["queries"].get("sections_contended", [])
