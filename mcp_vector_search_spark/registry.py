@@ -4700,6 +4700,28 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # exercised by text_quality's signal frame, which stays). All
     # rotated-out gates remain oracle-scored every round by
     # tools/verify_local.py.
+    # r13 rotation (VERDICT r12 #3 + the correctness-gate note): the
+    # driver's oracle tours this round's deepest r12 rewrites —
+    # neighbor_jaccard (hashed shingles: semantics-up-to-collision),
+    # simhash (the Arrow bit-majority kernel; its near-dups sibling
+    # was already in-window), bm25_incr (deferred term-stats across
+    # lifecycle updates), ivf_topk (overlapped fit/brute chains) —
+    # and corpus_jsonl + repetition_signals return from their r12
+    # rest (the verdict asked both back so the rotated-out pair is
+    # driver-oracled again). Rotated out to overflow, six stable
+    # gates untouched by any r12/r13 optimization, each with its
+    # operator family still covered: lm_perplexity (count-table
+    # shape twinned by token_estimate, overflow; text_quality stays
+    # in-window), source_rollup (rollup aggregates covered in-window
+    # by dir_smells, overflow codebase_profile), packed_shards
+    # (per-stratum packing windows = pack_sequences' shape, overflow;
+    # token_mixture_exact stays in-window), tag_query (KG lookups
+    # covered in-window by kg_edges + kg_boost; kg_views/kg_stats
+    # overflow), doc_categories (regex-ladder classification covered
+    # in-window by redact_pii + entities), asof_latest (union-window
+    # as-of join; blame_ranges' range join stays in-window,
+    # events_lag_delta overflow). All six stay oracle-scored every
+    # round by tools/verify_local.py.
     "bm25_topk": q_bm25_topk,
     "knn_topk": q_knn_topk,
     "hybrid_rrf": q_hybrid_rrf,
@@ -4709,16 +4731,19 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_near_dups_multiprobe": q_embedding_near_dups_multiprobe,
     "dup_clusters": q_dup_clusters,
     "minhash_jaccard": q_minhash_jaccard,
+    "neighbor_jaccard": q_neighbor_jaccard,
+    "simhash": q_simhash,
     "decontaminate": q_decontaminate,
     "simhash_near_dups": q_simhash_near_dups,
-    "lm_perplexity": q_lm_perplexity,
     "ivf_fused": q_ivf_fused,
     "text_quality": q_text_quality,
-    "source_rollup": q_source_rollup,
-    "packed_shards": q_packed_shards,
     "chunk_windows": q_chunk_windows,
+    "corpus_jsonl": q_corpus_jsonl,
+    "repetition_signals": q_repetition_signals,
     "redact_pii": q_redact_pii,
     "sessionize": q_sessionize,
+    "bm25_incr": q_bm25_incremental,
+    "ivf_topk": q_ivf_topk,
     "incremental_delta": q_incremental_delta,
     "ann_recall": q_ann_recall,
     "dup_spans": q_dup_spans,
@@ -4727,7 +4752,6 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sampling_splits": q_sampling_splits,
     "bm25_expanded": q_bm25_expanded,
     "kg_edges": q_kg_edges,
-    "tag_query": q_tag_query,
     "graph_degree": q_graph_degree,
     "commit_dag_closure": q_commit_dag_closure,
     "call_graph": q_call_graph,
@@ -4739,8 +4763,6 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "code_chunks": q_code_chunks,
     "complexity": q_complexity,
     "lcom4": q_lcom4,
-    "asof_latest": q_asof_latest,
-    "doc_categories": q_doc_categories,
     "kg_boost": q_kg_boost,
     "code_enrichment": q_code_enrichment,
     "blame_ranges": q_blame_ranges,
@@ -4757,7 +4779,6 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # the in-window batch gates already score the pipeline's algebra
     "hybrid_batch_ann": q_hybrid_batch_ann,
     "embedding_near_dups_clustered": q_embedding_near_dups_clustered,
-    "neighbor_jaccard": q_neighbor_jaccard,
     "bfs": q_bfs,
     "pq_fixed": q_pq_fixed,
     "events_hourly": q_events_hourly,
@@ -4776,9 +4797,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "exact_dups": q_exact_dups,
     "ontology": q_ontology,
     "viz_neighbors": q_viz_neighbors,
-    "ivf_topk": q_ivf_topk,
     "knn_batch": q_knn_batch,
-    "simhash": q_simhash,
     "smells": q_smells,
     "kg_related": q_kg_related,
     "pricing_summary": q_pricing_summary,
@@ -4791,7 +4810,6 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "halstead": q_halstead,
     "result_quality": q_result_quality,
     "ml_chunks": q_ml_chunks,
-    "bm25_incr": q_bm25_incremental,
     "bm25_incr_bucketed": q_bm25_incremental_bucketed,
     # r9: the rotated-out twin — still oracle-scored every round by
     # tools/verify_local.py (identical oracle rows to ivf_fixed)
@@ -4803,8 +4821,15 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # r12 rotation (see the window comment): corpus_jsonl and
     # repetition_signals rest here after their r10-r11 tours — still
     # oracle-scored every round by tools/verify_local.py
-    "corpus_jsonl": q_corpus_jsonl,
-    "repetition_signals": q_repetition_signals,
+    # r13 rotation (see the window comment): six stable untouched
+    # gates rest here — still oracle-scored every round by
+    # tools/verify_local.py
+    "lm_perplexity": q_lm_perplexity,
+    "source_rollup": q_source_rollup,
+    "packed_shards": q_packed_shards,
+    "tag_query": q_tag_query,
+    "doc_categories": q_doc_categories,
+    "asof_latest": q_asof_latest,
 }
 
 ORACLE_SQL: dict[str, str] = _oracles()
