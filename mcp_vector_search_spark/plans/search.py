@@ -29,7 +29,6 @@ from mcp_vector_search_spark.functions.query import (
 from mcp_vector_search_spark.functions.scoring import heuristic_rescore, sigmoid
 from mcp_vector_search_spark.operators.fusion import max_score_merge
 from mcp_vector_search_spark.operators.mmr import mmr_diversify
-from mcp_vector_search_spark.plans.hybrid import hybrid_search
 
 
 import functools
@@ -180,13 +179,33 @@ def full_search(
         )
         stats = bm25_oneshot_stats(docs, union_terms, tokenized=tok)
         vec_ranked = f_vec.result()
-    legs = None
-    for v in variants:
-        leg = hybrid_search(
-            docs, vectors, v.split(), query_vec, k=k * 3, alpha=alpha,
-            bm25_stats=stats, bm25_tokenized=tok, vec_leg_ranked=vec_ranked,
-        )
-        legs = leg if legs is None else legs.unionByName(leg)
+    # ONE scoring scan for every variant (r13, VERDICT r12 #4; guide
+    # §1.2): the per-variant `hybrid_search` legs each re-scanned the
+    # checkpointed tokenized frame (max_variants scoring scans + rank
+    # jobs). Variants are queries with integer ids through the batch
+    # pipeline's expression-compiled stage — per variant the semantics
+    # are EXACTLY `rank_by(bm25_topk(...))` ⊕ RRF ⊕ top-k·3 (the
+    # 1-query batch-vs-single identity pinned in
+    # tests/test_topk_fusion.py and the full_search old-vs-new
+    # equality checked at three SFs), and the shared ranked vector leg
+    # replicates per variant as a ≤k·3·2-row crossJoin instead of
+    # max_variants identical knn subtrees.
+    from mcp_vector_search_spark.plans.hybrid import _batch_fuse, _expr_bm_leg
+
+    term_sets = [(i, v.split()) for i, v in enumerate(variants)]
+    n_leg = k * 3 * 2
+    vids = docs.sparkSession.createDataFrame(
+        [(i,) for i in range(len(variants))], "query_id int"
+    )
+    bm_leg = _expr_bm_leg(
+        docs, term_sets, stats, n_leg, "doc_id", "text", "query_id",
+        qid_type_src=vids, tokenized=tok,
+    )
+    rep_vec_leg = vids.crossJoin(
+        vec_ranked.select("doc_id", F.col("rank").alias("_rank_a"))
+    )
+    fused = _batch_fuse(bm_leg, rep_vec_leg, k * 3, alpha, "query_id")
+    legs = fused.select("doc_id", "rrf_score")
     merged = max_score_merge(legs, "doc_id", "rrf_score")
 
     enriched = merged.join(chunk_meta, "doc_id")

@@ -1374,10 +1374,24 @@ def q_bm25_expanded(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats = bm25_oneshot_stats(
         docs, [t for v in variants for t in v.split()], tokenized=tok
     )
-    legs = None
-    for v in variants:
-        leg = bm25_topk(docs, v.split(), KNN_K, stats=stats, tokenized=tok)
-        legs = leg if legs is None else legs.unionByName(leg)
+    # ONE scoring scan for every variant (r13, VERDICT r12 #4 applied
+    # to the BM25-only fanout too; guide §1.2): the per-variant
+    # `bm25_topk` legs each re-scanned the checkpointed tokenized
+    # frame. Variants run as integer-id queries through the batch
+    # pipeline's expression-compiled stage — per variant the rows with
+    # `_rank_b ≤ k` are EXACTLY `bm25_topk`'s top-k (same round-6
+    # score, same matched>0 filter, same doc_id tiebreak; old-vs-new
+    # exceptAll = 0 both ways at sf0.001/0.01/0.1).
+    from mcp_vector_search_spark.plans.hybrid import _expr_bm_leg
+
+    vids = spark.createDataFrame(
+        [(i,) for i in range(len(variants))], "query_id int"
+    )
+    legs = _expr_bm_leg(
+        docs, [(i, v.split()) for i, v in enumerate(variants)], stats,
+        KNN_K, "doc_id", "text", "query_id", qid_type_src=vids,
+        tokenized=tok,
+    ).select("doc_id", "score")
     return (
         max_score_merge(legs, "doc_id", "score")
         .orderBy(F.desc("score"), F.asc("doc_id"))
