@@ -944,7 +944,16 @@ def _fused_family_rows(spark, sf_dir, codecs):
         sq_train,
     )
 
-    emb = _emb(spark, sf_dir)
+    # cached for the gate's lifetime (r13, VERDICT r12 #5a; guide §5):
+    # the quantizer fits, both pack builds per codec, and the sq train
+    # each re-executed the parquet-scan+project lineage — ~10 actions
+    # over the same tiny frame. Every row is fully computed (collected)
+    # before this function returns, so the unpersist below is safe.
+    # Warm best-of-3 A/B at sf0.1: 12.29 → 11.93 s (clean canaries);
+    # the remaining ~12 s is the gate's documented floor — 2 pack
+    # builds per codec + 2 comparison actions per codec + 3 driver
+    # sample-fit collects, phase-timed in OPTIMIZATION_r13.md.
+    emb = _emb(spark, sf_dir).cache()
     # pinned once (r12; guide §7.2): every serve-parity leg collects
     # the query block driver-side for its LUT/GEMM prep, so an
     # unmaterialized lineage re-scans the vector table per leg
@@ -1025,6 +1034,7 @@ def _fused_family_rows(spark, sf_dir, codecs):
             rows = f_coarse.result() + f_sq.result()
     else:
         rows = _coarse_rows() + _sq_rows()
+    emb.unpersist()
 
     return spark.createDataFrame(
         rows,
