@@ -177,7 +177,7 @@ RETRY_ON_CONTENTION = {
 BANDS_FILE = os.path.join(
     os.path.dirname(os.path.abspath(__file__)), "BANDS.json"
 )
-BANDS_EXPECTED_ROUND = 12
+BANDS_EXPECTED_ROUND = 13
 BAND_RATIO = 1.5
 
 # --- global wall-clock budget (r11, VERDICT r10 #1). BENCH_r10.json is

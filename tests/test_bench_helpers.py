@@ -290,7 +290,9 @@ def test_canary_floor_in_bands():
     assert 0.0 < bands["canary_floor_sec"] < 0.1
     # the clamp rule: min(measured, floor) — a fast box keeps its own
     assert min(0.1647, bands["canary_floor_sec"]) == bands["canary_floor_sec"]
-    assert min(0.02, bands["canary_floor_sec"]) == 0.02
+    # r13: the box's quiet canaries dropped to 0.0088-0.0126, so the
+    # floor moved 0.0285 -> 0.009 with them
+    assert min(0.0088, bands["canary_floor_sec"]) == 0.0088
 
 
 def test_flag_heavy_record_keeps_graded_rows():
