@@ -263,10 +263,19 @@ def stamp_band_outliers(merged: dict, bands: dict | None = None) -> None:
         bands = _load_bands()
     # "qps" rows flag LOW only (contention depresses them; beating the
     # band high-side is legitimately a warm cache / quiet box).
+    # r13: stamps are recomputed BOTH ways — a deferred contention
+    # retry (commit a2be984) overlays a banded row's value AFTER the
+    # first emissions stamped the contended run-1 reading, so a stamp
+    # whose row is back in band must be REMOVED, not just left to
+    # idempotent re-add (the run-1 reading survives under <row>_run1).
     for row, (lo, hi) in bands.get("qps", {}).items():
         v = merged.get(row)
-        if isinstance(v, (int, float)) and v < lo / BAND_RATIO:
+        if not isinstance(v, (int, float)):
+            continue
+        if v < lo / BAND_RATIO:
             merged[f"{row}_outside_band"] = [v, lo, hi]
+        else:
+            merged.pop(f"{row}_outside_band", None)
     # "ratio" rows flag BOTH sides (r12, r11 ADVICE low): a ratio's
     # failure mode is two-sided — a contention wave hitting only the
     # numerator side (e.g. the cold-brute scan of the pruning pair)
@@ -276,14 +285,20 @@ def stamp_band_outliers(merged: dict, bands: dict | None = None) -> None:
     # an unflagged depressed one.
     for row, (lo, hi) in bands.get("ratio", {}).items():
         v = merged.get(row)
-        if isinstance(v, (int, float)) and (
-            v < lo / BAND_RATIO or v > hi * BAND_RATIO
-        ):
+        if not isinstance(v, (int, float)):
+            continue
+        if v < lo / BAND_RATIO or v > hi * BAND_RATIO:
             merged[f"{row}_outside_band"] = [v, lo, hi]
+        else:
+            merged.pop(f"{row}_outside_band", None)
     for row, (lo, hi) in bands.get("sec", {}).items():
         v = merged.get(row)
-        if isinstance(v, (int, float)) and v > hi * BAND_RATIO:
+        if not isinstance(v, (int, float)):
+            continue
+        if v > hi * BAND_RATIO:
             merged[f"{row}_outside_band"] = [v, lo, hi]
+        else:
+            merged.pop(f"{row}_outside_band", None)
     merged["bands_provenance"] = {
         "round": bands.get("round"),
         "date": bands.get("date"),
@@ -2560,20 +2575,21 @@ def emit_results(total: float, per_query: dict) -> None:
     # outgrows the tail window, make room in this order (r13, VERDICT
     # r12 #2 — the r12 run shed three band-tracked DATA rows while
     # verbose [value, lo, hi] stamps stayed):
-    #   1. false `_unstable` flags (a stable row loses nothing);
-    #   2. `*_outside_band` stamps COMPRESSED into one
+    #   1. `*_outside_band` stamps COMPRESSED into one
     #      `outside_band_rows` name list (the stamped value is already
     #      in the row's own data key; [lo, hi] stays in the full
     #      record) — honesty kept at ~1/3 the chars;
+    #   2. false `_unstable` flags (a stable row loses nothing —
+    #      but a compressed stamp outranks it, so flags go second);
     #   3. only then metric keys, LAST of compact_keys first;
     #   4. error detail strings, then the flag lists — a truncated-
     #      but-parseable record beats a line the driver's tail window
     #      cuts mid-JSON.
-    sheddable = [
+    sheddable = [k for k in sorted(compact) if k.endswith("_outside_band")]
+    sheddable += [
         k for k in sorted(compact)
         if k.endswith("_unstable") and compact[k] is False
     ]
-    sheddable += [k for k in sorted(compact) if k.endswith("_outside_band")]
     sheddable += [k for k in reversed(compact_keys) if k in compact]
     sheddable += [k for k in sorted(compact) if k.endswith(("_error", "_retry_failed"))]
     sheddable += [

@@ -109,9 +109,9 @@ def test_shed_policy_keeps_every_data_row_before_stamps():
     the compact line crowded by band stamps + flags shed THREE
     band-tracked data rows (ann_big_auto_route_sec,
     ann_huge_recall_at_10, bm25_update_delta_unstable) while verbose
-    [value, lo, hi] stamps stayed. The policy now sheds false
-    stability flags first, then COMPRESSES stamps into a
-    outside_band_rows name list — every metric key must survive."""
+    [value, lo, hi] stamps stayed. The policy now COMPRESSES stamps
+    into an outside_band_rows name list first, then sheds false
+    stability flags — every metric key must survive."""
     pq = {n: 11.234 for n in bench.HEADLINE}
     pq.update({k: 155.678 for k in bench.EXTRA_COMPACT_KEYS})
     pq.update({"bm25_topk_warm": 11.2, "hybrid_rrf_warm": 13.5,
@@ -642,3 +642,30 @@ def test_deferred_clean_retry_flips_contended_to_false(monkeypatch):
         bench.emit_results(1.0, final)
     compact = json.loads(buf.getvalue().splitlines()[-1])
     assert "core" not in compact["queries"].get("sections_contended", [])
+
+
+def test_stale_stamp_cleared_when_retry_restores_the_row():
+    """r13: a deferred retry overlays a banded row AFTER early
+    emissions stamped the contended run-1 value — re-stamping must
+    REMOVE the stale stamp once the row is back in band (observed in
+    the r13 official run: hybrid_scale_ann_qps 35.33 carried a
+    [10.34, ...] stamp from its contended first run)."""
+    bands = {"round": bench.BANDS_EXPECTED_ROUND, "date": "x",
+             "source_runs": "sim",
+             "qps": {"hybrid_scale_ann_qps": [32.25, 43.5]},
+             "sec": {"ann_huge_ivf_sec": [2.27, 3.4]},
+             "ratio": {"ann_huge_disk_prune_ratio": [1.0, 4.7]}}
+    merged = {"hybrid_scale_ann_qps": 10.34, "ann_huge_ivf_sec": 8.6,
+              "ann_huge_disk_prune_ratio": 12.0}
+    bench.stamp_band_outliers(merged, bands)
+    assert merged["hybrid_scale_ann_qps_outside_band"][0] == 10.34
+    assert merged["ann_huge_ivf_sec_outside_band"][0] == 8.6
+    assert merged["ann_huge_disk_prune_ratio_outside_band"][0] == 12.0
+    # the retry overlays in-band values; re-stamp clears all three
+    merged["hybrid_scale_ann_qps"] = 35.33
+    merged["ann_huge_ivf_sec"] = 2.9
+    merged["ann_huge_disk_prune_ratio"] = 2.6
+    bench.stamp_band_outliers(merged, bands)
+    assert "hybrid_scale_ann_qps_outside_band" not in merged
+    assert "ann_huge_ivf_sec_outside_band" not in merged
+    assert "ann_huge_disk_prune_ratio_outside_band" not in merged
